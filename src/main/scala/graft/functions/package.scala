@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{functions => F}
+
+/** graft's column-function surface: native expressions exposed as
+  * `Column` builders plus SQL registration, and composed helpers for the
+  * text/dedup/similarity operators. Everything here stays declarative
+  * (catalyst expressions / built-in functions) so Catalyst can push down,
+  * prune and codegen around it.
+  */
+package object functions {
+
+  /** Cosine similarity between two `array<float|double>` columns (native,
+    * codegen'd — see [[CosineSimilarity]]). Requires [[registerAll]] to
+    * have run on the session (GraftSession does this automatically).
+    */
+  def cosine_similarity(a: Column, b: Column): Column =
+    F.call_function("cosine_similarity", a, b)
+
+  /** Lower-cased whitespace tokens with empties removed. */
+  def tokens(text: Column): Column =
+    F.filter(F.split(F.lower(text), " "), w => w =!= "")
+
+  /** Word n-gram shingles (default 3) over [[tokens]]; empty array when the
+    * document has fewer than `n` tokens. Shingles are the unit set for
+    * minhash / jaccard dedup.
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val t = tokens(text)
+    F.when(F.size(t) >= n,
+      F.transform(F.sequence(F.lit(1), F.size(t) - (n - 1)), i => {
+        val parts = (0 until n).map(k => F.element_at(t, i + k))
+        F.concat_ws(" ", parts: _*)
+      })
+    ).otherwise(F.array().cast("array<string>"))
+  }
+
+  /** Round a double to `scale` decimals the way C engines (DuckDB,
+    * Trino, ...) do: `round(x * 10^scale) / 10^scale` in pure FP.
+    *
+    * Spark's `round` instead goes through `BigDecimal.valueOf` (shortest
+    * decimal repr of the double), which disagrees with the FP path on
+    * boundary values like 91628.614999999991 (→ .61 vs .62). Emulating
+    * the FP path keeps rounded doubles bit-identical to the DuckDB
+    * oracle: the multiply, integer-round (both half-away-from-zero) and
+    * divide are all IEEE-identical.
+    */
+  def roundFp(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    F.round(c * p) / p
+  }
+  def round2(c: Column): Column = roundFp(c, 2)
+  def round4(c: Column): Column = roundFp(c, 4)
+
+  /** Register graft SQL functions and session confs on `spark`
+    * (idempotent — safe to call per query).
+    */
+  def registerAll(spark: SparkSession): Unit = {
+    // Driver testdata writes events.ts as TIMESTAMP(NANOS); read as long
+    // nanos (converted to microsecond timestamps in Tables.events).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"))) {
+      reg.createOrReplaceTempFunction(
+        "cosine_similarity",
+        es => CosineSimilarity(es.head, es(1)),
+        "built-in")
+    }
+  }
+}

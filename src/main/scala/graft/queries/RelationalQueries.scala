@@ -1,0 +1,348 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.round2
+
+/** The relational operator surface (SURVEY.md §2-B Q1–Q25, Q28).
+  *
+  * Design rules, applied throughout:
+  *   - declarative DataFrame API only — predicate pushdown, column pruning
+  *     and join selection are Catalyst's job;
+  *   - dimension tables (`region`, `nation`) get explicit `broadcast()`
+  *     hints — at 100 TB the fact tables shuffle, the dims never should;
+  *   - aggregations are pushed below joins where algebraically safe
+  *     (pre-aggregate the fact table on the join key before joining a
+  *     dimension), shrinking shuffle input;
+  *   - every query ends in a total ORDER BY so the cross-engine hash is
+  *     stable (part of the declared result contract).
+  */
+object RelationalQueries {
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  val all: Seq[GraftQuery] = Seq(
+
+    GraftQuery(
+      "q01_scan",
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+      (s, d) => t(s, d).region
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")),
+
+    GraftQuery(
+      "q02_filter",
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "WHERE o_totalprice > 150000 AND o_orderstatus = 'O' ORDER BY o_orderkey"),
+      (s, d) => t(s, d).orders
+        .filter(col("o_totalprice") > 150000 && col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    GraftQuery(
+      "q03_join_inner",
+      Some("SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_name"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.nation
+          .join(broadcast(tb.region), col("n_regionkey") === col("r_regionkey"))
+          .select("n_name", "r_name")
+          .orderBy("n_name")
+      }),
+
+    GraftQuery(
+      "q04_join_multi_agg",
+      Some("SELECT r_name, ROUND(SUM(o_totalprice), 2) AS rev " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "JOIN customer ON c_nationkey = n_nationkey " +
+        "JOIN orders ON o_custkey = c_custkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+      (s, d) => {
+        val tb = t(s, d)
+        // Pre-aggregate the fact table per customer before touching the
+        // dimensions: shuffles SUMs per custkey instead of raw order rows.
+        val perCust = tb.orders.groupBy("o_custkey")
+          .agg(sum("o_totalprice").as("cust_rev"))
+        perCust
+          .join(tb.customer, col("o_custkey") === col("c_custkey"))
+          .join(broadcast(tb.nation), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(tb.region), col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(round2(sum("cust_rev")).as("rev"))
+          .orderBy("r_name")
+      }),
+
+    GraftQuery(
+      "q05_join_left",
+      Some("SELECT c_custkey, COUNT(o_orderkey) AS n FROM customer " +
+        "LEFT JOIN orders ON o_custkey = c_custkey GROUP BY c_custkey ORDER BY c_custkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        // Aggregate-below-join: count per custkey first, then one
+        // customer-sized left join instead of a customer×orders join.
+        val perCust = tb.orders.groupBy("o_custkey")
+          .agg(count("o_orderkey").as("n0"))
+        tb.customer
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(col("c_custkey"), coalesce(col("n0"), lit(0L)).as("n"))
+          .orderBy("c_custkey")
+      }),
+
+    GraftQuery(
+      "q06_join_semi",
+      Some("SELECT c_custkey FROM customer WHERE c_custkey IN " +
+        "(SELECT o_custkey FROM orders WHERE o_totalprice > 200000) ORDER BY c_custkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer
+          .join(tb.orders.filter(col("o_totalprice") > 200000),
+            col("c_custkey") === col("o_custkey"), "left_semi")
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      }),
+
+    GraftQuery(
+      "q07_join_anti",
+      Some("SELECT c_custkey FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer
+          .join(tb.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey")
+          .orderBy("c_custkey")
+      }),
+
+    GraftQuery(
+      "q08_join_cross",
+      Some("SELECT r_name, s_name FROM region CROSS JOIN supplier ORDER BY r_name, s_name"),
+      (s, d) => {
+        val tb = t(s, d)
+        broadcast(tb.region).crossJoin(tb.supplier)
+          .select("r_name", "s_name")
+          .orderBy("r_name", "s_name")
+      }),
+
+    GraftQuery(
+      "q09_join_theta",
+      Some("SELECT s_suppkey, c_custkey FROM supplier JOIN customer " +
+        "ON s_nationkey = c_nationkey AND s_acctbal < c_acctbal ORDER BY s_suppkey, c_custkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        // Equi-part (s_nationkey = c_nationkey) drives the join strategy;
+        // the range predicate is evaluated as a post-join condition.
+        tb.supplier
+          .join(tb.customer,
+            col("s_nationkey") === col("c_nationkey") && col("s_acctbal") < col("c_acctbal"))
+          .select("s_suppkey", "c_custkey")
+          .orderBy("s_suppkey", "c_custkey")
+      }),
+
+    GraftQuery(
+      "q10_agg_hash",
+      Some("SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity), 2) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice), 2) AS sum_price, ROUND(AVG(l_discount), 2) AS avg_disc, " +
+        "COUNT(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus " +
+        "ORDER BY l_returnflag, l_linestatus"),
+      (s, d) => t(s, d).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round2(sum("l_quantity")).as("sum_qty"),
+          round2(sum("l_extendedprice")).as("sum_price"),
+          round2(avg("l_discount")).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    GraftQuery(
+      "q11_agg_distinct",
+      Some("SELECT COUNT(DISTINCT o_custkey) AS n_cust FROM orders"),
+      (s, d) => t(s, d).orders.agg(countDistinct("o_custkey").as("n_cust"))),
+
+    GraftQuery(
+      // HLL++ sketch vs exact: the oracle checks the exact count; the
+      // approximate side is self-checked within the declared 5 % band.
+      "q12_approx_distinct",
+      Some("SELECT COUNT(DISTINCT user_id) AS n_exact, CAST(1 AS BOOLEAN) AS within_5pct FROM events"),
+      (s, d) => t(s, d).events
+        .agg(
+          countDistinct("user_id").as("n_exact"),
+          approx_count_distinct("user_id").as("approx"))
+        .select(col("n_exact"),
+          (abs(col("approx") - col("n_exact")) / col("n_exact") <= 0.05).as("within_5pct"))),
+
+    GraftQuery(
+      "q13_rollup",
+      Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem " +
+        "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n"),
+      (s, d) => t(s, d).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("n"))),
+
+    GraftQuery(
+      "q14_grouping_sets",
+      Some("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders " +
+        "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
+        "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST, n"),
+      (s, d) => t(s, d).orders
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first, col("n"))),
+
+    GraftQuery(
+      "q15_window_rank",
+      Some("SELECT c_custkey, o_orderkey, rn FROM (SELECT c_custkey, o_orderkey, " +
+        "ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn " +
+        "FROM customer JOIN orders ON o_custkey = c_custkey) t WHERE rn <= 3 ORDER BY c_custkey, rn"),
+      (s, d) => {
+        val tb = t(s, d)
+        val w = Window.partitionBy("c_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        tb.customer
+          .join(tb.orders, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"), row_number().over(w).as("rn"))
+          .filter(col("rn") <= 3)
+          .orderBy("c_custkey", "rn")
+      }),
+
+    GraftQuery(
+      "q16_window_frame",
+      Some("SELECT user_id, event_id, ROUND(SUM(value) OVER (PARTITION BY user_id " +
+        "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rsum " +
+        "FROM events ORDER BY user_id, event_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d).events
+          .select(col("user_id"), col("event_id"), round2(sum("value").over(w)).as("rsum"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    GraftQuery(
+      // Catalyst plans this as TakeOrderedAndProject: per-partition top-k,
+      // then a k-sized merge on the driver — no global sort at scale.
+      "q17_topk",
+      Some("SELECT o_orderkey, o_totalprice FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"),
+      (s, d) => t(s, d).orders
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)),
+
+    GraftQuery(
+      "q18_union_all",
+      Some("SELECT c_nationkey AS k FROM customer UNION ALL SELECT s_nationkey FROM supplier ORDER BY k"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer.select(col("c_nationkey").as("k"))
+          .unionAll(tb.supplier.select(col("s_nationkey").as("k")))
+          .orderBy("k")
+      }),
+
+    GraftQuery(
+      "q19_intersect",
+      Some("SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY c_nationkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer.select("c_nationkey")
+          .intersect(tb.supplier.select(col("s_nationkey").as("c_nationkey")))
+          .orderBy("c_nationkey")
+      }),
+
+    GraftQuery(
+      "q19_except",
+      Some("SELECT n_nationkey FROM nation EXCEPT SELECT c_nationkey FROM customer ORDER BY n_nationkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.nation.select("n_nationkey")
+          .except(tb.customer.select(col("c_nationkey").as("n_nationkey")))
+          .orderBy("n_nationkey")
+      }),
+
+    GraftQuery(
+      "q20_string_fns",
+      Some("SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTRING(p_name, 1, 5) AS name5, " +
+        "CAST(LENGTH(p_type) AS INTEGER) AS type_len FROM part ORDER BY p_partkey"),
+      (s, d) => t(s, d).part
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_u"),
+          substring(col("p_name"), 1, 5).as("name5"),
+          length(col("p_type")).as("type_len"))
+        .orderBy("p_partkey")),
+
+    GraftQuery(
+      "q21_date_fns",
+      Some("SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INTEGER) AS y, " +
+        "CAST(MONTH(o_orderdate) AS INTEGER) AS m, " +
+        "CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS mstart FROM orders ORDER BY o_orderkey"),
+      (s, d) => t(s, d).orders
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .orderBy("o_orderkey")),
+
+    GraftQuery(
+      "q22_math_case",
+      Some("SELECT l_orderkey, l_linenumber, " +
+        "ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS amt, " +
+        "CASE WHEN l_quantity > 25 THEN 'big' ELSE 'small' END AS sz " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber"),
+      (s, d) => t(s, d).lineitem
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round2(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))).as("amt"),
+          when(col("l_quantity") > 25, "big").otherwise("small").as("sz"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    GraftQuery(
+      "q23_json",
+      Some("SELECT event_id, json_extract_string(props, '$.k') AS v FROM events ORDER BY event_id"),
+      (s, d) => t(s, d).events
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("v"))
+        .orderBy("event_id")),
+
+    GraftQuery(
+      "q24_array",
+      Some("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n FROM embeddings ORDER BY vec_id"),
+      (s, d) => t(s, d).embeddings
+        .select(col("vec_id"), size(col("embedding")).as("n"))
+        .orderBy("vec_id")),
+
+    GraftQuery(
+      "q25_dedup_distinct",
+      Some("SELECT DISTINCT event_type FROM events ORDER BY event_type"),
+      (s, d) => t(s, d).events
+        .select("event_type")
+        .dropDuplicates("event_type")
+        .orderBy("event_type")),
+
+    GraftQuery(
+      "q25_dedup_rows",
+      Some("SELECT user_id, event_type, MIN(event_id) AS first_id FROM events " +
+        "GROUP BY user_id, event_type ORDER BY user_id, event_type"),
+      (s, d) => t(s, d).events
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_id"))
+        .orderBy("user_id", "event_type")),
+
+    GraftQuery(
+      // Streaming-unified tumbling window (same groupBy(window(...)) works
+      // under readStream with a watermark); batch-checkable oracle.
+      "q28_window_tumbling",
+      Some("SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS w, COUNT(*) AS n, " +
+        "ROUND(SUM(value), 2) AS sv FROM events GROUP BY 1 ORDER BY 1"),
+      (s, d) => t(s, d).events
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"), round2(sum("value")).as("sv"))
+        .select(col("window.start").as("w"), col("n"), col("sv"))
+        .orderBy("w"))
+  )
+}
