@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{cosine_similarity, round4}
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Brute-force cosine top-k is the correctness baseline; the LSH variant
+  * (sign-bit hyperplane buckets) is the scale path: bucketing turns the
+  * O(N) probe scan / O(N²) pair join into an equi-join on the bucket key.
+  * Cosine itself is the native codegen'd [[graft.functions.CosineSimilarity]]
+  * expression — no UDF serialization in the hot loop.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors of `probeId` by cosine (descending, vec_id
+    * tie-break). Output: (vec_id, score[round4]).
+    *
+    * The probe row is broadcast; the scan stays embarrassingly parallel
+    * and Catalyst plans the top-k as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows, no global sort).
+    */
+  def bruteForceTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val probe = emb.filter(col("vec_id") === probeId)
+      .select(asDouble(col("embedding")).as("pe"))
+    emb.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        cosine_similarity(asDouble(col("embedding")), col("pe")).as("score0"))
+      .orderBy(col("score0").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round4(col("score0")).as("score"))
+  }
+
+  /** Sign-bit LSH bucket key: one hyperplane per leading dimension
+    * (axis-aligned random projection — deterministic and expressible in
+    * the oracle SQL). */
+  def signBucket(embCol: Column, bits: Int): Column =
+    concat((1 to bits).map(i =>
+      when(element_at(embCol, i) >= 0, lit("1")).otherwise(lit("0"))): _*)
+
+  /** Approximate top-k: search restricted to the probe's LSH bucket. */
+  def annTopK(emb: DataFrame, probeId: Long, k: Int, bits: Int = 6): DataFrame = {
+    val bucketed = emb.withColumn("bucket", signBucket(col("embedding"), bits))
+    val probe = bucketed.filter(col("vec_id") === probeId)
+      .select(asDouble(col("embedding")).as("pe"), col("bucket"))
+    bucketed
+      .join(broadcast(probe), Seq("bucket"))
+      .filter(col("vec_id") =!= probeId)
+      .select(col("vec_id"),
+        cosine_similarity(asDouble(col("embedding")), col("pe")).as("score0"))
+      .orderBy(col("score0").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round4(col("score0")).as("score"))
+  }
+
+  /** Embedding near-dup pairs: same LSH bucket AND cosine >= threshold.
+    * Output: (vec_a, vec_b, score[round4]), a < b.
+    *
+    * The bucket equi-join is the blocking step — at 100 TB this is a
+    * shuffle on the bucket key instead of an all-pairs cross join.
+    */
+  def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 4): DataFrame = {
+    val b = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val a2 = b.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
+    val b2 = b.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
+    a2.join(b2, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine_similarity(col("ea"), col("eb")).as("score0"))
+      .filter(col("score0") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round4(col("score0")).as("score"))
+      .orderBy("vec_a", "vec_b")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.{tokens, round4}
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, document fingerprinting. All pure
+  * column arithmetic — deterministic, codegen-friendly, and mirrored
+  * 1:1 by the DuckDB oracle SQL.
+  */
+object TextAnalysis {
+
+  /** (doc_id, w) exploded token stream. */
+  def tokenStream(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+
+  /** Stopword-ratio language heuristic (n-gram/stopword scoring family).
+    * Deterministic CASE over per-doc token ratios; output
+    * (doc_id, pred_lang).
+    */
+  def languageId(docs: DataFrame): DataFrame =
+    tokenStream(docs)
+      .groupBy("doc_id")
+      .agg(
+        (sum(when(col("w") === "the", 1).otherwise(0)) / count(lit(1))).as("r_the"),
+        (sum(when(col("w") === "a", 1).otherwise(0)) / count(lit(1))).as("r_a"))
+      .select(col("doc_id"),
+        when(col("r_the") >= 0.05, "en")
+          .when(col("r_a") >= 0.05, "es")
+          .when(col("r_the") >= 0.02, "de")
+          .when(col("r_a") >= 0.02, "fr")
+          .otherwise("zh").as("pred_lang"))
+
+  /** Per-doc quality features + composite score:
+    * (doc_id, n_tokens, avg_token_len, stop_ratio, quality) with
+    * quality = min(1, n_tokens/100) * (1 - stop_ratio).
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    tokenStream(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(length(col("w"))).as("avg_len0"),
+        (sum(when(col("w") === "the" || col("w") === "a", 1).otherwise(0)) / count(lit(1))).as("stop0"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round4(col("avg_len0")).as("avg_token_len"),
+        round4(col("stop0")).as("stop_ratio"),
+        round4(least(lit(1.0), col("n_tokens") / lit(100.0)) * (lit(1.0) - col("stop0"))).as("quality"))
+
+  /** Token counts per doc: whitespace tokens, regex word-ish tokens, and
+    * a chars/4 BPE-token estimate. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"),
+      ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"))
+
+  /** Content fingerprint: md5 over the sorted distinct token set (the
+    * "fingerprint keying" method — whitespace/order/duplicate
+    * insensitive). Output (doc_id, fp).
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    tokenStream(docs)
+      .groupBy("doc_id")
+      .agg(md5(concat_ws(" ", array_sort(collect_set(col("w"))))).as("fp"))
+}

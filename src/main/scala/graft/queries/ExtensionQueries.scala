@@ -1,9 +1,257 @@
 package graft.queries
 
-/** Extension operators (similarity search, dedup suite, text analysis,
-  * UDF/UDAF/UDTF) — populated incrementally; see Dedup/Similarity/
-  * TextAnalysis operator modules.
+import graft.Tables
+import graft.functions.{round2, round4, GeometricMean}
+import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extension surface: similarity search (Q26), text analysis (Q27),
+  * streaming-unified windows (Q29 batch-checkable forms), UDF/UDAF/UDTF
+  * (Q30), and the training-data-pipeline operators (dedup suite dd*,
+  * text analysis ta*). Every oracle implements the *same deterministic
+  * algorithm* in DuckDB SQL (md5-derived hashes, FP-path rounding), so
+  * even approximate-by-nature ops (LSH) are exactly comparable.
   */
 object ExtensionQueries {
-  val all: Seq[GraftQuery] = Seq()
+
+  private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
+
+  /** Shared oracle CTE: distinct 3-gram shingles per document. */
+  private val ShingleCte =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id, unnest([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, greatest(len(t)-1,1))]) AS s
+      |    FROM toks) q)""".stripMargin
+
+  val all: Seq[GraftQuery] = Seq(
+
+    // ---------------------------------------------------------------- Q26
+    GraftQuery(
+      "q26_similarity_brute",
+      Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe) * 10000) / 10000 AS score
+        |FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0
+        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe) DESC, e.vec_id LIMIT 5""".stripMargin),
+      (s, d) => Similarity.bruteForceTopK(t(s, d).embeddings, probeId = 0L, k = 5)),
+
+    GraftQuery(
+      "q26_similarity_ann",
+      Some("""WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    concat(CASE WHEN embedding[1]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[2]>=0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[4]>=0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[5]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[6]>=0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings),
+        |probe AS (SELECT e AS pe, bucket AS pb FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, p.pe) * 10000) / 10000 AS score
+        |FROM b CROSS JOIN probe p WHERE b.bucket = p.pb AND b.vec_id <> 0
+        |ORDER BY list_cosine_similarity(b.e, p.pe) DESC, b.vec_id LIMIT 5""".stripMargin),
+      (s, d) => Similarity.annTopK(t(s, d).embeddings, probeId = 0L, k = 5, bits = 6)),
+
+    // ---------------------------------------------------------------- Q27
+    GraftQuery(
+      "q27_text_wordcount",
+      Some("SELECT w, COUNT(*) AS n FROM (SELECT unnest(string_split(lower(text), ' ')) AS w " +
+        "FROM documents) q WHERE w <> '' GROUP BY w ORDER BY n DESC, w LIMIT 20"),
+      (s, d) => TextAnalysis.tokenStream(t(s, d).documents)
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w"))
+        .limit(20)),
+
+    // ---------------------------------------------------------------- Q29 (batch-checkable forms)
+    GraftQuery(
+      // session_window is the same grouping expression used under
+      // readStream + watermark; oracle = gaps-and-islands. New session
+      // when gap >= 10 min, matching Spark's [start, start+gap) windows.
+      "q29_session_window",
+      Some("""WITH g AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) q)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin),
+      (s, d) => t(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
+        .orderBy("user_id", "session_start")),
+
+    GraftQuery(
+      "q29_sliding_window",
+      Some("""SELECT w, COUNT(*) AS n FROM (
+        |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+        |                 time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE]) AS w
+        |  FROM events) q GROUP BY w ORDER BY w""".stripMargin),
+      (s, d) => t(s, d).events
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("w"), col("n"))
+        .orderBy("w")),
+
+    // ---------------------------------------------------------------- Q30
+    GraftQuery(
+      "q30_udf",
+      Some("SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN 'neg' WHEN c_acctbal < 3000 THEN 'low' " +
+        "WHEN c_acctbal < 7000 THEN 'mid' ELSE 'high' END AS band FROM customer ORDER BY c_custkey"),
+      (s, d) => {
+        val band = udf((bal: Double) =>
+          if (bal < 0) "neg" else if (bal < 3000) "low" else if (bal < 7000) "mid" else "high")
+        t(s, d).customer
+          .select(col("c_custkey"), band(col("c_acctbal")).as("band"))
+          .orderBy("c_custkey")
+      }),
+
+    GraftQuery(
+      "q30_udaf",
+      Some("SELECT p_brand, ROUND(EXP(AVG(LN(p_retailprice))) * 100) / 100 AS geo_mean " +
+        "FROM part GROUP BY p_brand ORDER BY p_brand"),
+      (s, d) => {
+        val gm = udaf(GeometricMean)
+        t(s, d).part
+          .groupBy("p_brand")
+          .agg(round2(gm(col("p_retailprice"))).as("geo_mean"))
+          .orderBy("p_brand")
+      }),
+
+    GraftQuery(
+      // Typed generator (UDTF): 1 row -> N rows via Dataset.flatMap.
+      "q30_udtf",
+      Some("SELECT p_partkey, i - 1 AS pos, string_split(p_type, ' ')[i] AS w " +
+        "FROM part, unnest(range(1, len(string_split(p_type, ' ')) + 1)) q(i) " +
+        "ORDER BY p_partkey, pos"),
+      (s, d) => {
+        import s.implicits._
+        t(s, d).part.select("p_partkey", "p_type").as[(Long, String)]
+          .flatMap { case (k, ty) =>
+            ty.split(' ').zipWithIndex.map { case (w, i) => (k, i, w) }
+          }
+          .toDF("p_partkey", "pos", "w")
+          .orderBy("p_partkey", "pos")
+      }),
+
+    // ---------------------------------------------------------------- dedup suite
+    GraftQuery(
+      "dd01_exact_text",
+      Some("SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents " +
+        "GROUP BY text ORDER BY keep_id"),
+      (s, d) => TextDedup.exactDedup(t(s, d).documents).orderBy("keep_id")),
+
+    GraftQuery(
+      "dd02_minhash_lsh",
+      Some(ShingleCte +
+        """,
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |sig AS (
+        |  SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS sig FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band_id, string_agg(sig, '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY doc_id, seed // 4),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
+        |  FROM cand c JOIN sh ta ON ta.doc_id = c.doc_a JOIN sh tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
+        |  GROUP BY c.doc_a, c.doc_b)
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 10000) / 10000 AS jaccard
+        |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => TextDedup.minhashDedupPairs(t(s, d).documents, threshold = 0.8)),
+
+    GraftQuery(
+      "dd03_ngram_jaccard",
+      Some(ShingleCte +
+        """,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh ta JOIN sh tb ON tb.s = ta.s AND ta.doc_id < tb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 10000) / 10000 AS jaccard
+        |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => TextDedup.exactJaccardPairs(t(s, d).documents, threshold = 0.8)),
+
+    GraftQuery(
+      "dd04_simhash",
+      Some(ShingleCte +
+        """,
+        |bits AS (SELECT doc_id, s, unnest(range(32)) AS k FROM sh),
+        |bitval AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN CAST(FLOOR((position(substr(md5(s), 1 + k // 4, 1) IN '0123456789abcdef') - 1)
+        |      / POW(2, k % 4)) AS INTEGER) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM bits GROUP BY doc_id, k)
+        |SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+        |FROM bitval GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextDedup.simhashFingerprints(
+        TextDedup.shingleSet(t(s, d).documents)).orderBy("doc_id")),
+
+    GraftQuery(
+      "dd05_embedding_neardup",
+      Some("""WITH b AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    concat(CASE WHEN embedding[1]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[2]>=0 THEN '1' ELSE '0' END,
+        |           CASE WHEN embedding[3]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[4]>=0 THEN '1' ELSE '0' END) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |  ROUND(list_cosine_similarity(a.e, b2.e) * 10000) / 10000 AS score
+        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |WHERE list_cosine_similarity(a.e, b2.e) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin),
+      (s, d) => Similarity.nearDupPairs(t(s, d).embeddings, threshold = 0.35, bits = 4)),
+
+    // ---------------------------------------------------------------- text analysis
+    GraftQuery(
+      "ta01_langid",
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN w = 'the' THEN 1 ELSE 0 END) / COUNT(*) AS r_the,
+        |    SUM(CASE WHEN w = 'a' THEN 1 ELSE 0 END) / COUNT(*) AS r_a
+        |  FROM tok WHERE w <> '' GROUP BY doc_id)
+        |SELECT doc_id, CASE WHEN r_the >= 0.05 THEN 'en' WHEN r_a >= 0.05 THEN 'es'
+        |  WHEN r_the >= 0.02 THEN 'de' WHEN r_a >= 0.02 THEN 'fr' ELSE 'zh' END AS pred_lang
+        |FROM r ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.languageId(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
+      "ta02_quality",
+      Some("""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents),
+        |r AS (
+        |  SELECT doc_id, COUNT(*) AS n_tokens, AVG(LENGTH(w)) AS avg_len0,
+        |    SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) / COUNT(*) AS stop0
+        |  FROM tok WHERE w <> '' GROUP BY doc_id)
+        |SELECT doc_id, n_tokens,
+        |  ROUND(avg_len0 * 10000) / 10000 AS avg_token_len,
+        |  ROUND(stop0 * 10000) / 10000 AS stop_ratio,
+        |  ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - stop0) * 10000) / 10000 AS quality
+        |FROM r ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.qualityScore(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
+      "ta03_tokens",
+      Some("""SELECT doc_id,
+        |  CAST(len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS INTEGER) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS n_re_tokens,
+        |  CAST(CEIL(LENGTH(text) / 4.0) AS INTEGER) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.tokenCounts(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
+      "ta04_fingerprint",
+      Some("""WITH tok AS (
+        |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents) q
+        |  WHERE w <> '')
+        |SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w)) AS fp FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.fingerprint(t(s, d).documents).orderBy("doc_id"))
+  )
 }
