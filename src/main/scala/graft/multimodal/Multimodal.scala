@@ -1,0 +1,93 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Dataset, Encoders}
+
+/** Multimodal column support: image/audio/video travel as opaque binary
+  * columns with typed metadata; decode / feature-extraction / resize /
+  * frame-sampling run as partition-local batch transforms
+  * (`mapPartitions`), the Scala analog of arrow-batched Pandas UDFs —
+  * one decoder instantiation per partition, records processed in bounded
+  * batches so decoder state amortizes and memory stays flat.
+  *
+  * The actual codec work is STUBBED (this container ships no image/audio
+  * libraries): [[Decoders.fake]] is a deterministic stand-in keyed off
+  * the payload bytes. The Spark-side contract — schema, encoders, batch
+  * shape, partition-local lifecycle, partitioning strategy — is real and
+  * tested; swapping in a JNI/FFI decoder changes one function.
+  */
+object Multimodal {
+
+  /** An opaque media blob + typed metadata. */
+  case class MediaItem(media_id: Long, mime: String, data: Array[Byte],
+                       meta: Map[String, String])
+
+  /** Decoded-image feature row. */
+  case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                           channels: Int, mean_luma: Double)
+
+  /** A sampled video frame reference (decode deferred). */
+  case class FrameRef(media_id: Long, frame_idx: Int, offset_ms: Long)
+
+  /** Decoder contract: bytes → (width, height, channels, meanLuma). */
+  type ImageDecoder = Array[Byte] => (Int, Int, Int, Double)
+
+  object Decoders {
+    /** Deterministic fake decoder: dimensions/luma derived from the
+      * payload bytes. STUB for the real codec (see class doc).
+      */
+    val fake: ImageDecoder = bytes => {
+      val h = java.util.Arrays.hashCode(bytes)
+      val w = 64 + math.abs(h % 512)
+      val ht = 64 + math.abs((h / 512) % 512)
+      val luma = (math.abs(h.toLong) % 1000).toDouble / 1000.0
+      (w, ht, 3, luma)
+    }
+  }
+
+  private val batchSize = 64 // records per decode batch (arrow-batch analog)
+
+  /** Decode + feature-extract images. One decoder per partition; records
+    * stream through in `batchSize` groups. Repartition upstream by expected
+    * decode cost (e.g. byte size) to balance executors.
+    */
+  def decodeImages(items: Dataset[MediaItem],
+                   decoder: ImageDecoder = Decoders.fake): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    items.mapPartitions { it =>
+      // per-partition decoder setup would happen here (codec contexts etc.)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val (w, h, c, luma) = decoder(m.data)
+          ImageFeatures(m.media_id, w, h, c, luma)
+        }
+      }
+    }
+  }
+
+  /** "Resize": recompute features at a target size — stub arithmetic,
+    * real dataflow (narrow transform, stays in the same stage). */
+  def resize(features: Dataset[ImageFeatures], maxDim: Int): Dataset[ImageFeatures] = {
+    implicit val enc = Encoders.product[ImageFeatures]
+    features.map { f =>
+      val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
+      f.copy(width = math.max(1, (f.width * scale).toInt),
+             height = math.max(1, (f.height * scale).toInt))
+    }
+  }
+
+  /** Sample every `everyNth` frame of each video (duration/fps from
+    * metadata; defaults 10s @ 25fps). flatMap 1→N — a generator, so rows
+    * scale with sampled frames, not videos.
+    */
+  def sampleFrames(videos: Dataset[MediaItem], everyNth: Int): Dataset[FrameRef] = {
+    require(everyNth >= 1)
+    implicit val enc = Encoders.product[FrameRef]
+    videos.flatMap { v =>
+      val fps = v.meta.get("fps").flatMap(_.toDoubleOption).getOrElse(25.0)
+      val durationMs = v.meta.get("duration_ms").flatMap(_.toLongOption).getOrElse(10000L)
+      val nFrames = (durationMs / 1000.0 * fps).toInt
+      (0 until nFrames by everyNth).map(i =>
+        FrameRef(v.media_id, i, (i / fps * 1000).toLong))
+    }
+  }
+}

@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = tables.documents
+
+  test("minhash-LSH pairs match exact jaccard pairs on testdata") {
+    // At threshold 0.8 the planted near-dups are far above the LSH
+    // detection band, so candidate recall is total and the verified
+    // outputs must be identical.
+    val lsh = TextDedup.minhashDedupPairs(docs, threshold = 0.8).collect().toSeq
+    val exact = TextDedup.exactJaccardPairs(docs, threshold = 0.8).collect().toSeq
+    assert(lsh.nonEmpty, "expected planted near-dup pairs in testdata")
+    assert(lsh == exact)
+  }
+
+  test("exact dedup collapses duplicated text") {
+    val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.exactDedup(d).orderBy("keep_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("simhash: identical docs share fingerprints, distinct docs differ") {
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear in this other document here"))
+      .toDF("doc_id", "text")
+    val fps = TextDedup.simhashFingerprints(TextDedup.shingleSet(d))
+      .as[(Long, Long)].collect().toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("simhash near-dup pairs find hamming-0 duplicates via byte bands") {
+    val d = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear in this other document here"))
+      .toDF("doc_id", "text")
+    val fps = TextDedup.simhashFingerprints(TextDedup.shingleSet(d))
+    val pairs = TextDedup.simhashNearDupPairs(fps, maxDist = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    assert(pairs == Seq((1L, 2L)))
+  }
+
+  test("shingles guard short documents") {
+    val d = Seq((1L, "one two"), (2L, "a b c d")).toDF("doc_id", "text")
+    val sh = TextDedup.shingleSet(d).groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(!sh.contains(1L)) // < 3 tokens ⇒ no shingles
+    assert(sh(2L) == 2L)     // 4 tokens ⇒ 2 trigrams
+  }
+}

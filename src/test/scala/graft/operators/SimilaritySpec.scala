@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("brute-force top-k returns nearest by cosine, descending") {
+    val df = emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(1f, 0.1f),   // nearly parallel to probe
+      2L -> Seq(0f, 1f),     // orthogonal
+      3L -> Seq(-1f, 0f),    // opposite
+      4L -> Seq(1f, 0.5f))
+    val got = Similarity.bruteForceTopK(df, probeId = 0L, k = 3)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 4L, 2L))
+  }
+
+  test("ann top-k searches only the probe's sign bucket") {
+    val df = emb(
+      0L -> Seq(1f, 1f, 1f, 1f, 1f, 1f),
+      1L -> Seq(1f, 1f, 1f, 1f, 1f, 0.9f),   // same bucket, similar
+      2L -> Seq(-1f, 1f, 1f, 1f, 1f, 1f))    // different bucket, excluded
+    val got = Similarity.annTopK(df, probeId = 0L, k = 5, bits = 6)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(got == Seq(1L))
+  }
+
+  test("near-dup pairs respects threshold and bucket blocking") {
+    val df = emb(
+      1L -> Seq(1f, 1f, 0f, 0f),
+      2L -> Seq(1f, 0.99f, 0f, 0f),  // near-dup of 1, same bucket
+      3L -> Seq(-1f, -1f, 0f, 0f))   // different bucket
+    val got = Similarity.nearDupPairs(df, threshold = 0.9, bits = 4)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
+  test("ann agrees with brute force when buckets are warm (testdata probe)") {
+    val e = tables.embeddings
+    val brute = Similarity.bruteForceTopK(e, 0L, 5).as[(Long, Double)].collect().toSeq
+    val ann = Similarity.annTopK(e, 0L, 5, bits = 6).as[(Long, Double)].collect().toSeq
+    // ANN results must be a subset of the full ranking's scores ordering
+    assert(ann.nonEmpty)
+    assert(ann.map(_._2).sorted.reverse == ann.map(_._2)) // descending
+    val bruteScores = brute.toMap
+    ann.foreach { case (id, s) => bruteScores.get(id).foreach(b => assert(b == s)) }
+  }
+}

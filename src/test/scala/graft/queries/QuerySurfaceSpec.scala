@@ -1,0 +1,29 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Every declared query must build, plan and execute on sf0.001. Value
+  * correctness is enforced by the DuckDB oracle gate (tools/
+  * oracle_check.py + the driver's CORRECTNESS run); this suite guards
+  * compilability/runability and the non-empty flagship contract.
+  */
+class QuerySurfaceSpec extends SparkSpec {
+
+  // Queries whose correct result set is legitimately empty at sf0.001.
+  private val mayBeEmpty = Set("q07_join_anti", "q19_except")
+
+  SparkEntry.allQueries.foreach { q =>
+    test(s"${q.name} executes") {
+      val n = q.run(spark, sfDir).count()
+      if (!mayBeEmpty(q.name)) assert(n > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracle key has a matching query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
