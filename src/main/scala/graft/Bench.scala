@@ -1,23 +1,70 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+import graft.ingest.{BatchPolicy, Envelope, IngestPipeline}
+import graft.ingest.examples.{Item, JsonItemTransformer}
+
+/** Benchmark main: runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR (default sf0.1) plus the reference-mirroring
+  * ingestion micro-bench, and prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}.
+  *
+  * Queries execute into the `noop` sink so the full physical plan —
+  * including final sorts and projections that `count()` would let the
+  * optimizer elide — is exercised end-to-end.
+  */
 object Bench {
+
+  private def timed(f: => Unit): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Mirror of the reference whole-pipeline bench
+    * (/root/reference/tests/integration_benchmark_test.go:58-107):
+    * 1000 JSON messages → transform → single flush → snappy parquet.
+    */
+  private def ingestBench(spark: SparkSession): Double = {
+    import spark.implicits._
+    val payloads = (1 to 1000)
+      .map(i => s"""{"id": $i, "name": "item-$i", "value": ${i * 1.5}}""")
+    val out = java.nio.file.Files.createTempDirectory("bench-ingest").toString
+    val pipe = IngestPipeline[Item](
+      transformer = new JsonItemTransformer,
+      sinkPath = s"$out/sink",
+      checkpointPath = s"$out/cp",
+      policy = BatchPolicy(flushIntervalMs = 0L),
+      codec = "snappy")
+    val envs = spark.createDataset(payloads.map(Envelope(_, Map.empty[String, String])))
+    timed { pipe.processBatch(pipe.route(envs), batchId = 0L) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    GraftSession.init(spark)
+
+    // Warm the JVM/codegen/file-index paths outside the measurements.
+    SparkEntry.queries("q01_scan")(spark, sfDir).collect()
+
+    val results = SparkEntry.allQueries.map { q =>
+      val sec = timed {
+        try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+      }
+      q.name -> sec
+    } :+ ("ingest_1k" -> ingestBench(spark))
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 import graft.functions.{shingles, round4}
 
 /** Document deduplication suite: exact, MinHash+LSH, SimHash, n-gram
@@ -27,25 +28,40 @@ object TextDedup {
     docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
       .distinct()
 
-  /** MinHash signatures (doc_id, seed, sig): sig_j = MIN over shingles of
-    * md5(j ":" shingle). md5 acts as the hash family; lexicographic MIN
-    * over the hex digest is the permutation-min. Deterministic and
-    * cross-engine reproducible (unlike hash seeds tied to an engine).
+  /** Wide MinHash signature matrix (doc_id, sig0..sig{H-1}): one md5 per
+    * shingle yields two 48-bit integers (h1, h2); the hash family is
+    * Carter-Wegman sig_j = MIN over shingles of (h1 + j*h2) mod 2^48 —
+    * H signatures for the price of one digest (48-bit values keep j*h2
+    * far from int64 overflow). All H mins are computed as parallel
+    * aggregates in ONE grouped pass: no seed-explode, so the shuffle is
+    * |docs| rows instead of |shingles| × H.
     */
-  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame =
-    sh.withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("s")))).as("sig"))
+  def minhashSignatures(sh: DataFrame, numHashes: Int = 16): DataFrame = {
+    val withH = sh
+      .withColumn("h1", expr("CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr("CAST(conv(substring(md5(s), 13, 12), 16, 10) AS BIGINT)"))
+    val aggs = (0 until numHashes)
+      .map(j => min(expr(s"(h1 + $j * h2) % 281474976710656")).as(s"sig$j"))
+    withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
 
-  /** LSH banding over signatures: docs agreeing on every row of a band
-    * become a candidate pair. Returns distinct (doc_a, doc_b), a < b.
+  /** LSH banding over the wide signature matrix: docs agreeing on every
+    * signature of a band become a candidate pair. Returns distinct
+    * (doc_a, doc_b), a < b. The band explode happens on |docs| rows —
+    * cheap — and the pair generation is an equi-join on
+    * (band_id, band_key), the step that makes this scale.
     */
   def lshCandidatePairs(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = sig.columns.count(_.startsWith("sig"))
+    require(numHashes % rowsPerBand == 0, s"$numHashes signatures not divisible into bands of $rowsPerBand")
+    val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
+      val keyCols = (0 until rowsPerBand)
+        .map(r => s"CAST(sig${b * rowsPerBand + r} AS STRING)").mkString(", ")
+      expr(s"named_struct('band_id', $b, 'band_key', concat_ws('|', $keyCols))")
+    }
     val bands = sig
-      .groupBy(col("doc_id"), expr(s"seed div $rowsPerBand").as("band_id"))
-      .agg(concat_ws("|",
-        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
-          x => x.getField("sig"))).as("band_key"))
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))
@@ -76,7 +92,10 @@ object TextDedup {
   def minhashDedupPairs(docs: DataFrame, threshold: Double = 0.8,
                         numHashes: Int = 16, rowsPerBand: Int = 4,
                         shingleN: Int = 3): DataFrame = {
-    val sh = shingleSet(docs, n = shingleN)
+    // The shingle set feeds signatures AND both sides of the exact
+    // verification join — persist it once instead of re-exploding the
+    // corpus four times (spills to disk at scale).
+    val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
     val cand = lshCandidatePairs(minhashSignatures(sh, numHashes), rowsPerBand)
     jaccardVerify(cand, sh, threshold).orderBy("doc_a", "doc_b")
   }
@@ -87,7 +106,7 @@ object TextDedup {
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         shingleN: Int = 3): DataFrame = {
-    val sh = shingleSet(docs, n = shingleN)
+    val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
       .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -111,15 +130,20 @@ object TextDedup {
     */
   def simhashFingerprints(sh: DataFrame, bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
-    sh.withColumn("k", explode(sequence(lit(0), lit(bits - 1))))
-      .withColumn("contrib", expr(
-        "CASE WHEN CAST(FLOOR((position(substring(md5(s), 1 + (k div 4), 1) IN " +
-          "'0123456789abcdef') - 1) / POW(2, k % 4)) AS INT) % 2 = 1 THEN 1 ELSE -1 END"))
-      .groupBy("doc_id", "k")
-      .agg(sum("contrib").as("sgn"))
-      .groupBy("doc_id")
-      .agg(sum(when(col("sgn") > 0, expr("CAST(POW(2, k) AS BIGINT)"))
-        .otherwise(lit(0L))).as("fp"))
+    // md5 once per shingle; all `bits` vote-sums as parallel aggregates
+    // in one grouped pass (no per-bit explode — shuffle stays |docs|).
+    val withHex = sh.withColumn("hex", md5(col("s")))
+    val aggs = (0 until bits).map { k =>
+      val div = math.pow(2, k % 4)
+      sum(expr(
+        s"CASE WHEN CAST(FLOOR((position(substring(hex, ${1 + k / 4}, 1) IN " +
+          s"'0123456789abcdef') - 1) / $div) AS INT) % 2 = 1 THEN 1 ELSE -1 END")).as(s"sgn$k")
+    }
+    val fpExpr = (0 until bits)
+      .map(k => s"CASE WHEN sgn$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
+      .mkString(" + ")
+    withHex.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), expr(fpExpr).as("fp"))
   }
 
   /** Near-dup pairs by simhash Hamming distance <= maxDist, using

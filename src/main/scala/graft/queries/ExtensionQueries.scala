@@ -146,10 +146,14 @@ object ExtensionQueries {
       Some(ShingleCte +
         """,
         |seeds AS (SELECT unnest(range(16)) AS seed),
+        |h AS (
+        |  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+        |         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2 FROM sh),
         |sig AS (
-        |  SELECT doc_id, seed, MIN(md5(seed || ':' || s)) AS sig FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+        |  SELECT doc_id, seed, MIN((h1 + seed * h2) % 281474976710656) AS sig
+        |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
         |band AS (
-        |  SELECT doc_id, seed // 4 AS band_id, string_agg(sig, '|' ORDER BY seed) AS band_key
+        |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
         |  FROM sig GROUP BY doc_id, seed // 4),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
