@@ -149,4 +149,14 @@ object Sources {
     reader.text(dir).select(col("value").as[String])
       .map(v => Envelope(v, Map.empty[String, String]))
   }
+
+  /** The graft queue source (see [[graft.sources.QueueSource]]): a
+    * bounded in-process message queue whose ack fires on offset commit —
+    * the reference's `Sourcer { Receive; AckBatch }` contract.
+    */
+  def queue(spark: SparkSession, name: String): Dataset[Envelope] = {
+    import spark.implicits._
+    spark.readStream.format("graft.sources.QueueSource").option("name", name).load()
+      .select(col("value").as("payload"), col("attributes")).as[Envelope]
+  }
 }
