@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed tables join without an exchange on either side") {
+    Layout.writeBucketed(tables.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
+      "orders_b", "o_custkey", 8)
+    Layout.writeBucketed(tables.customer.select("c_custkey", "c_name"),
+      "customer_b", "c_custkey", 8)
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"), $"o_custkey" === $"c_custkey")
+    withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n${plan.take(800)}")
+    }
+  }
+
+  private def withSQLConf[T](pairs: (String, String)*)(f: => T): T = {
+    val old = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("salted join equals the plain join") {
+    val plain = tables.orders.join(tables.customer, $"o_custkey" === $"c_custkey")
+      .groupBy("c_nationkey").count().orderBy("c_nationkey")
+      .as[(Int, Long)].collect().toSeq
+    val salted = Layout.saltedJoin(tables.orders, tables.customer.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", 8)
+      .groupBy("c_nationkey").count().orderBy("c_nationkey")
+      .as[(Int, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+
+  test("salted count equals plain count") {
+    val plain = tables.orders.groupBy("o_custkey").count()
+      .orderBy("o_custkey").as[(Long, Long)].collect().toSeq
+    val salted = Layout.saltedCount(tables.orders, "o_custkey", 8)
+      .select($"o_custkey", $"n".as("count")).orderBy("o_custkey")
+      .as[(Long, Long)].collect().toSeq
+    assert(salted == plain)
+  }
+}
