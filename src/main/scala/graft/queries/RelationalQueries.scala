@@ -211,6 +211,26 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // rank/dense_rank with ties: the window orders by price only, so
+      // equal prices share a rank — deterministic without a tiebreaker.
+      "q15_window_ranks",
+      Some("SELECT c_custkey, o_orderkey, rnk, drnk FROM (SELECT c_custkey, o_orderkey, " +
+        "RANK() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC) AS rnk, " +
+        "DENSE_RANK() OVER (PARTITION BY c_custkey ORDER BY o_totalprice DESC) AS drnk " +
+        "FROM customer JOIN orders ON o_custkey = c_custkey) t WHERE rnk <= 3 " +
+        "ORDER BY c_custkey, rnk, o_orderkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        val w = Window.partitionBy("c_custkey").orderBy(col("o_totalprice").desc)
+        tb.customer
+          .join(tb.orders, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"),
+            rank().over(w).as("rnk"), dense_rank().over(w).as("drnk"))
+          .filter(col("rnk") <= 3)
+          .orderBy("c_custkey", "rnk", "o_orderkey")
+      }),
+
+    GraftQuery(
       "q16_window_frame",
       Some("SELECT user_id, event_id, ROUND(SUM(value) OVER (PARTITION BY user_id " +
         "ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS rsum " +
@@ -220,6 +240,21 @@ object RelationalQueries {
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         t(s, d).events
           .select(col("user_id"), col("event_id"), round2(sum("value").over(w)).as("rsum"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    GraftQuery(
+      "q16_window_lag",
+      Some("SELECT user_id, event_id, " +
+        "ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100) / 100 AS dv, " +
+        "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) * 100) / 100 AS nv " +
+        "FROM events ORDER BY user_id, event_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        t(s, d).events
+          .select(col("user_id"), col("event_id"),
+            round2(col("value") - lag("value", 1).over(w)).as("dv"),
+            round2(lead("value", 1).over(w)).as("nv"))
           .orderBy("user_id", "event_id")
       }),
 
