@@ -7,6 +7,17 @@ class LayoutSpec extends SparkSpec {
   import spark.implicits._
 
   test("bucketed tables join without an exchange on either side") {
+    // a fresh in-memory metastore doesn't know about table dirs left by
+    // a previous JVM — clear both name and location
+    Seq("orders_b", "customer_b").foreach { tb =>
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      val loc = new java.io.File(spark.conf.get("spark.sql.warehouse.dir")
+        .stripPrefix("file:"), tb)
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+    }
     Layout.writeBucketed(tables.orders.select("o_orderkey", "o_custkey", "o_totalprice"),
       "orders_b", "o_custkey", 8)
     Layout.writeBucketed(tables.customer.select("c_custkey", "c_name"),
