@@ -168,7 +168,9 @@ object RelationalQueries {
       (s, d) => t(s, d).events
         .agg(
           countDistinct("user_id").as("n_exact"),
-          approx_count_distinct("user_id").as("approx"))
+          // rsd 1% — the default 5% rsd means ~1-sigma error AT the 5%
+          // acceptance band; 1% keeps the sketch well inside it
+          approx_count_distinct(col("user_id"), 0.01).as("approx"))
         .select(col("n_exact"),
           (abs(col("approx") - col("n_exact")) / col("n_exact") <= 0.05).as("within_5pct"))),
 
