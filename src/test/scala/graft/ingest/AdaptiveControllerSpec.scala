@@ -1,0 +1,43 @@
+package graft.ingest
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class AdaptiveControllerSpec extends SparkSpec {
+
+  test("controller scales up on sustained sink pressure from live progress") {
+    var now = 0L
+    val cfg = AdaptiveConfig(cooldownMs = 0) // every sample may act
+    // trigger budget 1000ms; we'll claim the sink eats most of it via
+    // rowsPerTriggerTarget=1 so sourceShare saturates, and small heap.
+    val ctrl = new AdaptiveController(cfg, Parallelism(2, 2),
+      triggerIntervalMs = 1000000L, // huge budget => busy ~ 0 (healthy cpu)
+      rowsPerTriggerTarget = 1L,    // any input saturates sourceShare
+      nowMs = () => { now += 20000; now })
+
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Int]
+    spark.streams.addListener(ctrl)
+    val q = ms.toDS().writeStream.format("memory")
+      .queryName("adaptive_ctrl_out").start()
+    try {
+      ms.addData(1 to 100)
+      q.processAllAvailable()
+      ms.addData(101 to 200)
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      spark.streams.removeListener(ctrl)
+    }
+    // source saturated + healthy cpu/flush => poller scale-up fired
+    assert(ctrl.parallelism.pollers > 2 || !ctrl.recommendations.isEmpty,
+      s"expected scaling recommendations, got ${ctrl.parallelism}")
+  }
+
+  test("snapshot derivation maps progress fields onto ladder signals") {
+    val ctrl = new AdaptiveController(triggerIntervalMs = 1000L, rowsPerTriggerTarget = 100L)
+    // busy fraction clamps at 1.0
+    assert(ctrl.heapUtil() > 0.0 && ctrl.heapUtil() <= 1.0)
+  }
+}
