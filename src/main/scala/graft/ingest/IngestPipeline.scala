@@ -40,7 +40,8 @@ final case class IngestPipeline[T <: Product : TypeTag](
     codec: String = "snappy",
     dlqPath: Option[String] = None,
     retry: SimpleRetry = SimpleRetry(),
-    eventTimeCol: Option[String] = None) extends Serializable {
+    eventTimeCol: Option[String] = None,
+    payloadLogEvery: Int = 0) extends Serializable {
 
   // Fatal at construction, mirroring ParseParquetCompression (A25).
   private val codecOption: String = ParquetCodec.parse(codec)
@@ -81,6 +82,14 @@ final case class IngestPipeline[T <: Product : TypeTag](
       IngestMetrics.inc(IngestMetrics.RecordsTransformed, nGood)
       IngestMetrics.inc(IngestMetrics.TransformErrors, nBad)
       IngestMetrics.inc(IngestMetrics.MessagesDropped, nDropped)
+
+      // Sampled payload logging (A22 analog): every Nth batch, log one
+      // truncated payload — debugging visibility without log flood.
+      if (payloadLogEvery > 0 && batchId % payloadLogEvery == 0) {
+        cached.select("payload").limit(1).collect().headOption.foreach { r =>
+          println(s"[graft-ingest] batch=$batchId payload sample: ${r.getString(0).take(4096)}")
+        }
+      }
 
       if (nGood > 0) {
         val good = cached.filter(col("value").isNotNull).select("value.*")
