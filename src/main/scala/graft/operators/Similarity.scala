@@ -57,6 +57,46 @@ object Similarity {
       .select(col("vec_id"), round4(col("score0")).as("score"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans codebook of
+    * `nLists` centroids partitions the corpus into cluster lists; a
+    * probe scans only the `nProbe` nearest lists. The index build is one
+    * MLlib KMeans fit (seeded, deterministic) + one assignment pass; the
+    * search prunes (nLists - nProbe)/nLists of the corpus. With
+    * `nProbe == nLists` the result equals brute force exactly (tested).
+    *
+    * Scale shape: the per-list scan is an equi-join on the cluster id —
+    * same blocking structure as the sign-bucket LSH path, but with
+    * data-adaptive regions instead of fixed hyperplanes.
+    */
+  def ivfTopK(emb: DataFrame, probeId: Long, k: Int,
+              nLists: Int = 16, nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val withVec = emb.withColumn("features", array_to_vector(asDouble(col("embedding"))))
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .fit(withVec)
+    val assigned = model.transform(withVec).withColumnRenamed("prediction", "list_id")
+
+    val probeVec = assigned.filter(col("vec_id") === probeId)
+      .select("features").head().getAs[org.apache.spark.ml.linalg.Vector](0)
+    // nProbe nearest centroids (tiny driver-side computation: nLists rows)
+    val lists = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, math.sqrt(org.apache.spark.ml.linalg.Vectors.sqdist(c, probeVec))) }
+      .sortBy(_._2).take(nProbe).map(_._1).toSeq
+
+    val probe = assigned.filter(col("vec_id") === probeId)
+      .select(asDouble(col("embedding")).as("pe"))
+    assigned
+      .filter(col("list_id").isin(lists: _*) && col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"),
+        cosine_similarity(asDouble(col("embedding")), col("pe")).as("score0"))
+      .orderBy(col("score0").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round4(col("score0")).as("score"))
+  }
+
   /** Embedding near-dup pairs: same LSH bucket AND cosine >= threshold.
     * Output: (vec_a, vec_b, score[round4]), a < b.
     *

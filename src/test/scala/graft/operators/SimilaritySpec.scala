@@ -41,6 +41,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("ivf with nProbe == nLists equals brute force exactly") {
+    val e = tables.embeddings
+    val brute = Similarity.bruteForceTopK(e, 0L, 5).as[(Long, Double)].collect().toSeq
+    val ivfAll = Similarity.ivfTopK(e, 0L, 5, nLists = 8, nProbe = 8).as[(Long, Double)].collect().toSeq
+    assert(ivfAll == brute)
+  }
+
+  test("ivf with partial probes returns k results from the probed lists") {
+    val e = tables.embeddings
+    val brute = Similarity.bruteForceTopK(e, 0L, 5).as[(Long, Double)].collect().toMap
+    val ivf = Similarity.ivfTopK(e, 0L, 5, nLists = 8, nProbe = 3).as[(Long, Double)].collect().toSeq
+    assert(ivf.size == 5)
+    // scores of returned ids must match the exact ranking's scores
+    ivf.foreach { case (id, s) => brute.get(id).foreach(b => assert(b == s)) }
+  }
+
   test("ann agrees with brute force when buckets are warm (testdata probe)") {
     val e = tables.embeddings
     val brute = Similarity.bruteForceTopK(e, 0L, 5).as[(Long, Double)].collect().toSeq
