@@ -12,7 +12,12 @@ import org.apache.spark.sql.types.LongType
   * unchanged to every downstream query.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame = spark.read.parquet(s"$dir/$name.parquet")
+  // Memoized per (session, path): re-running 47 queries shouldn't
+  // re-list files and re-read footers 47 times. DataFrames are
+  // immutable logical plans, so sharing is safe; testdata is read-only.
+  private def t(name: String): DataFrame =
+    Tables.cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      key => spark.read.parquet(key._2))
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -42,4 +47,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
       .foreach(n => t(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 }

@@ -31,10 +31,15 @@ object ExtensionQueries {
     // ---------------------------------------------------------------- Q26
     GraftQuery(
       "q26_similarity_brute",
-      Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0)
-        |SELECT e.vec_id, ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe) * 10000) / 10000 AS score
-        |FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0
-        |ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), p.pe) DESC, e.vec_id LIMIT 5""".stripMargin),
+      Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pe) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(p.pe, p.pe))) AS c
+        |  FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0)
+        |SELECT vec_id, ROUND(c * 10000) / 10000 AS score FROM s
+        |ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
       (s, d) => Similarity.bruteForceTopK(t(s, d).embeddings, probeId = 0L, k = 5)),
 
     GraftQuery(
@@ -45,10 +50,14 @@ object ExtensionQueries {
         |           CASE WHEN embedding[3]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[4]>=0 THEN '1' ELSE '0' END,
         |           CASE WHEN embedding[5]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[6]>=0 THEN '1' ELSE '0' END) AS bucket
         |  FROM embeddings),
-        |probe AS (SELECT e AS pe, bucket AS pb FROM b WHERE vec_id = 0)
-        |SELECT b.vec_id, ROUND(list_cosine_similarity(b.e, p.pe) * 10000) / 10000 AS score
-        |FROM b CROSS JOIN probe p WHERE b.bucket = p.pb AND b.vec_id <> 0
-        |ORDER BY list_cosine_similarity(b.e, p.pe) DESC, b.vec_id LIMIT 5""".stripMargin),
+        |probe AS (SELECT e AS pe, bucket AS pb FROM b WHERE vec_id = 0),
+        |s AS (
+        |  SELECT b.vec_id,
+        |    list_dot_product(b.e, p.pe) /
+        |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) AS c
+        |  FROM b CROSS JOIN probe p WHERE b.bucket = p.pb AND b.vec_id <> 0)
+        |SELECT vec_id, ROUND(c * 10000) / 10000 AS score FROM s
+        |ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
       (s, d) => Similarity.annTopK(t(s, d).embeddings, probeId = 0L, k = 5, bits = 6)),
 
     // ---------------------------------------------------------------- Q27
@@ -205,12 +214,14 @@ object ExtensionQueries {
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
         |    concat(CASE WHEN embedding[1]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[2]>=0 THEN '1' ELSE '0' END,
         |           CASE WHEN embedding[3]>=0 THEN '1' ELSE '0' END, CASE WHEN embedding[4]>=0 THEN '1' ELSE '0' END) AS bucket
-        |  FROM embeddings)
-        |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
-        |  ROUND(list_cosine_similarity(a.e, b2.e) * 10000) / 10000 AS score
-        |FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
-        |WHERE list_cosine_similarity(a.e, b2.e) >= 0.35
-        |ORDER BY vec_a, vec_b""".stripMargin),
+        |  FROM embeddings),
+        |s AS (
+        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |    list_dot_product(a.e, b2.e) /
+        |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))) AS c
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |SELECT vec_a, vec_b, ROUND(c * 10000) / 10000 AS score FROM s
+        |WHERE c >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       (s, d) => Similarity.nearDupPairs(t(s, d).embeddings, threshold = 0.35, bits = 4)),
 
     // ---------------------------------------------------------------- text analysis
