@@ -314,6 +314,19 @@ object RelationalQueries {
         .orderBy("p_partkey")),
 
     GraftQuery(
+      "q20_string_fns2",
+      Some("SELECT p_partkey, CONCAT(p_brand, '-', p_type) AS bt, " +
+        "REPLACE(p_name, ' ', '_') AS pn, TRIM(p_name) AS pt " +
+        "FROM part ORDER BY p_partkey"),
+      (s, d) => t(s, d).part
+        .select(
+          col("p_partkey"),
+          concat(col("p_brand"), lit("-"), col("p_type")).as("bt"),
+          regexp_replace(col("p_name"), " ", "_").as("pn"),
+          trim(col("p_name")).as("pt"))
+        .orderBy("p_partkey")),
+
+    GraftQuery(
       "q21_date_fns",
       Some("SELECT o_orderkey, CAST(YEAR(o_orderdate) AS INTEGER) AS y, " +
         "CAST(MONTH(o_orderdate) AS INTEGER) AS m, " +
@@ -324,6 +337,18 @@ object RelationalQueries {
           year(col("o_orderdate")).as("y"),
           month(col("o_orderdate")).as("m"),
           date_trunc("month", col("o_orderdate")).cast("date").as("mstart"))
+        .orderBy("o_orderkey")),
+
+    GraftQuery(
+      "q21_date_fns2",
+      Some("SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS d30, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INTEGER) AS dd " +
+        "FROM orders ORDER BY o_orderkey"),
+      (s, d) => t(s, d).orders
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("d30"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate").cast("date")).as("dd"))
         .orderBy("o_orderkey")),
 
     GraftQuery(
@@ -351,6 +376,17 @@ object RelationalQueries {
       Some("SELECT vec_id, CAST(len(embedding) AS INTEGER) AS n FROM embeddings ORDER BY vec_id"),
       (s, d) => t(s, d).embeddings
         .select(col("vec_id"), size(col("embedding")).as("n"))
+        .orderBy("vec_id")),
+
+    GraftQuery(
+      // higher-order array functions: lambda-summed vector magnitude
+      "q24_array_hof",
+      Some("SELECT vec_id, ROUND(list_sum(CAST(embedding AS DOUBLE[])) * 10000) / 10000 AS ssum " +
+        "FROM embeddings ORDER BY vec_id"),
+      (s, d) => t(s, d).embeddings
+        .select(col("vec_id"),
+          graft.functions.round4(
+            aggregate(col("embedding").cast("array<double>"), lit(0.0), (acc, x) => acc + x)).as("ssum"))
         .orderBy("vec_id")),
 
     GraftQuery(
