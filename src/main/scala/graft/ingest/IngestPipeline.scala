@@ -41,7 +41,8 @@ final case class IngestPipeline[T <: Product : TypeTag](
     dlqPath: Option[String] = None,
     retry: SimpleRetry = SimpleRetry(),
     eventTimeCol: Option[String] = None,
-    payloadLogEvery: Int = 0) extends Serializable {
+    payloadLogEvery: Int = 0,
+    writePartitions: Option[Int] = None) extends Serializable {
 
   // Fatal at construction, mirroring ParseParquetCompression (A25).
   private val codecOption: String = ParquetCodec.parse(codec)
@@ -94,7 +95,10 @@ final case class IngestPipeline[T <: Product : TypeTag](
       if (nGood > 0) {
         val good = cached.filter(col("value").isNotNull).select("value.*")
         val ts = eventTimeCol.map(col).getOrElse(current_timestamp())
-        val keyed = TimeKeys.withUtcKeys(good, ts)
+        // "flush workers" (A17): write parallelism = task count; the
+        // AdaptiveController's workers recommendation plugs in here.
+        val sized = writePartitions.map(good.repartition).getOrElse(good)
+        val keyed = TimeKeys.withUtcKeys(sized, ts)
         retry {
           val w = keyed.write
             .mode("append")

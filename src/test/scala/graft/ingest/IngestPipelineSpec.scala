@@ -146,6 +146,23 @@ class IngestPipelineSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.read.parquet(sink).count() == 6)
   }
+
+  test("writePartitions controls flush-worker parallelism (file count)") {
+    val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
+    val p = IngestPipeline[Item](new ItemTransformer(), sink, cp,
+      policy = BatchPolicy(flushIntervalMs = 0L), writePartitions = Some(3))
+    implicit val ctx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Envelope]
+    val q = p.start(ms.toDS())
+    try {
+      ms.addData((1 to 90).map(i => Envelope(json(i), Map.empty)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(sink)).iterator()
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(parts == 3, s"expected 3 writer tasks, got $parts files")
+  }
 }
 
 class TimeKeysSpec extends SparkSpec {

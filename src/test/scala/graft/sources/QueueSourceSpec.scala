@@ -69,4 +69,26 @@ class QueueSourceSpec extends SparkSpec {
     assert(row.payload == "payload-x")
     assert(row.attributes == Map("MessageId" -> "abc", "ApproximateReceiveCount" -> "1"))
   }
+
+  test("checkpoint restart: a new query resumes from committed offsets, no loss or dupes") {
+    val name = freshName()
+    val q = QueueRegistry.get(name)
+    val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
+    (1 to 4).foreach(i => q.enqueue(json(i)))
+    val q1 = pipeline(sink, cp).start(Sources.queue(spark, name))
+    try {
+      q1.processAllAvailable()
+      (5 to 6).foreach(i => q.enqueue(json(i)))
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // restart against the same checkpoint and queue; add one more wave
+    (7 to 8).foreach(i => q.enqueue(json(i)))
+    val q2 = pipeline(sink, cp).start(Sources.queue(spark, name))
+    try q2.processAllAvailable() finally q2.stop()
+
+    import spark.implicits._
+    val ids = spark.read.parquet(sink).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 8L), s"expected exactly-once per id in sink, got $ids")
+  }
 }
