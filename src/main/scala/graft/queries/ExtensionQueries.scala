@@ -143,6 +143,54 @@ object ExtensionQueries {
           .orderBy("p_partkey", "pos")
       }),
 
+    // ---------------------------------------------------------------- analytic extras
+    GraftQuery(
+      // as-of semantics via one keyed window pass (see operators.AsOfJoin)
+      "aj01_asof_last_purchase",
+      Some("""SELECT event_id, LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase_id
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        t(s, d).events
+          .select(col("event_id"),
+            last(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true)
+              .over(w).as("last_purchase_id"))
+          .orderBy("event_id")
+      }),
+
+    GraftQuery(
+      "qp01_pivot",
+      Some("""SELECT user_id,
+        |  COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type='error' THEN 1 END) AS error,
+        |  COUNT(CASE WHEN event_type='purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type='signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type='view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => t(s, d).events
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    GraftQuery(
+      "qs01_percentile",
+      Some("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5) * 100) / 100 AS med, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90 " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => t(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          round2(expr("percentile(l_quantity, 0.5)")).as("med"),
+          round2(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
+        .orderBy("l_returnflag")),
+
     // ---------------------------------------------------------------- dedup suite
     GraftQuery(
       "dd01_exact_text",
