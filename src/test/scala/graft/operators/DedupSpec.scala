@@ -56,4 +56,12 @@ class DedupSpec extends SparkSpec {
     assert(!sh.contains(1L)) // < 3 tokens ⇒ no shingles
     assert(sh(2L) == 2L)     // 4 tokens ⇒ 2 trigrams
   }
+
+  test("identical documents pair with jaccard exactly 1.0") {
+    val d = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val pairs = TextDedup.exactJaccardPairs(d, threshold = 0.99)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs == Seq((1L, 2L, 1.0)))
+  }
 }
