@@ -163,6 +163,34 @@ class IngestPipelineSpec extends SparkSpec {
       .count(_.toString.endsWith(".parquet"))
     assert(parts == 3, s"expected 3 writer tasks, got $parts files")
   }
+
+  test("empty micro-batch is a no-op flush (no crash, no files)") {
+    val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
+    val p = newPipeline(sink, cp)
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Envelope]
+    val q = p.start(ms.toDS())
+    try q.processAllAvailable() finally q.stop()
+    assert(!new java.io.File(sink).exists() || new java.io.File(sink).listFiles().isEmpty)
+  }
+
+  test("maxRecordsPerFile bounds output file sizes (A7 output sizing)") {
+    val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
+    val p = IngestPipeline[Item](new ItemTransformer(), sink, cp,
+      policy = BatchPolicy(flushIntervalMs = 0L, maxRecordsPerFile = Some(10L)),
+      writePartitions = Some(1))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Envelope]
+    val q = p.start(ms.toDS())
+    try {
+      ms.addData((1 to 95).map(i => Envelope(json(i), Map.empty)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(sink)).iterator()
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .count(_.toString.endsWith(".parquet"))
+    assert(parts >= 10, s"95 records at <=10/file should give >=10 files, got $parts")
+  }
 }
 
 class TimeKeysSpec extends SparkSpec {

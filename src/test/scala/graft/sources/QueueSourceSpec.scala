@@ -91,4 +91,22 @@ class QueueSourceSpec extends SparkSpec {
     val ids = spark.read.parquet(sink).select("id").as[Long].collect().sorted.toSeq
     assert(ids == (1L to 8L), s"expected exactly-once per id in sink, got $ids")
   }
+
+  test("concurrent producers with a live query: every message lands exactly once") {
+    val name = freshName()
+    val q = QueueRegistry.get(name)
+    val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
+    val query = pipeline(sink, cp).start(Sources.queue(spark, name))
+    try {
+      val threads = (0 until 4).map { t =>
+        new Thread(() => (1 to 25).foreach(i => q.enqueue(json(t * 100 + i))))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      query.processAllAvailable()
+    } finally query.stop()
+    import spark.implicits._
+    val ids = spark.read.parquet(sink).select("id").as[Long].collect().sorted.toSeq
+    val expected = (for { t <- 0 until 4; i <- 1 to 25 } yield (t * 100 + i).toLong).sorted
+    assert(ids == expected)
+  }
 }
