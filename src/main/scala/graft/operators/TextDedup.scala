@@ -28,6 +28,23 @@ object TextDedup {
     docs.select(col(idCol).as("doc_id"), explode(shingles(col(textCol), n)).as("s"))
       .distinct()
 
+  /** Stop-shingle removal: drops shingles present in more than
+    * `maxDocFraction` of documents. A shared-shingle self-join explodes
+    * quadratically on near-universal shingles (the "the quick brown"
+    * problem); capping document frequency bounds the join's hottest key
+    * at `maxDocFraction * |docs|` rows. Off by default — removing
+    * shingles changes Jaccard values slightly, so the oracle-checked
+    * queries run uncapped; at production scale the cap is the difference
+    * between a skew-safe join and a stuck reducer.
+    */
+  def dropStopShingles(sh: DataFrame, maxDocFraction: Double): DataFrame = {
+    require(maxDocFraction > 0 && maxDocFraction <= 1)
+    val nDocs = sh.select("doc_id").distinct().count()
+    val cap = math.max(1L, (nDocs * maxDocFraction).toLong)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+    sh.join(rare.select("s"), Seq("s"))
+  }
+
   /** Wide MinHash signature matrix (doc_id, sig0..sig{H-1}): one md5 per
     * shingle yields two 48-bit integers (h1, h2); the hash family is
     * Carter-Wegman sig_j = MIN over shingles of (h1 + j*h2) mod 2^48 —

@@ -64,4 +64,19 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs == Seq((1L, 2L, 1.0)))
   }
+
+  test("stop-shingle cap removes near-universal shingles only") {
+    val d = Seq(
+      (1L, "common base text alpha one"),
+      (2L, "common base text beta two"),
+      (3L, "common base text gamma three"))
+      .toDF("doc_id", "text")
+    val sh = TextDedup.shingleSet(d)
+    val capped = TextDedup.dropStopShingles(sh, maxDocFraction = 0.67)
+    import org.apache.spark.sql.functions._
+    // "common base text" appears in all 3 docs (df=3 > cap=2) => gone
+    assert(capped.filter(col("s") === "common base text").count() == 0)
+    // doc-unique shingles survive
+    assert(capped.filter(col("s") === "text alpha one").count() == 1)
+  }
 }
