@@ -24,12 +24,13 @@ object Bench {
 
   /** Mirror of the reference whole-pipeline bench
     * (/root/reference/tests/integration_benchmark_test.go:58-107):
-    * 1000 JSON messages → transform → single flush → snappy parquet.
+    * n JSON messages → transform → single flush → snappy parquet.
+    * n=1000 matches the reference's unit (and is fixed-overhead
+    * dominated on Spark); n=100k shows the amortized throughput Spark
+    * actually operates at.
     */
-  private def ingestBench(spark: SparkSession): Double = {
+  private def ingestBench(spark: SparkSession, n: Int): Double = {
     import spark.implicits._
-    val payloads = (1 to 1000)
-      .map(i => s"""{"id": $i, "name": "item-$i", "value": ${i * 1.5}}""")
     val out = java.nio.file.Files.createTempDirectory("bench-ingest").toString
     val pipe = IngestPipeline[Item](
       transformer = new JsonItemTransformer,
@@ -37,7 +38,9 @@ object Bench {
       checkpointPath = s"$out/cp",
       policy = BatchPolicy(flushIntervalMs = 0L),
       codec = "snappy")
-    val envs = spark.createDataset(payloads.map(Envelope(_, Map.empty[String, String])))
+    val envs = spark.createDataset((1 to n)
+      .map(i => Envelope(s"""{"id": $i, "name": "item-$i", "value": ${i * 1.5}}""",
+        Map.empty[String, String])))
     timed { pipe.processBatch(pipe.route(envs), batchId = 0L) }
   }
 
@@ -61,7 +64,9 @@ object Bench {
         }
       }
       q.name -> sec
-    } :+ ("ingest_1k" -> ingestBench(spark))
+    } ++ Seq(
+      "ingest_1k" -> ingestBench(spark, 1000),
+      "ingest_100k" -> ingestBench(spark, 100000))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
