@@ -24,8 +24,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * SQS realization source/source_sqs.go:204-315).
   *
   * Semantics mirrored:
-  *   - bounded buffer with producer backpressure (capacity, default 256 —
-  *     the reference's source buffer);
+  *   - the producer side is elastic (SQS producers never block); the
+  *     `capacity` (default 256, the reference's source-buffer size)
+  *     bounds admission instead: `latestOffset` exposes at most
+  *     `capacity` messages beyond the highest sequence already read —
+  *     the reference's bounded buffer drains as the ingestor RECEIVES
+  *     messages (ack is a separate, later step), and this is that
+  *     receive-gated window expressed as per-trigger admission control;
   *   - messages stay in the queue until ACKED; the ack happens in
   *     [[QueueMicroBatchStream.commit]], i.e. only after the micro-batch
   *     durably completed — exactly the reference's
@@ -53,7 +58,6 @@ object QueueRegistry {
 
     def enqueue(payload: String, attributes: Map[String, String] = Map.empty): Long =
       synchronized {
-        while (buf.size >= capacity) wait() // producer backpressure
         val seq = nextSeq.getAndIncrement()
         buf.put(seq, Msg(seq, payload, attributes))
         seq
@@ -61,16 +65,28 @@ object QueueRegistry {
 
     def latestSeq: Long = nextSeq.get() - 1
 
-    /** Messages in (after, until] that are still unacked. */
-    def slice(after: Long, until: Long): Seq[Msg] =
-      synchronized { buf.range(after + 1, until + 1).values.toSeq }
+    private var readThrough = -1L
 
-    /** Ack everything ≤ seq: remove from the buffer, release producers. */
+    /** Highest sequence the engine may read now: at most `capacity`
+      * messages beyond what has already been read into a batch (the
+      * bounded-buffer admission gate).
+      */
+    def admissibleThrough: Long =
+      synchronized(math.min(latestSeq, readThrough + capacity))
+
+    /** Messages in (after, until] that are still unacked; marks them as
+      * read (refilling the admission window). */
+    def slice(after: Long, until: Long): Seq[Msg] =
+      synchronized {
+        readThrough = math.max(readThrough, until)
+        buf.range(after + 1, until + 1).values.toSeq
+      }
+
+    /** Ack everything ≤ seq: remove from the buffer, widen admission. */
     def ack(seq: Long): Unit = synchronized {
       val ackedKeys = buf.rangeTo(seq).keys.toSeq
       ackedKeys.foreach(buf.remove)
       acked = math.max(acked, seq)
-      notifyAll()
     }
 
     def ackedThrough: Long = synchronized(acked)
@@ -125,7 +141,7 @@ private[sources] class QueueMicroBatchStream(queueName: String) extends MicroBat
 
   override def initialOffset(): Offset = QueueOffset(-1L)
   override def deserializeOffset(json: String): Offset = QueueOffset(json.toLong)
-  override def latestOffset(): Offset = QueueOffset(queue.latestSeq)
+  override def latestOffset(): Offset = QueueOffset(queue.admissibleThrough)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val msgs = queue.slice(start.asInstanceOf[QueueOffset].seq, end.asInstanceOf[QueueOffset].seq)

@@ -109,4 +109,16 @@ class QueueSourceSpec extends SparkSpec {
     val expected = (for { t <- 0 until 4; i <- 1 to 25 } yield (t * 100 + i).toLong).sorted
     assert(ids == expected)
   }
+
+  test("admission control: backlog larger than capacity drains fully in bounded batches") {
+    val name = freshName()
+    val q = QueueRegistry.get(name) // capacity 256
+    val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
+    (1 to 600).foreach(i => q.enqueue(json(i))) // elastic producer, no block
+    val query = pipeline(sink, cp).start(Sources.queue(spark, name))
+    try query.processAllAvailable() finally query.stop()
+    import spark.implicits._
+    val ids = spark.read.parquet(sink).select("id").as[Long].collect().sorted.toSeq
+    assert(ids == (1L to 600L), s"expected full drain, got ${ids.size} rows")
+  }
 }
