@@ -79,4 +79,18 @@ class DedupSpec extends SparkSpec {
     // doc-unique shingles survive
     assert(capped.filter(col("s") === "text alpha one").count() == 1)
   }
+
+  test("fullDedup collapses exact copies then removes near-dups") {
+    val base = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val variant = (1 to 19).map(i => s"tok$i").mkString(" ") + " changed"
+    val d = Seq(
+      (10L, base),
+      (11L, base),    // exact copy: collapsed by the exact pass
+      (12L, variant), // jaccard ~0.9 near-dup of 10: LSH pass removes it
+      (13L, "totally different content shares no words here at all"))
+      .toDF("doc_id", "text")
+    val kept = TextDedup.fullDedup(d, threshold = 0.8)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 13L), s"got $kept")
+  }
 }
