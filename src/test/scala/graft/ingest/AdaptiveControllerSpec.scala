@@ -26,6 +26,10 @@ class AdaptiveControllerSpec extends SparkSpec {
       q.processAllAvailable()
       ms.addData(101 to 200)
       q.processAllAvailable()
+      // listener delivery is async on the event bus — await it
+      val deadline = System.currentTimeMillis + 10000
+      while (ctrl.recommendations.isEmpty && ctrl.parallelism.pollers <= 2 &&
+          System.currentTimeMillis < deadline) Thread.sleep(50)
     } finally {
       q.stop()
       spark.streams.removeListener(ctrl)
