@@ -185,6 +185,17 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first, col("n"))),
 
     GraftQuery(
+      // grouping() marker distinguishes subtotal rows from data rows
+      "q13_rollup_grouping",
+      Some("SELECT l_returnflag, CAST(GROUPING(l_returnflag) AS INTEGER) AS g, COUNT(*) AS n " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag) " +
+        "ORDER BY l_returnflag NULLS FIRST, g, n"),
+      (s, d) => t(s, d).lineitem
+        .rollup(col("l_returnflag"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g"), count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("g"), col("n"))),
+
+    GraftQuery(
       "q14_grouping_sets",
       Some("SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n FROM orders " +
         "GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ()) " +
@@ -405,6 +416,43 @@ object RelationalQueries {
         .groupBy("user_id", "event_type")
         .agg(min("event_id").as("first_id"))
         .orderBy("user_id", "event_type")),
+
+    GraftQuery(
+      // TPC-H Q3 shape (shipping priority): selective joins + agg + top-k
+      "q31_tpch3_shape",
+      Some("""SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue,
+        |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer.filter(col("c_mktsegment") === "BUILDING")
+          .join(tb.orders.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(tb.lineitem.filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+          .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .select(col("l_orderkey"), col("revenue"),
+            col("o_orderdate").cast("date").as("odate"), col("o_orderpriority"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      }),
+
+    GraftQuery(
+      // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate
+      "q32_tpch6_shape",
+      Some("SELECT ROUND(SUM(l_extendedprice * l_discount) * 100) / 100 AS revenue FROM lineitem " +
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
+        "AND l_discount >= 0.05 AND l_quantity < 24"),
+      (s, d) => t(s, d).lineitem
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_quantity") < 24)
+        .agg(round2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))),
 
     GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
