@@ -59,6 +59,18 @@ object TextAnalysis {
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"),
       ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"))
 
+  /** Polynomial rolling-hash fingerprint (Rabin–Karp family):
+    * fold over the character stream, h = (h*31 + ascii(c)) mod 1e9+7,
+    * as a single codegen-friendly higher-order aggregate — order
+    * sensitive (unlike [[fingerprint]]), so byte-level edits change it.
+    */
+  def rollingHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L),
+        (acc, c) => (acc * 31 + c) % 1000000007L).as("rh"))
+
   /** Content fingerprint: md5 over the sorted distinct token set (the
     * "fingerprint keying" method — whitespace/order/duplicate
     * insensitive). Output (doc_id, fp).

@@ -310,6 +310,14 @@ object ExtensionQueries {
       (s, d) => TextAnalysis.tokenCounts(t(s, d).documents).orderBy("doc_id")),
 
     GraftQuery(
+      "ta05_rolling_hash",
+      Some("""SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |  (acc, c) -> (acc * 31 + c) % 1000000007) AS rh
+        |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.rollingHash(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
       "ta04_fingerprint",
       Some("""WITH tok AS (
         |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents) q
