@@ -161,6 +161,30 @@ object RelationalQueries {
       (s, d) => t(s, d).orders.agg(countDistinct("o_custkey").as("n_cust"))),
 
     GraftQuery(
+      // two distinct aggregates in one pass exercises the Expand plan
+      "q11_multi_distinct",
+      Some("SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(DISTINCT o_orderpriority) AS n_prio, " +
+        "COUNT(*) AS n FROM orders"),
+      (s, d) => t(s, d).orders.agg(
+        countDistinct("o_custkey").as("n_cust"),
+        countDistinct("o_orderpriority").as("n_prio"),
+        count(lit(1)).as("n"))),
+
+    GraftQuery(
+      "q10_conditional_agg",
+      Some("SELECT l_returnflag, COUNT_IF(l_quantity > 25) AS big_n, " +
+        "BOOL_OR(l_discount > 0.08) AS has_deep_disc, " +
+        "BOOL_AND(l_quantity >= 1) AS all_positive " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => t(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("big_n"),
+          bool_or(col("l_discount") > 0.08).as("has_deep_disc"),
+          bool_and(col("l_quantity") >= 1).as("all_positive"))
+        .orderBy("l_returnflag")),
+
+    GraftQuery(
       // HLL++ sketch vs exact: the oracle checks the exact count; the
       // approximate side is self-checked within the declared 5 % band.
       "q12_approx_distinct",
@@ -310,6 +334,27 @@ object RelationalQueries {
         tb.nation.select("n_nationkey")
           .except(tb.customer.select(col("c_nationkey").as("n_nationkey")))
           .orderBy("n_nationkey")
+      }),
+
+    GraftQuery(
+      "q19_intersect_all",
+      Some("SELECT c_nationkey AS k FROM customer INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer.select(col("c_nationkey").as("k"))
+          .intersectAll(tb.supplier.select(col("s_nationkey").as("k")))
+          .orderBy("k")
+      }),
+
+    GraftQuery(
+      "q15_ntile",
+      Some("SELECT c_custkey, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile " +
+        "FROM customer ORDER BY c_custkey"),
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d).customer
+          .select(col("c_custkey"), ntile(4).over(w).as("quartile"))
+          .orderBy("c_custkey")
       }),
 
     GraftQuery(
