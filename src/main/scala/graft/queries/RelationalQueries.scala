@@ -317,6 +317,17 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      "q18_union_distinct",
+      Some("SELECT c_nationkey AS k FROM customer UNION SELECT s_nationkey FROM supplier ORDER BY k"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer.select(col("c_nationkey").as("k"))
+          .union(tb.supplier.select(col("s_nationkey").as("k")))
+          .distinct()
+          .orderBy("k")
+      }),
+
+    GraftQuery(
       "q19_intersect",
       Some("SELECT c_nationkey FROM customer INTERSECT SELECT s_nationkey FROM supplier ORDER BY c_nationkey"),
       (s, d) => {
@@ -461,6 +472,29 @@ object RelationalQueries {
         .groupBy("user_id", "event_type")
         .agg(min("event_id").as("first_id"))
         .orderBy("user_id", "event_type")),
+
+    GraftQuery(
+      // Catalyst decorrelates this into a left outer aggregate join —
+      // declared through the SQL surface (no DataFrame equivalent for a
+      // correlated scalar subquery).
+      "q33_correlated_subquery",
+      Some("SELECT c_custkey, (SELECT ROUND(MAX(o_totalprice) * 100) / 100 FROM orders " +
+        "WHERE o_custkey = c_custkey) AS max_order FROM customer ORDER BY c_custkey"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.registerViews()
+        s.sql("SELECT c_custkey, (SELECT ROUND(MAX(o_totalprice) * 100) / 100 FROM orders " +
+          "WHERE o_custkey = c_custkey) AS max_order FROM customer ORDER BY c_custkey")
+      }),
+
+    GraftQuery(
+      "q34_null_fns",
+      Some("SELECT event_id, COALESCE(NULLIF(event_type, 'error'), 'redacted') AS et " +
+        "FROM events ORDER BY event_id"),
+      (s, d) => t(s, d).events
+        .select(col("event_id"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("redacted")).as("et"))
+        .orderBy("event_id")),
 
     GraftQuery(
       // TPC-H Q3 shape (shipping priority): selective joins + agg + top-k
