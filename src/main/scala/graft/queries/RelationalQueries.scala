@@ -296,6 +296,47 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // trailing-window RANGE frame over event-time (ms since epoch so
+      // both engines use identical integer range arithmetic)
+      "q16_window_range",
+      Some("SELECT user_id, event_id, ROUND(SUM(value) OVER (PARTITION BY user_id " +
+        "ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) * 100) / 100 AS trailing_1h " +
+        "FROM events ORDER BY user_id, event_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(unix_millis(col("ts")))
+          .rangeBetween(-3600000L, Window.currentRow)
+        t(s, d).events
+          .select(col("user_id"), col("event_id"), round2(sum("value").over(w)).as("trailing_1h"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    GraftQuery(
+      "q15_distribution_windows",
+      Some("SELECT c_custkey, ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 AS pr, " +
+        "ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 AS cd " +
+        "FROM customer ORDER BY c_custkey"),
+      (s, d) => {
+        val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+        t(s, d).customer
+          .select(col("c_custkey"),
+            graft.functions.round4(percent_rank().over(w)).as("pr"),
+            graft.functions.round4(cume_dist().over(w)).as("cd"))
+          .orderBy("c_custkey")
+      }),
+
+    GraftQuery(
+      "q10_stats_agg",
+      Some("SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity) * 10000) / 10000 AS sd, " +
+        "ROUND(VAR_SAMP(l_quantity) * 10000) / 10000 AS vr " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => t(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.round4(stddev_samp(col("l_quantity"))).as("sd"),
+          graft.functions.round4(var_samp(col("l_quantity"))).as("vr"))
+        .orderBy("l_returnflag")),
+
+    GraftQuery(
       // Catalyst plans this as TakeOrderedAndProject: per-partition top-k,
       // then a k-sized merge on the driver — no global sort at scale.
       "q17_topk",
