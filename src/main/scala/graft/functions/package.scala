@@ -52,7 +52,9 @@ package object functions {
     */
   def roundFp(c: Column, scale: Int): Column = {
     val p = math.pow(10, scale)
-    F.round(c * p) / p
+    // + 0.0 normalizes IEEE negative zero (DuckDB's FP round yields -0.0
+    // for tiny negatives; the oracle SQL carries the same "+ 0")
+    F.round(c * p) / p + F.lit(0.0)
   }
   def round2(c: Column): Column = roundFp(c, 2)
   def round4(c: Column): Column = roundFp(c, 4)

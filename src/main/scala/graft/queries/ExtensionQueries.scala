@@ -38,7 +38,7 @@ object ExtensionQueries {
         |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
         |       sqrt(list_dot_product(p.pe, p.pe))) AS c
         |  FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0)
-        |SELECT vec_id, ROUND(c * 10000) / 10000 AS score FROM s
+        |SELECT vec_id, ROUND(c * 10000) / 10000 + 0 AS score FROM s
         |ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
       (s, d) => Similarity.bruteForceTopK(t(s, d).embeddings, probeId = 0L, k = 5)),
 
@@ -56,7 +56,7 @@ object ExtensionQueries {
         |    list_dot_product(b.e, p.pe) /
         |      (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(p.pe, p.pe))) AS c
         |  FROM b CROSS JOIN probe p WHERE b.bucket = p.pb AND b.vec_id <> 0)
-        |SELECT vec_id, ROUND(c * 10000) / 10000 AS score FROM s
+        |SELECT vec_id, ROUND(c * 10000) / 10000 + 0 AS score FROM s
         |ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
       (s, d) => Similarity.annTopK(t(s, d).embeddings, probeId = 0L, k = 5, bits = 6)),
 
@@ -117,7 +117,7 @@ object ExtensionQueries {
 
     GraftQuery(
       "q30_udaf",
-      Some("SELECT p_brand, ROUND(EXP(AVG(LN(p_retailprice))) * 100) / 100 AS geo_mean " +
+      Some("SELECT p_brand, ROUND(EXP(AVG(LN(p_retailprice))) * 100) / 100 + 0 AS geo_mean " +
         "FROM part GROUP BY p_brand ORDER BY p_brand"),
       (s, d) => {
         val gm = udaf(GeometricMean)
@@ -181,8 +181,8 @@ object ExtensionQueries {
 
     GraftQuery(
       "qs01_percentile",
-      Some("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5) * 100) / 100 AS med, " +
-        "ROUND(quantile_cont(l_extendedprice, 0.9) * 100) / 100 AS p90 " +
+      Some("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5) * 100) / 100 + 0 AS med, " +
+        "ROUND(quantile_cont(l_extendedprice, 0.9) * 100) / 100 + 0 AS p90 " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) => t(s, d).lineitem
         .groupBy("l_returnflag")
@@ -220,7 +220,7 @@ object ExtensionQueries {
         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS i
         |  FROM cand c JOIN sh ta ON ta.doc_id = c.doc_a JOIN sh tb ON tb.doc_id = c.doc_b AND tb.s = ta.s
         |  GROUP BY c.doc_a, c.doc_b)
-        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 10000) / 10000 AS jaccard
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 10000) / 10000 + 0 AS jaccard
         |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
@@ -235,7 +235,7 @@ object ExtensionQueries {
         |  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS i
         |  FROM sh ta JOIN sh tb ON tb.s = ta.s AND ta.doc_id < tb.doc_id
         |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 10000) / 10000 AS jaccard
+        |SELECT doc_a, doc_b, ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 10000) / 10000 + 0 AS jaccard
         |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
         |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
@@ -268,7 +268,7 @@ object ExtensionQueries {
         |    list_dot_product(a.e, b2.e) /
         |      (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))) AS c
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
-        |SELECT vec_a, vec_b, ROUND(c * 10000) / 10000 AS score FROM s
+        |SELECT vec_a, vec_b, ROUND(c * 10000) / 10000 + 0 AS score FROM s
         |WHERE c >= 0.35 ORDER BY vec_a, vec_b""".stripMargin),
       (s, d) => Similarity.nearDupPairs(t(s, d).embeddings, threshold = 0.35, bits = 4)),
 
@@ -294,9 +294,9 @@ object ExtensionQueries {
         |    SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) / COUNT(*) AS stop0
         |  FROM tok WHERE w <> '' GROUP BY doc_id)
         |SELECT doc_id, n_tokens,
-        |  ROUND(avg_len0 * 10000) / 10000 AS avg_token_len,
-        |  ROUND(stop0 * 10000) / 10000 AS stop_ratio,
-        |  ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - stop0) * 10000) / 10000 AS quality
+        |  ROUND(avg_len0 * 10000) / 10000 + 0 AS avg_token_len,
+        |  ROUND(stop0 * 10000) / 10000 + 0 AS stop_ratio,
+        |  ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - stop0) * 10000) / 10000 + 0 AS quality
         |FROM r ORDER BY doc_id""".stripMargin),
       (s, d) => TextAnalysis.qualityScore(t(s, d).documents).orderBy("doc_id")),
 

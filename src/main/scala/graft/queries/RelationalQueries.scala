@@ -283,8 +283,8 @@ object RelationalQueries {
     GraftQuery(
       "q16_window_lag",
       Some("SELECT user_id, event_id, " +
-        "ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100) / 100 AS dv, " +
-        "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) * 100) / 100 AS nv " +
+        "ROUND((value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100) / 100 + 0 AS dv, " +
+        "ROUND(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) * 100) / 100 + 0 AS nv " +
         "FROM events ORDER BY user_id, event_id"),
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -300,7 +300,7 @@ object RelationalQueries {
       // both engines use identical integer range arithmetic)
       "q16_window_range",
       Some("SELECT user_id, event_id, ROUND(SUM(value) OVER (PARTITION BY user_id " +
-        "ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) * 100) / 100 AS trailing_1h " +
+        "ORDER BY epoch_ms(ts) RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) * 100) / 100 + 0 AS trailing_1h " +
         "FROM events ORDER BY user_id, event_id"),
       (s, d) => {
         val w = Window.partitionBy("user_id").orderBy(unix_millis(col("ts")))
@@ -312,8 +312,8 @@ object RelationalQueries {
 
     GraftQuery(
       "q15_distribution_windows",
-      Some("SELECT c_custkey, ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 AS pr, " +
-        "ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 AS cd " +
+      Some("SELECT c_custkey, ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 + 0 AS pr, " +
+        "ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 + 0 AS cd " +
         "FROM customer ORDER BY c_custkey"),
       (s, d) => {
         val w = Window.orderBy(col("c_acctbal"), col("c_custkey"))
@@ -326,8 +326,8 @@ object RelationalQueries {
 
     GraftQuery(
       "q10_stats_agg",
-      Some("SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity) * 10000) / 10000 AS sd, " +
-        "ROUND(VAR_SAMP(l_quantity) * 10000) / 10000 AS vr " +
+      Some("SELECT l_returnflag, ROUND(STDDEV_SAMP(l_quantity) * 10000) / 10000 + 0 AS sd, " +
+        "ROUND(VAR_SAMP(l_quantity) * 10000) / 10000 + 0 AS vr " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
       (s, d) => t(s, d).lineitem
         .groupBy("l_returnflag")
@@ -410,6 +410,38 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      "q10_corr_agg",
+      Some("SELECT ROUND(CORR(l_quantity, l_extendedprice) * 10000) / 10000 + 0 AS c, " +
+        "ROUND(COVAR_SAMP(l_quantity, l_extendedprice) * 100) / 100 + 0 AS cv FROM lineitem"),
+      (s, d) => t(s, d).lineitem.agg(
+        graft.functions.round4(corr(col("l_quantity"), col("l_extendedprice"))).as("c"),
+        round2(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("cv"))),
+
+    GraftQuery(
+      "q20_string_fns3",
+      Some("SELECT p_partkey, LPAD(p_brand, 12, '*') AS lp, RPAD(p_brand, 12, '*') AS rp, " +
+        "REVERSE(p_name) AS rv, LEFT(p_type, 4) AS l4, RIGHT(p_type, 3) AS r3 " +
+        "FROM part ORDER BY p_partkey"),
+      (s, d) => t(s, d).part
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_brand"), 12, "*").as("rp"),
+          reverse(col("p_name")).as("rv"),
+          expr("LEFT(p_type, 4)").as("l4"),
+          expr("RIGHT(p_type, 3)").as("r3"))
+        .orderBy("p_partkey")),
+
+    GraftQuery(
+      "q24_array_slice",
+      Some("SELECT vec_id, ROUND(CAST(embedding[1] AS DOUBLE) * 10000) / 10000 + 0 AS e1, " +
+        "CAST(len(embedding[1:8]) AS INTEGER) AS n8 FROM embeddings ORDER BY vec_id"),
+      (s, d) => t(s, d).embeddings
+        .select(col("vec_id"),
+          graft.functions.round4(element_at(col("embedding"), 1).cast("double")).as("e1"),
+          size(slice(col("embedding"), 1, 8)).as("n8"))
+        .orderBy("vec_id")),
+
+    GraftQuery(
       "q20_string_fns",
       Some("SELECT p_partkey, UPPER(p_brand) AS brand_u, SUBSTRING(p_name, 1, 5) AS name5, " +
         "CAST(LENGTH(p_type) AS INTEGER) AS type_len FROM part ORDER BY p_partkey"),
@@ -489,7 +521,7 @@ object RelationalQueries {
     GraftQuery(
       // higher-order array functions: lambda-summed vector magnitude
       "q24_array_hof",
-      Some("SELECT vec_id, ROUND(list_sum(CAST(embedding AS DOUBLE[])) * 10000) / 10000 AS ssum " +
+      Some("SELECT vec_id, ROUND(list_sum(CAST(embedding AS DOUBLE[])) * 10000) / 10000 + 0 AS ssum " +
         "FROM embeddings ORDER BY vec_id"),
       (s, d) => t(s, d).embeddings
         .select(col("vec_id"),
@@ -540,7 +572,7 @@ object RelationalQueries {
     GraftQuery(
       // TPC-H Q3 shape (shipping priority): selective joins + agg + top-k
       "q31_tpch3_shape",
-      Some("""SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 AS revenue,
+      Some("""SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 + 0 AS revenue,
         |  CAST(o_orderdate AS DATE) AS odate, o_orderpriority
         |FROM customer JOIN orders ON c_custkey = o_custkey JOIN lineitem ON l_orderkey = o_orderkey
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
@@ -565,7 +597,7 @@ object RelationalQueries {
     GraftQuery(
       // TPC-H Q6 shape (forecast revenue): pure scan-filter-aggregate
       "q32_tpch6_shape",
-      Some("SELECT ROUND(SUM(l_extendedprice * l_discount) * 100) / 100 AS revenue FROM lineitem " +
+      Some("SELECT ROUND(SUM(l_extendedprice * l_discount) * 100) / 100 + 0 AS revenue FROM lineitem " +
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' " +
         "AND l_discount >= 0.05 AND l_quantity < 24"),
       (s, d) => t(s, d).lineitem
