@@ -161,6 +161,26 @@ object RelationalQueries {
       (s, d) => t(s, d).orders.agg(countDistinct("o_custkey").as("n_cust"))),
 
     GraftQuery(
+      "q02_predicates",
+      Some("SELECT o_orderkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+        "AND o_totalprice BETWEEN 50000 AND 100000 ORDER BY o_orderkey"),
+      (s, d) => t(s, d).orders
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          col("o_totalprice").between(50000, 100000))
+        .select("o_orderkey")
+        .orderBy("o_orderkey")),
+
+    GraftQuery(
+      "q10_having",
+      Some("SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey " +
+        "HAVING COUNT(*) >= 3 ORDER BY o_custkey"),
+      (s, d) => t(s, d).orders
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy("o_custkey")),
+
+    GraftQuery(
       // two distinct aggregates in one pass exercises the Expand plan
       "q11_multi_distinct",
       Some("SELECT COUNT(DISTINCT o_custkey) AS n_cust, COUNT(DISTINCT o_orderpriority) AS n_prio, " +
