@@ -56,21 +56,30 @@ object Bench {
     // Warm the JVM/codegen/file-index paths outside the measurements.
     SparkEntry.queries("q01_scan")(spark, sfDir).collect()
 
+    // A crashing query must not contribute a misleading time-to-failure:
+    // record it in "errors" and null its per-query entry.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.allQueries.map { q =>
+      var failed = false
       val sec = timed {
         try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
+          failed = true
+          errors += q.name
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
         }
       }
-      q.name -> sec
+      q.name -> (if (failed) None else Some(sec))
     } ++ Seq(
-      "ingest_1k" -> ingestBench(spark, 1000),
-      "ingest_100k" -> ingestBench(spark, 100000))
+      "ingest_1k" -> Some(ingestBench(spark, 1000)),
+      "ingest_100k" -> Some(ingestBench(spark, 100000)))
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
+    }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,6 +38,10 @@ object Verify {
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          // Failure marker: a crashed query must count as FAIL in the
+          // gate, not silently vanish (it leaves no output directory).
+          Files.writeString(Paths.get(s"$outDir/$name.FAILED"),
+            String.valueOf(e.getMessage))
         }
       }
     }

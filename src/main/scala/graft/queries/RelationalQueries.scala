@@ -192,7 +192,8 @@ object RelationalQueries {
 
     GraftQuery(
       "q10_conditional_agg",
-      Some("SELECT l_returnflag, COUNT_IF(l_quantity > 25) AS big_n, " +
+      // CAST: DuckDB COUNT_IF returns HUGEINT; Spark count_if returns BIGINT
+      Some("SELECT l_returnflag, CAST(COUNT_IF(l_quantity > 25) AS BIGINT) AS big_n, " +
         "BOOL_OR(l_discount > 0.08) AS has_deep_disc, " +
         "BOOL_AND(l_quantity >= 1) AS all_positive " +
         "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),

@@ -61,6 +61,15 @@ def main(sf_dir, out_dir):
             else:
                 diffs = [(i, a, b) for i, (a, b) in enumerate(zip(grows, erows)) if a != b]
                 print(f"FAIL {name}: {len(diffs)}/{len(grows)} rows differ; first: {diffs[:3]}")
+    # Every oracle key must have produced an output directory: a query
+    # that crashed in Verify leaves no dir (plus a .FAILED marker) and
+    # must count as FAIL, not silently shrink the denominator.
+    have = {n for n in os.listdir(out_dir) if os.path.isdir(os.path.join(out_dir, n))}
+    for name in sorted(set(oracle) - have):
+        marker = os.path.join(out_dir, name + ".FAILED")
+        why = open(marker).read().strip() if os.path.exists(marker) else "no output written"
+        print(f"FAIL {name}: query produced no output ({why})")
+        n_fail += 1
     for name, n in no_oracle:
         print(f"INFO {name}: no oracle, rows={n}")
     print(f"== {n_pass} pass, {n_fail} fail, {len(no_oracle)} rows-only ==")
