@@ -7,19 +7,38 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.streaming.StreamingQueryListener
 import org.apache.spark.sql.streaming.StreamingQueryListener._
 
-/** Lock-free counter/gauge registry with snapshotting, mirroring the
-  * reference metrics surface (/root/reference/observability/metrics.go:36-128,
-  * metric names from README.md:170-186). Counters are LongAdders —
-  * contention-free increments from the foreachBatch driver thread.
+/** Lock-free counter/gauge registry with snapshotting and pluggable
+  * adapter fanout, mirroring the reference metrics surface
+  * (/root/reference/observability/metrics.go:36-128, adapter fanout
+  * :24-96, metric names from README.md:170-186). Counters are
+  * LongAdders — contention-free increments from the foreachBatch driver
+  * thread. Every update is recorded locally AND forwarded to each
+  * registered [[graft.observability.MetricsAdapter]]; the no-adapter
+  * case costs one volatile read (the reference's fast path).
   */
 object IngestMetrics {
   private val counters = new ConcurrentHashMap[String, LongAdder]()
   private val gauges = new ConcurrentHashMap[String, java.lang.Double]()
 
-  def inc(name: String, n: Long = 1L): Unit =
-    counters.computeIfAbsent(name, _ => new LongAdder).add(n)
+  @volatile private var adapters: List[graft.observability.MetricsAdapter] = Nil
 
-  def gauge(name: String, v: Double): Unit = gauges.put(name, v)
+  def addAdapter(a: graft.observability.MetricsAdapter): Unit = synchronized {
+    if (a != null) adapters = adapters :+ a
+  }
+
+  def clearAdapters(): Unit = synchronized { adapters = Nil }
+
+  def inc(name: String, n: Long = 1L): Unit = {
+    counters.computeIfAbsent(name, _ => new LongAdder).add(n)
+    val as = adapters // single volatile read; Nil short-circuits the loop
+    if (as.nonEmpty) as.foreach(_.addCounter(name, n))
+  }
+
+  def gauge(name: String, v: Double): Unit = {
+    gauges.put(name, v)
+    val as = adapters
+    if (as.nonEmpty) as.foreach(_.setGauge(name, v))
+  }
 
   def snapshot(): Map[String, Double] =
     counters.asScala.map { case (k, v) => k -> v.sum.toDouble }.toMap ++

@@ -42,7 +42,8 @@ final case class IngestPipeline[T <: Product : TypeTag](
     retry: SimpleRetry = SimpleRetry(),
     eventTimeCol: Option[String] = None,
     payloadLogEvery: Int = 0,
-    writePartitions: Option[Int] = None) extends Serializable {
+    writePartitions: Option[Int] = None,
+    log: graft.observability.KvLogger = new graft.observability.KvLogger.Line()) extends Serializable {
 
   // Fatal at construction, mirroring ParseParquetCompression (A25).
   private val codecOption: String = ParquetCodec.parse(codec)
@@ -71,46 +72,56 @@ final case class IngestPipeline[T <: Product : TypeTag](
     * NOT committed (the ack-after-write invariant).
     */
   def processBatch(batch: Dataset[Routed[T]], batchId: Long): Unit = {
-    val cached = batch.cache()
     try {
-      val Seq(nGood, nBad, nDropped) = {
-        val r = cached.agg(
-          sum(when(col("value").isNotNull, 1L).otherwise(0L)),
-          sum(when(col("error").isNotNull, 1L).otherwise(0L)),
-          sum(when(col("value").isNull && col("error").isNull, 1L).otherwise(0L))).head()
-        (0 until 3).map(i => if (r.isNullAt(i)) 0L else r.getLong(i))
-      }
-      IngestMetrics.inc(IngestMetrics.RecordsTransformed, nGood)
-      IngestMetrics.inc(IngestMetrics.TransformErrors, nBad)
-      IngestMetrics.inc(IngestMetrics.MessagesDropped, nDropped)
+      // Counts ride the write job as observed metrics (one pass, nothing
+      // materialized) — caching a 100 TB micro-batch just to count it
+      // would be the scale bug; `observe` computes the aggregates during
+      // the sink scan for free.
+      val obs = org.apache.spark.sql.Observation(s"graft-batch-$batchId")
+      val observed = batch.observe(obs,
+        sum(when(col("value").isNotNull, 1L).otherwise(0L)).as("good"),
+        sum(when(col("error").isNotNull, 1L).otherwise(0L)).as("bad"),
+        sum(when(col("value").isNull && col("error").isNull, 1L).otherwise(0L)).as("dropped"))
 
       // Sampled payload logging (A22 analog): every Nth batch, log one
       // truncated payload — debugging visibility without log flood.
       if (payloadLogEvery > 0 && batchId % payloadLogEvery == 0) {
-        cached.select("payload").limit(1).collect().headOption.foreach { r =>
-          println(s"[graft-ingest] batch=$batchId payload sample: ${r.getString(0).take(4096)}")
+        batch.select("payload").limit(1).collect().headOption.foreach { r =>
+          log.info("ingest.batch.payload_sample", "batch" -> batchId, "payload" -> r.getString(0))
         }
       }
 
-      if (nGood > 0) {
-        val good = cached.filter(col("value").isNotNull).select("value.*")
-        val ts = eventTimeCol.map(col).getOrElse(current_timestamp())
-        // "flush workers" (A17): write parallelism = task count; the
-        // AdaptiveController's workers recommendation plugs in here.
-        val sized = writePartitions.map(good.repartition).getOrElse(good)
-        val keyed = TimeKeys.withUtcKeys(sized, ts)
-        retry {
-          val w = keyed.write
-            .mode("append")
-            .option("compression", codecOption)
-          policy.maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n))
-          w.partitionBy(TimeKeys.PartitionColumns: _*).parquet(sinkPath)
-        }
-        IngestMetrics.inc(IngestMetrics.RecordsFlushed, nGood)
+      val good = observed.filter(col("value").isNotNull).select("value.*")
+      val ts = eventTimeCol.map(col).getOrElse(current_timestamp())
+      // "flush workers" (A17): write parallelism = task count; the
+      // AdaptiveController's workers recommendation plugs in here.
+      val sized = writePartitions.map(good.repartition).getOrElse(good)
+      val keyed = TimeKeys.withUtcKeys(sized, ts)
+      retry {
+        val w = keyed.write
+          .mode("append")
+          .option("compression", codecOption)
+        policy.maxRecordsPerFile.foreach(n => w.option("maxRecordsPerFile", n))
+        w.partitionBy(TimeKeys.PartitionColumns: _*).parquet(sinkPath)
       }
+
+      val m = obs.get
+      def cnt(k: String): Long = m.get(k) match {
+        case Some(v: Long) => v
+        case _ => 0L // all-NULL sum on an empty batch
+      }
+      val (nGood, nBad) = (cnt("good"), cnt("bad"))
+      IngestMetrics.inc(IngestMetrics.RecordsTransformed, nGood)
+      IngestMetrics.inc(IngestMetrics.TransformErrors, nBad)
+      IngestMetrics.inc(IngestMetrics.MessagesDropped, cnt("dropped"))
+      IngestMetrics.inc(IngestMetrics.RecordsFlushed, nGood)
+
       dlqPath.foreach { p =>
+        // Second scan of the route flatMap, taken only on batches that
+        // actually contain failures — recomputing a cheap transform
+        // beats persisting the whole batch for the rare-error case.
         if (nBad > 0) retry {
-          cached.filter(col("error").isNotNull)
+          batch.filter(col("error").isNotNull)
             .select(col("payload"), col("error"), current_timestamp().as("dlq_ts"))
             .write.mode("append").parquet(p)
         }
@@ -119,9 +130,8 @@ final case class IngestPipeline[T <: Product : TypeTag](
     } catch {
       case NonFatal(e) =>
         IngestMetrics.inc(IngestMetrics.FlushErrors)
+        log.error("ingest.flush.failed", "batch" -> batchId, "error" -> String.valueOf(e.getMessage))
         throw e // batch fails ⇒ no offset commit ⇒ reprocess (at-least-once)
-    } finally {
-      cached.unpersist()
     }
   }
 

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Scale-safe global ranking: distributed row_number / percent_rank /
+  * cume_dist / ntile over a TOTAL ordering, without the
+  * single-partition WindowExec that `Window.orderBy(...)` (no
+  * partitionBy) plans — where every row of a 100 TB table would funnel
+  * through one task.
+  *
+  * Two-phase scheme:
+  *   1. range-repartition on the sort keys + sort within partitions —
+  *     a global sort whose partitions are ordered AND internally
+  *     ordered (Spark's own ORDER BY shape, minus the final
+  *     single-stream collect);
+  *   2. per-partition row counts (one cheap job over the shuffle
+  *     output) → prefix-sum offsets broadcast to every task → each
+  *     task assigns `offset(p) + local index` in one pass.
+  *
+  * The ordering must be tie-free (include a unique key, as any
+  * deterministic ORDER BY should): with ties, rank-family semantics
+  * would additionally need a per-key min/max join. percent_rank,
+  * cume_dist and ntile then derive from (row_number, n) with the exact
+  * SQL-standard arithmetic, so results are bit-identical to the window
+  * functions — asserted by the oracle-checked query that runs BOTH
+  * implementations.
+  */
+object GlobalRank {
+
+  /** `df` plus a 1-based global `outCol` row number under `sortCols`.
+    * Wall-clock: one shuffle (the range exchange) + two map passes.
+    */
+  def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
+                          outCol: String = "rn",
+                          numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val parted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+
+    // Phase 1: per-partition counts. Re-reads the range shuffle's output
+    // (map-side files persist), so this job is a count over local data.
+    val rdd = parted.rdd
+    val counts = rdd.mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().sortBy(_._1).map(_._2.toLong)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = rows before partition i
+
+    // Phase 2: per-partition assignment with the broadcast offsets.
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = df.schema.add(outCol, LongType, nullable = false)
+    val zipped = rdd.mapPartitionsWithIndex { (i, it) =>
+      val base = bOffsets.value(i)
+      it.zipWithIndex.map { case (r, j) => Row.fromSeq(r.toSeq :+ (base + j + 1L)) }
+    }
+    spark.createDataFrame(zipped, schema)
+  }
+
+  /** Global percent_rank / cume_dist / ntile(k) in one pass, derived
+    * from the two-phase row number:
+    *   percent_rank = (rn-1)/(n-1)   (0.0 when n == 1)
+    *   cume_dist    = rn/n
+    *   ntile(k)     = SQL-standard uneven buckets, larger buckets first.
+    */
+  def distributions(df: DataFrame, sortCols: Seq[Column], ntileK: Int,
+                    numPartitions: Option[Int] = None): DataFrame = {
+    require(ntileK >= 1, s"ntile bucket count must be >= 1, got $ntileK")
+    val ranked = withGlobalRowNumber(df, sortCols, "rn", numPartitions)
+    // n comes from the phase-1 counts already materialized inside
+    // withGlobalRowNumber's lineage; recomputing via max(rn) would add a
+    // job, so count on the input (a metadata-cheap scan).
+    val n = ranked.agg(max(col("rn"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val N = lit(n)
+    val rn = col("rn")
+    // NTILE with uneven division: q = n/k, r = n%k; the first r buckets
+    // get q+1 rows. bucket = (rn-1)/(q+1)+1 inside the large region,
+    // else r + (rn - r*(q+1) - 1)/q + 1.
+    val q = n / ntileK
+    val r = n % ntileK
+    val tile: Column =
+      if (q == 0) rn.cast("int") // fewer rows than buckets: one row each
+      else when(rn <= lit(r * (q + 1)), ((rn - 1) / lit(q + 1) + 1))
+        .otherwise(lit(r) + (rn - lit(r * (q + 1)) - 1) / lit(q) + 1)
+        .cast("int")
+    ranked
+      .withColumn("pr", when(N === 1L, 0.0).otherwise((rn - 1).cast("double") / (N - 1).cast("double")))
+      .withColumn("cd", rn.cast("double") / N.cast("double"))
+      .withColumn("tile", tile)
+  }
+}

@@ -191,6 +191,46 @@ object ExtensionQueries {
           round2(expr("percentile(l_extendedprice, 0.9)")).as("p90"))
         .orderBy("l_returnflag")),
 
+    GraftQuery(
+      // The 100 TB percentile path: approx_percentile's bounded-memory
+      // sketch (exact `percentile` holds every group value). Oracle
+      // checks the exact quantile; the approximate side self-checks
+      // within the declared 1 % relative band — the q12 HLL pattern.
+      "qs02_percentile_approx",
+      Some("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5) * 100) / 100 + 0 AS med_exact, " +
+        "CAST(1 AS BOOLEAN) AS within_1pct " +
+        "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+      (s, d) => t(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          round2(expr("percentile(l_quantity, 0.5)")).as("med_exact"),
+          // accuracy 10000 => error <= 1/10000 of the rank range
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("approx"))
+        .select(col("l_returnflag"), col("med_exact"),
+          (abs(col("approx") - col("med_exact")) / col("med_exact") <= 0.01).as("within_1pct"))
+        .orderBy("l_returnflag")),
+
+    GraftQuery(
+      // Scale-safe global ranking (graft.operators.GlobalRank): the
+      // two-phase distributed row-number path, verified bit-identical to
+      // the window-function semantics by the DuckDB window oracle. The
+      // Window.orderBy forms (q15_ntile/q15_distribution_windows) stay
+      // as the compatibility surface; this is the variant whose plan has
+      // no single-partition exchange.
+      "qr01_global_ranks",
+      Some("SELECT c_custkey, CAST(ROW_NUMBER() OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS rn, " +
+        "ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 + 0 AS pr, " +
+        "ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 + 0 AS cd, " +
+        "CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS INTEGER) AS tile " +
+        "FROM customer ORDER BY c_custkey"),
+      (s, d) => {
+        val ranked = graft.operators.GlobalRank.distributions(
+          t(s, d).customer, Seq(col("c_acctbal"), col("c_custkey")), ntileK = 4)
+        ranked.select(col("c_custkey"), col("rn"),
+            round4(col("pr")).as("pr"), round4(col("cd")).as("cd"), col("tile"))
+          .orderBy("c_custkey")
+      }),
+
     // ---------------------------------------------------------------- dedup suite
     GraftQuery(
       "dd01_exact_text",
