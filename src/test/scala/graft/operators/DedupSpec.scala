@@ -93,4 +93,39 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(10L, 13L), s"got $kept")
   }
+
+  test("connected components: min-id label propagation over pair chains") {
+    // components: {1,2,3,4} (a chain), {7,9}, singletons absent from pairs
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val comp = TextDedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("fullDedup keeps one representative per transitive near-dup chain") {
+    // a~b and b~c verify, a~c does NOT (different ends of the chain):
+    // pairwise higher-id drop would also remove c via b even though b is
+    // itself dropped; components keep exactly one of {a,b,c}.
+    // 30 tokens, two replaced per end: J(left,mid)=J(right,mid)=26/30≈0.87
+    // (≥0.8, verifies) while J(left,right)=24/32=0.75 (<0.8, does not)
+    val mid = (1 to 30).map(i => s"w$i").mkString(" ")
+    val left = "x1 x2 " + (3 to 30).map(i => s"w$i").mkString(" ")
+    val right = (1 to 28).map(i => s"w$i").mkString(" ") + " z1 z2"
+    val d = Seq((1L, left), (2L, mid), (3L, right),
+      (9L, "completely unrelated payload with its own words only"))
+      .toDF("doc_id", "text")
+
+    val pairs = TextDedup.minhashDedupPairs(d, threshold = 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 3L)) && !pairs.contains((1L, 3L)),
+      s"chain precondition, got $pairs")
+
+    val kept = TextDedup.fullDedup(d, threshold = 0.8)
+    val keptIds = kept.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds == Seq(1L, 9L), s"one survivor per component, got $keptIds")
+
+    // property: no two retained docs verify above threshold
+    val reverify = TextDedup.exactJaccardPairs(kept, threshold = 0.8)
+    assert(reverify.isEmpty, "retained set must be mutually non-duplicate")
+  }
 }

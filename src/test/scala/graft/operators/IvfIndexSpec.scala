@@ -1,0 +1,54 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("build/save/load/search round-trip equals brute force at full probe") {
+    val e = tables.embeddings
+    val path = tmpDir("ivf-index")
+    IvfIndex.build(e, nLists = 8).save(path)
+
+    val idx = IvfIndex.load(spark, path)
+    val got = idx.searchById(probeId = 3L, k = 5, nProbe = 8)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteForceTopK(e, probeId = 3L, k = 5)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == want, s"full-probe search must equal brute force: $got vs $want")
+  }
+
+  test("search scans only the probed lists (parquet partition pruning)") {
+    val e = tables.embeddings
+    val path = tmpDir("ivf-prune")
+    IvfIndex.build(e, nLists = 8).save(path)
+    val idx = IvfIndex.load(spark, path)
+
+    val probe = e.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val df = idx.search(probe, k = 5, nProbe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"probe filter must prune corpus partitions:\n${plan.take(900)}")
+    // drive the scan's own pruning path: the file listing under the
+    // plan's partition filters must touch at most nProbe list dirs
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(parts.length <= 2, s"expected <=2 list partitions read, got ${parts.length}")
+    assert(df.count() == 5)
+  }
+
+  test("the build is not re-paid per search: loaded index searches without a KMeans fit") {
+    val e = tables.embeddings
+    val path = tmpDir("ivf-reuse")
+    IvfIndex.build(e, nLists = 4).save(path)
+    val idx = IvfIndex.load(spark, path)
+    // two different probes against the same loaded index
+    val r1 = idx.searchById(1L, k = 3, nProbe = 4).select("vec_id").as[Long].collect()
+    val r2 = idx.searchById(7L, k = 3, nProbe = 4).select("vec_id").as[Long].collect()
+    assert(r1.length == 3 && r2.length == 3 && !r1.contains(1L) && !r2.contains(7L))
+  }
+}
