@@ -23,11 +23,22 @@ object RemoteIngest {
     * No driver-side collect: at 100 TB the handles never leave the
     * executors.
     */
+  /** `ackRetry` is the SEPARATE acknowledgement retry policy
+    * (SetAckRetryPolicy, ingestor.go:247-255), independent of the sink
+    * write's policy: the default single attempt mirrors the reference's
+    * no-retry default — an ack failure is non-fatal to the DATA (the
+    * messages simply redeliver), so retries are an opt-in latency trade.
+    * Handles are materialized per partition for the retry closure; the
+    * per-trigger admission budget bounds that list. Re-deleting an
+    * already-acked handle on retry is safe (delete is idempotent).
+    */
   def ackAfterWrite(batch: DataFrame, factory: RemoteQueueClientFactory,
-                    handleCol: String = "ack_handle"): Unit =
+                    handleCol: String = "ack_handle",
+                    ackRetry: graft.ingest.SimpleRetry = graft.ingest.SimpleRetry(attempts = 1)): Unit =
     batch.select(col(handleCol)).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val handles = rows.map(_.getString(0)).toVector
       val client = factory.create()
-      try { AckDispatcher.ackAll(client, rows.map(_.getString(0))); () }
+      try { ackRetry { AckDispatcher.ackAll(client, handles.iterator) }; () }
       finally client.close()
     }
 

@@ -23,6 +23,8 @@ object FakeQueueService {
 
     /** next N receive calls throw (transient transport failure) */
     val receiveErrorsToInject = new AtomicInteger(0)
+    /** next N delete calls throw (transient transport failure) */
+    val deleteErrorsToInject = new AtomicInteger(0)
     /** handles whose delete the service reports as Failed entries */
     val failDeletesFor = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
     /** handles whose visibility change the service reports as Failed */
@@ -82,6 +84,8 @@ final class FakeQueueClient(s: FakeQueueService.State) extends RemoteQueueClient
 
   override def deleteBatch(handles: Seq[String]): BatchCallResult = {
     s.deleteCalls.incrementAndGet()
+    if (s.deleteErrorsToInject.getAndUpdate(n => math.max(0, n - 1)) > 0)
+      throw new RuntimeException("injected delete failure")
     s.deleteChunkSizes.add(handles.size)
     require(handles.size <= RemoteQueueConfig.MaxBatchEntries,
       s"service limit exceeded: ${handles.size} entries in one DeleteMessageBatch")

@@ -210,6 +210,27 @@ class RemoteQueueSourceSpec extends SparkSpec {
       s"fan-out should track the poller knob, got $partitionCounts")
   }
 
+  test("separate ack retry policy: transient delete failures retried independently of writes") {
+    val s = FakeQueueService.state("poll")
+    import graft.ingest.SimpleRetry
+    import spark.implicits._
+    val df = (1 to 15).map(i => s"ar-$i").toDF("ack_handle")
+
+    // default policy = single attempt, the reference's no-retry default
+    s.deleteErrorsToInject.set(1)
+    intercept[org.apache.spark.SparkException] {
+      RemoteIngest.ackAfterWrite(df.coalesce(1), new FakeFactoryPoll)
+    }
+
+    // opt-in ack retry absorbs the transient failures
+    val before = s.deletedCount
+    s.deleteErrorsToInject.set(2)
+    RemoteIngest.ackAfterWrite(df.coalesce(1), new FakeFactoryPoll,
+      ackRetry = SimpleRetry(attempts = 4, sleep = _ => ()))
+    assert(s.deletedCount - before >= 15, "all handles acked after retried attempts")
+    s.deleteErrorsToInject.set(0)
+  }
+
   test("config validation mirrors the reference envelope") {
     intercept[IllegalArgumentException](RemoteQueueConfig(waitTimeSeconds = 21))
     intercept[IllegalArgumentException](RemoteQueueConfig(maxMessages = 0))
