@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-data curation: the composition a corpus pipeline
+  * actually runs before tokenization —
+  *
+  *   exact dedup (min doc_id per identical text)
+  *     → language ID (stopword-ratio heuristic, [[TextAnalysis.languageId]])
+  *     → quality gate ([[TextAnalysis.qualityScore]] composite)
+  *     → token floor
+  *
+  * Order is the scale strategy (same argument as [[TextDedup.fullDedup]]):
+  * dedup first shrinks everything downstream; the language/quality
+  * features then run ONE grouped pass each over survivors and join back
+  * on doc_id. At 100 TB each stage is a hash shuffle on doc_id/text —
+  * no all-pairs step anywhere.
+  */
+object TrainingPipeline {
+
+  /** Curated corpus rows:
+    * (doc_id, text, pred_lang, n_tokens, quality). Filters are applied
+    * on the ROUNDED quality (round4) so the DuckDB oracle applies
+    * bit-identical arithmetic at the threshold boundary.
+    */
+  def curate(docs: DataFrame,
+             langs: Seq[String],
+             minQuality: Double,
+             minTokens: Long): DataFrame = {
+    val survivors = docs
+      .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    val lang = TextAnalysis.languageId(survivors)
+    val qual = TextAnalysis.qualityScore(survivors).select("doc_id", "n_tokens", "quality")
+    survivors
+      .join(lang, Seq("doc_id"))
+      .join(qual, Seq("doc_id"))
+      .filter(col("pred_lang").isin(langs: _*) &&
+        col("quality") >= minQuality && col("n_tokens") >= minTokens)
+  }
+
+  /** Per-language corpus budget over the curated set:
+    * (pred_lang, n_docs, total_tokens, avg_quality). */
+  def languageBudget(curated: DataFrame): DataFrame =
+    curated.groupBy("pred_lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        graft.functions.round4(avg(col("quality"))).as("avg_quality"))
+      .orderBy("pred_lang")
+}

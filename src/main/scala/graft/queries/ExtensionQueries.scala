@@ -211,6 +211,35 @@ object ExtensionQueries {
         .orderBy("l_returnflag")),
 
     GraftQuery(
+      // The whole curation pipeline as ONE verified query: exact dedup →
+      // language ID → quality gate → token floor → per-language token
+      // budget (graft.operators.TrainingPipeline). The oracle recomputes
+      // every stage in DuckDB SQL.
+      "tp01_training_pipeline",
+      Some("""WITH sv AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM sv),
+        |r AS (SELECT doc_id, COUNT(*) AS n_tokens,
+        |  SUM(CASE WHEN w = 'the' THEN 1 ELSE 0 END) / COUNT(*) AS r_the,
+        |  SUM(CASE WHEN w = 'a' THEN 1 ELSE 0 END) / COUNT(*) AS r_a,
+        |  SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) / COUNT(*) AS stop0
+        |  FROM tok WHERE w <> '' GROUP BY doc_id),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CASE WHEN r_the >= 0.05 THEN 'en' WHEN r_a >= 0.05 THEN 'es'
+        |       WHEN r_the >= 0.02 THEN 'de' WHEN r_a >= 0.02 THEN 'fr' ELSE 'zh' END AS pred_lang,
+        |  ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - stop0) * 10000) / 10000 + 0 AS quality
+        |  FROM r)
+        |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  ROUND(AVG(quality) * 10000) / 10000 + 0 AS avg_quality
+        |FROM c WHERE pred_lang IN ('en','de','fr') AND quality >= 0.5 AND n_tokens >= 20
+        |GROUP BY pred_lang ORDER BY pred_lang""".stripMargin),
+      (s, d) => {
+        import graft.operators.TrainingPipeline
+        TrainingPipeline.languageBudget(
+          TrainingPipeline.curate(t(s, d).documents,
+            langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L))
+      }),
+
+    GraftQuery(
       // Scale-safe global ranking (graft.operators.GlobalRank): the
       // two-phase distributed row-number path, verified bit-identical to
       // the window-function semantics by the DuckDB window oracle. The
@@ -295,6 +324,34 @@ object ExtensionQueries {
         |FROM bitval GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) => TextDedup.simhashFingerprints(
         TextDedup.shingleSet(t(s, d).documents)).orderBy("doc_id")),
+
+    GraftQuery(
+      // Blocked SimHash near-dup PAIRS vs the oracle's quadratic ground
+      // truth: with 4 byte-bands over 32 bits and maxDist <= 3, two
+      // fingerprints within the distance MUST agree on at least one
+      // band (pigeonhole), so the blocked equi-join finds exactly the
+      // all-pairs answer — that equivalence is what this entry verifies.
+      "dd06_simhash_pairs",
+      Some(ShingleCte +
+        """,
+        |bits AS (SELECT doc_id, s, unnest(range(32)) AS k FROM sh),
+        |bitval AS (
+        |  SELECT doc_id, k,
+        |    SUM(CASE WHEN CAST(FLOOR((position(substr(md5(s), 1 + k // 4, 1) IN '0123456789abcdef') - 1)
+        |      / POW(2, k % 4)) AS INTEGER) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+        |  FROM bits GROUP BY doc_id, k),
+        |fps AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN CAST(POW(2, k) AS BIGINT) ELSE 0 END) AS BIGINT) AS fp
+        |  FROM bitval GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+        |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => TextDedup.simhashNearDupPairs(
+          TextDedup.simhashFingerprints(TextDedup.shingleSet(t(s, d).documents)), maxDist = 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+        .orderBy("doc_a", "doc_b")),
 
     GraftQuery(
       "dd05_embedding_neardup",

@@ -1,0 +1,42 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TrainingPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = tables.documents
+
+  test("curate dedups first: identical texts contribute one survivor") {
+    val doubled = docs.union(docs.withColumn("doc_id", col("doc_id") + 1000000L))
+    val once = TrainingPipeline.curate(docs, Seq("en", "de", "fr"), 0.5, 20L)
+    val twice = TrainingPipeline.curate(doubled, Seq("en", "de", "fr"), 0.5, 20L)
+    assert(once.count() == twice.count(), "exact copies must collapse before scoring")
+  }
+
+  test("filters are monotone: tighter gates keep a subset") {
+    val loose = TrainingPipeline.curate(docs, Seq("en", "de", "fr"), 0.3, 10L)
+      .select("doc_id").as[Long].collect().toSet
+    val tight = TrainingPipeline.curate(docs, Seq("en", "de"), 0.6, 30L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(tight.subsetOf(loose))
+    assert(tight.nonEmpty && tight.size < loose.size)
+  }
+
+  test("curated rows satisfy every declared gate") {
+    val rows = TrainingPipeline.curate(docs, Seq("en", "de"), 0.5, 20L)
+      .select("pred_lang", "quality", "n_tokens")
+      .as[(String, Double, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (l, q, n) => Set("en", "de")(l) && q >= 0.5 && n >= 20 })
+  }
+
+  test("languageBudget aggregates per language with positive budgets") {
+    val b = TrainingPipeline.languageBudget(
+      TrainingPipeline.curate(docs, Seq("en", "de", "fr"), 0.5, 20L))
+      .as[(String, Long, Long, Double)].collect()
+    assert(b.map(_._1).sorted.toSeq == b.map(_._1).toSeq, "ordered by language")
+    assert(b.forall { case (_, n, toks, q) => n > 0 && toks >= n * 20 && q >= 0.5 })
+  }
+}
