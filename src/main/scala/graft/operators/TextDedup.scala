@@ -211,10 +211,14 @@ object TextDedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // localCheckpoint (eager) per iteration truncates the logical plan:
+    // without it each round re-analyzes the whole accumulated lineage
+    // and Catalyst analysis time grows super-linearly with iterations —
+    // measured catastrophic by the round-2 scale probe on a 63-diameter
+    // chain long before any executor work became the bottleneck.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("component", col("doc_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize before the loop re-derives from it
+      .localCheckpoint(true)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -226,10 +230,9 @@ object TextDedup {
       val next = labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
         .filter(col("component") < col("old")).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0L
       iter += 1
