@@ -180,6 +180,20 @@ object ExtensionQueries {
         .orderBy("user_id")),
 
     GraftQuery(
+      // wide→long reshaping (melt): the inverse of qp01_pivot
+      "qp02_unpivot",
+      Some("""SELECT p_partkey, metric, val FROM (
+        |  SELECT p_partkey, CAST(p_size AS DOUBLE) AS p_size, p_retailprice FROM part
+        |) UNPIVOT (val FOR metric IN (p_size, p_retailprice))
+        |ORDER BY p_partkey, metric""".stripMargin),
+      (s, d) => t(s, d).part
+        .unpivot(
+          Array(col("p_partkey")),
+          Array(col("p_size").cast("double").as("p_size"), col("p_retailprice")),
+          "metric", "val")
+        .orderBy("p_partkey", "metric")),
+
+    GraftQuery(
       "qs01_percentile",
       Some("SELECT l_returnflag, ROUND(quantile_cont(l_quantity, 0.5) * 100) / 100 + 0 AS med, " +
         "ROUND(quantile_cont(l_extendedprice, 0.9) * 100) / 100 + 0 AS p90 " +

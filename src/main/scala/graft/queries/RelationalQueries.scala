@@ -332,6 +332,26 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      "q16_window_firstlast",
+      Some("SELECT user_id, event_id, " +
+        "ROUND(FIRST_VALUE(value) OVER w, 2) AS fv, " +
+        "ROUND(LAST_VALUE(value) OVER w, 2) AS lv, " +
+        "ROUND(NTH_VALUE(value, 3) OVER w, 2) AS nv " +
+        "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) " +
+        "ORDER BY user_id, event_id"),
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, d).events
+          .select(col("user_id"), col("event_id"),
+            round2(first_value(col("value")).over(w)).as("fv"),
+            round2(last_value(col("value")).over(w)).as("lv"),
+            round2(nth_value(col("value"), 3).over(w)).as("nv"))
+          .orderBy("user_id", "event_id")
+      }),
+
+    GraftQuery(
       "q15_distribution_windows",
       Some("SELECT c_custkey, ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 + 0 AS pr, " +
         "ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey) * 10000) / 10000 + 0 AS cd " +
