@@ -146,6 +146,24 @@ object ExtensionQueries {
     // ---------------------------------------------------------------- analytic extras
     GraftQuery(
       // as-of semantics via one keyed window pass (see operators.AsOfJoin)
+      "aj02_asof_next_purchase",
+      Some("""SELECT event_id, FIRST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |  OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_purchase_id
+        |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        t(s, d).events
+          .select(col("event_id"),
+            first(when(col("event_type") === "purchase", col("event_id")), ignoreNulls = true)
+              .over(w).as("next_purchase_id"))
+          .orderBy("event_id")
+      }),
+
+    GraftQuery(
       "aj01_asof_last_purchase",
       Some("""SELECT event_id, LAST_VALUE(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
         |  OVER (PARTITION BY user_id ORDER BY ts, event_id

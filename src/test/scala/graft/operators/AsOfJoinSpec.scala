@@ -35,6 +35,67 @@ class AsOfJoinSpec extends SparkSpec {
     assert(got == (("early", None)))
   }
 
+  test("forward as-of join attaches the earliest right row at or after each left ts") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "t1"),
+      (1L, ts("2024-01-01 10:00:20"), "t2"),  // after the last quote: null
+      (2L, ts("2024-01-01 10:00:10"), "t3"))  // equal ts: inclusive
+      .toDF("sym", "t_ts", "trade_id")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 100.0),
+      (1L, ts("2024-01-01 10:00:10"), 101.0),
+      (2L, ts("2024-01-01 10:00:10"), 50.0),
+      (2L, ts("2024-01-01 10:00:30"), 51.0))
+      .toDF("sym", "q_ts", "price")
+
+    val got = AsOfJoin.forward(trades, quotes, "sym", "t_ts", "q_ts", Seq("price"))
+      .select("trade_id", "price").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("t1" -> Some(101.0), "t2" -> None, "t3" -> Some(50.0)))
+  }
+
+  test("nearest as-of join picks the closer side; exact ties go backward") {
+    val l = Seq(
+      (1L, 100L, "a"), // back 90 (d=10) vs fwd 130 (d=30) -> back
+      (1L, 125L, "b"), // back 90 (d=35) vs fwd 130 (d=5)  -> fwd
+      (1L, 110L, "c"), // back 90 (d=20) = fwd 130 (d=20)  -> tie -> back
+      (1L, 50L, "d"),  // nothing before -> fwd
+      (2L, 10L, "e"))  // no right rows at all -> null
+      .toDF("k", "lts", "name")
+    val r = Seq((1L, 90L, 9.0), (1L, 130L, 13.0)).toDF("k", "rts", "v")
+
+    val got = AsOfJoin.nearest(l, r, "k", "lts", "rts", Seq("v"))
+      .select("name", "v").as[(String, Option[Double])].collect().toMap
+    assert(got == Map("a" -> Some(9.0), "b" -> Some(13.0), "c" -> Some(9.0),
+      "d" -> Some(9.0), "e" -> None))
+  }
+
+  test("forward/nearest match a brute-force formulation on testdata events") {
+    import org.apache.spark.sql.functions._
+    val e = tables.events.select($"user_id", $"ts", $"event_id", $"value")
+    val right = e.filter($"event_id" % 7 === 0)
+      .select($"user_id".as("r_user"), $"ts".as("r_ts"), $"event_id".as("r_id"),
+        $"value".as("r_val"))
+
+    val gotF = AsOfJoin.forward(
+        e.select($"user_id", $"ts", $"event_id"),
+        right.select($"r_user".as("user_id"), $"r_ts", $"r_val", $"r_id"),
+        "user_id", "ts", "r_ts", Seq("r_id"))
+      .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    // brute force: min r_id among rows with r_ts >= ts (earliest, id tie-break)
+    val bruteF = e.join(right, $"user_id" === $"r_user" && $"r_ts" >= $"ts", "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_id")
+          .orderBy(col("r_ts").asc_nulls_last, col("r_id").asc_nulls_last)))
+      .filter($"rk" === 1)
+      .select("event_id", "r_id").as[(Long, Option[Long])].collect().toMap
+    assert(gotF.size == bruteF.size)
+    // window semantics break first-among-equal-ts ties by side order, the
+    // brute force by r_id — compare only on the matched TIMESTAMP when
+    // multiple right rows share it; with this data r_ts ties are absent,
+    // so ids compare directly.
+    assert(gotF == bruteF)
+  }
+
   test("matches a brute-force range-join formulation on testdata events") {
     val e = tables.events
     val viaWindow = SparkEntry_asof(e)
