@@ -42,4 +42,28 @@ object StreamingOps {
                            watermark: String, keys: Seq[String]): DataFrame =
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
+
+  /** Stream-stream inner equi-join with a bounded event-time band:
+    * rows join when `|leftTs - rightTs| <= band`. BOTH sides carry a
+    * watermark and the join condition bounds the time difference, so
+    * each side's buffered state is GC'd once the other side's watermark
+    * passes — without the band, stream-stream join state grows forever
+    * (the canonical streaming-join scale bug).
+    *
+    * Column requirements: `key` exists on both sides; timestamp columns
+    * are distinct names.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   band: String, watermark: String,
+                   joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark).withColumnRenamed(key, s"__r_$key")
+    l.join(r,
+      col(key) === col(s"__r_$key") &&
+        col(rightTs) >= col(leftTs) - expr(s"INTERVAL $band") &&
+        col(rightTs) <= col(leftTs) + expr(s"INTERVAL $band"),
+      joinType) // "leftOuter": unmatched left rows emit null-padded once the watermark closes their band
+      .drop(s"__r_$key")
+  }
 }

@@ -53,6 +53,80 @@ class StreamingOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches in-band pairs and drops out-of-band ones") {
+    implicit val ctx = spark.sqlContext
+    val msL = MemoryStream[(Long, Timestamp, String)]
+    val msR = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.intervalJoin(
+      msL.toDS().toDF("k", "lts", "tag"),
+      msR.toDS().toDF("k", "rts", "price"),
+      key = "k", leftTs = "lts", rightTs = "rts",
+      band = "5 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out").start()
+    try {
+      msL.addData((1L, ts("2024-01-01 10:00:00"), "a"), (2L, ts("2024-01-01 10:00:00"), "b"))
+      msR.addData(
+        (1L, ts("2024-01-01 10:03:00"), 10.0),  // in band (+3m)
+        (1L, ts("2024-01-01 10:20:00"), 20.0),  // out of band (+20m)
+        (2L, ts("2024-01-01 09:56:00"), 30.0),  // in band (-4m)
+        (3L, ts("2024-01-01 10:00:00"), 40.0))  // key with no left side
+      q.processAllAvailable()
+      val out = spark.table("ssj_out").select($"tag", $"price")
+        .as[(String, Double)].collect().toSet
+      assert(out == Set(("a", 10.0), ("b", 30.0)), s"got $out")
+    } finally q.stop()
+  }
+
+  test("left-outer interval join emits unmatched left rows after the watermark closes") {
+    implicit val ctx = spark.sqlContext
+    val msL = MemoryStream[(Long, Timestamp, String)]
+    val msR = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.intervalJoin(
+      msL.toDS().toDF("k", "lts", "tag"), msR.toDS().toDF("k", "rts", "price"),
+      "k", "lts", "rts", "5 minutes", "10 minutes", joinType = "leftOuter")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      msL.addData((1L, ts("2024-01-01 10:00:00"), "matched"),
+        (2L, ts("2024-01-01 10:00:00"), "lonely"))
+      msR.addData((1L, ts("2024-01-01 10:02:00"), 7.0))
+      q.processAllAvailable()
+      // push both watermarks far past the band so the unmatched row finalizes
+      msL.addData((9L, ts("2024-01-01 12:00:00"), "wm"))
+      msR.addData((9L, ts("2024-01-01 12:00:00"), 0.0))
+      q.processAllAvailable()
+      msL.addData((9L, ts("2024-01-01 13:00:00"), "wm2"))
+      msR.addData((9L, ts("2024-01-01 13:00:00"), 0.0))
+      q.processAllAvailable()
+      val out = spark.table("ssj_outer").select($"tag", $"price")
+        .as[(String, Option[Double])].collect().toMap
+      assert(out("matched").contains(7.0))
+      assert(out.contains("lonely") && out("lonely").isEmpty,
+        s"unmatched left row must emit null-padded, got $out")
+    } finally q.stop()
+  }
+
+  test("stream-stream join state is bounded: plan carries watermarks on both sides") {
+    implicit val ctx = spark.sqlContext
+    val msL = MemoryStream[(Long, Timestamp, String)]
+    val msR = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamingOps.intervalJoin(
+      msL.toDS().toDF("k", "lts", "tag"), msR.toDS().toDF("k", "rts", "price"),
+      "k", "lts", "rts", "5 minutes", "10 minutes")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj_state").start()
+    try {
+      msL.addData((1L, ts("2024-01-01 10:00:00"), "x"))
+      msR.addData((1L, ts("2024-01-01 10:01:00"), 1.0))
+      q.processAllAvailable()
+      val progress = q.lastProgress
+      assert(progress.stateOperators.nonEmpty, "join must run as a stateful operator")
+      // both watermark columns present in the analyzed plan => state GC eligible
+      assert(joined.queryExecution.analyzed.toString.toLowerCase.contains("watermark"))
+    } finally q.stop()
+  }
+
   test("session windows split on gap in streaming mode") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Timestamp)]
