@@ -380,10 +380,16 @@ object ExtensionQueries {
         |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
-      (s, d) => TextDedup.simhashNearDupPairs(
-          TextDedup.simhashFingerprints(TextDedup.shingleSet(t(s, d).documents)), maxDist = 3)
-        .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-        .orderBy("doc_a", "doc_b")),
+      (s, d) => {
+        // persist: the fingerprint pipeline (shingles + 32-wide vote
+        // aggregate) feeds BOTH sides of the band self-join — without it
+        // the whole upstream computes twice
+        val fps = TextDedup.simhashFingerprints(TextDedup.shingleSet(t(s, d).documents))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        TextDedup.simhashNearDupPairs(fps, maxDist = 3)
+          .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+          .orderBy("doc_a", "doc_b")
+      }),
 
     GraftQuery(
       "dd05_embedding_neardup",
