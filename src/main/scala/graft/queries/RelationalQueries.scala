@@ -191,6 +191,20 @@ object RelationalQueries {
         count(lit(1)).as("n"))),
 
     GraftQuery(
+      // group-concat family: deterministic via sorted collect + join
+      "q10_string_agg",
+      Some("SELECT r_name, STRING_AGG(n_name, ',' ORDER BY n_name) AS members " +
+        "FROM region JOIN nation ON n_regionkey = r_regionkey " +
+        "GROUP BY r_name ORDER BY r_name"),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.region.join(tb.nation, col("n_regionkey") === col("r_regionkey"))
+          .groupBy("r_name")
+          .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("members"))
+          .orderBy("r_name")
+      }),
+
+    GraftQuery(
       "q10_conditional_agg",
       // CAST: DuckDB COUNT_IF returns HUGEINT; Spark count_if returns BIGINT
       Some("SELECT l_returnflag, CAST(COUNT_IF(l_quantity > 25) AS BIGINT) AS big_n, " +
