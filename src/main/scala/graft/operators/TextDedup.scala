@@ -62,6 +62,43 @@ object TextDedup {
     withH.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Zero-shuffle variant of [[minhashSignatures]]: the H mins are
+    * computed per document directly over its shingle ARRAY with
+    * higher-order functions (one md5 per shingle into (h1, h2), then H
+    * `array_min` passes over the hashed array) — no explode, no groupBy,
+    * no exchange. Bit-identical to the grouped form (duplicate shingles
+    * cannot change a MIN), so either feeds the same banding/oracle.
+    *
+    * Trade-off: this computes signatures in the scan stage with zero
+    * shuffle — the right shape when signatures are the ONLY thing needed
+    * (pure fingerprinting). [[minhashDedupPairs]] keeps the grouped form
+    * because it already pays for the exploded distinct shingle set that
+    * verification needs, and the signature aggregation rides that
+    * shuffle for free.
+    */
+  def minhashSignaturesNoShuffle(docs: DataFrame, idCol: String = "doc_id",
+                                 textCol: String = "text", numHashes: Int = 16,
+                                 shingleN: Int = 3): DataFrame = {
+    val hashed = expr(
+      s"transform(array_distinct(${shinglesSql(textCol, shingleN)}), s -> named_struct(" +
+        "'h1', CAST(conv(substring(md5(s), 1, 12), 16, 10) AS BIGINT), " +
+        "'h2', CAST(conv(substring(md5(s), 13, 12), 16, 10) AS BIGINT)))")
+    val sigCols = (0 until numHashes).map { j =>
+      expr(s"array_min(transform(__h, h -> (h.h1 + $j * h.h2) % 281474976710656))").as(s"sig$j")
+    }
+    docs.select(col(idCol).as("doc_id"), hashed.as("__h"))
+      .select(col("doc_id") +: sigCols: _*)
+  }
+
+  /** SQL-expression text of [[graft.functions.shingles]] for use inside
+    * HOF lambdas (Column lambdas can't nest into expr strings). */
+  private def shinglesSql(textCol: String, n: Int): String = {
+    val toks = s"filter(split(lower($textCol), ' '), w -> w <> '')"
+    val len = s"greatest(size($toks) - ${n - 1}, 0)"
+    val slices = (1 to n).map(k => s"slice($toks, $k, $len)")
+    slices.reduce((a, b) => s"zip_with($a, $b, (x, y) -> concat(x, ' ', y))")
+  }
+
   /** LSH banding over the wide signature matrix: docs agreeing on every
     * signature of a band become a candidate pair. Returns distinct
     * (doc_a, doc_b), a < b. The band explode happens on |docs| rows —

@@ -94,6 +94,17 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(10L, 13L), s"got $kept")
   }
 
+  test("no-shuffle minhash signatures equal the grouped-aggregate form exactly") {
+    val docs = tables.documents
+    val grouped = TextDedup.minhashSignatures(TextDedup.shingleSet(docs))
+    val noShuffle = TextDedup.minhashSignaturesNoShuffle(docs)
+    assert(grouped.except(noShuffle).isEmpty && noShuffle.except(grouped).isEmpty,
+      "both formulations must produce bit-identical signature matrices")
+    // and the no-shuffle plan really has no exchange
+    val plan = noShuffle.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n${plan.take(600)}")
+  }
+
   test("connected components: min-id label propagation over pair chains") {
     // components: {1,2,3,4} (a chain), {7,9}, singletons absent from pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
