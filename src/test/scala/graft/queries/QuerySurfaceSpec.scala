@@ -26,4 +26,12 @@ class QuerySurfaceSpec extends SparkSpec {
   test("every oracle key has a matching query") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("every query is oracle-checked (rows-only entries must be deliberate)") {
+    // If a future query legitimately has no SQL-expressible oracle, list
+    // it here explicitly instead of silently weakening the gate.
+    val rowsOnlyAllowed = Set.empty[String]
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowed
+    assert(missing.isEmpty, s"queries without an oracle: $missing")
+  }
 }
