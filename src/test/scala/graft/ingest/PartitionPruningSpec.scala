@@ -51,4 +51,31 @@ class PartitionPruningSpec extends SparkSpec {
       .map(_.getFileName.toString).filter(_.startsWith("h=")).toSet
     assert(hDirs == Set("h=10", "h=11"))
   }
+
+  test("hour-range backfill read prunes to the requested hours across day boundaries") {
+    val dir = tmpDir("range-sink")
+    val rows = Seq(
+      (1L, "2024-03-01 22:10:00"), (2L, "2024-03-01 23:10:00"),
+      (3L, "2024-03-02 00:10:00"), (4L, "2024-03-02 01:10:00"),
+      (5L, "2024-03-02 02:10:00"))
+      .toDF("id", "raw").select($"id", $"raw".cast("timestamp").as("ts"))
+    TimeKeys.withUtcKeys(rows, $"ts")
+      .write.mode("overwrite").partitionBy(TimeKeys.PartitionColumns: _*).parquet(dir)
+
+    // 23:00 through 01:59 spans a midnight boundary — the composite-key
+    // predicate must still select exactly those three hour partitions
+    val got = TimeKeys.readHourRange(spark, dir, "2024-03-01 23", "2024-03-02 01")
+    assert(got.select("id").as[Long].collect().sorted.toSeq == Seq(2L, 3L, 4L))
+
+    // and it really prunes: the scan's own listing returns 3 of 5 hour dirs
+    val scan = got.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(parts.length == 3, s"expected 3 pruned hour partitions, got ${parts.length}")
+
+    intercept[IllegalArgumentException] {
+      TimeKeys.hourRange("2024-3-1 9", "2024-03-02 01")
+    }
+  }
 }
