@@ -40,6 +40,21 @@ object TrainingPipeline {
         col("quality") >= minQuality && col("n_tokens") >= minTokens)
   }
 
+  /** Deterministic hash sampling: keeps rows whose md5(key) bucket falls
+    * under `pct` of 100. Unlike `df.sample` this is reproducible across
+    * runs, engines and partitionings (the bucket is a pure function of
+    * the key), stable under re-partitioning, and consistent BY KEY — the
+    * properties corpus downsampling at 100 TB actually needs (the same
+    * document keeps or drops everywhere, every run, including in the
+    * DuckDB oracle).
+    */
+  def deterministicSample(df: DataFrame, keyCol: String, pct: Int): DataFrame = {
+    require(pct >= 0 && pct <= 100, s"pct must be in [0,100], got $pct")
+    df.filter(
+      expr(s"CAST(conv(substring(md5(CAST($keyCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+        < pct)
+  }
+
   /** Per-language corpus budget over the curated set:
     * (pred_lang, n_docs, total_tokens, avg_quality). */
   def languageBudget(curated: DataFrame): DataFrame =

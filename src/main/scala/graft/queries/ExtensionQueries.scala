@@ -272,6 +272,18 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Deterministic hash sampling (the reproducible corpus-downsampling
+      // primitive): md5-bucket under 20% — identical row selection in
+      // both engines by construction.
+      "tp02_deterministic_sample",
+      Some("SELECT doc_id FROM documents " +
+        "WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS BIGINT) % 100 < 20 " +
+        "ORDER BY doc_id"),
+      (s, d) => graft.operators.TrainingPipeline
+        .deterministicSample(t(s, d).documents, "doc_id", 20)
+        .select("doc_id").orderBy("doc_id")),
+
+    GraftQuery(
       // Scale-safe global ranking (graft.operators.GlobalRank): the
       // two-phase distributed row-number path, verified bit-identical to
       // the window-function semantics by the DuckDB window oracle. The

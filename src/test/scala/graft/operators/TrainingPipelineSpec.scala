@@ -32,6 +32,22 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(rows.forall { case (l, q, n) => Set("en", "de")(l) && q >= 0.5 && n >= 20 })
   }
 
+  test("deterministicSample is reproducible, key-consistent and roughly proportional") {
+    val a = TrainingPipeline.deterministicSample(docs, "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    val b = TrainingPipeline.deterministicSample(docs.repartition(17), "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same keys selected regardless of partitioning")
+    val n = docs.count().toDouble
+    assert(a.size > n * 0.10 && a.size < n * 0.30, s"~20% expected, got ${a.size}/$n")
+    // monotone: a larger pct strictly contains a smaller one
+    val wider = TrainingPipeline.deterministicSample(docs, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(wider))
+    assert(TrainingPipeline.deterministicSample(docs, "doc_id", 0).count() == 0)
+    assert(TrainingPipeline.deterministicSample(docs, "doc_id", 100).count() == n.toLong)
+  }
+
   test("languageBudget aggregates per language with positive budgets") {
     val b = TrainingPipeline.languageBudget(
       TrainingPipeline.curate(docs, Seq("en", "de", "fr"), 0.5, 20L))
