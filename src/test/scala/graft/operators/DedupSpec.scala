@@ -105,6 +105,14 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"expected shuffle-free plan:\n${plan.take(600)}")
   }
 
+  test("no-shuffle simhash fingerprints equal the grouped-aggregate form exactly") {
+    val docs = tables.documents
+    val grouped = TextDedup.simhashFingerprints(TextDedup.shingleSet(docs))
+    val noShuffle = TextDedup.simhashFingerprintsNoShuffle(docs)
+    assert(grouped.except(noShuffle).isEmpty && noShuffle.except(grouped).isEmpty)
+    assert(!noShuffle.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("connected components: min-id label propagation over pair chains") {
     // components: {1,2,3,4} (a chain), {7,9}, singletons absent from pairs
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (7L, 9L)).toDF("doc_a", "doc_b")
