@@ -27,13 +27,16 @@ object GraftSession {
   def apply(master: String = "local[32]", appName: String = "graft"): SparkSession = {
     val spark = builder(master, appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    functions.registerAll(spark)
-    spark
+    init(spark)
   }
 
-  /** Register graft SQL functions on an externally-built session. */
+  /** Register graft SQL functions + optimizer rules on an
+    * externally-built session (idempotent). */
   def init(spark: SparkSession): SparkSession = {
     functions.registerAll(spark)
+    if (!spark.experimental.extraOptimizations.contains(FoldConstantCosine))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ FoldConstantCosine
     spark
   }
 }
