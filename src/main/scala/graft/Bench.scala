@@ -44,6 +44,33 @@ object Bench {
     timed { pipe.processBatch(pipe.route(envs), batchId = 0L) }
   }
 
+  /** Ack micro-bench (reference: source_sqs_bench_test.go:16-21, 30-55):
+    * n handles through the chunked ≤10 dispatcher against an instant
+    * stub client — measures the chunking machinery, not a network. */
+  private def ackBench(n: Int): Double = {
+    import graft.sources.remote.{AckDispatcher, BenchQueueClient}
+    val client = new BenchQueueClient
+    val handles = (0 until n).map(i => s"h$i")
+    timed { AckDispatcher.ackAll(client, handles.iterator) }
+  }
+
+  /** Receive micro-bench (reference: source_sqs_bench_test.go:23-28,
+    * 57-95): drain n stub-queue messages through the executor-side
+    * connector (poller partitions -> rows -> noop sink) — end-to-end
+    * connector throughput at zero service latency. */
+  private def receiveBench(spark: SparkSession, n: Int): Double = {
+    import graft.sources.remote.{BenchQueue, BenchQueueFactory, RemoteIngest, RemoteQueueConfig}
+    BenchQueue.reset(n)
+    val cfg = RemoteQueueConfig(waitTimeSeconds = 0, maxMessages = 10,
+      pollers = 4, maxPerTrigger = n)
+    val cp = java.nio.file.Files.createTempDirectory("bench-recv").toString
+    timed {
+      val q = RemoteIngest.readStream(spark, classOf[BenchQueueFactory].getName, cfg)
+        .writeStream.option("checkpointLocation", cp).format("noop").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -72,7 +99,9 @@ object Bench {
       q.name -> (if (failed) None else Some(sec))
     } ++ Seq(
       "ingest_1k" -> Some(ingestBench(spark, 1000)),
-      "ingest_100k" -> Some(ingestBench(spark, 100000)))
+      "ingest_100k" -> Some(ingestBench(spark, 100000)),
+      "ack_5k" -> Some(ackBench(5000)),
+      "receive_10k" -> Some(receiveBench(spark, 10000)))
 
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
