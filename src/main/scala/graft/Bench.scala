@@ -71,9 +71,22 @@ object Bench {
     }
   }
 
+  /** Per-entry median over the successful passes. */
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Single-pass measurements on a shared host conflate query cost with
+    // whatever else the machine is doing in that window; the recorded
+    // BASELINE numbers are per-query medians, so the harness measures the
+    // same statistic: 3 INTERLEAVED full-suite passes (a contention burst
+    // hits pass k of many queries, not all 3 passes of one query) and the
+    // per-query median across passes.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val spark = GraftSession.builder(s"local[$cpus]", "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
@@ -85,30 +98,47 @@ object Bench {
 
     // A crashing query must not contribute a misleading time-to-failure:
     // record it in "errors" and null its per-query entry.
-    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.allQueries.map { q =>
-      var failed = false
-      val sec = timed {
-        try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
-        catch { case e: Throwable =>
-          failed = true
-          errors += q.name
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+    val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    val entries: Seq[(String, () => Option[Double])] =
+      SparkEntry.allQueries.map { q =>
+        q.name -> { () =>
+          var failed = false
+          val sec = timed {
+            try q.run(spark, sfDir).write.mode("overwrite").format("noop").save()
+            catch { case e: Throwable =>
+              failed = true
+              errors += q.name
+              System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            }
+          }
+          if (failed) None else Some(sec)
         }
-      }
-      q.name -> (if (failed) None else Some(sec))
-    } ++ Seq(
-      "ingest_1k" -> Some(ingestBench(spark, 1000)),
-      "ingest_100k" -> Some(ingestBench(spark, 100000)),
-      "ack_5k" -> Some(ackBench(5000)),
-      "receive_10k" -> Some(receiveBench(spark, 10000)))
+      } ++ Seq[(String, () => Option[Double])](
+        "ingest_1k" -> (() => Some(ingestBench(spark, 1000))),
+        "ingest_100k" -> (() => Some(ingestBench(spark, 100000))),
+        "ack_5k" -> (() => Some(ackBench(5000))),
+        "receive_10k" -> (() => Some(receiveBench(spark, 10000))))
 
+    val samples = scala.collection.mutable.LinkedHashMap[String, List[Double]](
+      entries.map(_._1 -> List.empty[Double]): _*)
+    for (pass <- 1 to passes; (name, f) <- entries) {
+      f().foreach(sec => samples(name) = samples(name) :+ sec)
+      // No entry inherits another's storage pressure: drop every cached
+      // DataFrame (persisted shingle/fingerprint working sets) between
+      // measurements.
+      spark.catalog.clearCache()
+      val _ = pass
+    }
+
+    val results = entries.map { case (name, _) =>
+      name -> (if (samples(name).isEmpty) None else Some(median(samples(name))))
+    }
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(_.toString).getOrElse("null")
     }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

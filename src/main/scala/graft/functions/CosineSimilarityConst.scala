@@ -12,14 +12,30 @@ import org.apache.spark.sql.types._
   * `dot` and the row's own norm — one third fewer multiply-adds and one
   * fewer sqrt than the general form, on every row of an ANN scan.
   *
-  * Bit-identical to the general expression BY CONSTRUCTION: `constNorm`
-  * is sqrt of the index-order sum of squares (the exact double the
-  * general form computes at runtime) and the final division keeps the
-  * same association, `dot / (sqrt(na) * constNorm)`.
+  * Bit-identical to the general expression BY CONSTRUCTION: the general
+  * form accumulates BOTH norms over the common prefix
+  * `n = min(|row|, |probe|)`, so the probe's norm is pre-folded for
+  * EVERY prefix length — `prefixNorms(j)` is sqrt of the index-order
+  * sum of the first j squares, the exact double the general form
+  * computes at runtime — and the final division keeps the same
+  * association, `dot / (sqrt(na) * prefixNorms(n))`. A row shorter than
+  * the probe therefore divides by its prefix norm (and NULLs when that
+  * prefix norm is zero), exactly as the unfolded expression does.
   */
 case class CosineSimilarityConst(child: Expression,
                                  constVec: Array[Double],
                                  constNorm: Double) extends UnaryExpression {
+
+  /** prefixNorms(j) = sqrt(v(0)² + … + v(j-1)²), accumulated in index
+    * order; prefixNorms(constVec.length) == constNorm. One array lookup
+    * per row — the per-row sqrt of the probe side stays folded out. */
+  @transient private lazy val prefixNorms: Array[Double] = {
+    val out = new Array[Double](constVec.length + 1)
+    var s = 0.0; var i = 0
+    while (i < constVec.length) { s += constVec(i) * constVec(i); out(i + 1) = math.sqrt(s); i += 1 }
+    out(0) = 0.0
+    out
+  }
 
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "cosine_similarity_const"
@@ -47,17 +63,20 @@ case class CosineSimilarityConst(child: Expression,
       dot += x * constVec(i); na += x * x
       i += 1
     }
-    if (na == 0.0 || constNorm == 0.0) null
-    else java.lang.Double.valueOf(dot / (math.sqrt(na) * constNorm))
+    val nb = prefixNorms(n)
+    if (na == 0.0 || nb == 0.0) null
+    else java.lang.Double.valueOf(dot / (math.sqrt(na) * nb))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
       val vec = ctx.addReferenceObj("constVec", constVec, "double[]")
+      val norms = ctx.addReferenceObj("prefixNorms", prefixNorms, "double[]")
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
       val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val getX = if (isFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       s"""
@@ -67,10 +86,11 @@ case class CosineSimilarityConst(child: Expression,
          |  final double $x = $getX;
          |  $dot += $x * $vec[$i]; $na += $x * $x;
          |}
-         |if ($na == 0.0 || $constNorm == 0.0) {
+         |final double $nb = $norms[$n];
+         |if ($na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * $constNorm);
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * $nb);
          |}
        """.stripMargin
     })

@@ -157,10 +157,16 @@ object TextDedup {
                         shingleN: Int = 3): DataFrame = {
     // The shingle set feeds signatures AND both sides of the exact
     // verification join — persist it once instead of re-exploding the
-    // corpus four times (spills to disk at scale).
+    // corpus four times (spills to disk at scale). The verified pairs
+    // are orders of magnitude smaller than the shingle working set, so
+    // they are materialized eagerly (localCheckpoint) and the cache is
+    // released before returning: a long-lived session never accumulates
+    // shingle blocks across operator calls.
     val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = lshCandidatePairs(minhashSignatures(sh, numHashes), rowsPerBand)
-    jaccardVerify(cand, sh, threshold).orderBy("doc_a", "doc_b")
+    try {
+      val cand = lshCandidatePairs(minhashSignatures(sh, numHashes), rowsPerBand)
+      jaccardVerify(cand, sh, threshold).orderBy("doc_a", "doc_b").localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /** Exact n-gram Jaccard pairs (no LSH): candidates = docs sharing at
@@ -169,38 +175,49 @@ object TextDedup {
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         shingleN: Int = 3): DataFrame = {
+    // Same cache-lifetime discipline as [[minhashDedupPairs]]: the
+    // shingle set is cached only for the duration of this call.
     val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("i"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
-      .filter(col("jac") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+        .localCheckpoint(true)
+    } finally sh.unpersist()
   }
 
   /** SimHash fingerprints (doc_id, fp): `bits`-bit simhash over the
     * shingle set. Bit k of a shingle = bit (k%4) of hex digit (k/4) of
-    * md5(shingle); fp bit k = sign of the ±1 vote sum. The bit-extraction
-    * arithmetic (position / floor / pow / %) is chosen to be expressible
-    * identically in the oracle SQL.
+    * md5(shingle); fp bit k = sign of the ±1 vote sum.
+    *
+    * The oracle SQL extracts each bit with string arithmetic
+    * (position / floor / pow / %) per (shingle, bit); here the first 8
+    * hex digits are parsed ONCE per shingle into a 32-bit integer and
+    * each bit is a codegen'd shift+mask — value-identical, because hex
+    * digit d (0-based from the left) is nibble (7-d) of that integer, so
+    * bit (k%4) of digit (k/4) is bit 4*(7-k/4)+(k%4). Measured: drops
+    * per-shingle cost from 32 string scans to one conv + 32 integer ops.
     */
   def simhashFingerprints(sh: DataFrame, bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     // md5 once per shingle; all `bits` vote-sums as parallel aggregates
     // in one grouped pass (no per-bit explode — shuffle stays |docs|).
-    val withHex = sh.withColumn("hex", md5(col("s")))
+    val withHex = sh.withColumn("h32",
+      expr("CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)"))
     val aggs = (0 until bits).map { k =>
-      val div = math.pow(2, k % 4)
+      val shift = 4 * (7 - k / 4) + (k % 4)
       sum(expr(
-        s"CASE WHEN CAST(FLOOR((position(substring(hex, ${1 + k / 4}, 1) IN " +
-          s"'0123456789abcdef') - 1) / $div) AS INT) % 2 = 1 THEN 1 ELSE -1 END")).as(s"sgn$k")
+        s"CASE WHEN shiftright(h32, $shift) % 2 = 1 THEN 1 ELSE -1 END")).as(s"sgn$k")
     }
     val fpExpr = (0 until bits)
       .map(k => s"CASE WHEN sgn$k > 0 THEN CAST(${1L << k} AS BIGINT) ELSE CAST(0 AS BIGINT) END")
@@ -230,11 +247,11 @@ object TextDedup {
     require(bits >= 1 && bits <= 32, s"bits must be in [1,32], got $bits")
     val votes =
       s"""aggregate(
-         |  transform(array_distinct(${shinglesSql(textCol, shingleN)}), s -> md5(s)),
+         |  transform(array_distinct(${shinglesSql(textCol, shingleN)}),
+         |    s -> CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)),
          |  array_repeat(0L, $bits),
          |  (acc, h) -> zip_with(acc, transform(sequence(0, ${bits - 1}), k ->
-         |    CASE WHEN CAST(FLOOR((position(substring(h, 1 + CAST(k div 4 AS INT), 1)
-         |      IN '0123456789abcdef') - 1) / POW(2, k % 4)) AS INT) % 2 = 1
+         |    CASE WHEN shiftright(h, CAST(4 * (7 - k div 4) + k % 4 AS INT)) % 2 = 1
          |    THEN 1L ELSE -1L END), (a, b) -> a + b))""".stripMargin
     val fp =
       s"""aggregate(zip_with($votes, sequence(0, ${bits - 1}), (v, k) ->
@@ -331,10 +348,17 @@ object TextDedup {
       .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val pairs = minhashDedupPairs(survivors, threshold, numHashes, rowsPerBand, shingleN)
-    val drop = connectedComponents(pairs)
-      .filter(col("doc_id") =!= col("component")) // keep each component's min id
-      .select("doc_id")
-    survivors.join(drop, Seq("doc_id"), "left_anti")
+    try {
+      val pairs = minhashDedupPairs(survivors, threshold, numHashes, rowsPerBand, shingleN)
+      val drop = connectedComponents(pairs)
+        .filter(col("doc_id") =!= col("component")) // keep each component's min id
+        .select("doc_id")
+        .localCheckpoint(true) // tiny: one row per non-representative near-dup
+      // The cache is released before returning: the final left-anti join
+      // re-runs the exact-dedup groupBy once at action time — one extra
+      // corpus pass traded for a cache whose lifetime would otherwise be
+      // unbounded (the caller may hold the result indefinitely).
+      survivors.join(drop, Seq("doc_id"), "left_anti")
+    } finally survivors.unpersist()
   }
 }

@@ -395,12 +395,17 @@ object ExtensionQueries {
       (s, d) => {
         // persist: the fingerprint pipeline (shingles + 32-wide vote
         // aggregate) feeds BOTH sides of the band self-join — without it
-        // the whole upstream computes twice
+        // the whole upstream computes twice. The pair output is tiny, so
+        // it is materialized eagerly and the fingerprint cache released
+        // before returning (no cross-query storage pressure).
         val fps = TextDedup.simhashFingerprints(TextDedup.shingleSet(t(s, d).documents))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        TextDedup.simhashNearDupPairs(fps, maxDist = 3)
-          .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
-          .orderBy("doc_a", "doc_b")
+        try {
+          TextDedup.simhashNearDupPairs(fps, maxDist = 3)
+            .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint(true)
+        } finally fps.unpersist()
       }),
 
     GraftQuery(
