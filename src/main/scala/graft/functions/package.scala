@@ -18,6 +18,9 @@ package object functions {
   def cosine_similarity(a: Column, b: Column): Column =
     F.call_function("cosine_similarity", a, b)
 
+  def rolling_hash(text: Column): Column =
+    F.call_function("rolling_hash", text)
+
   /** Lower-cased whitespace tokens with empties removed. */
   def tokens(text: Column): Column =
     F.filter(F.split(F.lower(text), " "), w => w =!= "")
@@ -71,6 +74,12 @@ package object functions {
       reg.createOrReplaceTempFunction(
         "cosine_similarity",
         es => CosineSimilarity(es.head, es(1)),
+        "built-in")
+    }
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash"))) {
+      reg.createOrReplaceTempFunction(
+        "rolling_hash",
+        es => RollingHash(es.head),
         "built-in")
     }
   }

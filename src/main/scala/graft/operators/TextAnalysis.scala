@@ -60,11 +60,23 @@ object TextAnalysis {
       ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"))
 
   /** Polynomial rolling-hash fingerprint (Rabin–Karp family):
-    * fold over the character stream, h = (h*31 + ascii(c)) mod 1e9+7,
-    * as a single codegen-friendly higher-order aggregate — order
-    * sensitive (unlike [[fingerprint]]), so byte-level edits change it.
+    * fold over the character stream, h = (h*31 + codepoint) mod 1e9+7 —
+    * order sensitive (unlike [[fingerprint]]), so byte-level edits
+    * change it. Uses the native codegen'd
+    * [[graft.functions.RollingHash]] expression: one loop per row, no
+    * per-character array, no interpreted HOF lambda (see
+    * [[rollingHashHof]] for the measured difference).
     */
   def rollingHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), graft.functions.rolling_hash(col("text")).as("rh"))
+
+  /** The pre-codegen higher-order-function formulation of
+    * [[rollingHash]], kept as the cross-checkable reference: HOF
+    * lambdas evaluate interpreted and `split(text, '')` materializes a
+    * per-character array per row. Value-identical to the native
+    * expression (asserted by spec).
+    */
+  def rollingHashHof(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       aggregate(
         transform(split(col("text"), ""), c => ascii(c).cast("long")),

@@ -22,6 +22,43 @@ import graft.functions.{shingles, round4}
   */
 object TextDedup {
 
+  /** Session conf gating eager materialization of dedup results.
+    *
+    *   - `"local"` (default): operators persist the shingle working set
+    *     for the duration of the call, eagerly materialize the (small)
+    *     result via `localCheckpoint`, and release the cache before
+    *     returning. Right for local mode and static-allocation clusters:
+    *     no cache outlives the call, and the result is computed exactly
+    *     once. The trade-offs: `localCheckpoint` blocks are stored
+    *     non-reliably on executors (lost executors lose the result —
+    *     dynamic allocation beware) and eager execution happens at
+    *     operator-call time, before any downstream filter could be
+    *     pushed down.
+    *   - `"none"`: operators return a fully lazy, unpersisted plan.
+    *     Cluster-safe (nothing pinned, lineage intact, Catalyst pushdown
+    *     applies through the result) at the cost of recomputing the
+    *     shingle explode per downstream action — the caller owns
+    *     persistence. In this mode the caller's `doc_id`/text columns
+    *     must be DETERMINISTIC (no `monotonically_increasing_id`):
+    *     multi-branch plans evaluate the input more than once.
+    */
+  val MaterializeConf = "spark.graft.dedup.materialize"
+
+  private def eager(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption(MaterializeConf).getOrElse("local") match {
+      case "local" => true
+      case "none"  => false
+      case other => throw new IllegalArgumentException(
+        s"$MaterializeConf must be 'local' or 'none', got '$other'")
+    }
+
+  /** Eager materialization point: reliable `checkpoint` when the session
+    * has a checkpoint dir (cluster-safe — blocks live on the reliable
+    * store, survive executor loss), `localCheckpoint` otherwise. */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   /** Distinct word n-gram shingles per document: (doc_id, s). */
   def shingleSet(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", n: Int = 3): DataFrame =
@@ -156,17 +193,19 @@ object TextDedup {
                         numHashes: Int = 16, rowsPerBand: Int = 4,
                         shingleN: Int = 3): DataFrame = {
     // The shingle set feeds signatures AND both sides of the exact
-    // verification join — persist it once instead of re-exploding the
-    // corpus four times (spills to disk at scale). The verified pairs
-    // are orders of magnitude smaller than the shingle working set, so
-    // they are materialized eagerly (localCheckpoint) and the cache is
-    // released before returning: a long-lived session never accumulates
-    // shingle blocks across operator calls.
-    val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val cand = lshCandidatePairs(minhashSignatures(sh, numHashes), rowsPerBand)
-      jaccardVerify(cand, sh, threshold).orderBy("doc_a", "doc_b").localCheckpoint(true)
-    } finally sh.unpersist()
+    // verification join — in eager mode it is persisted once instead of
+    // re-exploding the corpus four times (spills to disk at scale), the
+    // verified pairs (orders of magnitude smaller than the working set)
+    // are materialized, and the cache is released before returning: a
+    // long-lived session never accumulates shingle blocks across calls.
+    // See [[MaterializeConf]] for the lazy cluster-mode alternative.
+    def pairs(sh: DataFrame) =
+      jaccardVerify(lshCandidatePairs(minhashSignatures(sh, numHashes), rowsPerBand),
+        sh, threshold).orderBy("doc_a", "doc_b")
+    if (eager(docs)) {
+      val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
+      try materialize(pairs(sh)) finally sh.unpersist()
+    } else pairs(shingleSet(docs, n = shingleN))
   }
 
   /** Exact n-gram Jaccard pairs (no LSH): candidates = docs sharing at
@@ -175,10 +214,10 @@ object TextDedup {
     */
   def exactJaccardPairs(docs: DataFrame, threshold: Double = 0.8,
                         shingleN: Int = 3): DataFrame = {
-    // Same cache-lifetime discipline as [[minhashDedupPairs]]: the
-    // shingle set is cached only for the duration of this call.
-    val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+    // Same cache-lifetime discipline as [[minhashDedupPairs]] (see
+    // [[MaterializeConf]]): the shingle set is cached only for the
+    // duration of this call in eager mode, not at all in lazy mode.
+    def pairs(sh: DataFrame) = {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
         .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -192,8 +231,11 @@ object TextDedup {
         .filter(col("jac") >= threshold)
         .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
-        .localCheckpoint(true)
-    } finally sh.unpersist()
+    }
+    if (eager(docs)) {
+      val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
+      try materialize(pairs(sh)) finally sh.unpersist()
+    } else pairs(shingleSet(docs, n = shingleN))
   }
 
   /** SimHash fingerprints (doc_id, fp): `bits`-bit simhash over the
@@ -298,14 +340,18 @@ object TextDedup {
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // localCheckpoint (eager) per iteration truncates the logical plan:
-    // without it each round re-analyzes the whole accumulated lineage
-    // and Catalyst analysis time grows super-linearly with iterations —
+    // Eager checkpoint per iteration truncates the logical plan: without
+    // it each round re-analyzes the whole accumulated lineage and
+    // Catalyst analysis time grows super-linearly with iterations —
     // measured catastrophic by the round-2 scale probe on a 63-diameter
-    // chain long before any executor work became the bottleneck.
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id"))
-      .localCheckpoint(true)
+    // chain long before any executor work became the bottleneck. Unlike
+    // the gated result materialization ([[MaterializeConf]]) this is
+    // load-bearing for the algorithm itself, so it always happens;
+    // [[materialize]] upgrades it to a RELIABLE checkpoint whenever the
+    // session has a checkpoint dir, which is what a dynamic-allocation
+    // cluster should configure.
+    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("component", col("doc_id")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -314,10 +360,9 @@ object TextDedup {
         .join(labels.select(col("doc_id").as("src"), col("component").as("nbr")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("nbr")).as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("doc_id"), "left")
+      val next = materialize(labels.join(neighborMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component"))
-        .localCheckpoint(true)
+          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")))
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
         .filter(col("component") < col("old")).count()
       labels = next
@@ -344,21 +389,32 @@ object TextDedup {
   def fullDedup(docs: DataFrame, threshold: Double = 0.8,
                 numHashes: Int = 16, rowsPerBand: Int = 4,
                 shingleN: Int = 3): DataFrame = {
-    val survivors = docs
+    val exact = docs
       .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id", "text")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pairs = minhashDedupPairs(survivors, threshold, numHashes, rowsPerBand, shingleN)
+    if (eager(docs)) {
+      val cached = exact.persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val pairs = minhashDedupPairs(cached, threshold, numHashes, rowsPerBand, shingleN)
+        val drop = connectedComponents(pairs)
+          .filter(col("doc_id") =!= col("component")) // keep each component's min id
+          .select("doc_id")
+        // Materialize the SURVIVORS, not just the drop set, before
+        // releasing the cache: the final anti-join must see the exact
+        // rows `drop` was computed from. Re-deriving survivors at action
+        // time is only safe when the caller's doc_id is deterministic —
+        // with e.g. monotonically_increasing_id the recomputed ids can
+        // disagree with `drop` and retain the wrong rows.
+        materialize(cached).join(materialize(drop), Seq("doc_id"), "left_anti")
+      } finally cached.unpersist()
+    } else {
+      // Lazy mode: nothing materialized, so consistency rests on the
+      // input being deterministic — documented at [[MaterializeConf]].
+      val pairs = minhashDedupPairs(exact, threshold, numHashes, rowsPerBand, shingleN)
       val drop = connectedComponents(pairs)
-        .filter(col("doc_id") =!= col("component")) // keep each component's min id
+        .filter(col("doc_id") =!= col("component"))
         .select("doc_id")
-        .localCheckpoint(true) // tiny: one row per non-representative near-dup
-      // The cache is released before returning: the final left-anti join
-      // re-runs the exact-dedup groupBy once at action time — one extra
-      // corpus pass traded for a cache whose lifetime would otherwise be
-      // unbounded (the caller may hold the result indefinitely).
-      survivors.join(drop, Seq("doc_id"), "left_anti")
-    } finally survivors.unpersist()
+      exact.join(drop, Seq("doc_id"), "left_anti")
+    }
   }
 }

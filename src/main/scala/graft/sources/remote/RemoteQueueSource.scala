@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -126,7 +126,7 @@ private[remote] case class EpochOffset(epoch: Long) extends Offset {
 
 private[remote] class RemoteQueueMicroBatchStream(factoryClass: String, queueId: String,
                                                   cfg: RemoteQueueConfig)
-  extends MicroBatchStream {
+  extends MicroBatchStream with SupportsAdmissionControl {
   private var epoch = 0L
 
   // Driver-side client used ONLY for the cheap backlog probe; message
@@ -136,12 +136,51 @@ private[remote] class RemoteQueueMicroBatchStream(factoryClass: String, queueId:
       .asInstanceOf[RemoteQueueClientFactory].create()
 
   override def initialOffset(): Offset = EpochOffset(0L)
-  override def deserializeOffset(json: String): Offset = EpochOffset(json.toLong)
 
-  /** Advances (schedules a batch) only when the queue reports backlog —
+  /** Restart path, part 1: a fresh stream instance starts at epoch 0,
+    * but the checkpoint may hold a later committed offset. Every offset
+    * Spark hands back through deserialization raises the epoch floor.
+    * This alone is NOT sufficient — the engine deserializes restored
+    * offsets lazily, after the first scheduling decision — hence the
+    * admission-control path below; the floor here is defense in depth.
+    */
+  override def deserializeOffset(json: String): Offset = {
+    val restored = json.toLong
+    epoch = math.max(epoch, restored)
+    EpochOffset(restored)
+  }
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  /** Restart path, part 2 (the one the engine actually exercises):
+    * `SupportsAdmissionControl.latestOffset(start, _)` receives the
+    * RESTORED start offset before the first scheduling comparison, so
+    * the epoch counter re-bases on it. Without this, a restarted
+    * stream's first latestOffset returned `restoredEpoch` itself (a
+    * fresh counter incremented once), the engine compared it equal to
+    * the restored start, concluded "no new data", and a
+    * `processAllAvailable` caller saw a permanent stall while backlog
+    * sat in the queue. The per-trigger admission budget stays enforced
+    * in `planInputPartitions` (budget split across pollers), so the
+    * ReadLimit is `allAvailable`.
+    *
+    * Advances (schedules a batch) only when the queue reports backlog —
     * otherwise `processAllAvailable`/idle triggers would spin empty
     * micro-batches forever against a source with no replayable offsets.
     */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    // robust to either form the engine hands over (deserialized or raw)
+    val startEpoch = start match {
+      case e: EpochOffset => e.epoch
+      case other => other.json().toLong
+    }
+    epoch = math.max(epoch, startEpoch)
+    if (probe.approximateBacklog() > 0) epoch += 1
+    EpochOffset(epoch)
+  }
+
+  /** Plain-MicroBatchStream variant; the engine prefers the
+    * admission-control overload above when both are present. */
   override def latestOffset(): Offset = {
     if (probe.approximateBacklog() > 0) epoch += 1
     EpochOffset(epoch)

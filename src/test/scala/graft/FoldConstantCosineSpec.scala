@@ -39,6 +39,46 @@ class FoldConstantCosineSpec extends SparkSpec {
     assert(folded == general, "same doubles bit-for-bit, not merely close")
   }
 
+  test("ragged rows: shorter/longer than the probe stay bit-identical, zero prefix norm NULLs") {
+    // probe with leading zeros: prefix norms [0, 0, 0, 3, 5] — a row of
+    // length 2 overlaps only the zero prefix and must yield NULL, rows of
+    // length 3 divide by the partial norm 3, rows longer than the probe
+    // truncate to the probe length and divide by the full norm 5.
+    val probe = Array(0.0, 0.0, 3.0, 4.0)
+    // parquet-backed input: a purely local relation with a literal probe
+    // constant-folds into a LocalRelation at plan time and the rule never
+    // sees a live expression tree
+    val raggedPath = tmpDir("fold-ragged")
+    Seq(
+      (1L, Seq(1.0, 2.0)),                      // overlap n=2, prefix norm 0 -> NULL
+      (2L, Seq(1.0, 2.0, 3.0)),                 // shorter than probe: n=3
+      (3L, Seq(1.0, 2.0, 3.0, 4.0)),            // equal length
+      (4L, Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0)),  // longer than probe: n=4
+      (5L, Seq.empty[Double]),                  // n=0 -> NULL (na=0 too)
+      (6L, Seq(0.0, 0.0, 0.0)))                 // row norm 0 -> NULL
+      .toDF("id", "v").write.mode("overwrite").parquet(raggedPath)
+    val rows = spark.read.parquet(raggedPath)
+
+    val foldedDf = rows.select(col("id"),
+      graft.functions.cosine_similarity(col("v"), typedLit(probe)).as("s"))
+    assert(foldedDf.queryExecution.optimizedPlan.toString.contains("cosine_similarity_const"),
+      "rule must fire for the ragged fixture or this test checks nothing")
+    val folded = foldedDf.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    // general form: probe as a column from a one-row relation (not a
+    // literal in the expression tree, so no rewrite)
+    val pe = Seq(Tuple1(probe.toSeq)).toDF("pe")
+    val generalDf = rows.crossJoin(broadcast(pe))
+      .select(col("id"), graft.functions.cosine_similarity(col("v"), col("pe")).as("s"))
+    assert(!generalDf.queryExecution.optimizedPlan.toString.contains("cosine_similarity_const"))
+    val general = generalDf.collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+
+    assert(folded == general, "ragged-prefix results must match the general expression bit-for-bit")
+    assert(folded(1L).isEmpty, "zero prefix norm must be NULL")
+    assert(folded(5L).isEmpty && folded(6L).isEmpty)
+    assert(folded(2L).nonEmpty && folded(3L).nonEmpty && folded(4L).nonEmpty)
+  }
+
   test("zero-norm literal probe is left to the general expression (null semantics)") {
     val zero = Array.fill(64)(0.0)
     val df = emb.limit(3).select(graft.functions.cosine_similarity(

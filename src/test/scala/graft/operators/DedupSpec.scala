@@ -18,6 +18,30 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("materialize=none returns identical results from a fully lazy plan") {
+    // Lazy cluster mode must be value-identical to the default eager
+    // mode — only the caching/checkpointing strategy differs.
+    val eagerPairs = TextDedup.minhashDedupPairs(docs, threshold = 0.8).collect().toSeq
+    val eagerFull = TextDedup.fullDedup(docs, threshold = 0.8)
+      .orderBy("doc_id").collect().toSeq
+    spark.conf.set(TextDedup.MaterializeConf, "none")
+    try {
+      val lazyDf = TextDedup.minhashDedupPairs(docs, threshold = 0.8)
+      // the returned plan must not be a checkpoint scan: its optimized
+      // plan still reaches the parquet source (pushdown-able)
+      assert(lazyDf.queryExecution.optimizedPlan.collectLeaves()
+        .exists(_.getClass.getSimpleName.contains("LogicalRelation")),
+        "lazy mode must keep lineage to the source")
+      assert(lazyDf.collect().toSeq == eagerPairs)
+      assert(TextDedup.fullDedup(docs, threshold = 0.8)
+        .orderBy("doc_id").collect().toSeq == eagerFull)
+    } finally spark.conf.unset(TextDedup.MaterializeConf)
+    intercept[IllegalArgumentException] {
+      spark.conf.set(TextDedup.MaterializeConf, "bogus")
+      try TextDedup.minhashDedupPairs(docs) finally spark.conf.unset(TextDedup.MaterializeConf)
+    }
+  }
+
   test("exact dedup collapses duplicated text") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")

@@ -11,6 +11,33 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == ((1L, 4, 4, math.ceil(17 / 4.0).toInt)))
   }
 
+  test("native rolling hash equals the HOF formulation on testdata + crafted edge cases") {
+    // full documents table: the codegen'd expression must be
+    // value-identical to the interpreted HOF it replaces
+    val docs = tables.documents
+    val native = TextAnalysis.rollingHash(docs).orderBy("doc_id").collect().toSeq
+    val hof = TextAnalysis.rollingHashHof(docs).orderBy("doc_id").collect().toSeq
+    assert(native == hof)
+
+    // edges: empty string (hash 0), single char, order sensitivity,
+    // non-ASCII code points (é = U+00E9, 緑 = U+7DE1, 😀 = U+1F600 —
+    // surrogate pair, must hash as ONE code point like split('') does)
+    val edge = Seq((1L, ""), (2L, "a"), (3L, "ab"), (4L, "ba"),
+      (5L, "café"), (6L, "緡"), (7L, new String(Character.toChars(0x1F600))))
+      .toDF("doc_id", "text")
+    val en = TextAnalysis.rollingHash(edge).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    val eh = TextAnalysis.rollingHashHof(edge).orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(en == eh, s"native=$en hof=$eh")
+    assert(en.head._2 == 0L, "empty text hashes to 0")
+    assert(en(1)._2 == 'a'.toLong, "single char hashes to its code point")
+    assert(en(2)._2 != en(3)._2, "order sensitivity")
+
+    // null flows through as null (nullIntolerant)
+    val withNull = Seq((1L, Option("x")), (2L, Option.empty[String])).toDF("doc_id", "text")
+    val rows = TextAnalysis.rollingHash(withNull).orderBy("doc_id").collect()
+    assert(!rows(0).isNullAt(1) && rows(1).isNullAt(1))
+  }
+
   test("fingerprint is order- and duplicate-insensitive") {
     val d = Seq((1L, "b a c a"), (2L, "c b a"), (3L, "a b d")).toDF("doc_id", "text")
     val fps = TextAnalysis.fingerprint(d).as[(Long, String)].collect().toMap

@@ -122,3 +122,6 @@ class FakeFactoryE2E extends RemoteQueueClientFactory {
 class FakeFactoryScale extends RemoteQueueClientFactory {
   override def create(): RemoteQueueClient = new FakeQueueClient(FakeQueueService.state("scale"))
 }
+class FakeFactoryRestart extends RemoteQueueClientFactory {
+  override def create(): RemoteQueueClient = new FakeQueueClient(FakeQueueService.state("restart"))
+}
