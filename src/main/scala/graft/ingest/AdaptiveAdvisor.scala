@@ -5,12 +5,16 @@ package graft.ingest
   * documented in its README.md:218-249), re-targeted at Spark knobs.
   *
   * In-process goroutine scaling has no direct Spark analog; the
-  * deliverable is a control loop over `StreamingQueryProgress` that
-  * adjusts source admission (`maxFilesPerTrigger`/`maxOffsetsPerTrigger`
-  * between restarts — "pollers") and recommends write parallelism /
-  * executor counts ("workers", delegated to dynamic allocation on a real
-  * cluster). The ladder itself is pure and unit-testable 1:1 against the
-  * reference's scenarios.
+  * deliverable is a CLOSED control loop over `StreamingQueryProgress`
+  * ([[AdaptiveController.wired]]) whose actions take effect on the
+  * running query, no restart: "pollers" actuate
+  * [[graft.sources.remote.PollerControl]] (the queue source re-reads it
+  * at every `planInputPartitions`, so the next micro-batch runs with the
+  * new partition fan-out) and "workers" actuate [[WorkerControl]] (the
+  * next [[IngestPipeline]] flush repartitions to the new count). On a
+  * real cluster "workers" additionally maps to the dynamic-allocation
+  * executor target. The ladder itself is pure and unit-testable 1:1
+  * against the reference's scenarios.
   */
 final case class AdaptiveConfig(
     minWorkers: Int = 1, maxWorkers: Int = 8,

@@ -32,7 +32,8 @@ final class AdaptiveController(
     initial: Parallelism = Parallelism(2, 2),
     triggerIntervalMs: Long = 1000L,
     rowsPerTriggerTarget: Long = 10000L,
-    nowMs: () => Long = System.currentTimeMillis) extends StreamingQueryListener {
+    nowMs: () => Long = System.currentTimeMillis,
+    onScale: ScalingRecommendation => Unit = _ => ()) extends StreamingQueryListener {
 
   private val loop = new AdaptiveAdvisor.Loop(cfg, initial, nowMs)
   val recommendations = new ConcurrentLinkedQueue[ScalingRecommendation]()
@@ -58,10 +59,40 @@ final class AdaptiveController(
     val before = loop.parallelism
     val after = loop.onSample(snap)
     if (after != before) {
-      recommendations.add(ScalingRecommendation(event.progress.batchId, after.workers, after.pollers, snap))
+      val rec = ScalingRecommendation(event.progress.batchId, after.workers, after.pollers, snap)
+      recommendations.add(rec)
       IngestMetrics.gauge("ingestor_adaptive_workers", after.workers)
       IngestMetrics.gauge("ingestor_adaptive_pollers", after.pollers)
+      onScale(rec) // close the loop: actuators apply the action live
     }
   }
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+}
+
+object AdaptiveController {
+
+  /** Loop-CLOSING construction (the reference applies scaling actions
+    * live, adaptive.go:127-260; so does this): each emitted
+    * recommendation is actuated immediately —
+    *   - `pollers` → [[graft.sources.remote.PollerControl]]: the queue
+    *     source consults it at every `planInputPartitions`, so the NEXT
+    *     micro-batch runs with the new partition fan-out;
+    *   - `workers` → [[WorkerControl]]: any [[IngestPipeline]] built
+    *     with the matching `controlId` repartitions its next flush to
+    *     the new worker count.
+    * Both take effect on the running query, no restart. Register the
+    * returned listener via `spark.streams.addListener`.
+    */
+  def wired(queueId: Option[String] = None,
+            workerControlId: Option[String] = None,
+            cfg: AdaptiveConfig = AdaptiveConfig(),
+            initial: Parallelism = Parallelism(2, 2),
+            triggerIntervalMs: Long = 1000L,
+            rowsPerTriggerTarget: Long = 10000L,
+            nowMs: () => Long = System.currentTimeMillis): AdaptiveController =
+    new AdaptiveController(cfg, initial, triggerIntervalMs, rowsPerTriggerTarget, nowMs,
+      onScale = rec => {
+        queueId.foreach(q => graft.sources.remote.PollerControl.set(q, rec.pollers))
+        workerControlId.foreach(w => WorkerControl.set(w, rec.workers))
+      })
 }

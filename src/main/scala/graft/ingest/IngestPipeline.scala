@@ -43,6 +43,7 @@ final case class IngestPipeline[T <: Product : TypeTag](
     eventTimeCol: Option[String] = None,
     payloadLogEvery: Int = 0,
     writePartitions: Option[Int] = None,
+    controlId: Option[String] = None,
     log: graft.observability.KvLogger = new graft.observability.KvLogger.Line()) extends Serializable {
 
   // Fatal at construction, mirroring ParseParquetCompression (A25).
@@ -93,9 +94,12 @@ final case class IngestPipeline[T <: Product : TypeTag](
 
       val good = observed.filter(col("value").isNotNull).select("value.*")
       val ts = eventTimeCol.map(col).getOrElse(current_timestamp())
-      // "flush workers" (A17): write parallelism = task count; the
-      // AdaptiveController's workers recommendation plugs in here.
-      val sized = writePartitions.map(good.repartition).getOrElse(good)
+      // "flush workers" (A17): write parallelism = task count. Read per
+      // batch so the adaptive loop's live [[WorkerControl]] action (keyed
+      // by `controlId`) takes effect on the NEXT flush of a running
+      // query; `writePartitions` is the static fallback.
+      val parts = controlId.flatMap(WorkerControl.get).orElse(writePartitions)
+      val sized = parts.map(good.repartition).getOrElse(good)
       val keyed = TimeKeys.withUtcKeys(sized, ts)
       retry {
         val w = keyed.write

@@ -39,6 +39,47 @@ class AdaptiveControllerSpec extends SparkSpec {
       s"expected scaling recommendations, got ${ctrl.parallelism}")
   }
 
+  test("closed loop: a live recommendation actuates PollerControl and WorkerControl") {
+    import graft.sources.remote.PollerControl
+    var now = 0L
+    val qid = "adaptive-closed-queue"
+    val wid = "adaptive-closed-pipe"
+    PollerControl.clear(qid); WorkerControl.clear(wid)
+    val cfg = AdaptiveConfig(cooldownMs = 0)
+    // saturate sourceShare with healthy cpu/flush => poller scale-up path
+    val ctrl = AdaptiveController.wired(Some(qid), Some(wid), cfg, Parallelism(2, 2),
+      triggerIntervalMs = 1000000L, rowsPerTriggerTarget = 1L,
+      nowMs = () => { now += 20000; now })
+
+    implicit val ctx = spark.sqlContext
+    import spark.implicits._
+    val ms = MemoryStream[Int]
+    spark.streams.addListener(ctrl)
+    val q = ms.toDS().writeStream.format("memory")
+      .queryName("adaptive_closed_out").start()
+    try {
+      ms.addData(1 to 100)
+      q.processAllAvailable()
+      ms.addData(101 to 200)
+      q.processAllAvailable()
+      val deadline = System.currentTimeMillis + 10000
+      while (ctrl.recommendations.isEmpty && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+    } finally {
+      q.stop()
+      spark.streams.removeListener(ctrl)
+    }
+    val recs = ctrl.recommendations.toArray(Array.empty[ScalingRecommendation])
+    assert(recs.nonEmpty, "expected at least one scaling recommendation")
+    val rec = recs.last // controls carry the most recent action
+    // the loop is CLOSED: the controls the runtime consults were updated
+    assert(PollerControl.get(qid, -1) == rec.pollers,
+      "PollerControl must carry the live recommendation")
+    assert(WorkerControl.get(wid).contains(rec.workers),
+      "WorkerControl must carry the live recommendation")
+    PollerControl.clear(qid); WorkerControl.clear(wid)
+  }
+
   test("snapshot derivation maps progress fields onto ladder signals") {
     val ctrl = new AdaptiveController(triggerIntervalMs = 1000L, rowsPerTriggerTarget = 100L)
     // busy fraction clamps at 1.0

@@ -164,6 +164,38 @@ class IngestPipelineSpec extends SparkSpec {
     assert(parts == 3, s"expected 3 writer tasks, got $parts files")
   }
 
+  test("WorkerControl changes flush parallelism live, between micro-batches") {
+    val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
+    val wid = "live-workers-pipe"
+    WorkerControl.clear(wid)
+    val p = IngestPipeline[Item](new ItemTransformer(), sink, cp,
+      policy = BatchPolicy(flushIntervalMs = 0L), writePartitions = Some(1),
+      controlId = Some(wid))
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[Envelope]
+    val q = p.start(ms.toDS())
+    def parquetFiles(): Int = {
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(sink)).iterator()
+      scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+        .count(_.toString.endsWith(".parquet"))
+    }
+    try {
+      ms.addData((1 to 40).map(i => Envelope(json(i), Map.empty)))
+      q.processAllAvailable()
+      val before = parquetFiles()
+      assert(before == 1, s"static writePartitions=1 => 1 file, got $before")
+      // the adaptive actuator fires mid-run; the NEXT flush honors it
+      WorkerControl.set(wid, 4)
+      ms.addData((41 to 80).map(i => Envelope(json(i), Map.empty)))
+      q.processAllAvailable()
+      assert(parquetFiles() - before == 4,
+        "flush after WorkerControl.set(4) must write with 4 tasks — no restart")
+    } finally {
+      q.stop()
+      WorkerControl.clear(wid)
+    }
+  }
+
   test("empty micro-batch is a no-op flush (no crash, no files)") {
     val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
     val p = newPipeline(sink, cp)
