@@ -9,11 +9,13 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * one decoder instantiation per partition, records processed in bounded
   * batches so decoder state amortizes and memory stays flat.
   *
-  * The actual codec work is STUBBED (this container ships no image/audio
-  * libraries): [[Decoders.fake]] is a deterministic stand-in keyed off
-  * the payload bytes. The Spark-side contract — schema, encoders, batch
-  * shape, partition-local lifecycle, partitioning strategy — is real and
-  * tested; swapping in a JNI/FFI decoder changes one function.
+  * Image decode is REAL via the JDK's own codecs
+  * ([[Decoders.imageio]] — PNG/JPEG/GIF/BMP ship with every JVM, no
+  * external library). Audio/video codec work remains STUBBED (this
+  * container ships no av libraries): [[Decoders.fake]] is the
+  * deterministic stand-in. The Spark-side contract — schema, encoders,
+  * batch shape, partition-local lifecycle, partitioning strategy — is
+  * identical for both; swapping decoders changes one function value.
   */
 object Multimodal {
 
@@ -41,6 +43,37 @@ object Multimodal {
       val ht = 64 + math.abs((h / 512) % 512)
       val luma = (math.abs(h.toLong) % 1000).toDouble / 1000.0
       (w, ht, 3, luma)
+    }
+
+    /** Real JDK decoder (javax.imageio — PNG/JPEG/GIF/BMP readers ship
+      * with every JVM, zero added dependencies): bytes → (width, height,
+      * color components, mean luma). Mean luma is Rec.601
+      * (0.299 R + 0.587 G + 0.114 B) over all pixels, normalized to
+      * [0, 1]. Bytes no installed reader understands throw
+      * IllegalArgumentException — at pipeline level route them through
+      * the failure path (DLQ, A5) rather than fabricating features.
+      */
+    val imageio: ImageDecoder = bytes => {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) throw new IllegalArgumentException(
+        s"no installed image reader decodes this ${bytes.length}-byte payload")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0.0
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y) // sRGB regardless of internal layout
+          val r = (rgb >> 16) & 0xFF
+          val g = (rgb >> 8) & 0xFF
+          val b = rgb & 0xFF
+          sum += 0.299 * r + 0.587 * g + 0.114 * b
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h) / 255.0)
     }
   }
 

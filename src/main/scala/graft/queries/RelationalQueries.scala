@@ -662,6 +662,40 @@ object RelationalQueries {
         .agg(round2(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"))),
 
     GraftQuery(
+      // TPC-H Q5 shape (local supplier volume): the 6-way star join —
+      // lineitem⋈orders⋈customer carry the volume; supplier adds the
+      // co-nation condition (c_nationkey = s_nationkey, the join that
+      // makes Q5 Q5); nation/region are broadcast dims. Catalyst pushes
+      // the region filter and the orderdate range into the scans; AQE
+      // picks broadcast sides at runtime.
+      "q35_tpch5_shape",
+      Some("""SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 + 0 AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer
+          .join(tb.orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-01-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(tb.lineitem, col("l_orderkey") === col("o_orderkey"))
+          .join(tb.supplier, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .join(tb.nation, col("c_nationkey") === col("n_nationkey"))
+          .join(tb.region.filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy("n_name")
+          .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      }),
+
+    GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
       // under readStream with a watermark); batch-checkable oracle.
       "q28_window_tumbling",

@@ -79,6 +79,26 @@ object ScaleProbe {
         assert(n == 10)
       }
     }
+
+    // --- Remote queue connector: drain throughput vs poller fan-out.
+    // The stub client answers instantly, so this measures the
+    // connector's own machinery (partition planning, reader loop, row
+    // conversion, admission accounting) — the per-message floor a real
+    // service's latency sits on top of.
+    {
+      import graft.sources.remote.{BenchQueue, BenchQueueFactory, RemoteIngest, RemoteQueueConfig}
+      for (pollers <- Seq(4, 16)) {
+        BenchQueue.reset(200000)
+        val cfg = RemoteQueueConfig(waitTimeSeconds = 0, maxMessages = 10,
+          pollers = pollers, maxPerTrigger = 50000)
+        val cp = java.nio.file.Files.createTempDirectory("probe-rq").toString
+        timed(s"remote-queue drain 200k msgs, $pollers pollers") {
+          val q = RemoteIngest.readStream(spark, classOf[BenchQueueFactory].getName, cfg)
+            .writeStream.option("checkpointLocation", cp).format("noop").start()
+          try q.processAllAvailable() finally q.stop()
+        }
+      }
+    }
     spark.stop()
   }
 }

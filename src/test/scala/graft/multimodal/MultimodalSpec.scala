@@ -17,6 +17,32 @@ class MultimodalSpec extends SparkSpec {
     assert(f.values.forall(x => x.width >= 64 && x.height >= 64 && x.channels == 3))
   }
 
+  test("imageio decoder extracts real dimensions/channels/luma from actual PNGs") {
+    // craft real PNGs in memory: a 40x20 mid-gray and a 8x8 pure white
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val gray = MediaItem(1L, "image/png", png(40, 20, 0x808080), Map.empty)
+    val white = MediaItem(2L, "image/png", png(8, 8, 0xFFFFFF), Map.empty)
+    val f = decodeImages(Seq(gray, white).toDS(), Decoders.imageio)
+      .collect().map(x => x.media_id -> x).toMap
+    assert(f(1L).width == 40 && f(1L).height == 20 && f(1L).channels == 3)
+    assert(math.abs(f(1L).mean_luma - 128.0 / 255.0) < 1e-9,
+      s"solid 0x808080 => luma 128/255, got ${f(1L).mean_luma}")
+    assert(f(2L).width == 8 && math.abs(f(2L).mean_luma - 1.0) < 1e-9)
+
+    // undecodable bytes surface as a task failure (route to DLQ upstream),
+    // never as fabricated features
+    val junk = Seq(MediaItem(3L, "image/png", Array[Byte](1, 2, 3), Map.empty)).toDS()
+    intercept[org.apache.spark.SparkException] {
+      decodeImages(junk, Decoders.imageio).collect()
+    }
+  }
+
   test("resize caps the longest dimension, preserving aspect") {
     val feats = Seq(ImageFeatures(1, 400, 200, 3, 0.5)).toDS()
     val r = resize(feats, maxDim = 100).head()

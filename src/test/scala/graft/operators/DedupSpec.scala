@@ -104,6 +104,43 @@ class DedupSpec extends SparkSpec {
     assert(capped.filter(col("s") === "text alpha one").count() == 1)
   }
 
+  test("scale story: exact-jaccard self-join work is sum(df²); the stop-shingle cap bounds it") {
+    // Corpus with one near-universal boilerplate shingle: every doc opens
+    // with the same 3 words, then a unique tail. The exact-Jaccard
+    // self-join's work on a shingle with document frequency df is
+    // df·(df-1)/2 pairs — quadratic in df, the reason dd03 cannot be the
+    // 100 TB path and dropStopShingles/LSH exist.
+    def corpus(n: Int) = (0 until n)
+      .map(i => (i.toLong, s"the quick brown unique$i tail$i words$i"))
+      .toDF("doc_id", "text")
+    def selfJoinPairs(docs: org.apache.spark.sql.DataFrame): Long = {
+      val sh = TextDedup.shingleSet(docs)
+      sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b")).count()
+    }
+    val p30 = selfJoinPairs(corpus(30))
+    val p60 = selfJoinPairs(corpus(60))
+    // only "the quick brown" is shared: exactly C(n,2) joined pairs
+    assert(p30 == 30L * 29 / 2 && p60 == 60L * 59 / 2,
+      s"expected C(n,2) hot-key pairs, got $p30/$p60")
+    assert(p60.toDouble / p30 > 3.9, "work grows quadratically with df")
+
+    // the cap removes the near-universal shingle => the join collapses
+    val capped = TextDedup.dropStopShingles(TextDedup.shingleSet(corpus(60)), maxDocFraction = 0.1)
+    val cappedPairs = capped.select(col("doc_id").as("doc_a"), col("s"))
+      .join(capped.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+      .filter(col("doc_a") < col("doc_b")).count()
+    assert(cappedPairs == 0L, "no shared shingles survive the df cap in this corpus")
+
+    // and the LSH path never builds the quadratic candidate set at all:
+    // banding admits only docs agreeing on a full band of signatures
+    val lshCand = TextDedup.lshCandidatePairs(
+      TextDedup.minhashSignatures(TextDedup.shingleSet(corpus(60)))).count()
+    assert(lshCand < p60 / 10,
+      s"LSH candidates ($lshCand) must be far below the exact join's $p60")
+  }
+
   test("fullDedup collapses exact copies then removes near-dups") {
     val base = (1 to 20).map(i => s"tok$i").mkString(" ")
     val variant = (1 to 19).map(i => s"tok$i").mkString(" ") + " changed"
