@@ -696,6 +696,45 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // TPC-H Q10 shape (returned-item reporting): fact-side filter on
+      // the return flag, quarter-bounded orders, revenue per customer,
+      // top-20 — the classic "join big facts, group by a dimension key,
+      // keep the head" report. TakeOrderedAndProject keeps the top-k
+      // without a global sort.
+      "q36_tpch10_shape",
+      // Revenue accumulates as exact integer cents (floor(x*100 + 0.5)
+      // per row — identical IEEE ops in both engines — then an exact
+      // BIGINT sum): a double-sum's value depends on accumulation order,
+      // and Spark's partial-aggregate order differs from DuckDB's, which
+      // flipped a boundary row by one cent when rounding the final sum.
+      Some("""SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue,
+        |  n_name
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer
+          .join(tb.orders.filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-07-01").cast("timestamp")),
+            col("c_custkey") === col("o_custkey"))
+          .join(tb.lineitem.filter(col("l_returnflag") === "R"),
+            col("l_orderkey") === col("o_orderkey"))
+          .join(tb.nation, col("c_nationkey") === col("n_nationkey"))
+          .groupBy("c_custkey", "c_name", "n_name")
+          .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+            / 100.0).as("revenue"))
+          .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+          .orderBy(col("revenue").desc, col("c_custkey"))
+          .limit(20)
+      }),
+
+    GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
       // under readStream with a watermark); batch-checkable oracle.
       "q28_window_tumbling",
