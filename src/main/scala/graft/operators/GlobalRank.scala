@@ -56,6 +56,47 @@ object GlobalRank {
     spark.createDataFrame(zipped, schema)
   }
 
+  /** `df` plus the EXCLUSIVE global prefix sum of `valueCol` under
+    * `sortCols` (`outCol` = sum of `valueCol` over all rows strictly
+    * before this one in the total order) — the distributed cumulative
+    * sum, same two-phase scheme as [[withGlobalRowNumber]]: phase 1
+    * computes per-partition sums of the range-shuffled data (cheap local
+    * job), phase 2 broadcasts the prefix offsets and adds a local
+    * running sum. No single-partition WindowExec anywhere: the plan a
+    * plain `sum().over(Window.orderBy(...))` would need funnels the
+    * whole table through one task.
+    *
+    * `valueCol` must be integral (LongType after cast) so the sum is
+    * exact and order-stable.
+    */
+  def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                       outCol: String = "cum_before",
+                       numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val withV = df.withColumn("__v", valueCol.cast(LongType))
+    val parted = withV.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+
+    val rdd = parted.rdd
+    val vIdx = parted.schema.fieldIndex("__v")
+    val sums = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L; it.foreach(r => s += r.getLong(vIdx)); Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = withV.schema.add(outCol, LongType, nullable = false)
+    val zipped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bOffsets.value(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run += r.getLong(vIdx)
+        out
+      }
+    }
+    spark.createDataFrame(zipped, schema).drop("__v")
+  }
+
   /** Global percent_rank / cume_dist / ntile(k) in one pass, derived
     * from the two-phase row number:
     *   percent_rank = (rn-1)/(n-1)   (0.0 when n == 1)

@@ -55,6 +55,35 @@ object TrainingPipeline {
         < pct)
   }
 
+  /** Token-budget shard packing (sequence packing's shard-assignment
+    * step): documents are laid out in `orderCol` order and cut into
+    * shards of ~`budgetTokens` whitespace tokens — shard k spans the
+    * docs whose EXCLUSIVE cumulative token count falls in
+    * [k·budget, (k+1)·budget). Deterministic (pure function of the
+    * ordered corpus), so shard assignment is reproducible across runs
+    * and engines; a doc may straddle its shard's tail, which is the
+    * standard fixed-boundary variant.
+    *
+    * Scale path: the cumulative sum is [[GlobalRank.withGlobalCumSum]]'s
+    * two-phase range-partitioned prefix sum — no single-partition
+    * window, no task ever holds more than one range partition.
+    *
+    * Output: (doc_id, n_tokens, shard_id).
+    */
+  def packShards(docs: DataFrame, budgetTokens: Long,
+                 orderCol: String = "doc_id",
+                 numPartitions: Option[Int] = None): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val withTok = docs.select(col(orderCol),
+      size(graft.functions.tokens(col("text"))).cast("long").as("n_tokens"))
+    GlobalRank.withGlobalCumSum(withTok, Seq(col(orderCol)), col("n_tokens"),
+        "cum_before", numPartitions)
+      .select(col(orderCol), col("n_tokens"),
+        // integer division: exact at any corpus size (a double division
+        // would lose exactness past 2^53 cumulative tokens)
+        expr(s"cum_before div ${budgetTokens}L").as("shard_id"))
+  }
+
   /** Per-language corpus budget over the curated set:
     * (pred_lang, n_docs, total_tokens, avg_quality). */
   def languageBudget(curated: DataFrame): DataFrame =

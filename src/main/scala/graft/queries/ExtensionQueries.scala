@@ -284,6 +284,24 @@ object ExtensionQueries {
         .select("doc_id").orderBy("doc_id")),
 
     GraftQuery(
+      // Token-budget shard packing (sequence packing's shard-assignment
+      // step): the Spark side runs the two-phase distributed prefix sum
+      // (GlobalRank.withGlobalCumSum — no single-partition window); the
+      // oracle expresses the same semantics with a window cumulative
+      // sum, proving the distributed path bit-identical to the
+      // SQL-standard formulation.
+      "tp03_token_packing",
+      Some("""WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |  (SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS shard_id
+        |FROM t ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.TrainingPipeline
+        .packShards(t(s, d).documents, budgetTokens = 512L)
+        .orderBy("doc_id")),
+
+    GraftQuery(
       // Scale-safe global ranking (graft.operators.GlobalRank): the
       // two-phase distributed row-number path, verified bit-identical to
       // the window-function semantics by the DuckDB window oracle. The

@@ -4,6 +4,33 @@ import graft.SparkSpec
 import org.apache.spark.sql.functions._
 
 class TrainingPipelineSpec extends SparkSpec {
+
+  test("packShards: exclusive prefix sum cuts deterministic fixed-boundary shards") {
+    import spark.implicits._
+    // token counts: 3, 4, 5, 2, 6 — budget 8
+    // cum_before:   0, 3, 7, 12, 14 → shards 0, 0, 0, 1, 1
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"),
+      (4L, "m n"), (5L, "o p q r s t"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TrainingPipeline.packShards(docs, budgetTokens = 8L,
+        numPartitions = Some(3))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 0L), (2L, 4L, 0L), (3L, 5L, 0L), (4L, 2L, 1L), (5L, 6L, 1L)))
+
+    // distributed prefix sum == single-partition window cumulative sum
+    // on the real corpus, any partition count
+    val real = tables.documents
+    val twoPhase = graft.operators.TrainingPipeline.packShards(real, 512L,
+        numPartitions = Some(7))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val window = real.select(col("doc_id"),
+        size(graft.functions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("shard_id", expr("(sum(n_tokens) over (order by doc_id rows between unbounded preceding and current row) - n_tokens) div 512"))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(twoPhase == window, "two-phase prefix sum must equal the window formulation")
+    assert(twoPhase.map(_._3).distinct.size > 1, "corpus spans multiple shards")
+  }
   import spark.implicits._
 
   private lazy val docs = tables.documents
