@@ -284,6 +284,24 @@ object ExtensionQueries {
         .select("doc_id").orderBy("doc_id")),
 
     GraftQuery(
+      // Upsert materialization / CDC compaction: collapse the
+      // append-only event stream to the latest record per
+      // (user_id, event_type) — per-key partitioned window, one hash
+      // shuffle, no global sort. Tie-free ordering via event_id.
+      "up01_latest_by_key",
+      Some("""SELECT user_id, event_type, event_id, ts, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) q
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+      (s, d) => graft.operators.Upsert
+        .latestByKey(t(s, d).events, Seq("user_id", "event_type"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select("user_id", "event_type", "event_id", "ts", "value")
+        .orderBy("user_id", "event_type")),
+
+    GraftQuery(
       // Token-budget shard packing (sequence packing's shard-assignment
       // step): the Spark side runs the two-phase distributed prefix sum
       // (GlobalRank.withGlobalCumSum — no single-partition window); the
