@@ -80,6 +80,51 @@ class AdaptiveControllerSpec extends SparkSpec {
     PollerControl.clear(qid); WorkerControl.clear(wid)
   }
 
+  test("end-to-end: a wired controller changes a LIVE queue stream's fan-out mid-run") {
+    import graft.sources.remote.{FakeFactoryScale, FakeQueueService, PollerControl, RemoteIngest, RemoteQueueConfig}
+    val s = FakeQueueService.state("scale")
+    val qid = "adaptive-e2e-queue"
+    PollerControl.clear(qid)
+    var now = 0L
+    // source saturated + healthy cpu => ladder rule 4 (pollers+1) fires
+    // on every progress event once the cooldown (disabled) allows
+    val ctrl = AdaptiveController.wired(Some(qid), None,
+      AdaptiveConfig(cooldownMs = 0, maxPollers = 6), Parallelism(2, 2),
+      triggerIntervalMs = 1000000L, rowsPerTriggerTarget = 1L,
+      nowMs = () => { now += 20000; now })
+
+    val cfg = RemoteQueueConfig(waitTimeSeconds = 0, maxMessages = 10,
+      pollers = 2, maxPerTrigger = 100)
+    var fanOuts = List.empty[Int]
+    spark.streams.addListener(ctrl)
+    val q = RemoteIngest.readStream(spark, classOf[FakeFactoryScale].getName,
+      cfg, queueId = Some(qid))
+      .writeStream.option("checkpointLocation", tmpDir("adaptive-e2e-cp"))
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) fanOuts :+= b.rdd.getNumPartitions
+        ()
+      }
+      .start()
+    try {
+      // several micro-batches; listener events arrive async, so keep
+      // feeding until a post-recommendation batch has run
+      val deadline = System.currentTimeMillis + 30000
+      var round = 0
+      while ((fanOuts.isEmpty || fanOuts.last <= 2) && System.currentTimeMillis < deadline) {
+        (1 to 20).foreach(i => s.enqueue(s"e2e-$round-$i"))
+        q.processAllAvailable()
+        round += 1
+      }
+    } finally {
+      q.stop()
+      spark.streams.removeListener(ctrl)
+      PollerControl.clear(qid)
+    }
+    assert(fanOuts.nonEmpty && fanOuts.head == 2, s"first batch at config fan-out, got $fanOuts")
+    assert(fanOuts.last > 2,
+      s"a live recommendation must raise the running stream's fan-out, got $fanOuts")
+  }
+
   test("snapshot derivation maps progress fields onto ladder signals") {
     val ctrl = new AdaptiveController(triggerIntervalMs = 1000L, rowsPerTriggerTarget = 100L)
     // busy fraction clamps at 1.0
