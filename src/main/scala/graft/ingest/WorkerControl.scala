@@ -1,7 +1,5 @@
 package graft.ingest
 
-import java.util.concurrent.ConcurrentHashMap
-
 /** Runtime flush-worker scaling (the write-parallelism half of the
   * reference's adaptive actions, adaptive.go:127-260): the adaptive
   * control loop writes the desired worker count here; the NEXT
@@ -10,18 +8,6 @@ import java.util.concurrent.ConcurrentHashMap
   * The poller half is [[graft.sources.remote.PollerControl]] — together
   * they make the adaptive runtime's recommendations take effect on a
   * RUNNING query, no restart required, exactly as the reference applies
-  * its scaling actions live. Values below 1 clamp to 1.
+  * its scaling actions live.
   */
-object WorkerControl {
-  private val desired = new ConcurrentHashMap[String, Integer]()
-
-  def set(controlId: String, n: Int): Unit = {
-    desired.put(controlId, math.max(1, n))
-    IngestMetrics.gauge("ingestor_flush_workers", math.max(1, n).toDouble)
-  }
-
-  def get(controlId: String): Option[Int] =
-    Option(desired.get(controlId)).map(_.intValue)
-
-  def clear(controlId: String): Unit = desired.remove(controlId)
-}
+object WorkerControl extends ControlKnob("ingestor_flush_workers")

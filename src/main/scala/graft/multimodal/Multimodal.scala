@@ -59,12 +59,20 @@ object Multimodal {
         s"no installed image reader decodes this ${bytes.length}-byte payload")
       val w = img.getWidth
       val h = img.getHeight
+      // row-bulk sRGB fetch: one ColorModel conversion pass per row into
+      // a reused buffer — per-pixel getRGB(x, y) pays bounds checks plus
+      // a virtual color-conversion call w*h times (most real files
+      // decode to byte-BGR or indexed rasters, not TYPE_INT_RGB), which
+      // dominates decode cost on megapixel inputs. Row granularity
+      // bounds the buffer at w ints regardless of image height.
+      val row = new Array[Int](w)
       var sum = 0.0
       var y = 0
       while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
         var x = 0
         while (x < w) {
-          val rgb = img.getRGB(x, y) // sRGB regardless of internal layout
+          val rgb = row(x)
           val r = (rgb >> 16) & 0xFF
           val g = (rgb >> 8) & 0xFF
           val b = rgb & 0xFF

@@ -67,14 +67,19 @@ object GlobalRank {
     * whole table through one task.
     *
     * `valueCol` must be integral (LongType after cast) so the sum is
-    * exact and order-stable.
+    * exact and order-stable; a null value counts as 0. As with
+    * [[withGlobalRowNumber]], `sortCols` must be tie-free (include a
+    * unique key) — tied rows have shuffle-dependent relative order, so
+    * their prefix sums would differ run to run.
     */
   def withGlobalCumSum(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
                        outCol: String = "cum_before",
                        numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains("__v") && !df.columns.contains(outCol),
+      s"input must not already have columns '__v' or '$outCol'")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
-    val withV = df.withColumn("__v", valueCol.cast(LongType))
+    val withV = df.withColumn("__v", coalesce(valueCol.cast(LongType), lit(0L)))
     val parted = withV.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
 
     val rdd = parted.rdd

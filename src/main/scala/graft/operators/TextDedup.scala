@@ -54,7 +54,13 @@ object TextDedup {
 
   /** Eager materialization point: reliable `checkpoint` when the session
     * has a checkpoint dir (cluster-safe — blocks live on the reliable
-    * store, survive executor loss), `localCheckpoint` otherwise. */
+    * store, survive executor loss), `localCheckpoint` otherwise.
+    *
+    * Reliable-checkpoint files are NOT deleted by default; a long-lived
+    * session calling dedup repeatedly should set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` so
+    * checkpoints are removed when their DataFrames are garbage
+    * collected (or manage the checkpoint dir's lifecycle per job). */
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
@@ -399,13 +405,16 @@ object TextDedup {
         val drop = connectedComponents(pairs)
           .filter(col("doc_id") =!= col("component")) // keep each component's min id
           .select("doc_id")
-        // Materialize the SURVIVORS, not just the drop set, before
-        // releasing the cache: the final anti-join must see the exact
-        // rows `drop` was computed from. Re-deriving survivors at action
-        // time is only safe when the caller's doc_id is deterministic —
-        // with e.g. monotonically_increasing_id the recomputed ids can
-        // disagree with `drop` and retain the wrong rows.
-        materialize(cached).join(materialize(drop), Seq("doc_id"), "left_anti")
+        // Materialize the SURVIVORS before releasing the cache: the
+        // final anti-join must see the exact rows `drop` was computed
+        // from. Re-deriving survivors at action time is only safe when
+        // the caller's doc_id is deterministic — with e.g.
+        // monotonically_increasing_id the recomputed ids can disagree
+        // with `drop` and retain the wrong rows. `drop` itself needs no
+        // extra materialization: it is a narrow filter over
+        // connectedComponents' labels, which are already eagerly
+        // checkpointed every iteration.
+        materialize(cached).join(drop, Seq("doc_id"), "left_anti")
       } finally cached.unpersist()
     } else {
       // Lazy mode: nothing materialized, so consistency rests on the

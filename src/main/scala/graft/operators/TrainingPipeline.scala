@@ -59,10 +59,12 @@ object TrainingPipeline {
     * step): documents are laid out in `orderCol` order and cut into
     * shards of ~`budgetTokens` whitespace tokens — shard k spans the
     * docs whose EXCLUSIVE cumulative token count falls in
-    * [k·budget, (k+1)·budget). Deterministic (pure function of the
-    * ordered corpus), so shard assignment is reproducible across runs
-    * and engines; a doc may straddle its shard's tail, which is the
-    * standard fixed-boundary variant.
+    * [k·budget, (k+1)·budget). Deterministic — a pure function of the
+    * ordered corpus — PROVIDED `orderCol` is unique (the default doc_id
+    * is): with ties, tied rows' relative order is shuffle-dependent and
+    * shard assignment near a boundary would differ run to run. A doc
+    * may straddle its shard's tail, the standard fixed-boundary
+    * variant; null text counts as 0 tokens.
     *
     * Scale path: the cumulative sum is [[GlobalRank.withGlobalCumSum]]'s
     * two-phase range-partitioned prefix sum — no single-partition

@@ -26,6 +26,8 @@ object Upsert {
   def latestByKey(df: DataFrame, keys: Seq[String], ordering: Seq[Column]): DataFrame = {
     require(keys.nonEmpty, "latestByKey needs at least one key column")
     require(ordering.nonEmpty, "latestByKey needs an ordering")
+    require(!df.columns.contains("__rn"),
+      "input must not already have a '__rn' column (it would be replaced and dropped)")
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)

@@ -669,7 +669,11 @@ object RelationalQueries {
       // the region filter and the orderdate range into the scans; AQE
       // picks broadcast sides at runtime.
       "q35_tpch5_shape",
-      Some("""SELECT n_name, ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) / 100 + 0 AS revenue
+      // Same order-independent integer-cents accumulation as q36: a
+      // rounded double SUM depends on accumulation order, which differs
+      // between Spark's partial aggregates and DuckDB.
+      Some("""SELECT n_name,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -691,7 +695,8 @@ object RelationalQueries {
           .join(tb.region.filter(col("r_name") === "ASIA"),
             col("n_regionkey") === col("r_regionkey"))
           .groupBy("n_name")
-          .agg(round2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+          .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+            / 100.0).as("revenue"))
           .orderBy(col("revenue").desc, col("n_name"))
       }),
 

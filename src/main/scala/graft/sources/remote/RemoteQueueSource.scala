@@ -1,7 +1,6 @@
 package graft.sources.remote
 
 import java.util
-import java.util.concurrent.ConcurrentHashMap
 
 import scala.jdk.CollectionConverters._
 
@@ -83,22 +82,11 @@ object RemoteQueueSource {
 
 /** Runtime poller scaling (SetPollers analog, source_sqs.go:249-285):
   * the adaptive runtime writes the desired count here; the next
-  * micro-batch's `planInputPartitions` reads it. Values below 1 clamp
-  * to 1, as in the reference.
+  * micro-batch's `planInputPartitions` reads it. Shares the
+  * [[graft.ingest.ControlKnob]] mechanism (clamp-to-1 + gauge) with
+  * [[graft.ingest.WorkerControl]].
   */
-object PollerControl {
-  private val desired = new ConcurrentHashMap[String, Integer]()
-
-  def set(queueId: String, n: Int): Unit = {
-    desired.put(queueId, math.max(1, n))
-    IngestMetrics.gauge(RemoteQueueSource.PollersGauge, math.max(1, n).toDouble)
-  }
-
-  def get(queueId: String, default: Int): Int =
-    Option(desired.get(queueId)).map(_.intValue).getOrElse(default)
-
-  def clear(queueId: String): Unit = desired.remove(queueId)
-}
+object PollerControl extends graft.ingest.ControlKnob(RemoteQueueSource.PollersGauge)
 
 private[remote] class RemoteQueueTable(factoryClass: String, queueId: String,
                                        cfg: RemoteQueueConfig)
