@@ -1,6 +1,7 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Multimodal column support: image/audio/video travel as opaque binary
   * columns with typed metadata; decode / feature-extraction / resize /
@@ -83,6 +84,31 @@ object Multimodal {
       }
       (w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h) / 255.0)
     }
+  }
+
+  /** Ingest media files as [[MediaItem]]s via Spark's `binaryFile`
+    * source: one row per file, content as the opaque binary column,
+    * path/length/mtime as typed metadata. `media_id` is the 64-bit hash
+    * of the path — deterministic across runs and engines. Scan
+    * parallelism follows the normal file-split sizing
+    * (`maxPartitionBytes`), so decode fan-out tracks input volume like
+    * any other source; `pathGlobFilter` pushes the extension filter
+    * into the listing.
+    */
+  def readMedia(spark: SparkSession, dir: String, mime: String,
+                globFilter: Option[String] = None): Dataset[MediaItem] = {
+    implicit val enc = Encoders.product[MediaItem]
+    val reader = spark.read.format("binaryFile")
+    globFilter.foreach(g => reader.option("pathGlobFilter", g))
+    reader.load(dir)
+      .select(
+        xxhash64(col("path")).as("media_id"),
+        lit(mime).as("mime"),
+        col("content").as("data"),
+        map(lit("path"), col("path"),
+          lit("length"), col("length").cast("string"),
+          lit("mtime"), col("modificationTime").cast("string")).as("meta"))
+      .as[MediaItem]
   }
 
   private val batchSize = 64 // records per decode batch (arrow-batch analog)

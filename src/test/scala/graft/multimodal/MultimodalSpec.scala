@@ -43,6 +43,31 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("binaryFile ingestion: real PNG files on disk decode end-to-end") {
+    def writePng(dir: String, name: String, w: Int, h: Int, rgb: Int): Unit = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, name))
+    }
+    val dir = tmpDir("media-in")
+    writePng(dir, "a.png", 30, 10, 0x000000)
+    writePng(dir, "b.png", 12, 12, 0xFFFFFF)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(dir, "notes.txt"), "not an image")
+
+    val items = readMedia(spark, dir, "image/png", globFilter = Some("*.png"))
+    assert(items.count() == 2, "glob filter excludes the non-image file at the listing")
+    val byLen = items.collect().map(m => m.meta("path").split('/').last -> m).toMap
+    assert(byLen.keySet == Set("a.png", "b.png"))
+    assert(byLen("a.png").meta("length").toLong > 0)
+
+    val feats = decodeImages(items, Decoders.imageio).collect()
+      .map(f => f.media_id -> f).toMap
+    val aId = byLen("a.png").media_id
+    val bId = byLen("b.png").media_id
+    assert(feats(aId).width == 30 && feats(aId).height == 10 && feats(aId).mean_luma < 1e-9)
+    assert(feats(bId).width == 12 && math.abs(feats(bId).mean_luma - 1.0) < 1e-9)
+  }
+
   test("resize caps the longest dimension, preserving aspect") {
     val feats = Seq(ImageFeatures(1, 400, 200, 3, 0.5)).toDS()
     val r = resize(feats, maxDim = 100).head()
