@@ -25,6 +25,34 @@ object StatefulOps {
       }
   }
 
+  /** Streaming upsert compaction (the stream half of
+    * [[graft.operators.Upsert.latestByKey]]): per key, emit the current
+    * LATEST record each micro-batch that touches the key, carrying the
+    * winner across batches in keyed state (Update mode). `version`
+    * orders records; the first-observed record wins a version tie (the
+    * incumbent is kept), so feed a strictly-increasing version (e.g.
+    * event time + a unique sequence) for deterministic results.
+    * Downstream, the update stream materializes a current-state
+    * table — classic CDC view maintenance.
+    *
+    * State is one record per key in the partitioned state store: memory
+    * scales with key cardinality across executors, never with stream
+    * length.
+    */
+  def latestByKeyStream[K: Encoder, T: Encoder](events: Dataset[T])(
+      key: T => K, version: T => Long): Dataset[T] = {
+    events.groupByKey(key)
+      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout) {
+        (_: K, it: Iterator[T], state: GroupState[T]) =>
+          var best: Option[T] = state.getOption
+          it.foreach { t =>
+            if (best.forall(b => version(t) > version(b))) best = Some(t)
+          }
+          state.update(best.get) // the group has >= 1 row, so best is set
+          best.get
+      }
+  }
+
   /** Per-key admission limit across the whole stream: at most
     * `maxPerKey` events per key pass; the rest are dropped, however many
     * batches they span (Append mode, flatMap = 0..N outputs per group).

@@ -24,6 +24,29 @@ class StatefulOpsSpec extends SparkSpec {
     assert(last == Map(1L -> 3L, 2L -> 1L))
   }
 
+  test("streaming upsert: latest record per key survives across micro-batches") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(String, Long, Double)] // (key, version, value)
+    val q = StatefulOps.latestByKeyStream(ms.toDS())(_._1, _._2)
+      .toDF("key", "version", "value")
+      .writeStream.outputMode("update").format("memory").queryName("up_out").start()
+    try {
+      ms.addData(("a", 1L, 1.0), ("a", 3L, 3.0), ("b", 1L, 10.0))
+      q.processAllAvailable()
+      // batch 2: an OLDER record for a must NOT displace the incumbent;
+      // a genuinely newer one for b must
+      ms.addData(("a", 2L, 2.0), ("b", 5L, 50.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("up_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // last update per key = current state
+    val current = rows.zipWithIndex.groupBy(_._1._1)
+      .map { case (k, vs) => k -> vs.maxBy(_._2)._1 }
+    assert(current("a") == (("a", 3L, 3.0)), s"stale version must not win: ${current("a")}")
+    assert(current("b") == (("b", 5L, 50.0)))
+  }
+
   test("flatMapGroupsWithState admits at most N events per key across batches") {
     implicit val ctx = spark.sqlContext
     val ms = MemoryStream[(Long, Double)]
