@@ -740,6 +740,59 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // TPC-H Q12 shape (shipping-mode priority classification, adapted
+      // to this schema's columns: l_linestatus stands in for shipmode):
+      // one fact join + conditional counts — pure integer aggregation,
+      // no FP accumulation anywhere.
+      "q37_tpch12_shape",
+      Some("""SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.orders
+          .join(tb.lineitem.filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1997-01-01").cast("timestamp")),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy("l_linestatus")
+          .agg(
+            sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("high_line_count"),
+            sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+              .as("low_line_count"))
+          .orderBy("l_linestatus")
+      }),
+
+    GraftQuery(
+      // TPC-H Q14 shape (promotion revenue share): numerator and
+      // denominator both accumulate as exact integer cents, so the
+      // final ratio divides the same two longs in both engines —
+      // order-independent by construction.
+      "q38_tpch14_shape",
+      Some("""SELECT
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT)
+        |    / CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01' AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val cents = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5)
+        tb.lineitem.filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+          .join(tb.part, col("l_partkey") === col("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", cents).otherwise(0L)).as("promo_cents"),
+            sum(cents).as("total_cents"))
+          .select(col("promo_cents"), col("total_cents"),
+            (lit(100.0) * col("promo_cents") / col("total_cents")).as("promo_pct"))
+      }),
+
+    GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
       // under readStream with a watermark); batch-checkable oracle.
       "q28_window_tumbling",
