@@ -35,6 +35,8 @@ object GlobalRank {
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
                           outCol: String = "rn",
                           numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains(outCol),
+      s"input must not already have a '$outCol' column (schema.add would duplicate it)")
     val spark = df.sparkSession
     val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
     val parted = df.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)

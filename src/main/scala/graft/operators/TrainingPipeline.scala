@@ -77,7 +77,10 @@ object TrainingPipeline {
                  numPartitions: Option[Int] = None): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     val withTok = docs.select(col(orderCol),
-      size(graft.functions.tokens(col("text"))).cast("long").as("n_tokens"))
+      // coalesce here, not just inside the cumsum: the OUTPUT n_tokens
+      // must agree with the arithmetic that placed the doc (null text
+      // counts as 0 tokens in both)
+      coalesce(size(graft.functions.tokens(col("text"))).cast("long"), lit(0L)).as("n_tokens"))
     GlobalRank.withGlobalCumSum(withTok, Seq(col(orderCol)), col("n_tokens"),
         "cum_before", numPartitions)
       .select(col(orderCol), col("n_tokens"),

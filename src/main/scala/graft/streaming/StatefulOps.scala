@@ -42,14 +42,21 @@ object StatefulOps {
   def latestByKeyStream[K: Encoder, T: Encoder](events: Dataset[T])(
       key: T => K, version: T => Long): Dataset[T] = {
     events.groupByKey(key)
-      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[T, T](OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (_: K, it: Iterator[T], state: GroupState[T]) =>
-          var best: Option[T] = state.getOption
+          // Emit (and write state) ONLY when the incumbent changes: a
+          // batch of purely stale records would otherwise cost a state
+          // write and a spurious Update row per touched key — changelog
+          // amplification a CDC sink downstream would observe.
+          val incumbent: Option[T] = state.getOption
+          var best = incumbent
           it.foreach { t =>
             if (best.forall(b => version(t) > version(b))) best = Some(t)
           }
-          state.update(best.get) // the group has >= 1 row, so best is set
-          best.get
+          if (best != incumbent) {
+            state.update(best.get)
+            Iterator.single(best.get)
+          } else Iterator.empty
       }
   }
 

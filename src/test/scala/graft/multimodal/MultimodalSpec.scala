@@ -17,15 +17,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f.values.forall(x => x.width >= 64 && x.height >= 64 && x.channels == 3))
   }
 
+  /** A real solid-color PNG, crafted in memory. */
+  private def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
   test("imageio decoder extracts real dimensions/channels/luma from actual PNGs") {
-    // craft real PNGs in memory: a 40x20 mid-gray and a 8x8 pure white
-    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
-      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
-      val out = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", out)
-      out.toByteArray
-    }
+    // a 40x20 mid-gray and a 8x8 pure white
     val gray = MediaItem(1L, "image/png", png(40, 20, 0x808080), Map.empty)
     val white = MediaItem(2L, "image/png", png(8, 8, 0xFFFFFF), Map.empty)
     val f = decodeImages(Seq(gray, white).toDS(), Decoders.imageio)
@@ -44,11 +46,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("binaryFile ingestion: real PNG files on disk decode end-to-end") {
-    def writePng(dir: String, name: String, w: Int, h: Int, rgb: Int): Unit = {
-      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
-      javax.imageio.ImageIO.write(img, "png", new java.io.File(dir, name))
-    }
+    def writePng(dir: String, name: String, w: Int, h: Int, rgb: Int): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), png(w, h, rgb))
     val dir = tmpDir("media-in")
     writePng(dir, "a.png", 30, 10, 0x000000)
     writePng(dir, "b.png", 12, 12, 0xFFFFFF)

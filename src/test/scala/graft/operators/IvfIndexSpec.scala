@@ -28,13 +28,16 @@ class IvfIndexSpec extends SparkSpec {
     val path = tmpDir("ivf-recall")
     IvfIndex.build(e, nLists = 16).save(path)
     val idx = IvfIndex.load(spark, path)
+    // ground truth does not depend on nProbe — compute once per query
+    val truths = (0 until 10).map { i =>
+      Similarity.bruteForceTopK(e, i.toLong, 10)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+    }
     def meanRecall(nProbe: Int): Double = {
       val rs = (0 until 10).map { i =>
         val ann = idx.searchById(i.toLong, k = 10, nProbe = nProbe)
           .select("vec_id").collect().map(_.getLong(0)).toSet
-        val truth = Similarity.bruteForceTopK(e, i.toLong, 10)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        ann.intersect(truth).size.toDouble / truth.size
+        ann.intersect(truths(i)).size.toDouble / truths(i).size
       }
       rs.sum / rs.size
     }

@@ -45,6 +45,10 @@ class StatefulOpsSpec extends SparkSpec {
       .map { case (k, vs) => k -> vs.maxBy(_._2)._1 }
     assert(current("a") == (("a", 3L, 3.0)), s"stale version must not win: ${current("a")}")
     assert(current("b") == (("b", 5L, 50.0)))
+    // change-only emission: the stale batch-2 record for 'a' must not
+    // produce a spurious update row (1 from batch 1, none after)
+    assert(rows.count(_._1 == "a") == 1, s"expected one update for 'a', got ${rows.toSeq}")
+    assert(rows.count(_._1 == "b") == 2)
   }
 
   test("flatMapGroupsWithState admits at most N events per key across batches") {
