@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses bench/verify stdout from a bounded tail; sbt's
+// trailing "[success] Total time: ..." line eats ~65 chars of that
+// window for no information (exit code already signals success).
+Global / showSuccess := false
 // Forked run output goes straight to this process's stdout instead of
 // through sbt's logger: the bench/verify contract is machine-parsed
 // JSON lines, and the logger's "[info] " prefix breaks json parsing.

@@ -313,7 +313,7 @@ object ExtensionQueries {
         |    CAST(len(list_filter(string_split(lower(text),' '), x -> x <> '')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT doc_id, n_tokens,
-        |  (SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS shard_id
+        |  CAST((SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) // 512 AS BIGINT) AS shard_id
         |FROM t ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.TrainingPipeline
         .packShards(t(s, d).documents, budgetTokens = 512L)

@@ -49,6 +49,30 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} vs oracle {ecols}")
             n_fail += 1
             continue
+        # The driver hashes values after a pandas round-trip, where
+        # DuckDB HUGEINT/DECIMAL become float64/object — a bare integer
+        # SUM() in an oracle hash-mismatches a Spark BIGINT even when
+        # the values are equal (tp03, round 5). Widths within the signed
+        # -int family all print identically in pandas, so only flag
+        # family changes.
+        def family(t):
+            t = str(t)
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t  # HUGEINT, DECIMAL(..), VARCHAR, TIMESTAMP, ... exact
+        gtypes = dict(zip(got.columns, got.types))
+        etypes = dict(zip(exp.columns, exp.types))
+        tdiff = [(gc, str(gtypes[gc]), str(etypes[ec]))
+                 for gc, ec in zip(sorted(got.columns, key=str.lower),
+                                   sorted(exp.columns, key=str.lower))
+                 if family(gtypes[gc]) != family(etypes[ec])]
+        if tdiff:
+            print(f"FAIL {name}: column type-family mismatch (spark vs oracle): {tdiff}"
+                  " — CAST the oracle output (HUGEINT sums -> BIGINT etc.)")
+            n_fail += 1
+            continue
         grows = [tuple(canon(v) for v in r) for r in got.select(*gcols).fetchall()]
         erows = [tuple(canon(v) for v in r) for r in exp.select(*ecols).fetchall()]
         if grows == erows:
