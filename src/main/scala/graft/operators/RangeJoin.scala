@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Banded interval (range) join: pair each left row with the right rows
+  * that share its key and whose timestamp falls in
+  * `[leftTs + lowerUs, leftTs + upperUs)` (left-closed, right-open,
+  * microsecond offsets).
+  *
+  * The naive plan for a key + range join is an equi-join on the key with
+  * the range as a residual filter — correct, but every (key, leftTs,
+  * rightTs) combination under one key materializes as a join candidate,
+  * so a hot key with n left and m right rows costs n·m comparisons even
+  * when almost no pairs fall inside the window. The banded plan bounds
+  * candidates by TIME, not just key:
+  *
+  *   - right rows land in time buckets of width w = upperUs - lowerUs
+  *     (each right row in exactly ONE bucket: floor(ts / w)),
+  *   - each left row's window spans at most TWO consecutive buckets
+  *     (the window's length is exactly w), so the left side replicates
+  *     to ≤ 2 (key, bucket) rows,
+  *   - the join is a plain equi-join on (key, bucket) + the exact range
+  *     as a residual filter.
+  *
+  * Every true pair is found exactly once (the right row's single bucket
+  * is inside the left row's spanned range iff the timestamps can match),
+  * and the candidate set per left row is bounded by the key's rows in a
+  * 2w time slice — at 100 TB this is the difference between a skew-prone
+  * per-key cross product and a uniformly banded shuffle. This is the
+  * standard interval-banding rewrite (cf. Spark's own range-join hints
+  * in Databricks runtime and Flink's interval join, which bucket state
+  * by time the same way).
+  *
+  * Reference parity: the reference engine has no range join; this is
+  * part of the beyond-reference analytics surface (SURVEY.md §2-B).
+  */
+object RangeJoin {
+
+  /** Matched pairs `leftAlias.* ++ rightAlias.*` for
+    * `right.ts ∈ [left.ts + lowerUs, left.ts + upperUs)`.
+    *
+    * @param leftTs / rightTs timestamp column names (TIMESTAMP type)
+    * @param lowerUs,upperUs  window bounds in MICROseconds relative to
+    *                         the left timestamp; `lowerUs < upperUs`
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String,
+                   lowerUs: Long, upperUs: Long): DataFrame = {
+    require(lowerUs < upperUs, s"empty window: [$lowerUs, $upperUs)")
+    val w = upperUs - lowerUs
+    // Right side: one bucket per row.
+    val r = right.withColumn("__rt", unix_micros(col(rightTs)))
+      .withColumn("__bucket", expr(s"__rt div ${w}L"))
+    // Left side: replicate to the (≤2) buckets the window overlaps.
+    // sequence() is inclusive on both ends; b1 may over-cover by one
+    // bucket when the window ends exactly on a boundary — the residual
+    // filter removes those candidates.
+    val l = left.withColumn("__lt", unix_micros(col(leftTs)))
+      .withColumn("__bucket",
+        explode(sequence(expr(s"(__lt + ${lowerUs}L) div ${w}L"),
+          expr(s"(__lt + ${upperUs}L) div ${w}L"))))
+    l.join(r, Seq(key, "__bucket"))
+      .filter(col("__rt") >= col("__lt") + lowerUs &&
+        col("__rt") < col("__lt") + upperUs)
+      .drop("__bucket", "__lt", "__rt")
+  }
+
+  /** Left-join-count form: every left row with the NUMBER of right rows
+    * in its window (0 for no matches) — the common "activity in the N
+    * minutes around X" aggregation. Output: left columns + `n_matches`.
+    *
+    * Built as inner banded pairs → count per left id → left join back,
+    * so the left side is never replicated into the aggregate (a left
+    * outer banded join would emit 2 rows per unmatched left row — one
+    * per covered bucket — and need a dedup).
+    *
+    * @param leftId unique left row id to group the counts by
+    */
+  def countInRange(left: DataFrame, right: DataFrame, key: String,
+                   leftId: String, leftTs: String, rightTs: String,
+                   lowerUs: Long, upperUs: Long): DataFrame = {
+    val pairs = intervalJoin(
+      left.select(col(leftId), col(key), col(leftTs)),
+      right.select(col(key), col(rightTs).as("__rts")),
+      key, leftTs, "__rts", lowerUs, upperUs)
+    val counts = pairs.groupBy(leftId).agg(count(lit(1)).as("n_matches"))
+    left.join(counts, Seq(leftId), "left")
+      .withColumn("n_matches", coalesce(col("n_matches"), lit(0L)))
+  }
+}

@@ -83,6 +83,23 @@ object TextAnalysis {
         lit(0L),
         (acc, c) => (acc * 31 + c) % 1000000007L).as("rh"))
 
+  /** PII redaction over a text column: emails → `[EMAIL]`, then
+    * phone-like digit runs (7+ digits with optional dashes, optional
+    * leading +) → `[PHONE]`. Pure `regexp_replace` chain — codegen'd,
+    * no UDF — with patterns restricted to the syntax subset that Java
+    * regex (Spark) and RE2 (DuckDB, the oracle) interpret identically:
+    * character classes, `+`/bounded repetition, no backrefs or
+    * lookaround. Order matters: emails first, so their digit-bearing
+    * local parts can't be half-eaten by the phone pass.
+    */
+  def redactPii(df: DataFrame, textCol: String, outCol: String = "redacted"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val phone = "[+]?[0-9][0-9-]{5,}[0-9]"
+    df.withColumn(outCol,
+      regexp_replace(regexp_replace(col(textCol), email, "[EMAIL]"),
+        phone, "[PHONE]"))
+  }
+
   /** Content fingerprint: md5 over the sorted distinct token set (the
     * "fingerprint keying" method — whitespace/order/duplicate
     * insensitive). Output (doc_id, fp).

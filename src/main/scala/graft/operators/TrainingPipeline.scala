@@ -89,6 +89,31 @@ object TrainingPipeline {
         expr(s"cum_before div ${budgetTokens}L").as("shard_id"))
   }
 
+  /** Deterministic stratified sampling: at most `quota` rows per stratum,
+    * chosen by md5(key) order — a reproducible uniform draw within each
+    * stratum (same rows every run, every engine, any partitioning), the
+    * way a corpus is rebalanced to a per-language budget. Keys must be
+    * unique (md5 of a unique key is collision-free in practice; `keyCol`
+    * breaks any residual tie).
+    *
+    * Plan shape: one hash shuffle on the stratum column + a per-stratum
+    * window — parallel across strata, never a single-partition window.
+    * Caveat at extreme scale: one stratum's rows land on one task; when
+    * a stratum is both huge and quota is small, pre-thin with
+    * [[deterministicSample]] (by the same md5 key, which preserves the
+    * md5-order prefix exactly) before ranking.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
+
   /** Per-language corpus budget over the curated set:
     * (pred_lang, n_docs, total_tokens, avg_quality). */
   def languageBudget(curated: DataFrame): DataFrame =

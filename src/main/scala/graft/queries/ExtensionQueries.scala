@@ -182,6 +182,56 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Banded interval join (operators.RangeJoin): clicks in the 10
+      // minutes BEFORE each purchase, per user. The oracle is the
+      // declarative key+range left join; the Spark side runs the banded
+      // rewrite — right rows bucketed by time, left replicated to its ≤2
+      // covering buckets, equi-join on (key, bucket) + residual range
+      // filter — whose candidate set is bounded by a 2-window time slice
+      // per key instead of the whole key group.
+      "rj01_range_join",
+      Some("""WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+        |SELECT p.event_id, CAST(COUNT(c.ts) AS BIGINT) AS n_clicks
+        |FROM p LEFT JOIN c ON c.user_id = p.user_id
+        |  AND c.ts >= p.ts - INTERVAL 10 MINUTE AND c.ts < p.ts
+        |GROUP BY p.event_id ORDER BY p.event_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d).events
+        graft.operators.RangeJoin.countInRange(
+            ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
+            ev.filter(col("event_type") === "click").select("user_id", "ts"),
+            key = "user_id", leftId = "event_id", leftTs = "ts", rightTs = "ts",
+            lowerUs = -600000000L, upperUs = 0L)
+          .select(col("event_id"), col("n_matches").as("n_clicks"))
+          .orderBy("event_id")
+      }),
+
+    GraftQuery(
+      // Salted skew join (operators.SkewJoin): same result set as the
+      // plain equi-join (the oracle), produced through a deterministic
+      // hash salt on the big side + small-side replication — the manual
+      // skew-mitigation shape for hot keys that AQE can't re-split.
+      // Integer-cents accumulation keeps the double SUM order-independent
+      // (same rationale as the TPC-H shapes).
+      "sj01_salted_join",
+      Some("""SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        graft.operators.SkewJoin.saltedJoin(
+            tb.events, tb.customer.select("c_custkey", "c_mktsegment"),
+            bigKey = "user_id", smallKey = "c_custkey",
+            discriminator = "event_id", factor = 8)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100 + 0.5)).cast("long").as("value_cents"))
+          .orderBy("c_mktsegment")
+      }),
+
+    GraftQuery(
       "qp01_pivot",
       Some("""SELECT user_id,
         |  COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,
@@ -282,6 +332,21 @@ object ExtensionQueries {
       (s, d) => graft.operators.TrainingPipeline
         .deterministicSample(t(s, d).documents, "doc_id", 20)
         .select("doc_id").orderBy("doc_id")),
+
+    GraftQuery(
+      // Deterministic stratified sampling: at most 25 docs per language,
+      // chosen by md5(doc_id) order — the per-stratum quota draw a
+      // corpus rebalance runs. Identical selection in both engines by
+      // construction (md5 hex sorts the same everywhere).
+      "tp04_stratified_sample",
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents) q
+        |WHERE rk <= 25 ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.TrainingPipeline
+        .stratifiedSample(t(s, d).documents, "lang", "doc_id", quota = 25)
+        .select("doc_id", "lang").orderBy("doc_id")),
 
     GraftQuery(
       // Upsert materialization / CDC compaction: collapse the
@@ -511,6 +576,31 @@ object ExtensionQueries {
         |  SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM documents) q
         |  WHERE w <> '')
         |SELECT doc_id, md5(string_agg(w, ' ' ORDER BY w)) AS fp FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      (s, d) => TextAnalysis.fingerprint(t(s, d).documents).orderBy("doc_id"))
+      (s, d) => TextAnalysis.fingerprint(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
+      // PII redaction (TextAnalysis.redactPii): email then phone regex
+      // passes over a contact line synthesized deterministically from
+      // doc_id — identical input text in both engines, so the entry
+      // verifies the REDACTION, not the synthesis. Patterns stay in the
+      // syntax subset Java regex (Spark) and RE2 (DuckDB) agree on.
+      "ta06_pii_redact",
+      Some("""WITH raw AS (
+        |  SELECT doc_id, substring(text, 1, 40) || ' contact: user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example or +1-555-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS raw
+        |  FROM documents)
+        |SELECT doc_id, regexp_replace(
+        |    regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '[EMAIL]', 'g'),
+        |    '[+]?[0-9][0-9-]{5,}[0-9]', '[PHONE]', 'g') AS redacted
+        |FROM raw ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val raw = t(s, d).documents.select(col("doc_id"),
+          concat(substring(col("text"), 1, 40),
+            lit(" contact: user"), col("doc_id").cast("string"),
+            lit("@mail.example or +1-555-"),
+            lpad(col("doc_id").cast("string"), 4, "0")).as("raw"))
+        TextAnalysis.redactPii(raw, "raw")
+          .select("doc_id", "redacted").orderBy("doc_id")
+      })
   )
 }

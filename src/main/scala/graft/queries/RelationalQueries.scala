@@ -793,6 +793,60 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // TPC-H Q4 shape (order priority checking): quarter-bounded orders
+      // with an EXISTS over lineitem — a left-semi join whose condition
+      // mixes the equi key with a non-equi comparison against the outer
+      // row (l_shipdate > o_orderdate). The semi join stops probing a
+      // build row at first match; only the key part shuffles.
+      "q39_tpch4_shape",
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+          .join(tb.lineitem,
+            col("l_orderkey") === col("o_orderkey") && col("l_shipdate") > col("o_orderdate"),
+            "leftsemi")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy("o_orderpriority")
+      }),
+
+    GraftQuery(
+      // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+      // an OR-of-ANDs that references BOTH join sides, so the
+      // disjunction itself can't push below the join. The per-side
+      // envelopes (brand/size on part, quantity on lineitem) are stated
+      // as explicit conjuncts — semantics-preserving, and they reach the
+      // parquet scans as PushedFilters so the join only sees the
+      // candidate slice. Integer-cents revenue as in q35/q36/q38.
+      "q40_tpch19_shape",
+      Some("""SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS revenue
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val part = tb.part.filter(
+          col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") && col("p_size").between(1, 35))
+        val li = tb.lineitem.filter(col("l_quantity").between(1, 40))
+        li.join(part, col("l_partkey") === col("p_partkey"))
+          .filter(
+            (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+            (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) && col("l_quantity").between(10, 30)) ||
+            (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40)))
+          .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+            / 100.0).as("revenue"))
+      }),
+
+    GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
       // under readStream with a watermark); batch-checkable oracle.
       "q28_window_tumbling",

@@ -56,6 +56,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(q(2L) == 1.0)
   }
 
+  test("redactPii masks emails and phone runs, leaves prose alone") {
+    val d = Seq(
+      (1L, "reach me at jane.doe+spam@sub.mail.example thanks"),
+      (2L, "call +1-555-0001 or 555-123-4567 today"),
+      (3L, "edge: a@b.co and 1234567 back to back"),
+      (4L, "no pii here, just words and the number 42"))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.redactPii(d, "text")
+      .select("doc_id", "redacted").as[(Long, String)].collect().toMap
+    assert(r(1L) == "reach me at [EMAIL] thanks")
+    assert(r(2L) == "call [PHONE] or [PHONE] today")
+    assert(r(3L) == "edge: [EMAIL] and [PHONE] back to back")
+    assert(r(4L) == "no pii here, just words and the number 42")
+  }
+
   test("language id is deterministic and total on testdata") {
     val got = TextAnalysis.languageId(tables.documents).collect()
     assert(got.length == tables.documents.count())

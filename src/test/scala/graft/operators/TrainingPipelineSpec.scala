@@ -75,6 +75,24 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(TrainingPipeline.deterministicSample(docs, "doc_id", 100).count() == n.toLong)
   }
 
+  test("stratifiedSample takes exactly min(quota, stratum size) per stratum, reproducibly") {
+    val quota = 10
+    val sampled = TrainingPipeline.stratifiedSample(docs, "lang", "doc_id", quota)
+    val perLang = sampled.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val sizes = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.keySet == sizes.keySet, "every stratum represented")
+    perLang.foreach { case (l, n) => assert(n == math.min(quota.toLong, sizes(l))) }
+    // partitioning-independent selection
+    val a = sampled.select("doc_id").as[Long].collect().toSet
+    val b = TrainingPipeline.stratifiedSample(docs.repartition(17), "lang", "doc_id", quota)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // quota monotonicity: a bigger quota strictly extends the selection
+    val wider = TrainingPipeline.stratifiedSample(docs, "lang", "doc_id", quota * 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(wider))
+  }
+
   test("languageBudget aggregates per language with positive budgets") {
     val b = TrainingPipeline.languageBudget(
       TrainingPipeline.curate(docs, Seq("en", "de", "fr"), 0.5, 20L))
