@@ -49,17 +49,25 @@ object RangeJoin {
                    lowerUs: Long, upperUs: Long): DataFrame = {
     require(lowerUs < upperUs, s"empty window: [$lowerUs, $upperUs)")
     val w = upperUs - lowerUs
+    // Bucketing needs FLOOR division: `div` truncates toward zero, so a
+    // negative epoch (pre-1970 timestamp) with a nonzero remainder would
+    // round UP and land one bucket too high, breaking the "right row's
+    // bucket is within the left row's spanned range" invariant. floorDiv
+    // = div minus 1 exactly when the remainder is negative (Spark's `%`
+    // takes the dividend's sign), which is Math.floorDiv in integer ops.
+    def floorDiv(x: String): String =
+      s"(($x) div ${w}L + (CASE WHEN ($x) % ${w}L < 0 THEN -1 ELSE 0 END))"
     // Right side: one bucket per row.
     val r = right.withColumn("__rt", unix_micros(col(rightTs)))
-      .withColumn("__bucket", expr(s"__rt div ${w}L"))
+      .withColumn("__bucket", expr(floorDiv("__rt")))
     // Left side: replicate to the (≤2) buckets the window overlaps.
     // sequence() is inclusive on both ends; b1 may over-cover by one
     // bucket when the window ends exactly on a boundary — the residual
     // filter removes those candidates.
     val l = left.withColumn("__lt", unix_micros(col(leftTs)))
       .withColumn("__bucket",
-        explode(sequence(expr(s"(__lt + ${lowerUs}L) div ${w}L"),
-          expr(s"(__lt + ${upperUs}L) div ${w}L"))))
+        explode(sequence(expr(floorDiv(s"__lt + ${lowerUs}L")),
+          expr(floorDiv(s"__lt + ${upperUs}L")))))
     l.join(r, Seq(key, "__bucket"))
       .filter(col("__rt") >= col("__lt") + lowerUs &&
         col("__rt") < col("__lt") + upperUs)
@@ -74,6 +82,14 @@ object RangeJoin {
     * so the left side is never replicated into the aggregate (a left
     * outer banded join would emit 2 rows per unmatched left row — one
     * per covered bucket — and need a dedup).
+    *
+    * PRECONDITION: `leftId` must be unique per left row. The counts are
+    * grouped by `leftId` alone, so a duplicated id would emit duplicate
+    * output rows each carrying the MERGED count of all rows sharing the
+    * id — silently wrong relative to a per-row count. Uniqueness is the
+    * caller's contract (it is what makes "one output row per left row"
+    * well-defined); the rj01 oracle entry leans on `event_id` being the
+    * events table's key.
     *
     * @param leftId unique left row id to group the counts by
     */

@@ -30,11 +30,20 @@ object SkewJoin {
   /** Inner equi-join of `big ⋈ small` on `big(bigKey) = small(smallKey)`
     * with the big side salted by `discriminator`. Output columns:
     * big.* ++ small.* (minus the duplicate join key on the small side).
+    *
+    * `__salt`/`__sk` are reserved working names: either input carrying
+    * them would collide with the salting plumbing, and an unqualified
+    * key reference could bind across sides (e.g. a small side that also
+    * has a `bigKey`-named column) — both are rejected up front and every
+    * join-condition column is qualified by its DataFrame reference.
     */
   def saltedJoin(big: DataFrame, small: DataFrame,
                  bigKey: String, smallKey: String,
                  discriminator: String, factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    val reserved = Seq("__salt", "__sk")
+    require(!reserved.exists(big.columns.contains) && !reserved.exists(small.columns.contains),
+      s"input columns must not use the reserved names ${reserved.mkString(", ")}")
     val salted = big.withColumn("__salt",
       pmod(xxhash64(col(discriminator)), lit(factor.toLong)))
     val replicated = small
@@ -42,7 +51,7 @@ object SkewJoin {
       .withColumnRenamed(smallKey, "__sk")
     salted
       .join(replicated,
-        salted("__salt") === replicated("__salt") && col(bigKey) === col("__sk"))
+        salted("__salt") === replicated("__salt") && salted(bigKey) === replicated("__sk"))
       .drop("__salt", "__sk")
   }
 }

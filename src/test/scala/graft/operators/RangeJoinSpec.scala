@@ -68,6 +68,33 @@ class RangeJoinSpec extends SparkSpec {
     assert(totalPairs == naive)
   }
 
+  test("pre-1970 timestamps bucket by floor division — banded == naive") {
+    // Negative epoch micros: truncating division would round toward zero
+    // (UP for negatives) and mis-bucket rows whose epoch isn't an exact
+    // multiple of the window width. Timestamps straddle 1970 so both
+    // signs and the zero boundary are exercised.
+    val left = Seq(
+      (1L, "k", "1969-12-31 23:55:00"), (2L, "k", "1969-06-15 12:34:56"),
+      (3L, "k", "1970-01-01 00:03:00"), (4L, "k", "1969-12-31 23:59:59"))
+      .toDF("pid", "k", "s").select(col("pid"), col("k"), to_timestamp(col("s")).as("lts"))
+    val right = Seq(
+      ("k", "1969-12-31 23:50:01"), ("k", "1969-12-31 23:57:30"),
+      ("k", "1969-06-15 12:30:00"), ("k", "1969-06-15 12:26:00"),
+      ("k", "1970-01-01 00:01:30"), ("k", "1969-12-31 23:59:00"))
+      .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("rts"))
+    val (lower, upper) = (-600000000L, 0L) // [-10 min, 0)
+    val banded = RangeJoin.intervalJoin(left, right, "k", "lts", "rts", lower, upper)
+      .select(col("pid"), unix_micros(col("rts")).as("ct"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    val naive = left.join(right, Seq("k"))
+      .filter(unix_micros(col("rts")) >= unix_micros(col("lts")) + lower &&
+        unix_micros(col("rts")) < unix_micros(col("lts")) + upper)
+      .select(col("pid"), unix_micros(col("rts")).as("ct"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(naive.nonEmpty, "fixture must produce matches")
+    assert(banded == naive)
+  }
+
   test("the banded plan joins on (key, bucket) — no per-key cross product") {
     val plan = RangeJoin.intervalJoin(
       events.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),

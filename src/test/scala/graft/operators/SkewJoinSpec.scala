@@ -2,6 +2,8 @@ package graft.operators
 
 import graft.SparkSpec
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 class SkewJoinSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +35,52 @@ class SkewJoinSpec extends SparkSpec {
         "user_id", "c_custkey", "event_id", factor = 4)
       .select("event_id").as[Long].collect().sorted.toSeq
     assert(run() == run())
+  }
+
+  test("law: saltedJoin == plain join over random factors and skew profiles") {
+    // ScalaCheck-generated skew profiles under a fixed seed (the
+    // MinHashLawsSpec convention): per sample, a big side whose key
+    // distribution ranges from uniform to one-hot-key pathological, a
+    // small side with 0–2 rows per key (missing keys and small-side
+    // duplicates both exercised), and a random salt factor. The law is
+    // exact multiset equality with the unsalted join — salting must be
+    // invisible in the result for EVERY profile, not just the oracle's.
+    val params = Gen.Parameters.default
+    val sampleGen = for {
+      factor <- Gen.chooseNum(1, 16)
+      nKeys <- Gen.chooseNum(1, 5)
+      nBig <- Gen.chooseNum(20, 60)
+      // hot-key weight 1..9 relative to 1 for the rest: skew dial
+      hotW <- Gen.chooseNum(1, 9)
+      bigKeys <- Gen.listOfN(nBig,
+        Gen.frequency(hotW -> Gen.const(0L), 1 -> Gen.chooseNum(0L, nKeys - 1L)))
+      smallCnt <- Gen.listOfN(nKeys, Gen.chooseNum(0, 2))
+    } yield (factor, bigKeys, smallCnt)
+    (0 until 12).foreach { i =>
+      val (factor, bigKeys, smallCnt) =
+        sampleGen.pureApply(params, Seed(77L + i))
+      val big = bigKeys.zipWithIndex
+        .map { case (k, row) => (row.toLong, k) }.toDF("row_id", "k")
+      val small = smallCnt.zipWithIndex.flatMap { case (c, k) =>
+        (0 until c).map(j => (k.toLong, s"v$k-$j"))
+      }.toDF("sk", "payload")
+      val salted = SkewJoin.saltedJoin(big, small, "k", "sk", "row_id", factor)
+        .select(col("row_id"), col("payload"))
+        .as[(Long, String)].collect().sorted.toSeq
+      val plain = big.join(small, col("k") === col("sk"))
+        .select(col("row_id"), col("payload"))
+        .as[(Long, String)].collect().sorted.toSeq
+      assert(salted == plain,
+        s"sample $i (factor=$factor): salted ${salted.size} rows != plain ${plain.size}")
+    }
+  }
+
+  test("reserved working names are rejected up front") {
+    val big = Seq((1L, 2L)).toDF("k", "__salt")
+    val small = Seq((2L, "x")).toDF("sk", "payload")
+    intercept[IllegalArgumentException] {
+      SkewJoin.saltedJoin(big, small, "k", "sk", "k", 4)
+    }
   }
 
   test("big side spreads each hot key over the salt space") {
