@@ -161,7 +161,21 @@ object Bench {
     // budget, with the omission count and the sidecar holding the rest.
     // Both lines are valid JSON with the same schema; a full-stdout
     // parser can use either, a tail parser is guaranteed the compact one.
-    val tailBudget = 1500
+    // The whole line is budgeted, not just the query fragments: fixed
+    // fields plus the errors array count against the window too, and an
+    // unbounded errors array would overflow it exactly in failure-heavy
+    // runs — the runs where the report matters most. So errors are
+    // truncated to a bounded prefix plus a count, the fixed overhead is
+    // MEASURED by assembling the line with an empty query map, and the
+    // fragments get what remains of 1900 (margin under 2000 for the
+    // trailing newline and any stray driver prefix).
+    val errNames = errors.toSeq
+    val errsCompact = (errNames.take(8).map("\"" + _ + "\"") ++
+      (if (errNames.size > 8) Seq("\"...+" + (errNames.size - 8) + "\"") else Nil))
+      .mkString("[", ",", "]")
+    def assemble(qsStr: String, omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsStr,"omitted":$omitted,"full":"BENCH_LOCAL.json","errors":$errsCompact,"passes":$passes,"sf":"$sfDir"}"""
+    val tailBudget = 1900 - assemble("{}", results.size).length
     val byCost = results.sortBy { case (_, v) => -v.getOrElse(Double.MaxValue) }
     val kept = scala.collection.mutable.ListBuffer.empty[String]
     var used = 0
@@ -171,7 +185,7 @@ object Bench {
       if (used + frag.length + 1 <= tailBudget) { kept += frag; used += frag.length + 1 }
       else omitted += 1
     }
-    val compact = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"omitted":$omitted,"full":"BENCH_LOCAL.json","errors":$errs,"passes":$passes,"sf":"$sfDir"}"""
+    val compact = assemble(kept.mkString("{", ",", "}"), omitted)
     println(compact)
     // Full-precision sidecar with every raw sample: the driver keeps only
     // a bounded tail of stdout, so the complete record lands in the repo

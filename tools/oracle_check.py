@@ -61,7 +61,14 @@ def main(sf_dir, out_dir):
                 return "int"
             if t in ("FLOAT", "DOUBLE"):
                 return "float"
-            return t  # HUGEINT, DECIMAL(..), VARCHAR, TIMESTAMP, ... exact
+            if t.startswith("DECIMAL"):
+                # Width-only differences (DECIMAL(12,2) vs DECIMAL(38,2))
+                # print identically after the driver's pandas round-trip,
+                # mirroring the signed-int treatment; SCALE changes alter
+                # the printed value, so the family keys on scale.
+                scale = t.rsplit(",", 1)[-1].rstrip(")") if "," in t else "0"
+                return f"decimal(s={scale.strip()})"
+            return t  # HUGEINT, VARCHAR, TIMESTAMP, ... exact
         gtypes = dict(zip(got.columns, got.types))
         etypes = dict(zip(exp.columns, exp.types))
         tdiff = [(gc, str(gtypes[gc]), str(etypes[ec]))
