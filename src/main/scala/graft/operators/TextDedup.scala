@@ -44,13 +44,32 @@ object TextDedup {
     */
   val MaterializeConf = "spark.graft.dedup.materialize"
 
-  private def eager(df: DataFrame): Boolean =
-    df.sparkSession.conf.getOption(MaterializeConf).getOrElse("local") match {
+  /** True when the session runs dedup in eager materialization mode —
+    * public so query-layer compositions over the dedup primitives (the
+    * dd06 band-pair entry) honor [[MaterializeConf]] exactly like the
+    * built-in operators instead of materializing unconditionally. */
+  def eagerMode(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.conf.getOption(MaterializeConf).getOrElse("local") match {
       case "local" => true
       case "none"  => false
       case other => throw new IllegalArgumentException(
         s"$MaterializeConf must be 'local' or 'none', got '$other'")
     }
+
+  private def eager(df: DataFrame): Boolean = eagerMode(df.sparkSession)
+
+  /** The shared cache-lifetime discipline as a combinator: in eager mode
+    * the working set is persisted for the duration of the call, the
+    * (small) result is materialized, and the cache is released before
+    * returning; in `none` mode everything stays lazy and unpersisted.
+    * [[minhashDedupPairs]]/[[exactJaccardPairs]] and the dd06 entry all
+    * route through this, so the conf is honored by every dedup shape.
+    */
+  def withWorkingSet(working: DataFrame)(build: DataFrame => DataFrame): DataFrame =
+    if (eager(working)) {
+      val w = working.persist(StorageLevel.MEMORY_AND_DISK)
+      try materialize(build(w)) finally w.unpersist()
+    } else build(working)
 
   /** Eager materialization point: reliable `checkpoint` when the session
     * has a checkpoint dir (cluster-safe — blocks live on the reliable
@@ -205,13 +224,10 @@ object TextDedup {
     // are materialized, and the cache is released before returning: a
     // long-lived session never accumulates shingle blocks across calls.
     // See [[MaterializeConf]] for the lazy cluster-mode alternative.
-    def pairs(sh: DataFrame) =
+    withWorkingSet(shingleSet(docs, n = shingleN)) { sh =>
       jaccardVerify(lshCandidatePairs(minhashSignatures(sh, numHashes), rowsPerBand),
         sh, threshold).orderBy("doc_a", "doc_b")
-    if (eager(docs)) {
-      val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
-      try materialize(pairs(sh)) finally sh.unpersist()
-    } else pairs(shingleSet(docs, n = shingleN))
+    }
   }
 
   /** Exact n-gram Jaccard pairs (no LSH): candidates = docs sharing at
@@ -223,7 +239,7 @@ object TextDedup {
     // Same cache-lifetime discipline as [[minhashDedupPairs]] (see
     // [[MaterializeConf]]): the shingle set is cached only for the
     // duration of this call in eager mode, not at all in lazy mode.
-    def pairs(sh: DataFrame) = {
+    withWorkingSet(shingleSet(docs, n = shingleN)) { sh =>
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
         .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -238,10 +254,6 @@ object TextDedup {
         .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
-    if (eager(docs)) {
-      val sh = shingleSet(docs, n = shingleN).persist(StorageLevel.MEMORY_AND_DISK)
-      try materialize(pairs(sh)) finally sh.unpersist()
-    } else pairs(shingleSet(docs, n = shingleN))
   }
 
   /** SimHash fingerprints (doc_id, fp): `bits`-bit simhash over the

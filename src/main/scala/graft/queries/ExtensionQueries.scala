@@ -494,19 +494,18 @@ object ExtensionQueries {
         |WHERE bit_count(xor(a.fp, b.fp)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => {
-        // persist: the fingerprint pipeline (shingles + 32-wide vote
-        // aggregate) feeds BOTH sides of the band self-join — without it
-        // the whole upstream computes twice. The pair output is tiny, so
-        // it is materialized eagerly and the fingerprint cache released
-        // before returning (no cross-query storage pressure).
-        val fps = TextDedup.simhashFingerprints(TextDedup.shingleSet(t(s, d).documents))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
+        // The fingerprint pipeline (shingles + 32-wide vote aggregate)
+        // feeds BOTH sides of the band self-join, so it is the working
+        // set; TextDedup.withWorkingSet persists it, materializes the
+        // (tiny) pair result, and releases the cache in eager mode —
+        // and honors spark.graft.dedup.materialize=none by staying
+        // fully lazy, exactly like the dd02/dd03 operator entries.
+        TextDedup.withWorkingSet(
+          TextDedup.simhashFingerprints(TextDedup.shingleSet(t(s, d).documents))) { fps =>
           TextDedup.simhashNearDupPairs(fps, maxDist = 3)
             .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
             .orderBy("doc_a", "doc_b")
-            .localCheckpoint(true)
-        } finally fps.unpersist()
+        }
       }),
 
     GraftQuery(

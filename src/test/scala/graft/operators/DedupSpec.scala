@@ -42,6 +42,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("withWorkingSet honors materialize=none for query-layer compositions (dd06)") {
+    def dd06Shape() = TextDedup.withWorkingSet(
+      TextDedup.simhashFingerprints(TextDedup.shingleSet(docs))) { fps =>
+      TextDedup.simhashNearDupPairs(fps, maxDist = 3)
+    }
+    spark.conf.set(TextDedup.MaterializeConf, "none")
+    try {
+      val lazyDf = dd06Shape()
+      val leaves = lazyDf.queryExecution.optimizedPlan.collectLeaves()
+      assert(leaves.exists(_.getClass.getSimpleName.contains("LogicalRelation")),
+        "none mode must keep lineage to the parquet source")
+      assert(!leaves.exists(_.getClass.getSimpleName.contains("LogicalRDD")),
+        "none mode must not checkpoint/localCheckpoint the result")
+    } finally spark.conf.unset(TextDedup.MaterializeConf)
+    // Default (eager) mode: the same composition IS materialized — the
+    // returned plan is a checkpoint scan, not live lineage.
+    assert(dd06Shape().queryExecution.analyzed.collectLeaves()
+      .exists(_.getClass.getSimpleName.contains("LogicalRDD")),
+      "eager mode must return a materialized result")
+  }
+
   test("exact dedup collapses duplicated text") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")
