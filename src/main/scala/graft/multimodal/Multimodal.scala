@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL via the JDK's own codecs
   * ([[Decoders.imageio]] — PNG/JPEG/GIF/BMP ship with every JVM, no
-  * external library). Audio/video codec work remains STUBBED (this
-  * container ships no av libraries): [[Decoders.fake]] is the
-  * deterministic stand-in. The Spark-side contract — schema, encoders,
-  * batch shape, partition-local lifecycle, partitioning strategy — is
-  * identical for both; swapping decoders changes one function value.
+  * external library), and so is audio ([[Decoders.wav]] —
+  * javax.sound.sampled parses WAV/AIFF/AU headers and PCM frames, also
+  * JDK-native). Only VIDEO codec work remains STUBBED (no JDK video
+  * support and this container ships no av libraries):
+  * [[Decoders.fake]]/[[Decoders.fakeAudio]] are the deterministic
+  * stand-ins. The Spark-side contract — schema, encoders, batch shape,
+  * partition-local lifecycle, partitioning strategy — is identical for
+  * real and fake; swapping decoders changes one function value.
   */
 object Multimodal {
 
@@ -31,8 +34,16 @@ object Multimodal {
   /** A sampled video frame reference (decode deferred). */
   case class FrameRef(media_id: Long, frame_idx: Int, offset_ms: Long)
 
+  /** Decoded-audio feature row. */
+  case class AudioFeatures(media_id: Long, duration_ms: Long, sample_rate: Int,
+                           channels: Int, rms: Double)
+
   /** Decoder contract: bytes → (width, height, channels, meanLuma). */
   type ImageDecoder = Array[Byte] => (Int, Int, Int, Double)
+
+  /** Audio decoder contract: bytes → (durationMs, sampleRate, channels,
+    * rms) with rms over all channels' samples normalized to [-1, 1]. */
+  type AudioDecoder = Array[Byte] => (Long, Int, Int, Double)
 
   object Decoders {
     /** Deterministic fake decoder: dimensions/luma derived from the
@@ -84,6 +95,74 @@ object Multimodal {
       }
       (w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h) / 255.0)
     }
+
+    /** Deterministic fake audio decoder: the video stand-in (no JDK
+      * video support; container ships no av libraries). STUB — same
+      * derivation style as [[fake]]. */
+    val fakeAudio: AudioDecoder = bytes => {
+      val h = java.util.Arrays.hashCode(bytes)
+      val durationMs = 1000L + math.abs(h % 30000)
+      val rate = Array(8000, 16000, 22050, 44100)(math.abs(h / 7) % 4)
+      val rms = (math.abs(h.toLong / 31) % 1000).toDouble / 1000.0
+      (durationMs, rate, 1 + math.abs(h / 3) % 2, rms)
+    }
+
+    /** Real JDK audio decoder (javax.sound.sampled — WAV/AIFF/AU header
+      * parsing and PCM frame access ship with every JVM, zero added
+      * dependencies): bytes → (duration ms, sample rate, channels, RMS
+      * level). RMS is over all channels' samples normalized to [-1, 1].
+      * Supports the PCM encodings the JDK reads natively (signed 16-bit
+      * either endianness, signed/unsigned 8-bit); anything else —
+      * compressed codecs, float WAV — throws IllegalArgumentException:
+      * route through the failure path (DLQ, A5) like undecodable images.
+      */
+    val wav: AudioDecoder = bytes => {
+      import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+        catch {
+          case e: UnsupportedAudioFileException =>
+            throw new IllegalArgumentException(
+              s"no installed audio reader decodes this ${bytes.length}-byte payload", e)
+        }
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+          (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+        if (!ok) throw new IllegalArgumentException(
+          s"unsupported PCM shape: encoding=$enc bits=$bits")
+        val channels = fmt.getChannels
+        val frameBytes = fmt.getFrameSize
+        val nFrames = ais.getFrameLength
+        val durationMs = math.round(nFrames * 1000.0 / fmt.getFrameRate)
+        // Stream frames through a bounded buffer (whole-clip buffering
+        // would scale memory with clip length, not batch size).
+        val buf = new Array[Byte](frameBytes * 1024)
+        var sumSq = 0.0
+        var n = 0L
+        var read = ais.read(buf)
+        while (read > 0) {
+          var i = 0
+          while (i + (bits / 8) <= read) {
+            val sample: Double =
+              if (bits == 16) {
+                val (lo, hi) = if (fmt.isBigEndian) (buf(i + 1), buf(i)) else (buf(i), buf(i + 1))
+                ((hi << 8) | (lo & 0xFF)).toShort / 32768.0
+              } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED) {
+                ((buf(i) & 0xFF) - 128) / 128.0
+              } else buf(i) / 128.0
+            sumSq += sample * sample
+            n += 1
+            i += bits / 8
+          }
+          read = ais.read(buf)
+        }
+        val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+        (durationMs, math.round(fmt.getSampleRate), channels, rms)
+      } finally ais.close()
+    }
   }
 
   /** Ingest media files as [[MediaItem]]s via Spark's `binaryFile`
@@ -126,6 +205,21 @@ object Multimodal {
         batch.map { m =>
           val (w, h, c, luma) = decoder(m.data)
           ImageFeatures(m.media_id, w, h, c, luma)
+        }
+      }
+    }
+  }
+
+  /** Decode + feature-extract audio clips — same partition-local batch
+    * lifecycle as [[decodeImages]]. */
+  def decodeAudio(items: Dataset[MediaItem],
+                  decoder: AudioDecoder = Decoders.wav): Dataset[AudioFeatures] = {
+    implicit val enc = Encoders.product[AudioFeatures]
+    items.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.map { m =>
+          val (durMs, rate, ch, rms) = decoder(m.data)
+          AudioFeatures(m.media_id, durMs, rate, ch, rms)
         }
       }
     }

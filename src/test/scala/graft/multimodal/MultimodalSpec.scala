@@ -67,6 +67,70 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(bId).width == 12 && math.abs(feats(bId).mean_luma - 1.0) < 1e-9)
   }
 
+  /** A real PCM WAV, written in memory through the JDK's own encoder so
+    * the decoder is tested against genuine RIFF bytes, not hand-rolled
+    * headers. Returns (bytes, the exact quantized samples written). */
+  private def wav(rate: Float, bits: Int, channels: Int, signed: Boolean,
+                  bigEndian: Boolean, samples: Array[Short]): (Array[Byte], Array[Short]) = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, bits, channels, signed, bigEndian)
+    val frameBytes = fmt.getFrameSize
+    val raw = new Array[Byte](samples.length * (bits / 8))
+    var i = 0
+    samples.foreach { s =>
+      if (bits == 16) {
+        val (b0, b1) = if (bigEndian) ((s >> 8).toByte, s.toByte) else (s.toByte, (s >> 8).toByte)
+        raw(i) = b0; raw(i + 1) = b1; i += 2
+      } else {
+        raw(i) = (if (signed) s else s + 128).toByte; i += 1
+      }
+    }
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(raw), fmt,
+      samples.length / channels)
+    val out = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, out)
+    assert(raw.length % frameBytes == 0)
+    (out.toByteArray, samples)
+  }
+
+  test("wav decoder extracts real duration/rate/channels/rms from actual PCM WAVs") {
+    // 16-bit mono sine at 8 kHz: expected RMS computed from the SAME
+    // quantized samples the encoder wrote — bit-exact comparison.
+    val sine = Array.tabulate[Short](8000)(n =>
+      math.round(0.5 * 32767.0 * math.sin(2 * math.Pi * 440 * n / 8000.0)).toShort)
+    val (sineBytes, s1) = wav(8000f, 16, 1, signed = true, bigEndian = false, sine)
+    val expRms = math.sqrt(s1.map(s => (s / 32768.0) * (s / 32768.0)).sum / s1.length)
+    val items = Seq(MediaItem(1L, "audio/wav", sineBytes, Map.empty)).toDS()
+    val f = decodeAudio(items, Decoders.wav).head()
+    assert(f.duration_ms == 1000L, s"8000 frames at 8 kHz = 1 s, got ${f.duration_ms}")
+    assert(f.sample_rate == 8000 && f.channels == 1)
+    assert(math.abs(f.rms - expRms) < 1e-12, s"rms ${f.rms} != $expRms")
+
+    // stereo 16-bit: frames interleave L/R, RMS spans both channels
+    val stereo = Array.tabulate[Short](2000)(n => if (n % 2 == 0) 16384 else -16384)
+    val (stBytes, s2) = wav(4000f, 16, 2, signed = true, bigEndian = false, stereo)
+    val expSt = math.sqrt(s2.map(s => (s / 32768.0) * (s / 32768.0)).sum / s2.length)
+    val fs = decodeAudio(Seq(MediaItem(2L, "audio/wav", stBytes, Map.empty)).toDS(),
+      Decoders.wav).head()
+    assert(fs.channels == 2 && fs.sample_rate == 4000)
+    assert(fs.duration_ms == 250L, "1000 stereo frames at 4 kHz = 250 ms")
+    assert(math.abs(fs.rms - expSt) < 1e-12)
+
+    // 8-bit unsigned PCM (the other JDK-native WAV shape)
+    val eight = Array.tabulate[Short](400)(n => ((n % 256) - 128).toShort)
+    val (u8Bytes, s3) = wav(8000f, 8, 1, signed = false, bigEndian = false, eight)
+    val exp8 = math.sqrt(s3.map(s => (s / 128.0) * (s / 128.0)).sum / s3.length)
+    val f8 = decodeAudio(Seq(MediaItem(3L, "audio/wav", u8Bytes, Map.empty)).toDS(),
+      Decoders.wav).head()
+    assert(math.abs(f8.rms - exp8) < 1e-12)
+
+    // undecodable bytes fail the task (DLQ upstream), like images
+    intercept[org.apache.spark.SparkException] {
+      decodeAudio(Seq(MediaItem(4L, "audio/wav", Array[Byte](9, 9, 9), Map.empty)).toDS(),
+        Decoders.wav).collect()
+    }
+  }
+
   test("resize caps the longest dimension, preserving aspect") {
     val feats = Seq(ImageFeatures(1, 400, 200, 3, 0.5)).toDS()
     val r = resize(feats, maxDim = 100).head()
