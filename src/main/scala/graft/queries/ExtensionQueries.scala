@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.{round2, round4, GeometricMean}
-import graft.operators.{Similarity, TextAnalysis, TextDedup}
+import graft.operators.{IvfIndex, Similarity, TextAnalysis, TextDedup}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -60,6 +60,43 @@ object ExtensionQueries {
         |ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
       (s, d) => Similarity.annTopK(t(s, d).embeddings, probeId = 0L, k = 5, bits = 6)),
 
+    GraftQuery(
+      // IVF ANN with the q12/qs02 self-check pattern: the oracle-hashed
+      // columns are the EXACT brute-force top-k (deterministic, DuckDB-
+      // expressible); the IVF side — KMeans codebook, nProbe=8 of
+      // nLists=16 inverted lists — is band-checked in Spark as
+      // recall@5 >= 0.8 against that exact top-k. A clustering drift
+      // that hurt recall flips recall_ok and fails the hash. The
+      // synthetic embeddings are near-random (top-1 cosine ≈ 0.37), the
+      // WORST regime for any partition-pruned ANN: measured recall@5 is
+      // 5/5 at both sf0.01 and sf0.1 with these settings but degrades
+      // sharply below half-corpus probing (2/5 at nProbe=4) — on
+      // clustered real-world embeddings the same index reaches high
+      // recall at much smaller probe fractions (IvfIndexSpec's
+      // recall-curve test shows the planted-cluster behavior).
+      "q26_similarity_ivf",
+      Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pe) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(p.pe, p.pe))) AS c
+        |  FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0)
+        |SELECT vec_id, ROUND(c * 10000) / 10000 + 0 AS score, CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM s ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d).embeddings
+        val brute = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+        val ivf = IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
+            nLists = 16, seed = 42L)
+          .searchById(probeId = 0L, k = 5, nProbe = 8)
+          .select(col("vec_id"))
+        val metric = brute.select("vec_id").join(ivf, "vec_id")
+          .agg((count(lit(1)) >= 4).as("recall_ok"))
+        brute.crossJoin(broadcast(metric))
+          .orderBy(col("score").desc, col("vec_id"))
+      }),
+
     // ---------------------------------------------------------------- Q27
     GraftQuery(
       "q27_text_wordcount",
@@ -89,6 +126,25 @@ object ExtensionQueries {
         .agg(count(lit(1)).as("n"))
         .select(col("user_id"), col("session_window.start").as("session_start"), col("n"))
         .orderBy("user_id", "session_start")),
+
+    GraftQuery(
+      // The STREAMING half of Q29, driver-visible: the same events
+      // replayed as watermark-bounded micro-batches (with deterministic
+      // late arrivals) through the streaming session_window operator in
+      // append mode must converge to the identical gaps-and-islands
+      // result the batch q29 oracle computes. See
+      // [[graft.streaming.StreamReplay]] for the replay protocol.
+      "st01_stream_session_replay",
+      Some("""WITH g AS (
+        |  SELECT user_id, ts,
+        |    SUM(CASE WHEN prev IS NULL OR ts - prev >= INTERVAL 10 MINUTE THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+        |  FROM (SELECT user_id, event_id, ts,
+        |          LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events) q)
+        |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n
+        |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.sessionReplay(
+        s, t(s, d).events.select("user_id", "event_id", "ts"))),
 
     GraftQuery(
       "q29_sliding_window",
