@@ -1,0 +1,110 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Deterministic batch-replay of a bounded event table through the
+  * STREAMING session-window operator: the driver-visible proof that
+  * [[StreamingOps.sessionCounts]] under watermark + append mode
+  * converges to the batch q29 result on the same inputs — not just in
+  * MemoryStream unit tests but through the oracle gate.
+  *
+  * Replay protocol (all derived from the data, so any scale factor
+  * works):
+  *   - rows are fed in `nChunks` event-time-ordered micro-batches;
+  *   - a deterministic subset of each chunk (event_id % 13 == 0) is
+  *     DISPLACED into the next chunk — genuinely late arrivals, but
+  *     bounded by one chunk's time span;
+  *   - the watermark delay is sized to twice the maximum chunk span, so
+  *     displaced rows are late-but-admitted: the streaming result must
+  *     then equal the batch gaps-and-islands oracle exactly (a dropped
+  *     row would break the hash — admission under lateness IS the
+  *     contract being verified);
+  *   - append mode only emits sessions the watermark has closed, so two
+  *     far-future sentinel rows (user_id = -1, filtered from the
+  *     output) advance the watermark past every real session: sentinel
+  *     one moves the watermark, sentinel two's batch flushes the state.
+  *
+  * This is a replay HARNESS: the driver-side collect of the bounded
+  * input is the point (a test feeding a stream), not a scale path — the
+  * production form is the same expression over readStream (Q29).
+  */
+object StreamReplay {
+
+  private val runSeq = new AtomicInteger(0)
+
+  /** Replays `events` (user_id, event_id, ts) through streaming session
+    * windows; returns (user_id, session_start, n) matching the batch
+    * q29 oracle. */
+  def sessionReplay(spark: SparkSession, events: DataFrame,
+                    gap: String = "10 minutes", nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(nChunks >= 2, "replay needs at least two chunks")
+
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"))
+      .as[(Long, Long, Timestamp)].collect().sortBy(r => (r._3.getTime, r._2))
+    require(rows.nonEmpty, "no events to replay")
+
+    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    val chunks = rows.grouped(chunkSize).toArray
+    val spanMs = chunks.map(c => c.last._3.getTime - c.head._3.getTime).max
+    val delayHours = math.max(1L, 2 * spanMs / 3600000L + 1)
+    val maxTs = rows.last._3.getTime
+    val delayMs = delayHours * 3600000L
+
+    // Displace the deterministic late subset one chunk forward.
+    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long, Timestamp)])
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        val late = i < chunks.length - 1 && r._2 % 13 == 0
+        fed(if (late) i + 1 else i) += r
+      }
+    }
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val stream = StreamingOps.sessionCounts(
+      ms.toDF.toDF("user_id", "event_id", "ts"),
+      tsCol = "ts", keyCol = "user_id", gap = gap, watermark = s"$delayHours hours")
+
+    val name = s"st_replay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    // Each micro-batch pays one state-store round trip PER shuffle
+    // partition; for a bounded replay that fixed cost dominates (the
+    // data per batch is small), so the stateful stages run at 8
+    // partitions instead of the session's 32 — a 4× cut in pure
+    // overhead, restored before returning. The partitioning of the
+    // RESULT is unaffected (the memory sink collects per batch).
+    val partitionsConf = "spark.sql.shuffle.partitions"
+    val oldPartitions = spark.conf.get(partitionsConf)
+    spark.conf.set(partitionsConf, "8")
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        fed.foreach { b =>
+          val batch = b.result()
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+        // Sentinels: the first advances the watermark past every real
+        // session end, the second's batch emits the flushed state.
+        ms.addData(Seq((-1L, -1L, new Timestamp(maxTs + 2 * delayMs))))
+        q.processAllAvailable()
+        ms.addData(Seq((-1L, -2L, new Timestamp(maxTs + 4 * delayMs))))
+        q.processAllAvailable()
+      } finally q.stop()
+    } finally spark.conf.set(partitionsConf, oldPartitions)
+
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"), col("session_start"), col("n"))
+      .orderBy("user_id", "session_start")
+  }
+}
