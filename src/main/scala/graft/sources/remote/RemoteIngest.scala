@@ -42,6 +42,34 @@ object RemoteIngest {
       finally client.close()
     }
 
+  /** Failure routing WITHOUT a DLQ: reset the visibility lease of the
+    * failed rows' messages so the queue redelivers them after
+    * `delaySec` — the reference's `Message.Fail` path
+    * (source_sqs.go:510-524: ChangeMessageVisibility with
+    * FailVisibilityTimeoutSeconds on transform/size-estimation
+    * failure; 0 = immediately redeliverable). The alternative to the
+    * DLQ route when the failure is transient (schema service down,
+    * enrichment timeout): do NOT ack the failed rows, call this
+    * instead, and the messages re-enter the queue after the delay —
+    * with DLQ routing (A5) reserved for poison payloads.
+    *
+    * Distributed like [[ackAfterWrite]]: one client per partition,
+    * chunked ≤ 10 via [[AckDispatcher.extendAll]] (the service's batch
+    * form of the reference's per-message call). A partial failure
+    * throws — the affected messages simply redeliver when their
+    * ORIGINAL lease lapses, so the failure path degrades to a longer
+    * delay, never to loss.
+    */
+  def failWithDelay(batch: DataFrame, factory: RemoteQueueClientFactory,
+                    delaySec: Int, handleCol: String = "ack_handle"): Unit = {
+    require(delaySec >= 0, s"fail visibility delay must be non-negative, got $delaySec")
+    batch.select(col(handleCol)).foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+      val client = factory.create()
+      try { AckDispatcher.extendAll(client, rows.map(_.getString(0)), delaySec); () }
+      finally client.close()
+    }
+  }
+
   /** Start a keep-alive that re-extends the visibility lease of
     * `handles` every `renewEveryMs` while a long flush runs — the
     * reference's per-flush lease goroutine (ingestor.go:618-648) on the
