@@ -256,6 +256,41 @@ object TextDedup {
     }
   }
 
+  /** Corpus-wide paragraph-level dedup (the C4/RefinedWeb curation
+    * step): every paragraph that occurs more than once ACROSS the whole
+    * corpus survives only at its first occurrence — ordered by
+    * (doc_id, position) — and each document is reassembled from its
+    * surviving paragraphs in original order. Documents left with no
+    * surviving paragraph are dropped (their content exists verbatim
+    * elsewhere).
+    *
+    * One shuffle keyed on the paragraph text (global first-occurrence
+    * aggregation) + one shuffle back on doc_id for reassembly — never
+    * all-pairs. At 100 TB the group key would be a 128-bit content hash
+    * instead of the raw paragraph string (same plan shape, narrower
+    * exchange); the raw string is used here so the DuckDB oracle can
+    * express the identical algorithm.
+    *
+    * Output: (doc_id, text) with `text` the surviving paragraphs joined
+    * by `sep`.
+    */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text", sep: String = "\n\n"): DataFrame = {
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("para_idx", "para")))
+      .filter(length(trim(col("para"))) > 0)
+    // Global first occurrence per paragraph: min (doc_id, para_idx).
+    val keepers = paras.groupBy("para")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("keep"))
+      .select(col("para"), col("keep.doc_id").as("doc_id"),
+        col("keep.para_idx").as("para_idx"))
+    paras.join(keepers, Seq("para", "doc_id", "para_idx"), "left_semi")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+        x => x("para")), sep).as("text"))
+  }
+
   /** SimHash fingerprints (doc_id, fp): `bits`-bit simhash over the
     * shingle set. Bit k of a shingle = bit (k%4) of hex digit (k/4) of
     * md5(shingle); fp bit k = sign of the ±1 vote sum.

@@ -116,6 +116,32 @@ object TrainingPipeline {
 
   /** Per-language corpus budget over the curated set:
     * (pred_lang, n_docs, total_tokens, avg_quality). */
+  /** Train/eval contamination check: for every training document, the
+    * number of distinct word n-grams it shares with ANY held-out
+    * document — the standard decontamination pass run before training
+    * (n-gram containment, cf. GPT-3/PaLM appendix methodology). Returns
+    * every train row: (doc_id, n_shared, contaminated).
+    *
+    * Plan shape: both sides explode to DISTINCT (doc, shingle) pairs;
+    * the join is keyed on the shingle with the held-out side reduced to
+    * distinct shingles first (holdout is the small side — eval sets are
+    * orders of magnitude smaller than training corpora — so at scale
+    * this is a broadcast of the holdout shingle set, no shuffle of the
+    * train side beyond the explode). Never all-pairs.
+    */
+  def contaminationCheck(train: DataFrame, holdout: DataFrame, n: Int = 5,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainSh = TextDedup.shingleSet(train, idCol, textCol, n)
+    val holdSh = TextDedup.shingleSet(holdout, idCol, textCol, n)
+      .select("s").distinct()
+    val counts = trainSh.join(holdSh, Seq("s"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    train.select(col(idCol).as("doc_id"))
+      .join(counts, Seq("doc_id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated", col("n_shared") > 0)
+  }
+
   def languageBudget(curated: DataFrame): DataFrame =
     curated.groupBy("pred_lang")
       .agg(

@@ -441,6 +441,34 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     GraftQuery(
+      // Train/eval contamination (n-gram containment decontamination
+      // pass): every train document's count of distinct 4-grams shared
+      // with the held-out set (doc_id % 50 == 0 stands in for the eval
+      // split). At 4-gram granularity the planted near-duplicates that
+      // straddle the split boundary surface as contaminated (19 of 490
+      // at sf0.01) while random vocabulary overlap does not.
+      "tp05_contamination",
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS t FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, s FROM (
+        |  SELECT doc_id, unnest([t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]
+        |    for i in range(1, greatest(len(t)-2,1))]) AS s FROM toks) q),
+        |hold AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0),
+        |c AS (SELECT sh.doc_id, count(*) AS n_shared FROM sh JOIN hold USING (s)
+        |  WHERE sh.doc_id % 50 <> 0 GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(c.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(c.n_shared, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id % 50 <> 0 ORDER BY d.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d).documents
+        graft.operators.TrainingPipeline.contaminationCheck(
+            docs.filter(col("doc_id") % 50 =!= 0),
+            docs.filter(col("doc_id") % 50 === 0), n = 4)
+          .orderBy("doc_id")
+      }),
+
+    GraftQuery(
       // Scale-safe global ranking (graft.operators.GlobalRank): the
       // two-phase distributed row-number path, verified bit-identical to
       // the window-function semantics by the DuckDB window oracle. The
@@ -562,6 +590,33 @@ object ExtensionQueries {
             .select(col("doc_a"), col("doc_b"), col("hamming").cast("int").as("hamming"))
             .orderBy("doc_a", "doc_b")
         }
+      }),
+
+    GraftQuery(
+      // Corpus-wide paragraph dedup (C4/RefinedWeb curation step). The
+      // corpus has no natural paragraph breaks, so the entry first
+      // chunks each document into deterministic 10-token "paragraphs"
+      // (same derivation in the oracle) and then removes every
+      // paragraph that occurs elsewhere in the corpus at an earlier
+      // (doc_id, position), reassembling documents in order.
+      "dd07_paragraph_dedup",
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i AS para_idx, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS para
+        |  FROM toks, unnest(range(0, CAST(ceil(len(t)/10.0) AS BIGINT))) q(i)),
+        |ranked AS (SELECT doc_id, para_idx, para,
+        |  ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, para_idx) AS rn FROM chunks)
+        |SELECT doc_id, string_agg(para, e'\n\n' ORDER BY para_idx) AS text
+        |FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+        val chunked = t(s, d).documents.select(col("doc_id"),
+          array_join(
+            transform(sequence(lit(0), floor((size(toks) - 1) / 10).cast("int")),
+              i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))),
+            "\n\n").as("text"))
+        TextDedup.paragraphDedup(chunked).orderBy("doc_id")
       }),
 
     GraftQuery(

@@ -63,6 +63,31 @@ class DedupSpec extends SparkSpec {
       "eager mode must return a materialized result")
   }
 
+  test("paragraph dedup keeps first global occurrence and reassembles in order") {
+    val d = Seq(
+      (1L, "A\n\nB\n\nC"),   // first occurrences of A, B, C
+      (2L, "B\n\nD"),        // B duplicated -> only D survives
+      (3L, "A\n\nA"),        // both copies lose to (1,0) -> doc dropped
+      (4L, "E\n\nE"),        // first copy survives, within-doc dup removed
+      (5L, "C\n\nF\n\nB"))   // C and B lose, F survives
+      .toDF("doc_id", "text")
+    val got = TextDedup.paragraphDedup(d).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, "A\n\nB\n\nC"),
+      (2L, "D"),
+      (4L, "E"),
+      (5L, "F")))
+  }
+
+  test("paragraph dedup never pairs documents — the plan is group/join on the paragraph") {
+    // one shuffle keyed on para + semi-join back: no cartesian/BNLJ
+    val d = Seq((1L, "x\n\ny"), (2L, "y\n\nz")).toDF("doc_id", "text")
+    val plan = TextDedup.paragraphDedup(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"paragraph dedup must stay an equi-join plan:\n${plan.take(600)}")
+  }
+
   test("exact dedup collapses duplicated text") {
     val d = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
       .toDF("doc_id", "text")

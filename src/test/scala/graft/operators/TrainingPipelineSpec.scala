@@ -100,4 +100,26 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(b.map(_._1).sorted.toSeq == b.map(_._1).toSeq, "ordered by language")
     assert(b.forall { case (_, n, toks, q) => n > 0 && toks >= n * 20 && q >= 0.5 })
   }
+
+  test("contaminationCheck counts shared n-grams per train doc, zero-filled") {
+    import org.apache.spark.sql.functions._
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 4-grams with holdout
+      (2L, "entirely different words in this document here"),
+      (3L, "quick brown fox jumps")) // exactly one 4-gram, shared
+      .toDF("doc_id", "text")
+    val holdout = Seq((100L, "a quick brown fox jumps over fences daily"))
+      .toDF("doc_id", "text")
+    val got = TrainingPipeline.contaminationCheck(train, holdout, n = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    // holdout 4-grams include "quick brown fox jumps", "brown fox jumps over"
+    assert(got == Seq((1L, 2L, true), (2L, 0L, false), (3L, 1L, true)))
+    // every train row appears exactly once, even when clean
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    // the holdout side reduces to distinct shingles before the join
+    val plan = TrainingPipeline.contaminationCheck(train, holdout, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "containment must stay an equi-join")
+  }
 }
