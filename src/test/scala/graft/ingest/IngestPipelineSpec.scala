@@ -167,6 +167,11 @@ class IngestPipelineSpec extends SparkSpec {
   test("WorkerControl changes flush parallelism live, between micro-batches") {
     val (sink, cp) = (tmpDir("sink"), tmpDir("cp"))
     val wid = "live-workers-pipe"
+    // the shared ControlKnob contract: clamp-below-1 semantics cannot
+    // drift between the two actuation paths (pollers / flush workers)
+    val knob: ControlKnob = WorkerControl
+    knob.set(wid, 0)
+    assert(WorkerControl.get(wid).contains(1), "values below 1 clamp to 1")
     WorkerControl.clear(wid)
     val p = IngestPipeline[Item](new ItemTransformer(), sink, cp,
       policy = BatchPolicy(flushIntervalMs = 0L), writePartitions = Some(1),

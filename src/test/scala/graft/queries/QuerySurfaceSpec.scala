@@ -34,4 +34,17 @@ class QuerySurfaceSpec extends SparkSpec {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnlyAllowed
     assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
+
+  test("the surface is exactly the two declared lists, with globally unique names") {
+    // allQueries is the driver contract; it must be the concatenation of
+    // the relational and extension surfaces with no name claimed twice
+    // (a duplicate name would make Verify/Bench silently drop an entry
+    // through the Map view).
+    val declared: Seq[GraftQuery] = RelationalQueries.all ++ ExtensionQueries.all
+    assert(SparkEntry.allQueries.map(_.name) == declared.map(_.name))
+    val dupes = declared.groupBy(_.name).filter(_._2.size > 1).keys
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(declared.forall(_.name.matches("[a-z][a-z0-9_]+")),
+      "entry names are snake_case (driver/oracle file-name safe)")
+  }
 }
