@@ -4,7 +4,7 @@ import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.round2
+import graft.functions.{round2, round4}
 
 /** The relational operator surface (SURVEY.md §2-B Q1–Q25, Q28).
   *
@@ -844,6 +844,72 @@ object RelationalQueries {
             (col("p_brand") === "Brand#3" && col("p_size").between(1, 35) && col("l_quantity").between(20, 40)))
           .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
             / 100.0).as("revenue"))
+      }),
+
+    GraftQuery(
+      // TPC-H Q1 shape (pricing summary): THE canonical scan-heavy
+      // multi-aggregate — one pass over lineitem, six aggregates per
+      // (returnflag, linestatus) group, all map-side partial. Money sums
+      // use the integer-cents pattern (FLOOR(x*100+0.5)) so the FP sum
+      // order can't produce engine-dependent last-bit drift (q35/q36
+      // convention); averages go through the FP-path rounding helpers.
+      "q41_tpch1_shape",
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_disc_price,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS sum_charge,
+        |  ROUND(AVG(l_quantity) * 100) / 100 + 0 AS avg_qty,
+        |  ROUND(AVG(l_discount) * 10000) / 10000 + 0 AS avg_disc,
+        |  CAST(COUNT(*) AS BIGINT) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => {
+        def cents(c: org.apache.spark.sql.Column) = sum(floor(c * 100 + 0.5))
+        t(s, d).lineitem
+          .filter(col("l_shipdate") <= lit("2001-09-01").cast("timestamp"))
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(
+            round2(sum("l_quantity")).as("sum_qty"),
+            (cents(col("l_extendedprice")) / 100.0).as("sum_base_price"),
+            (cents(col("l_extendedprice") * (lit(1) - col("l_discount"))) / 100.0)
+              .as("sum_disc_price"),
+            (cents(col("l_extendedprice") * (lit(1) - col("l_discount"))
+              * (lit(1) + col("l_tax"))) / 100.0).as("sum_charge"),
+            round2(avg("l_quantity")).as("avg_qty"),
+            round4(avg("l_discount")).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+
+    GraftQuery(
+      // TPC-H Q13 shape (customer order distribution): a LEFT OUTER join
+      // whose non-key predicate lives in the JOIN condition (not the
+      // WHERE — moving it would drop the zero-order customers), then a
+      // two-level aggregation: orders per customer, customers per order
+      // count. The outer join preserves every customer; count(o_orderkey)
+      // counts only matched rows, so no-order customers land in the
+      // c_count=0 bucket instead of disappearing.
+      "q42_tpch13_shape",
+      Some("""WITH c_orders AS (
+        |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        |FROM c_orders GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        tb.customer.join(tb.orders,
+            col("c_custkey") === col("o_custkey") && col("o_orderpriority") =!= "1-URGENT",
+            "left")
+          .groupBy("c_custkey")
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy("c_count")
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
       }),
 
     GraftQuery(
