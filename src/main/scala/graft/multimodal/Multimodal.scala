@@ -136,6 +136,10 @@ object Multimodal {
         val channels = fmt.getChannels
         val frameBytes = fmt.getFrameSize
         val nFrames = ais.getFrameLength
+        // AU headers may declare unknown data size -> NOT_SPECIFIED (-1);
+        // a fabricated ~0 duration must not flow downstream as a feature
+        if (nFrames < 0) throw new IllegalArgumentException(
+          "audio stream declares no frame length (unknown data size header)")
         val durationMs = math.round(nFrames * 1000.0 / fmt.getFrameRate)
         // Stream frames through a bounded buffer (whole-clip buffering
         // would scale memory with clip length, not batch size).

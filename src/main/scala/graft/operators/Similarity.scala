@@ -23,7 +23,15 @@ object Similarity {
     * and Catalyst plans the top-k as TakeOrderedAndProject (per-partition
     * heap + driver merge of k rows, no global sort).
     */
-  def bruteForceTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+  def bruteForceTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame =
+    bruteForceTopKRaw(emb, probeId, k)
+      .select(col("vec_id"), round4(col("score0")).as("score"))
+
+  /** [[bruteForceTopK]] with the UNROUNDED score0 kept alongside the
+    * rounded score — for compositions that must re-sort downstream of a
+    * join: sorting on the rounded value could diverge from the oracle's
+    * unrounded order when two distinct cosines round equal. */
+  def bruteForceTopKRaw(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
     val probe = emb.filter(col("vec_id") === probeId)
       .select(asDouble(col("embedding")).as("pe"))
     emb.filter(col("vec_id") =!= probeId)
@@ -32,7 +40,6 @@ object Similarity {
         cosine_similarity(asDouble(col("embedding")), col("pe")).as("score0"))
       .orderBy(col("score0").desc, col("vec_id"))
       .limit(k)
-      .select(col("vec_id"), round4(col("score0")).as("score"))
   }
 
   /** Sign-bit LSH bucket key: one hyperplane per leading dimension

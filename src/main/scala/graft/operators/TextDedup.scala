@@ -275,11 +275,20 @@ object TextDedup {
     * by `sep`.
     */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
-                     textCol: String = "text", sep: String = "\n\n"): DataFrame = {
-    val paras = docs.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-          .as(Seq("para_idx", "para")))
-      .filter(length(trim(col("para"))) > 0)
+                     textCol: String = "text", sep: String = "\n\n"): DataFrame =
+    paragraphDedupFromParas(
+      docs.select(col(idCol).as("doc_id"),
+          posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+            .as(Seq("para_idx", "para")))
+        .filter(length(trim(col("para"))) > 0),
+      sep)
+
+  /** [[paragraphDedup]] over already-exploded (doc_id, para_idx, para)
+    * rows — for callers that derive paragraphs some other way (chunked
+    * tokens, markup-aware splitters) and must not round-trip them
+    * through a separator-joined string (a paragraph containing the
+    * separator would re-split differently). */
+  def paragraphDedupFromParas(paras: DataFrame, sep: String = "\n\n"): DataFrame = {
     // Global first occurrence per paragraph: min (doc_id, para_idx).
     val keepers = paras.groupBy("para")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("keep"))

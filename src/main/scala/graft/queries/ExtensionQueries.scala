@@ -86,7 +86,10 @@ object ExtensionQueries {
         |FROM s ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
       (s, d) => {
         val emb = t(s, d).embeddings
-        val brute = Similarity.bruteForceTopK(emb, probeId = 0L, k = 5)
+        // keep the UNROUNDED score through the crossJoin and sort on it:
+        // the oracle orders by the raw cosine, and two distinct cosines
+        // that round equal would otherwise order differently
+        val brute = Similarity.bruteForceTopKRaw(emb, probeId = 0L, k = 5)
         val ivf = IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
             nLists = 16, seed = 42L)
           .searchById(probeId = 0L, k = 5, nProbe = 8)
@@ -94,7 +97,8 @@ object ExtensionQueries {
         val metric = brute.select("vec_id").join(ivf, "vec_id")
           .agg((count(lit(1)) >= 4).as("recall_ok"))
         brute.crossJoin(broadcast(metric))
-          .orderBy(col("score").desc, col("vec_id"))
+          .orderBy(col("score0").desc, col("vec_id"))
+          .select(col("vec_id"), round4(col("score0")).as("score"), col("recall_ok"))
       }),
 
     // ---------------------------------------------------------------- Q27
@@ -610,13 +614,16 @@ object ExtensionQueries {
         |SELECT doc_id, string_agg(para, e'\n\n' ORDER BY para_idx) AS text
         |FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin),
       (s, d) => {
+        // chunks go to the dedup as exploded rows, NOT via a joined
+        // string (a token containing the separator would re-split
+        // differently from the oracle's direct list formulation)
         val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
-        val chunked = t(s, d).documents.select(col("doc_id"),
-          array_join(
-            transform(sequence(lit(0), floor((size(toks) - 1) / 10).cast("int")),
-              i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))),
-            "\n\n").as("text"))
-        TextDedup.paragraphDedup(chunked).orderBy("doc_id")
+        val paras = t(s, d).documents.select(col("doc_id"),
+            posexplode(transform(sequence(lit(0), floor((size(toks) - 1) / 10).cast("int")),
+              i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))))
+              .as(Seq("para_idx", "para")))
+          .filter(length(trim(col("para"))) > 0)
+        TextDedup.paragraphDedupFromParas(paras).orderBy("doc_id")
       }),
 
     GraftQuery(

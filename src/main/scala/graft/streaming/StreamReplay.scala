@@ -1,11 +1,14 @@
 package graft.streaming
 
+import java.nio.file.Files
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
 
 /** Deterministic batch-replay of a bounded event table through the
   * STREAMING session-window operator: the driver-visible proof that
@@ -102,9 +105,26 @@ object StreamReplay {
       } finally q.stop()
     } finally spark.conf.set(partitionsConf, oldPartitions)
 
-    spark.table(name)
+    // The memory-sink table and the checkpoint dir are per-call scratch:
+    // materialize the (small) result locally, then drop the view and
+    // delete the checkpoint so repeated replays (bench passes,
+    // long-lived sessions) don't accumulate driver-heap tables and disk.
+    val out = spark.table(name)
       .filter(col("user_id") >= 0)
       .select(col("user_id"), col("session_start"), col("n"))
       .orderBy("user_id", "session_start")
+    val schema = out.schema
+    val resultRows = out.collect()
+    spark.catalog.dropTempView(name)
+    def rmRec(p: java.nio.file.Path): Unit = {
+      if (Files.isDirectory(p)) {
+        val children = Files.list(p)
+        val list = try children.iterator().asScala.toList finally children.close()
+        list.foreach(rmRec)
+      }
+      Files.deleteIfExists(p)
+    }
+    rmRec(java.nio.file.Paths.get(cp))
+    spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
   }
 }

@@ -50,8 +50,11 @@ object CoverRank {
   def scan(root: Path): Seq[FileStat] = {
     def walk(dir: Path): Seq[Path] =
       if (!Files.exists(dir)) Nil
-      else Files.walk(dir).iterator().asScala.toSeq
-        .filter(p => p.toString.endsWith(".scala"))
+      else {
+        val stream = Files.walk(dir)
+        try stream.iterator().asScala.toSeq.filter(_.toString.endsWith(".scala"))
+        finally stream.close() // Files.walk holds open directory handles
+      }
     val ignore = loadIgnore(root)
     val mainFiles = walk(root.resolve("src/main/scala"))
       .filterNot(p => ignore.exists(rule => p.toString.contains(rule)))
@@ -68,14 +71,18 @@ object CoverRank {
             .filterNot(Set("apply", "main", "unapply"))
         else Nil
       val names = (types ++ types.map(snake) ++ defNames).distinct
+      // one compiled pattern per main file, reused across all test files
+      // (per-(name, test-file) compilation would recompile the same
+      // regex thousands of times per scan)
+      val namePattern = if (names.isEmpty) None
+        else Some(("""\b(?:""" +
+          names.map(java.util.regex.Pattern.quote).mkString("|") + """)\b""").r)
       val base = p.getFileName.toString.stripSuffix(".scala")
       val refs = testFiles.collect {
         // the <Base>Spec.scala convention pairs a spec with its subject
         // even when the subject is wired indirectly (session extensions)
         case (tp, tsrc) if tp.getFileName.toString == s"${base}Spec.scala" ||
-          names.exists(t =>
-            ("""\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
-              .findFirstIn(tsrc).isDefined) =>
+          namePattern.exists(_.findFirstIn(tsrc).isDefined) =>
           root.relativize(tp).toString
       }
       FileStat(root.relativize(p).toString, types, refs)
