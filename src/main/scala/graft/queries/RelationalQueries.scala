@@ -913,6 +913,129 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // TPC-H Q7 shape (volume shipping): the 6-table snowflake join —
+      // lineitem→orders→customer and lineitem→supplier, each side
+      // resolving to its nation — with a cross-national filter and a
+      // (supp_nation, cust_nation, year) rollup. The two nation dims
+      // broadcast; only the fact-side keys shuffle.
+      "q43_tpch7_shape",
+      Some("""SELECT supp_nation, cust_nation, l_year,
+        |  CAST(SUM(cents) AS BIGINT) / 100.0 AS revenue
+        |FROM (
+        |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |    CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+        |    CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem
+        |    JOIN orders ON o_orderkey = l_orderkey
+        |    JOIN supplier ON s_suppkey = l_suppkey
+        |    JOIN customer ON c_custkey = o_custkey
+        |    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+        |    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+        |  WHERE n1.n_name <> n2.n_name) q
+        |GROUP BY supp_nation, cust_nation, l_year
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val n1 = tb.nation.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+        val n2 = tb.nation.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+        tb.lineitem
+          .join(tb.orders, col("o_orderkey") === col("l_orderkey"))
+          .join(tb.supplier, col("s_suppkey") === col("l_suppkey"))
+          .join(tb.customer, col("c_custkey") === col("o_custkey"))
+          .join(broadcast(n1), col("s_nk") === col("s_nationkey"))
+          .join(broadcast(n2), col("c_nk") === col("c_nationkey"))
+          .filter(col("supp_nation") =!= col("cust_nation"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+            / 100.0).as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      }),
+
+    GraftQuery(
+      // TPC-H Q15 shape (top supplier): quarter-bounded revenue per
+      // supplier, then the supplier(s) AT the maximum — an agg feeding a
+      // scalar-max filter (Catalyst plans the max as a 1-row broadcast,
+      // not a self-join recompute of the CTE).
+      "q44_tpch15_shape",
+      Some("""WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, cents / 100.0 AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE cents = (SELECT MAX(cents) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val revenue = tb.lineitem
+          .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+          .groupBy(col("l_suppkey").as("supplier_no"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5))
+            .cast("long").as("cents"))
+        val maxCents = revenue.agg(max("cents").as("max_cents"))
+        tb.supplier.join(revenue, col("s_suppkey") === col("supplier_no"))
+          .join(broadcast(maxCents), col("cents") === col("max_cents"))
+          .select(col("s_suppkey"), col("s_name"), (col("cents") / 100.0).as("total_revenue"))
+          .orderBy("s_suppkey")
+      }),
+
+    GraftQuery(
+      // TPC-H Q17 shape (small-quantity-order revenue): the classic
+      // correlated scalar subquery (per-part average quantity), written
+      // Spark-first in its decorrelated form — a grouped avg joined back
+      // on the part key — which is exactly the plan Catalyst's
+      // decorrelation produces for the subquery formulation the oracle
+      // uses.
+      "q45_tpch17_shape",
+      Some("""SELECT CAST(SUM(CAST(FLOOR(l1.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 / 7.0 AS avg_yearly
+        |FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l1.l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val partAvg = tb.lineitem.groupBy(col("l_partkey").as("pk"))
+          .agg((avg("l_quantity") * 0.2).as("qty_limit"))
+        tb.lineitem
+          .join(broadcast(tb.part.filter(col("p_brand") === "Brand#1")),
+            col("p_partkey") === col("l_partkey"))
+          .join(partAvg, col("pk") === col("l_partkey"))
+          .filter(col("l_quantity") < col("qty_limit"))
+          .agg((sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long") / 100.0 / 7.0)
+            .as("avg_yearly"))
+      }),
+
+    GraftQuery(
+      // TPC-H Q18 shape (large-volume customers): a HAVING over the
+      // fact-side rollup (orders whose total quantity clears a
+      // threshold) joined back to order + customer detail — the
+      // aggregate prunes BEFORE the dimension joins, so only qualifying
+      // orders shuffle into them.
+      "q46_tpch18_shape",
+      Some("""WITH big AS (
+        |  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |SELECT c_custkey, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, sum_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY sum_qty DESC, o_orderkey""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val big = tb.lineitem.groupBy("l_orderkey")
+          .agg(sum("l_quantity").as("raw_qty"))
+          .filter(col("raw_qty") > 300)
+          .select(col("l_orderkey"), round2(col("raw_qty")).as("sum_qty"))
+        big.join(tb.orders, col("o_orderkey") === col("l_orderkey"))
+          .join(tb.customer, col("c_custkey") === col("o_custkey"))
+          .select(col("c_custkey"), col("o_orderkey"), col("o_orderdate"), col("sum_qty"))
+          .orderBy(col("sum_qty").desc, col("o_orderkey"))
+      }),
+
+    GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
       // under readStream with a watermark); batch-checkable oracle.
       "q28_window_tumbling",

@@ -61,4 +61,28 @@ class PlanCheckSpec extends SparkSpec {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
     assert(plan.contains("cosine_similarity"))
   }
+
+  test("q41: single-pass scan with map-side partial aggregation and pushdown") {
+    val plan = physicalPlan("q41_tpch1_shape")
+    assert(plan.contains("PushedFilters: ["), "shipdate bound must reach the scan")
+    assert(plan.contains("partial_sum") || plan.contains("partial_"),
+      "six aggregates must combine map-side")
+    assert("Scan parquet".r.findAllIn(plan).size == 1, "Q1 is one pass over lineitem")
+  }
+
+  test("q43: nation dims broadcast; the snowflake join has no cartesian") {
+    val plan = physicalPlan("q43_tpch7_shape")
+    assert(plan.contains("BroadcastHashJoin"), "nation joins must broadcast")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q46: the HAVING aggregate prunes before the dimension joins") {
+    val plan = physicalPlan("q46_tpch18_shape")
+    // the quantity rollup + threshold filter must appear BELOW the joins
+    // in the plan tree: lineitem aggregates first, qualifying orders join
+    val aggIdx = plan.indexOf("HashAggregate")
+    val joinIdx = math.max(plan.indexOf("BroadcastHashJoin"), plan.indexOf("SortMergeJoin"))
+    assert(aggIdx >= 0 && joinIdx >= 0, s"expected agg and join in:\n${plan.take(400)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
