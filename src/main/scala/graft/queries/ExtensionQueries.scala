@@ -63,17 +63,18 @@ object ExtensionQueries {
     GraftQuery(
       // IVF ANN with the q12/qs02 self-check pattern: the oracle-hashed
       // columns are the EXACT brute-force top-k (deterministic, DuckDB-
-      // expressible); the IVF side — KMeans codebook, nProbe=8 of
+      // expressible); the IVF side — KMeans codebook, nProbe=10 of
       // nLists=16 inverted lists — is band-checked in Spark as
       // recall@5 >= 0.8 against that exact top-k. A clustering drift
       // that hurt recall flips recall_ok and fails the hash. The
       // synthetic embeddings are near-random (top-1 cosine ≈ 0.37), the
       // WORST regime for any partition-pruned ANN: measured recall@5 is
-      // 5/5 at both sf0.01 and sf0.1 with these settings but degrades
-      // sharply below half-corpus probing (2/5 at nProbe=4) — on
-      // clustered real-world embeddings the same index reaches high
-      // recall at much smaller probe fractions (IvfIndexSpec's
-      // recall-curve test shows the planted-cluster behavior).
+      // 5/5 at sf0.001/sf0.01/sf0.1 with these settings but degrades
+      // sharply with fewer probes (3/5 at nProbe=8 on sf0.001, 2/5 at
+      // nProbe=4 on sf0.01) — on clustered real-world embeddings the
+      // same index reaches high recall at much smaller probe fractions
+      // (IvfIndexSpec's recall-curve test shows the planted-cluster
+      // behavior).
       "q26_similarity_ivf",
       Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
         |s AS (
@@ -92,7 +93,7 @@ object ExtensionQueries {
         val brute = Similarity.bruteForceTopKRaw(emb, probeId = 0L, k = 5)
         val ivf = IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
             nLists = 16, seed = 42L)
-          .searchById(probeId = 0L, k = 5, nProbe = 8)
+          .searchById(probeId = 0L, k = 5, nProbe = 10)
           .select(col("vec_id"))
         val metric = brute.select("vec_id").join(ivf, "vec_id")
           .agg((count(lit(1)) >= 4).as("recall_ok"))

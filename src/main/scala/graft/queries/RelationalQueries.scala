@@ -998,11 +998,18 @@ object RelationalQueries {
         |                       FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)""".stripMargin),
       (s, d) => {
         val tb = t(s, d)
-        val partAvg = tb.lineitem.groupBy(col("l_partkey").as("pk"))
+        // The correlated avg is only needed for the brand's parts, so the
+        // brand filter prunes BOTH branches before the per-part shuffle —
+        // at scale this cuts the avg aggregation to 1/|brands| of
+        // lineitem instead of shuffling every part's rows (decorrelation
+        // alone would compute the avg over all parts).
+        val brandParts = broadcast(tb.part.filter(col("p_brand") === "Brand#1")
+          .select("p_partkey"))
+        val brandLines = tb.lineitem
+          .join(brandParts, col("p_partkey") === col("l_partkey"))
+        val partAvg = brandLines.groupBy(col("l_partkey").as("pk"))
           .agg((avg("l_quantity") * 0.2).as("qty_limit"))
-        tb.lineitem
-          .join(broadcast(tb.part.filter(col("p_brand") === "Brand#1")),
-            col("p_partkey") === col("l_partkey"))
+        brandLines
           .join(partAvg, col("pk") === col("l_partkey"))
           .filter(col("l_quantity") < col("qty_limit"))
           .agg((sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long") / 100.0 / 7.0)
