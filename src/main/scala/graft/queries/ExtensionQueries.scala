@@ -545,6 +545,38 @@ object ExtensionQueries {
       (s, d) => TextDedup.exactJaccardPairs(t(s, d).documents, threshold = 0.8)),
 
     GraftQuery(
+      // Connected components over the near-dup pair graph — the survivor
+      // -selection step of fullDedup, driver-visible: the Spark side is
+      // the iterative min-label propagation (per-round checkpoint, no
+      // graph library); the oracle computes the same component minima by
+      // transitive closure with a RECURSIVE CTE. Output: every vertex
+      // that appears in a pair, labelled with its component's min id.
+      "dd08_components",
+      Some(ShingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks") +
+        """,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh ta JOIN sh tb ON tb.s = ta.s AND ta.doc_id < tb.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT doc_id, CAST(LEAST(doc_id, MIN(d)) AS BIGINT) AS component
+        |FROM (SELECT s AS doc_id, d FROM reach) q
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextDedup.connectedComponents(
+          TextDedup.exactJaccardPairs(t(s, d).documents, threshold = 0.8))
+        .orderBy("doc_id")),
+
+    GraftQuery(
       "dd04_simhash",
       Some(ShingleCte +
         """,
