@@ -432,6 +432,14 @@ object TextDedup {
       iter += 1
     }
     edges.unpersist()
+    // Silently returning partially-propagated labels would make every
+    // downstream survivor decision wrong with no error signal (and
+    // diverge from any exact-closure oracle); a graph deeper than
+    // maxIter must FAIL, not degrade — callers with legitimately deep
+    // graphs raise maxIter (rounds needed = graph diameter).
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter iterations — " +
+        "pair-graph diameter exceeds maxIter; raise it")
     labels
   }
 

@@ -649,13 +649,16 @@ object ExtensionQueries {
       (s, d) => {
         // chunks go to the dedup as exploded rows, NOT via a joined
         // string (a token containing the separator would re-split
-        // differently from the oracle's direct list formulation)
+        // differently from the oracle's direct list formulation); no
+        // whitespace filter either — chunks of non-empty tokens are
+        // never empty, the oracle keeps every generated chunk, and a
+        // Spark-side trim filter would silently diverge on
+        // whitespace-only (non-space) tokens
         val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
         val paras = t(s, d).documents.select(col("doc_id"),
             posexplode(transform(sequence(lit(0), floor((size(toks) - 1) / 10).cast("int")),
               i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))))
               .as(Seq("para_idx", "para")))
-          .filter(length(trim(col("para"))) > 0)
         TextDedup.paragraphDedupFromParas(paras).orderBy("doc_id")
       }),
 

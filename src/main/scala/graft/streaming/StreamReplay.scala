@@ -1,14 +1,11 @@
 package graft.streaming
 
-import java.nio.file.Files
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-
-import scala.jdk.CollectionConverters._
 
 /** Deterministic batch-replay of a bounded event table through the
   * STREAMING session-window operator: the driver-visible proof that
@@ -86,6 +83,10 @@ object StreamReplay {
     val partitionsConf = "spark.sql.shuffle.partitions"
     val oldPartitions = spark.conf.get(partitionsConf)
     spark.conf.set(partitionsConf, "8")
+    // The memory-sink table and the checkpoint dir are per-call scratch:
+    // the result is materialized locally and BOTH are cleaned up in the
+    // finally — on failure too, so a flaky replay in a long-lived
+    // session never accumulates driver-heap tables or disk.
     try {
       val q = stream.writeStream.outputMode("append")
         .format("memory").queryName(name)
@@ -103,28 +104,18 @@ object StreamReplay {
         ms.addData(Seq((-1L, -2L, new Timestamp(maxTs + 4 * delayMs))))
         q.processAllAvailable()
       } finally q.stop()
-    } finally spark.conf.set(partitionsConf, oldPartitions)
-
-    // The memory-sink table and the checkpoint dir are per-call scratch:
-    // materialize the (small) result locally, then drop the view and
-    // delete the checkpoint so repeated replays (bench passes,
-    // long-lived sessions) don't accumulate driver-heap tables and disk.
-    val out = spark.table(name)
-      .filter(col("user_id") >= 0)
-      .select(col("user_id"), col("session_start"), col("n"))
-      .orderBy("user_id", "session_start")
-    val schema = out.schema
-    val resultRows = out.collect()
-    spark.catalog.dropTempView(name)
-    def rmRec(p: java.nio.file.Path): Unit = {
-      if (Files.isDirectory(p)) {
-        val children = Files.list(p)
-        val list = try children.iterator().asScala.toList finally children.close()
-        list.foreach(rmRec)
-      }
-      Files.deleteIfExists(p)
+      val out = spark.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("session_start"), col("n"))
+        .orderBy("user_id", "session_start")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      spark.conf.set(partitionsConf, oldPartitions)
+      try spark.catalog.dropTempView(name) catch { case _: Exception => () }
+      // does not follow directory symlinks (vs a hand-rolled Files.walk)
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
     }
-    rmRec(java.nio.file.Paths.get(cp))
-    spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
   }
 }

@@ -77,12 +77,19 @@ class PlanCheckSpec extends SparkSpec {
   }
 
   test("q46: the HAVING aggregate prunes before the dimension joins") {
-    val plan = physicalPlan("q46_tpch18_shape")
-    // the quantity rollup + threshold filter must appear BELOW the joins
-    // in the plan tree: lineitem aggregates first, qualifying orders join
-    val aggIdx = plan.indexOf("HashAggregate")
-    val joinIdx = math.max(plan.indexOf("BroadcastHashJoin"), plan.indexOf("SortMergeJoin"))
-    assert(aggIdx >= 0 && joinIdx >= 0, s"expected agg and join in:\n${plan.take(400)}")
-    assert(!plan.contains("CartesianProduct"))
+    // Structural assertion on the optimized logical plan: some join must
+    // have the quantity Aggregate INSIDE one of its subtrees — lineitem
+    // rolls up and filters first, then qualifying orders join. A plan
+    // that joined the raw fact table before aggregating would have every
+    // Aggregate strictly ABOVE every Join and fail here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val optimized = SparkEntry.queries("q46_tpch18_shape")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.nonEmpty, s"expected joins in:\n${optimized.toString.take(400)}")
+    assert(joins.exists(j => (j.left.collectFirst { case a: Aggregate => a })
+        .orElse(j.right.collectFirst { case a: Aggregate => a }).isDefined),
+      "the quantity rollup must sit BELOW a join, not above all of them")
+    assert(!optimized.toString.contains("Cartesian"))
   }
 }
