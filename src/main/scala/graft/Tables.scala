@@ -42,6 +42,56 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
 
+  /** Derived `partsupp` fixture — the driver testdata has no partsupp
+    * table, which blocked the TPC-H shapes Q2/Q8-adjacent family (see
+    * VERDICT r7 §"What's missing"). The table is DERIVED from the
+    * existing `part`/`supplier`/`lineitem` keys with pure integer
+    * arithmetic, so the DuckDB oracle can recompute the identical rows
+    * as a CTE (PartsuppQueries.psCte) with zero cross-engine FP risk:
+    *
+    *   pairs  = { (p_partkey, (p_partkey*7 + i*13) % |supplier|) : i ∈ 0..3 }
+    *          ∪ distinct (l_partkey, l_suppkey)        — referential
+    *            integrity: every lineitem pair exists in partsupp,
+    *            like real TPC-H, so Q9/Q20-shape joins are total;
+    *   ps_availqty    = (pk*31 + sk*17) % 9999 + 1               (INT)
+    *   ps_supplycost  = ((pk*13 + sk*7) % 99900 + 100) / 1000.0  (DOUBLE,
+    *     exact: same integer, same correctly-rounded division in both
+    *     engines).
+    *
+    * The derivation is materialized ONCE per sf dir to a parquet fixture
+    * (under fixtures/ in the repo working dir) and read back, so
+    * downstream scans get real pushdown/pruning/statistics instead of an
+    * in-memory plan — and the oracle hash gate then proves
+    * file == derivation on every run.
+    */
+  def partsupp: DataFrame =
+    Tables.cache.computeIfAbsent((spark, s"$dir#partsupp"), { _ =>
+      val fixture = Tables.partsuppFixturePath(dir)
+      // Cross-thread guard: Verify runs queries on a pool; only one
+      // thread may materialize. (_SUCCESS marks a complete write.)
+      Tables.fixtureLock.synchronized {
+        if (!new java.io.File(fixture, "_SUCCESS").exists())
+          derivePartsupp().write.mode("overwrite").parquet(fixture)
+      }
+      spark.read.parquet(fixture)
+    })
+
+  private def derivePartsupp(): DataFrame = {
+    val nSupp = supplier.count() // O(1) driver-side scalar, paid once
+    val formula = part.select(col("p_partkey").as("ps_partkey"))
+      .crossJoin(spark.range(4).select(col("id").as("i")))
+      .select(col("ps_partkey"),
+        ((col("ps_partkey") * 7 + col("i") * 13) % nSupp).as("ps_suppkey"))
+    val fromFacts = lineitem
+      .select(col("l_partkey").as("ps_partkey"), col("l_suppkey").as("ps_suppkey"))
+    formula.union(fromFacts).distinct()
+      .select(col("ps_partkey"), col("ps_suppkey"),
+        ((col("ps_partkey") * 31 + col("ps_suppkey") * 17) % 9999 + 1)
+          .cast("int").as("ps_availqty"),
+        (((col("ps_partkey") * 13 + col("ps_suppkey") * 7) % 99900 + 100)
+          .cast("bigint") / 1000.0).as("ps_supplycost"))
+  }
+
   /** Register all tables as temp views (for SQL-surface queries). */
   def registerViews(): Unit =
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -52,4 +102,14 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] val fixtureLock = new Object
+
+  /** Stable per-sf location for the derived partsupp fixture, outside the
+    * read-only testdata tree. The full source path is encoded in the dir
+    * name so distinct sf dirs can never collide. */
+  private[graft] def partsuppFixturePath(dir: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    s"${sys.props("user.dir")}/fixtures/partsupp/$tag"
+  }
 }

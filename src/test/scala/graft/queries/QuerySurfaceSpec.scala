@@ -40,7 +40,8 @@ class QuerySurfaceSpec extends SparkSpec {
     // the relational and extension surfaces with no name claimed twice
     // (a duplicate name would make Verify/Bench silently drop an entry
     // through the Map view).
-    val declared: Seq[GraftQuery] = RelationalQueries.all ++ ExtensionQueries.all
+    val declared: Seq[GraftQuery] =
+      RelationalQueries.all ++ PartsuppQueries.all ++ ExtensionQueries.all
     assert(SparkEntry.allQueries.map(_.name) == declared.map(_.name))
     val dupes = declared.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
