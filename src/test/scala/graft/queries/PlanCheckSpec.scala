@@ -76,6 +76,54 @@ class PlanCheckSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q47: the correlated MIN decorrelates to an aggregate below a join") {
+    // TPC-H Q2's correlated scalar subquery must NOT execute per-row:
+    // Catalyst rewrites it into a MIN aggregate grouped on the
+    // correlation key (ps_partkey) joined back to the outer query. The
+    // optimized plan therefore contains an Aggregate inside a Join
+    // subtree and no per-row subquery expression survives.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val optimized = SparkEntry.queries("q47_tpch2_shape")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    assert(!optimized.toString.contains("scalar-subquery"),
+      "correlated scalar subquery must be decorrelated, not evaluated per row")
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.exists(j => (j.left.collectFirst { case a: Aggregate => a })
+        .orElse(j.right.collectFirst { case a: Aggregate => a }).isDefined),
+      "the MIN(ps_supplycost) aggregate must sit below the join back to parts")
+  }
+
+  test("q52: the nested IN + correlated SUM plans as joins, no per-row subquery") {
+    // TPC-H Q20's shape: IN -> left semi join; the correlated SUM ->
+    // an aggregate on the (partkey, suppkey) correlation key joined to
+    // partsupp. Nothing here may remain a per-row subquery or turn into
+    // a cartesian product.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.catalyst.plans.{LeftSemi}
+    val optimized = SparkEntry.queries("q52_tpch20_shape")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val s = optimized.toString
+    assert(!s.contains("scalar-subquery") && !s.contains("list-subquery"),
+      "IN and the correlated SUM must both decorrelate")
+    assert(!s.contains("Cartesian"))
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.exists(_.joinType == LeftSemi), "IN must plan as a left semi join")
+    assert(joins.exists(j => (j.left.collectFirst { case a: Aggregate => a })
+        .orElse(j.right.collectFirst { case a: Aggregate => a }).isDefined),
+      "the shipped-quantity SUM must aggregate below a join")
+  }
+
+  test("q53: both EXISTS rewrite to semi/anti joins over the fact table") {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+    val optimized = SparkEntry.queries("q53_tpch21_shape")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val joins = optimized.collect { case j: Join => j }
+    assert(joins.exists(_.joinType == LeftSemi), "EXISTS must plan as left semi")
+    assert(joins.exists(_.joinType == LeftAnti), "NOT EXISTS must plan as left anti")
+    assert(!optimized.toString.contains("Cartesian"))
+  }
+
   test("q46: the HAVING aggregate prunes before the dimension joins") {
     // Structural assertion on the optimized logical plan: some join must
     // have the quantity Aggregate INSIDE one of its subtrees — lineitem
