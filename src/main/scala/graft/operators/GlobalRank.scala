@@ -34,7 +34,17 @@ object GlobalRank {
     */
   def withGlobalRowNumber(df: DataFrame, sortCols: Seq[Column],
                           outCol: String = "rn",
-                          numPartitions: Option[Int] = None): DataFrame = {
+                          numPartitions: Option[Int] = None): DataFrame =
+    withGlobalRowNumberAndCount(df, sortCols, outCol, numPartitions)._1
+
+  /** [[withGlobalRowNumber]] plus the total row count, which phase 1
+    * already materialized on the driver (`offsets.last`). Callers that
+    * need n — [[distributions]] — take it from here instead of
+    * re-executing the ranked lineage through an `agg(max)` job.
+    */
+  def withGlobalRowNumberAndCount(df: DataFrame, sortCols: Seq[Column],
+                          outCol: String = "rn",
+                          numPartitions: Option[Int] = None): (DataFrame, Long) = {
     require(!df.columns.contains(outCol),
       s"input must not already have a '$outCol' column (schema.add would duplicate it)")
     val spark = df.sparkSession
@@ -55,7 +65,7 @@ object GlobalRank {
       val base = bOffsets.value(i)
       it.zipWithIndex.map { case (r, j) => Row.fromSeq(r.toSeq :+ (base + j + 1L)) }
     }
-    spark.createDataFrame(zipped, schema)
+    (spark.createDataFrame(zipped, schema), offsets.last)
   }
 
   /** `df` plus the EXCLUSIVE global prefix sum of `valueCol` under
@@ -113,14 +123,8 @@ object GlobalRank {
   def distributions(df: DataFrame, sortCols: Seq[Column], ntileK: Int,
                     numPartitions: Option[Int] = None): DataFrame = {
     require(ntileK >= 1, s"ntile bucket count must be >= 1, got $ntileK")
-    val ranked = withGlobalRowNumber(df, sortCols, "rn", numPartitions)
-    // n comes from the phase-1 counts already materialized inside
-    // withGlobalRowNumber's lineage; recomputing via max(rn) would add a
-    // job, so count on the input (a metadata-cheap scan).
-    val n = ranked.agg(max(col("rn"))).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // n is phase 1's offsets.last, already on the driver — no extra job.
+    val (ranked, n) = withGlobalRowNumberAndCount(df, sortCols, "rn", numPartitions)
     val N = lit(n)
     val rn = col("rn")
     // NTILE with uneven division: q = n/k, r = n%k; the first r buckets

@@ -654,8 +654,13 @@ object ExtensionQueries {
         // never empty, the oracle keeps every generated chunk, and a
         // Spark-side trim filter would silently diverge on
         // whitespace-only (non-space) tokens
+        // Zero-token documents must emit NO chunks, like the oracle's
+        // range(0, ceil(0/10.0)): without the guard, sequence(0,
+        // floor((0-1)/10)) = sequence(0, -1) DESCENDS and fabricates two
+        // empty paragraphs — a latent hash divergence the generated
+        // corpus only masks because it has no empty docs (ADVICE r7).
         val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
-        val paras = t(s, d).documents.select(col("doc_id"),
+        val paras = t(s, d).documents.filter(size(toks) > 0).select(col("doc_id"),
             posexplode(transform(sequence(lit(0), floor((size(toks) - 1) / 10).cast("int")),
               i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10)))))
               .as(Seq("para_idx", "para")))

@@ -262,7 +262,12 @@ final class ReflectiveSqsApi(client: AnyRef) extends SqsApi {
     val out = call(client, "getQueueAttributes", build(b))
     asScalaMap(call(out, "attributesAsStrings"))
       .collectFirst { case (k, v) if str(k) == "ApproximateNumberOfMessages" => str(v).toLong }
-      .getOrElse(0L)
+      // Fail fast (consistent with the binder's any-mismatch-throws
+      // contract): defaulting to 0 would make a malformed or
+      // access-denied response indistinguishable from an empty queue,
+      // and this number drives scaling/drain decisions.
+      .getOrElse(throw new IllegalStateException(
+        s"GetQueueAttributes($queueUrl) response lacks ApproximateNumberOfMessages"))
   }
 
   override def close(): Unit = call(client, "close")

@@ -70,7 +70,15 @@ object CoverRank {
           PackageObjectDef.findAllMatchIn(src).map(_.group(1)).distinct.toSeq
             .filterNot(Set("apply", "main", "unapply"))
         else Nil
-      val names = (types ++ types.map(snake) ++ defNames).distinct
+      // Snake-cased names exist to catch the DSL column-function
+      // convention (GeometricMean -> geometric_mean); a SINGLE-word
+      // type's snake form (Tables -> "tables") is an ordinary English
+      // word that matches prose in unrelated specs and would mark the
+      // file covered incidentally (ADVICE r7), so only multi-word
+      // snake forms count — single-word types must match by their
+      // original CamelCase name.
+      val names =
+        (types ++ types.map(snake).filter(_.contains("_")) ++ defNames).distinct
       // one compiled pattern per main file, reused across all test files
       // (per-(name, test-file) compilation would recompile the same
       // regex thousands of times per scan)

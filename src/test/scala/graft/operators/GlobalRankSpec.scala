@@ -53,6 +53,41 @@ class GlobalRankSpec extends SparkSpec {
     assert(ranked.rdd.getNumPartitions == 8)
   }
 
+  test("distributions launches no extra job to rediscover n (VERDICT r7 #3)") {
+    // n must come from phase 1's driver-side offsets, not an agg(max)
+    // over the ranked lineage — at 100 TB that agg re-executed the range
+    // shuffle's read side for a number already on the driver. Absolute
+    // job counts are AQE-dependent, so assert the DELTA: distributions
+    // must cost exactly the jobs of the underlying row-number pipeline,
+    // not one more (the derived pr/cd/tile columns are per-row
+    // expressions on the same lineage).
+    def jobsFor(f: => Unit): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        f
+        // The listener bus is async; the action returned, so all starts
+        // are posted or queued — stable for 300ms means drained.
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        var last = -1
+        while (jobs.get() != last && System.nanoTime() < deadline) {
+          last = jobs.get(); Thread.sleep(300)
+        }
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val keys = Seq(col("c_acctbal"), col("c_custkey"))
+    val base = jobsFor(GlobalRank.withGlobalRowNumber(customer, keys).collect())
+    val dist = jobsFor(GlobalRank.distributions(customer, keys, ntileK = 4).collect())
+    assert(dist == base,
+      s"distributions ran $dist jobs vs $base for the bare row-number pipeline")
+  }
+
   test("empty input yields an empty ranked frame (no div-by-zero)") {
     val empty = customer.filter(lit(false))
     assert(GlobalRank.distributions(empty, Seq(col("c_custkey")), ntileK = 4).count() == 0)

@@ -23,6 +23,28 @@ class StreamReplaySpec extends SparkSpec {
       s"streamed ${streamed.size} sessions != batch ${batch.size}")
   }
 
+  test("replay never mutates the caller's shuffle-partitions conf, even mid-run") {
+    // The 8-partition override must live in the replay's private child
+    // session (spark.newSession()). A background sampler polls the
+    // CALLER's conf for the whole replay: the old implementation set the
+    // session-global conf and restored it in a finally, so the sampler
+    // would catch "8" mid-run; the isolated form never shows it.
+    val key = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(key)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    @volatile var stop = false
+    val sampler = new Thread(() => {
+      while (!stop) { seen.add(spark.conf.get(key)); Thread.sleep(20) }
+    })
+    sampler.start()
+    try StreamReplay.sessionReplay(spark, tables.events.select("user_id", "event_id", "ts"))
+    finally { stop = true; sampler.join() }
+    assert(spark.conf.get(key) == before)
+    val distinct = seen.toArray.toSet
+    assert(distinct == Set(before),
+      s"caller conf changed mid-replay: observed $distinct (expected only $before)")
+  }
+
   test("the late subset is genuinely displaced (the replay is not a trivial ordered feed)") {
     // The displacement predicate (event_id % 13 == 0) must select a
     // non-empty subset of the testdata, or the late-data path is
