@@ -94,10 +94,11 @@ object TextDedup {
     * `maxDocFraction` of documents. A shared-shingle self-join explodes
     * quadratically on near-universal shingles (the "the quick brown"
     * problem); capping document frequency bounds the join's hottest key
-    * at `maxDocFraction * |docs|` rows. Off by default — removing
-    * shingles changes Jaccard values slightly, so the oracle-checked
-    * queries run uncapped; at production scale the cap is the difference
-    * between a skew-safe join and a stuck reducer.
+    * at `maxDocFraction * |docs|` rows. The uncapped oracle queries
+    * (dd02/dd03) keep exact Jaccard semantics; the capped metric is
+    * oracle-checked end-to-end by dd09 ([[cappedJaccardPairs]]) and the
+    * skew bound by the stuck-reducer spec — at production scale the cap
+    * is the difference between a skew-safe join and a stuck reducer.
     */
   def dropStopShingles(sh: DataFrame, maxDocFraction: Double): DataFrame = {
     require(maxDocFraction > 0 && maxDocFraction <= 1)
@@ -252,6 +253,36 @@ object TextDedup {
         .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
         .filter(col("jac") >= threshold)
         .select(col("doc_a"), col("doc_b"), round4(col("jac")).as("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    }
+  }
+
+  /** Jaccard pairs over the CAPPED shingle set ([[dropStopShingles]]):
+    * the skew-safe variant of [[exactJaccardPairs]] — the self-join's
+    * hottest key is bounded at `maxDocFraction * |docs|` rows, so no
+    * near-universal shingle can melt a reducer at production scale.
+    * Jaccard is computed over the capped sets (sizes shrink with the
+    * cap, by definition of the capped metric), and the output carries
+    * the capped sizes `na`/`nb` so the oracle hash is sensitive to the
+    * cap arithmetic itself, not just to which pairs survive.
+    */
+  def cappedJaccardPairs(docs: DataFrame, maxDocFraction: Double = 0.01,
+                         threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    withWorkingSet(
+      dropStopShingles(shingleSet(docs, n = shingleN), maxDocFraction)) { sh =>
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
+        .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("i"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+        .withColumn("jac", col("i").cast("double") / (col("na") + col("nb") - col("i")))
+        .filter(col("jac") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+          round4(col("jac")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
     }
   }

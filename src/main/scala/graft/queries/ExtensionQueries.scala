@@ -545,6 +545,33 @@ object ExtensionQueries {
       (s, d) => TextDedup.exactJaccardPairs(t(s, d).documents, threshold = 0.8)),
 
     GraftQuery(
+      // Capped-document-frequency Jaccard (dropStopShingles end-to-end):
+      // shingles present in more than 1% of documents are dropped BEFORE
+      // the pair self-join — the skew cap that bounds the join's hottest
+      // key at production scale. The oracle repeats the identical cap
+      // arithmetic (FLOOR truncation + GREATEST(1, ..) floor, df <= cap)
+      // and the output carries the capped set sizes na/nb, which differ
+      // from the raw sizes on 13/25 pairs at the gate sf — so the hash
+      // verifies the cap itself, not just survivor membership.
+      "dd09_capped_jaccard",
+      Some(ShingleCte + """,
+        |caps AS (SELECT s FROM (SELECT s, COUNT(*) AS df FROM sh GROUP BY s) f
+        |  WHERE df <= GREATEST(1, CAST(FLOOR((SELECT COUNT(DISTINCT doc_id) FROM sh) * 0.01) AS BIGINT))),
+        |shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN caps USING (s)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM shc ta JOIN shc tb ON tb.s = ta.s AND ta.doc_id < tb.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, na.n AS na, nb.n AS nb,
+        |  ROUND(CAST(i AS DOUBLE) / (na.n + nb.n - i) * 10000) / 10000 + 0 AS jaccard
+        |FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+        |WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => TextDedup.cappedJaccardPairs(t(s, d).documents,
+        maxDocFraction = 0.01, threshold = 0.5)),
+
+    GraftQuery(
       // Connected components over the near-dup pair graph — the survivor
       // -selection step of fullDedup, driver-visible: the Spark side is
       // the iterative min-label propagation (per-round checkpoint, no

@@ -150,6 +150,34 @@ class DedupSpec extends SparkSpec {
     assert(capped.filter(col("s") === "text alpha one").count() == 1)
   }
 
+  test("cappedJaccardPairs: cap bounds the hottest join key yet keeps true near-dups") {
+    // One near-universal boilerplate shingle ("the quick brown" opens
+    // every doc) plus two planted duplicate pairs. The cap must (a)
+    // drop the universal shingle so no surviving key exceeds
+    // maxDocFraction * |docs| — the bounded-hottest-key property — and
+    // (b) still report the planted pairs, with sizes measured on the
+    // CAPPED sets (4 shared shingles survive of the raw 5).
+    val n = 40
+    val base = (0 until n)
+      .map(i => (i.toLong, s"the quick brown unique$i tail$i words$i end$i"))
+    val dupped = base ++ Seq((100L, base(0)._2), (101L, base(1)._2))
+    val docs = dupped.toDF("doc_id", "text")
+    val frac = 0.1
+    val cap = math.max(1L, (docs.count() * frac).toLong)
+
+    val capped = TextDedup.dropStopShingles(TextDedup.shingleSet(docs), frac)
+    val maxDf = capped.groupBy("s").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= cap, s"surviving hottest key df=$maxDf exceeds cap=$cap")
+
+    val pairs = TextDedup.cappedJaccardPairs(docs, maxDocFraction = frac, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // raw shingles per doc = 5 ("the quick brown" + 4 tail shingles);
+    // the universal one is capped away => na = nb = 4, jaccard = 1.0
+    assert(pairs == Seq((0L, 100L, 4L, 4L, 1.0), (1L, 101L, 4L, 4L, 1.0)),
+      s"unexpected capped pairs: $pairs")
+  }
+
   test("scale story: exact-jaccard self-join work is sum(df²); the stop-shingle cap bounds it") {
     // Corpus with one near-universal boilerplate shingle: every doc opens
     // with the same 3 words, then a unique tail. The exact-Jaccard
