@@ -152,6 +152,24 @@ object ExtensionQueries {
         s, t(s, d).events.select("user_id", "event_id", "ts"))),
 
     GraftQuery(
+      // The second stateful streaming operator made driver-visible: the
+      // stream-stream INTERVAL JOIN (dual watermarks, banded condition —
+      // the state-GC shape from SURVEY Q29's family) replayed over
+      // events split by event_id parity, against the batch interval-join
+      // oracle. The oracle compares at microsecond precision
+      // (CAST(ts AS TIMESTAMP) truncates DuckDB's nanos exactly like the
+      // engine's nanos->micros conversion in Tables.events).
+      "st02_stream_interval_join",
+      Some("""SELECT l.user_id AS user_id, l.event_id AS l_event, r.event_id AS r_event
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |  AND l.event_id % 2 = 0 AND r.event_id % 2 = 1
+        |  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+        |  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |ORDER BY user_id, l_event, r_event""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.intervalJoinReplay(
+        s, t(s, d).events.select("user_id", "event_id", "ts"))),
+
+    GraftQuery(
       "q29_sliding_window",
       Some("""SELECT w, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),

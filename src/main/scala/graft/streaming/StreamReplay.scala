@@ -121,4 +121,98 @@ object StreamReplay {
       new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
     }
   }
+
+  /** Replays `events` through the STREAM-STREAM interval join
+    * ([[StreamingOps.intervalJoin]], dual watermarks): even event_ids
+    * feed the left stream, odd the right, in the same chunked
+    * event-time-ordered protocol as [[sessionReplay]] (deterministic
+    * late subset displaced one chunk, watermark sized to twice the max
+    * chunk span so late rows are admitted AND their partners' join state
+    * is still live). The inner-join result — every (user_id, left
+    * event, right event) pair within ±`band` — must equal the batch
+    * interval join on the same inputs; a dropped late row or premature
+    * state eviction breaks the driver hash (st02).
+    *
+    * Like sessionReplay this is a replay HARNESS (bounded input,
+    * driver-side feed); the production form is the same join over two
+    * readStream sources. Returns (user_id, l_event, r_event).
+    */
+  def intervalJoinReplay(spark: SparkSession, events: DataFrame,
+                         band: String = "5 minutes", nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(nChunks >= 2, "replay needs at least two chunks")
+
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"))
+      .as[(Long, Long, Timestamp)].collect().sortBy(r => (r._3.getTime, r._2))
+    require(rows.nonEmpty, "no events to replay")
+
+    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    val chunks = rows.grouped(chunkSize).toArray
+    val spanMs = chunks.map(c => c.last._3.getTime - c.head._3.getTime).max
+    val delayHours = math.max(1L, 2 * spanMs / 3600000L + 1)
+    val maxTs = rows.last._3.getTime
+    val delayMs = delayHours * 3600000L
+
+    // Same displacement as sessionReplay: the late subset lands one
+    // chunk forward, on whichever stream its parity routes it to.
+    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long, Timestamp)])
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        val late = i < chunks.length - 1 && r._2 % 13 == 0
+        fed(if (late) i + 1 else i) += r
+      }
+    }
+
+    // Conf isolation as in sessionReplay: stateful stages at 8
+    // partitions inside a private child session.
+    val replay = spark.newSession()
+    replay.conf.set("spark.sql.shuffle.partitions", "8")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val msL = MemoryStream[(Long, Long, Timestamp)]
+    val msR = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+      msL.toDF.toDF("user_id", "l_event", "lts"),
+      msR.toDF.toDF("user_id", "r_event", "rts"),
+      key = "user_id", leftTs = "lts", rightTs = "rts",
+      band = band, watermark = s"$delayHours hours")
+
+    val name = s"st_ijreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        fed.foreach { b =>
+          val batch = b.result()
+          val (l, r) = batch.partition(_._2 % 2 == 0)
+          if (l.nonEmpty) msL.addData(l)
+          if (r.nonEmpty) msR.addData(r)
+          if (batch.nonEmpty) q.processAllAvailable()
+        }
+        // Sentinels on BOTH streams (the join's watermark is the min of
+        // the two): distinct negative keys so they can never join each
+        // other, two rounds so eviction is exercised before the drain.
+        msL.addData(Seq((-1L, -2L, new Timestamp(maxTs + 2 * delayMs))))
+        msR.addData(Seq((-3L, -1L, new Timestamp(maxTs + 2 * delayMs))))
+        q.processAllAvailable()
+        msL.addData(Seq((-1L, -4L, new Timestamp(maxTs + 4 * delayMs))))
+        msR.addData(Seq((-3L, -3L, new Timestamp(maxTs + 4 * delayMs))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = replay.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("l_event"), col("r_event"))
+        .orderBy("user_id", "l_event", "r_event")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
 }

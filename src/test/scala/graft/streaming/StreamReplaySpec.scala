@@ -23,6 +23,24 @@ class StreamReplaySpec extends SparkSpec {
       s"streamed ${streamed.size} sessions != batch ${batch.size}")
   }
 
+  test("interval-join replay with late arrivals converges to the batch interval join") {
+    val ev = tables.events.select("user_id", "event_id", "ts")
+    val streamed = StreamReplay.intervalJoinReplay(spark, ev)
+      .as[(Long, Long, Long)].collect().toSeq
+    val l = ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id").as("l_event"), col("ts").as("lts"))
+    val r = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_event"), col("ts").as("rts"))
+    val batch = l.join(r, col("user_id") === col("r_user") &&
+        col("rts") >= col("lts") - expr("INTERVAL 5 MINUTES") &&
+        col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("user_id"), col("l_event"), col("r_event"))
+      .orderBy("user_id", "l_event", "r_event")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(batch.nonEmpty, "expected in-band pairs in testdata")
+    assert(streamed == batch, s"streamed ${streamed.size} pairs != batch ${batch.size}")
+  }
+
   test("replay never mutates the caller's shuffle-partitions conf, even mid-run") {
     // The 8-partition override must live in the replay's private child
     // session (spark.newSession()). A background sampler polls the
