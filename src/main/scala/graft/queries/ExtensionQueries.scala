@@ -804,6 +804,69 @@ object ExtensionQueries {
             lpad(col("doc_id").cast("string"), 4, "0")).as("raw"))
         TextAnalysis.redactPii(raw, "raw")
           .select("doc_id", "redacted").orderBy("doc_id")
+      }),
+
+    GraftQuery(
+      // Multimodal decode, driver-visible (VERDICT r7 #2): deterministic
+      // PNG/WAV fixtures (MediaFixture — closed-form pixel/sample
+      // content) ingested through the real binaryFile source and decoded
+      // by the REAL JDK decoders (javax.imageio, javax.sound.sampled).
+      // Features are analytically known, so the oracle is a literal
+      // VALUES table: the hash verifies the whole listing -> scan ->
+      // mapPartitions-decode plumbing plus the decoders' arithmetic
+      // (Rec.601 luma, normalized RMS, frame-count duration). The
+      // sfDir is unused — media fixtures are scale-independent.
+      "mm01_media_features",
+      Some("""SELECT kind, CAST(idx AS INTEGER) AS idx,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(channels AS INTEGER) AS channels, CAST(luma AS DOUBLE) AS luma,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  CAST(sample_rate AS INTEGER) AS sample_rate, CAST(rms AS DOUBLE) AS rms
+        |FROM (VALUES
+        |  ('audio', 0, NULL, NULL, 1, NULL, 250, 8000, 0.25),
+        |  ('audio', 1, NULL, NULL, 1, NULL, 300, 8000, 0.28125),
+        |  ('audio', 2, NULL, NULL, 1, NULL, 350, 8000, 0.3125),
+        |  ('audio', 3, NULL, NULL, 1, NULL, 400, 8000, 0.34375),
+        |  ('audio', 4, NULL, NULL, 1, NULL, 450, 8000, 0.375),
+        |  ('audio', 5, NULL, NULL, 1, NULL, 500, 8000, 0.40625),
+        |  ('audio', 6, NULL, NULL, 1, NULL, 550, 8000, 0.4375),
+        |  ('audio', 7, NULL, NULL, 1, NULL, 600, 8000, 0.46875),
+        |  ('image', 0, 16, 12, 3, 0.0392, NULL, NULL, NULL),
+        |  ('image', 1, 19, 14, 3, 0.1529, NULL, NULL, NULL),
+        |  ('image', 2, 22, 16, 3, 0.2667, NULL, NULL, NULL),
+        |  ('image', 3, 25, 18, 3, 0.3804, NULL, NULL, NULL),
+        |  ('image', 4, 28, 20, 3, 0.4941, NULL, NULL, NULL),
+        |  ('image', 5, 31, 22, 3, 0.6078, NULL, NULL, NULL),
+        |  ('image', 6, 34, 24, 3, 0.7216, NULL, NULL, NULL),
+        |  ('image', 7, 37, 26, 3, 0.8353, NULL, NULL, NULL)
+        |) t(kind, idx, width, height, channels, luma, duration_ms, sample_rate, rms)
+        |ORDER BY kind, idx""".stripMargin),
+      (s, d) => {
+        import graft.multimodal.{MediaFixture, Multimodal}
+        val dir = MediaFixture.ensure()
+        val imgItems = Multimodal.readMedia(s, dir, "image/png", Some("*.png"))
+        val audItems = Multimodal.readMedia(s, dir, "audio/wav", Some("*.wav"))
+        def idxOf(items: org.apache.spark.sql.Dataset[Multimodal.MediaItem],
+                  pat: String) =
+          items.toDF.select(col("media_id"),
+            regexp_extract(element_at(col("meta"), lit("path")), pat, 1)
+              .cast("int").as("idx"))
+        val img = Multimodal.decodeImages(imgItems, Multimodal.Decoders.imageio).toDF
+          .join(idxOf(imgItems, "img_(\\d+)\\.png"), "media_id")
+          .select(lit("image").as("kind"), col("idx"),
+            col("width"), col("height"), col("channels"),
+            round4(col("mean_luma")).as("luma"),
+            lit(null).cast("bigint").as("duration_ms"),
+            lit(null).cast("int").as("sample_rate"),
+            lit(null).cast("double").as("rms"))
+        val aud = Multimodal.decodeAudio(audItems, Multimodal.Decoders.wav).toDF
+          .join(idxOf(audItems, "wav_(\\d+)\\.wav"), "media_id")
+          .select(lit("audio").as("kind"), col("idx"),
+            lit(null).cast("int").as("width"),
+            lit(null).cast("int").as("height"),
+            col("channels"), lit(null).cast("double").as("luma"),
+            col("duration_ms"), col("sample_rate"), col("rms"))
+        img.union(aud).orderBy("kind", "idx")
       })
   )
 }

@@ -143,4 +143,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.frame_idx).toSeq == Seq(0, 5, 10, 15)) // 20 frames, every 5th
     assert(frames.map(_.offset_ms).toSeq == Seq(0L, 500L, 1000L, 1500L))
   }
+
+  test("MediaFixture: generated media decode to the closed-form oracle values") {
+    // The mm01 VALUES oracle hardcodes these features; this spec proves
+    // the fixture generator and the real JDK decoders agree with the
+    // analytic derivation on every index, independent of the driver gate.
+    val dir = MediaFixture.ensure()
+    (0 until MediaFixture.N).foreach { i =>
+      val (w, h) = MediaFixture.imageDim(i)
+      val png = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"img_$i.png"))
+      val (dw, dh, dc, luma) = Decoders.imageio(png)
+      assert((dw, dh, dc) == (w, h, 3))
+      val v = MediaFixture.imageGrey(i)
+      assert(math.abs(luma - v / 255.0) < 1e-9, s"i=$i luma=$luma")
+
+      val wav = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"wav_$i.wav"))
+      val (durMs, rate, ch, rms) = Decoders.wav(wav)
+      assert((durMs, rate, ch) == (250L + 50 * i, 8000, 1))
+      assert(rms == (8 + i) / 32.0, s"i=$i rms=$rms (must be exactly dyadic)")
+    }
+  }
 }
