@@ -165,7 +165,9 @@ object StreamReplay {
     }
 
     // Conf isolation as in sessionReplay: stateful stages at 8
-    // partitions inside a private child session.
+    // partitions inside a private child session. (Measured: dropping to
+    // 4 does not help — the replay cost is per-micro-batch planning of
+    // the join + two state stores, not per-partition state I/O.)
     val replay = spark.newSession()
     replay.conf.set("spark.sql.shuffle.partitions", "8")
 
