@@ -64,17 +64,26 @@ final case class Tables(spark: SparkSession, dir: String) {
     * in-memory plan — and the oracle hash gate then proves
     * file == derivation on every run.
     */
-  def partsupp: DataFrame =
-    Tables.cache.computeIfAbsent((spark, s"$dir#partsupp"), { _ =>
-      val fixture = Tables.partsuppFixturePath(dir)
-      // Cross-thread guard: Verify runs queries on a pool; only one
-      // thread may materialize. (_SUCCESS marks a complete write.)
-      Tables.fixtureLock.synchronized {
-        if (!new java.io.File(fixture, "_SUCCESS").exists())
-          derivePartsupp().write.mode("overwrite").parquet(fixture)
+  def partsupp: DataFrame = {
+    val key = (spark, s"$dir#partsupp")
+    val cached = Tables.cache.get(key)
+    if (cached != null) cached
+    else {
+      // Materialize OUTSIDE computeIfAbsent: derivePartsupp reads the
+      // same cache (supplier/part/lineitem) and runs Spark jobs —
+      // neither may happen inside a CHM mapping function (reentrant
+      // computeIfAbsent can throw "Recursive update", and a multi-second
+      // job would run under a bin lock). Racing threads at worst derive
+      // identical bytes; putIfAbsent keeps one canonical plan.
+      val fixture = Fixtures.ensure(
+        s"partsupp/${Fixtures.pathTag(dir)}", Tables.PartsuppDerivationVersion) {
+        f => derivePartsupp().write.mode("overwrite").parquet(f.toString)
       }
-      spark.read.parquet(fixture)
-    })
+      val df = spark.read.parquet(fixture)
+      val prev = Tables.cache.putIfAbsent(key, df)
+      if (prev != null) prev else df
+    }
+  }
 
   private def derivePartsupp(): DataFrame = {
     val nSupp = supplier.count() // O(1) driver-side scalar, paid once
@@ -103,13 +112,10 @@ object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  private[graft] val fixtureLock = new Object
-
-  /** Stable per-sf location for the derived partsupp fixture, outside the
-    * read-only testdata tree. The full source path is encoded in the dir
-    * name so distinct sf dirs can never collide. */
-  private[graft] def partsuppFixturePath(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    s"${sys.props("user.dir")}/fixtures/partsupp/$tag"
-  }
+  /** Bump WHENEVER `derivePartsupp`'s formula changes (multipliers,
+    * moduli, the pair union) — the version is part of the fixture path,
+    * so stale fixtures from an older formula self-invalidate instead of
+    * failing the oracle gate with a confusing fixture-vs-CTE mismatch.
+    * PartsuppQueries.psCte must change in the same commit. */
+  private[graft] val PartsuppDerivationVersion = "v1"
 }

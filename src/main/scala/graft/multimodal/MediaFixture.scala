@@ -36,22 +36,19 @@ object MediaFixture {
   def audioAmplitude(i: Int): Short = (1024 * (8 + i)).toShort
   def audioFrames(i: Int): Int = 2000 + 400 * i
 
-  private val lock = new Object
+  /** Bump whenever the generated content changes (dims, grey values,
+    * amplitudes, frame counts) — self-invalidates stale fixtures; the
+    * mm01 VALUES oracle must change in the same commit. */
+  private val Version = "v1"
 
   /** Generate (once) and return the fixture directory. */
-  def ensure(): String = lock.synchronized {
-    val dir = new File(s"${sys.props("user.dir")}/fixtures/media")
-    val done = new File(dir, "_SUCCESS")
-    if (!done.exists()) {
-      dir.mkdirs()
+  def ensure(): String =
+    graft.Fixtures.ensure("media", Version) { dir =>
       (0 until N).foreach { i =>
         writePng(new File(dir, s"img_$i.png"), i)
         writeWav(new File(dir, s"wav_$i.wav"), i)
       }
-      done.createNewFile()
     }
-    dir.getAbsolutePath
-  }
 
   private def writePng(f: File, i: Int): Unit = {
     val (w, h) = imageDim(i)

@@ -64,6 +64,64 @@ object PartsuppQueries {
   private def cents(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5).cast("bigint")
 
+  // SQL-surface shapes: ONE text per query, used verbatim as both the
+  // DuckDB oracle (prefixed with psCte where partsupp is needed) and the
+  // spark.sql input — the two can no longer drift (review r8).
+  private val q47Sql =
+    """SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+      |FROM part, supplier, partsupp, nation, region
+      |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      |  AND p_type = 'LARGE' AND p_size <= 25
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
+      |    FROM partsupp ps2, supplier s2, nation n2, region r2
+      |    WHERE ps2.ps_partkey = part.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+      |      AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
+  private val q52Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT ps_suppkey FROM partsupp ps
+      |  WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red gear%')
+      |    AND ps.ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
+      |      WHERE l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
+      |        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'))
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val q53Sql =
+    """WITH lo AS (
+      |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier, lo l1
+      |WHERE s_suppkey = l1.l_suppkey
+      |  AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lo l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  private val q54Sql =
+    """WITH cust AS (
+      |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
+      |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+      |  FROM customer)
+      |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(bal_cents) AS BIGINT) / CAST(100 AS DOUBLE) AS totacctbal
+      |FROM cust
+      |WHERE cntrycode IN (1, 2, 3)
+      |  AND bal_cents > (SELECT AVG(bal_cents) FROM cust
+      |                   WHERE bal_cents > 0 AND cntrycode IN (1, 2, 3))
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = cust.c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin
+
   val all: Seq[GraftQuery] = Seq(
 
     GraftQuery(
@@ -73,33 +131,8 @@ object PartsuppQueries {
       // p_brand stands in for the absent p_mfgr; the size/type filter is
       // widened so sf0.001 still returns rows (p_size<=25, p_type='LARGE').
       "q47_tpch2_shape",
-      Some(psCte + """
-        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
-        |FROM part, supplier, partsupp, nation, region
-        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-        |  AND p_type = 'LARGE' AND p_size <= 25
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
-        |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
-        |    FROM partsupp ps2, supplier s2, nation n2, region r2
-        |    WHERE ps2.ps_partkey = part.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
-        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-        |      AND r2.r_name = 'EUROPE')
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
-      (s, d) => {
-        withViews(s, d)
-        s.sql("""
-          |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
-          |FROM part, supplier, partsupp, nation, region
-          |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-          |  AND p_type = 'LARGE' AND p_size <= 25
-          |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
-          |  AND ps_supplycost = (SELECT MIN(ps2.ps_supplycost)
-          |    FROM partsupp ps2, supplier s2, nation n2, region r2
-          |    WHERE ps2.ps_partkey = part.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
-          |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-          |      AND r2.r_name = 'EUROPE')
-          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin)
-      }),
+      Some(psCte + "\n" + q47Sql),
+      (s, d) => { withViews(s, d); s.sql(q47Sql) }),
 
     GraftQuery(
       // TPC-H Q8 shape (national market share): the 8-table star with two
@@ -251,27 +284,8 @@ object PartsuppQueries {
       // in both engines. Deliberately selective at the gate sf (67/100
       // suppliers) so a wrongly-total subquery cannot hash-match.
       "q52_tpch20_shape",
-      Some(psCte + """
-        |SELECT s_suppkey, s_name FROM supplier
-        |WHERE s_suppkey IN (
-        |  SELECT ps_suppkey FROM partsupp ps
-        |  WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red gear%')
-        |    AND ps.ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
-        |      WHERE l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
-        |        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'))
-        |ORDER BY s_suppkey""".stripMargin),
-      (s, d) => {
-        withViews(s, d)
-        s.sql("""
-          |SELECT s_suppkey, s_name FROM supplier
-          |WHERE s_suppkey IN (
-          |  SELECT ps_suppkey FROM partsupp ps
-          |  WHERE ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red gear%')
-          |    AND ps.ps_availqty > (SELECT 0.5 * SUM(l_quantity) FROM lineitem
-          |      WHERE l_partkey = ps.ps_partkey AND l_suppkey = ps.ps_suppkey
-          |        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'))
-          |ORDER BY s_suppkey""".stripMargin)
-      }),
+      Some(psCte + "\n" + q52Sql),
+      (s, d) => { withViews(s, d); s.sql(q52Sql) }),
 
     GraftQuery(
       // TPC-H Q21 shape (suppliers who kept orders waiting): the
@@ -281,37 +295,8 @@ object PartsuppQueries {
       // so the NOT EXISTS correlates only on l_orderkey (the true Q21
       // shape: equality correlation + inner-only predicate).
       "q53_tpch21_shape",
-      Some("""WITH lo AS (
-        |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
-        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-        |  WHERE o_orderstatus = 'F')
-        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-        |FROM supplier, lo l1
-        |WHERE s_suppkey = l1.l_suppkey
-        |  AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
-        |  AND EXISTS (SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (SELECT 1 FROM lo l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
-      (s, d) => {
-        t(s, d).registerViews()
-        s.sql("""WITH lo AS (
-          |  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
-          |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
-          |  WHERE o_orderstatus = 'F')
-          |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
-          |FROM supplier, lo l1
-          |WHERE s_suppkey = l1.l_suppkey
-          |  AND l1.l_shipdate > l1.o_orderdate + INTERVAL 60 DAY
-          |  AND EXISTS (SELECT 1 FROM lineitem l2
-          |    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
-          |  AND NOT EXISTS (SELECT 1 FROM lo l3
-          |    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-          |      AND l3.l_shipdate > l3.o_orderdate + INTERVAL 60 DAY)
-          |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin)
-      }),
+      Some(q53Sql),
+      (s, d) => { t(s, d).registerViews(); s.sql(q53Sql) }),
 
     GraftQuery(
       // TPC-H Q22 shape (global sales opportunity): scalar-average
@@ -322,36 +307,7 @@ object PartsuppQueries {
       // integer cents; AVG(BIGINT) is the same correctly-rounded double
       // in both engines.
       "q54_tpch22_shape",
-      Some("""WITH cust AS (
-        |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
-        |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
-        |  FROM customer)
-        |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-        |       CAST(SUM(bal_cents) AS BIGINT) / CAST(100 AS DOUBLE) AS totacctbal
-        |FROM cust
-        |WHERE cntrycode IN (1, 2, 3)
-        |  AND bal_cents > (SELECT AVG(bal_cents) FROM cust
-        |                   WHERE bal_cents > 0 AND cntrycode IN (1, 2, 3))
-        |  AND NOT EXISTS (SELECT 1 FROM orders
-        |                  WHERE o_custkey = cust.c_custkey
-        |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-        |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin),
-      (s, d) => {
-        t(s, d).registerViews()
-        s.sql("""WITH cust AS (
-          |  SELECT c_custkey, c_nationkey % 5 AS cntrycode,
-          |         CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
-          |  FROM customer)
-          |SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust,
-          |       CAST(SUM(bal_cents) AS BIGINT) / CAST(100 AS DOUBLE) AS totacctbal
-          |FROM cust
-          |WHERE cntrycode IN (1, 2, 3)
-          |  AND bal_cents > (SELECT AVG(bal_cents) FROM cust
-          |                   WHERE bal_cents > 0 AND cntrycode IN (1, 2, 3))
-          |  AND NOT EXISTS (SELECT 1 FROM orders
-          |                  WHERE o_custkey = cust.c_custkey
-          |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
-          |GROUP BY cntrycode ORDER BY cntrycode""".stripMargin)
-      })
+      Some(q54Sql),
+      (s, d) => { t(s, d).registerViews(); s.sql(q54Sql) })
   )
 }

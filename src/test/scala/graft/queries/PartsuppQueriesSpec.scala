@@ -23,6 +23,24 @@ class PartsuppQueriesSpec extends SparkSpec {
     assert(fixture.exceptAll(derived).isEmpty && derived.exceptAll(fixture).isEmpty)
   }
 
+  test("Fixtures: version participates in the path and generation runs once per version") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val calls = new AtomicInteger(0)
+    val name = s"spec-scratch/${System.nanoTime()}"
+    def gen(dir: java.io.File): Unit = { calls.incrementAndGet(); () }
+    val d1 = graft.Fixtures.ensure(name, "v1")(gen)
+    val d1again = graft.Fixtures.ensure(name, "v1")(gen)
+    assert(d1 == d1again && calls.get() == 1, "same version must be served from disk")
+    val d2 = graft.Fixtures.ensure(name, "v2")(gen)
+    assert(d2 != d1 && calls.get() == 2, "a version bump must regenerate in a new dir")
+  }
+
+  test("Fixtures.pathTag distinguishes paths that sanitize identically") {
+    assert(graft.Fixtures.pathTag("/a/b_1") != graft.Fixtures.pathTag("/a/b/1"))
+    assert(graft.Fixtures.pathTag("/root/testdata/sf0.01") !=
+      graft.Fixtures.pathTag("/root/testdata/sf0.1"))
+  }
+
   test("referential integrity: every lineitem (partkey, suppkey) pair is in partsupp") {
     val tb = tables
     val missing = tb.lineitem
