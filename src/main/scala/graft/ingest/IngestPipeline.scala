@@ -120,6 +120,15 @@ final case class IngestPipeline[T <: Product : TypeTag](
       IngestMetrics.inc(IngestMetrics.MessagesDropped, cnt("dropped"))
       IngestMetrics.inc(IngestMetrics.RecordsFlushed, nGood)
 
+      // A24: sink-write success event with the resolved display path
+      // (reference logSinkWrite, ingestor.go:757-769).
+      log.info("ingest.flush.sink_write_succeeded",
+        "key" -> sinkPath,
+        "path" -> SinkPath.display(sinkPath),
+        "file_name" -> SinkPath.fileName(sinkPath),
+        "items" -> nGood,
+        "batch" -> batchId)
+
       dlqPath.foreach { p =>
         // Second scan of the route flatMap, taken only on batches that
         // actually contain failures — recomputing a cheap transform

@@ -38,8 +38,14 @@ object MediaFixture {
 
   /** Bump whenever the generated content changes (dims, grey values,
     * amplitudes, frame counts) — self-invalidates stale fixtures; the
-    * mm01 VALUES oracle must change in the same commit. */
-  private val Version = "v1"
+    * mm01/mm02 VALUES oracles must change in the same commit.
+    * v2: added animated-GIF `vid_<i>.gif` files for mm02. */
+  private val Version = "v2"
+
+  def gifDim(i: Int): (Int, Int) = (8 + i, 6 + i)
+  def gifFrameCount(i: Int): Int = 3 + i
+  /** Grey value of frame f of file i (all < 256 for i<8, f<11). */
+  def gifGrey(i: Int, f: Int): Int = 20 + 13 * i + 5 * f
 
   /** Generate (once) and return the fixture directory. */
   def ensure(): String =
@@ -47,6 +53,7 @@ object MediaFixture {
       (0 until N).foreach { i =>
         writePng(new File(dir, s"img_$i.png"), i)
         writeWav(new File(dir, s"wav_$i.wav"), i)
+        writeGif(new File(dir, s"vid_$i.gif"), i)
       }
     }
 
@@ -63,6 +70,33 @@ object MediaFixture {
     }
     if (!ImageIO.write(img, "png", f))
       throw new IllegalStateException("no PNG writer available in this JVM")
+  }
+
+  /** Animated GIF: the multi-frame "video" container the JDK can both
+    * write and read. Constant-grey frames survive GIF's palette
+    * quantization exactly (each frame's palette contains its one
+    * color), so per-frame luma is closed-form like the PNGs'. */
+  private def writeGif(f: File, i: Int): Unit = {
+    val (w, h) = gifDim(i)
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = ImageIO.createImageOutputStream(f)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until gifFrameCount(i)).foreach { fr =>
+        val v = gifGrey(i, fr)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        val rgb = (v << 16) | (v << 8) | v
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, rgb); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
   }
 
   private def writeWav(f: File, i: Int): Unit = {

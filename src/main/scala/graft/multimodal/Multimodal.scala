@@ -14,12 +14,16 @@ import org.apache.spark.sql.functions._
   * ([[Decoders.imageio]] — PNG/JPEG/GIF/BMP ship with every JVM, no
   * external library), and so is audio ([[Decoders.wav]] —
   * javax.sound.sampled parses WAV/AIFF/AU headers and PCM frames, also
-  * JDK-native). Only VIDEO codec work remains STUBBED (no JDK video
-  * support and this container ships no av libraries):
-  * [[Decoders.fake]]/[[Decoders.fakeAudio]] are the deterministic
-  * stand-ins. The Spark-side contract — schema, encoders, batch shape,
-  * partition-local lifecycle, partitioning strategy — is identical for
-  * real and fake; swapping decoders changes one function value.
+  * JDK-native). Multi-frame VIDEO-container decode is real for the one
+  * animated container the JDK ships a codec for — animated GIF
+  * ([[Decoders.gifFrames]]: per-frame extraction through the GIF
+  * ImageReader, oracle-gated by mm02). General av codecs (H.264/VP9/
+  * AAC...) remain STUBBED — no JDK support and this container ships no
+  * av libraries; [[Decoders.fake]]/[[Decoders.fakeAudio]] are the
+  * deterministic stand-ins. The Spark-side contract — schema, encoders,
+  * batch shape, partition-local lifecycle, partitioning strategy — is
+  * identical for real and fake; swapping decoders changes one function
+  * value.
   */
 object Multimodal {
 
@@ -38,12 +42,20 @@ object Multimodal {
   case class AudioFeatures(media_id: Long, duration_ms: Long, sample_rate: Int,
                            channels: Int, rms: Double)
 
+  /** Decoded video-frame feature row (one per sampled frame). */
+  case class FrameFeatures(media_id: Long, frame_idx: Int, width: Int,
+                           height: Int, mean_luma: Double)
+
   /** Decoder contract: bytes → (width, height, channels, meanLuma). */
   type ImageDecoder = Array[Byte] => (Int, Int, Int, Double)
 
   /** Audio decoder contract: bytes → (durationMs, sampleRate, channels,
     * rms) with rms over all channels' samples normalized to [-1, 1]. */
   type AudioDecoder = Array[Byte] => (Long, Int, Int, Double)
+
+  /** Frame decoder contract: container bytes → one (width, height,
+    * meanLuma) per frame, in frame order. */
+  type FrameDecoder = Array[Byte] => Seq[(Int, Int, Double)]
 
   object Decoders {
     /** Deterministic fake decoder: dimensions/luma derived from the
@@ -65,18 +77,17 @@ object Multimodal {
       * IllegalArgumentException — at pipeline level route them through
       * the failure path (DLQ, A5) rather than fabricating features.
       */
-    val imageio: ImageDecoder = bytes => {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      if (img == null) throw new IllegalArgumentException(
-        s"no installed image reader decodes this ${bytes.length}-byte payload")
+    // row-bulk sRGB fetch: one ColorModel conversion pass per row into
+    // a reused buffer — per-pixel getRGB(x, y) pays bounds checks plus
+    // a virtual color-conversion call w*h times (most real files
+    // decode to byte-BGR or indexed rasters, not TYPE_INT_RGB), which
+    // dominates decode cost on megapixel inputs. Row granularity
+    // bounds the buffer at w ints regardless of image height. Shared by
+    // the single-image and per-frame decoders so mm01/mm02's closed-form
+    // oracle values are computed by ONE accumulation order.
+    private def meanLuma(img: java.awt.image.BufferedImage): Double = {
       val w = img.getWidth
       val h = img.getHeight
-      // row-bulk sRGB fetch: one ColorModel conversion pass per row into
-      // a reused buffer — per-pixel getRGB(x, y) pays bounds checks plus
-      // a virtual color-conversion call w*h times (most real files
-      // decode to byte-BGR or indexed rasters, not TYPE_INT_RGB), which
-      // dominates decode cost on megapixel inputs. Row granularity
-      // bounds the buffer at w ints regardless of image height.
       val row = new Array[Int](w)
       var sum = 0.0
       var y = 0
@@ -93,7 +104,38 @@ object Multimodal {
         }
         y += 1
       }
-      (w, h, img.getColorModel.getNumComponents, sum / (w.toLong * h) / 255.0)
+      sum / (w.toLong * h) / 255.0
+    }
+
+    val imageio: ImageDecoder = bytes => {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) throw new IllegalArgumentException(
+        s"no installed image reader decodes this ${bytes.length}-byte payload")
+      (img.getWidth, img.getHeight, img.getColorModel.getNumComponents, meanLuma(img))
+    }
+
+    /** Real multi-frame container decode — animated GIF through the
+      * JDK's GIF ImageReader: every frame extracted and feature-mapped.
+      * This is the one video-like container decodable with zero external
+      * libraries; general av codecs stay behind the documented stub.
+      * Undecodable bytes throw, like [[imageio]] — route through the
+      * failure path (DLQ, A5).
+      */
+    val gifFrames: FrameDecoder = bytes => {
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(in)
+      if (!readers.hasNext) throw new IllegalArgumentException(
+        s"no installed reader decodes this ${bytes.length}-byte payload")
+      val reader = readers.next()
+      try {
+        reader.setInput(in)
+        val n = reader.getNumImages(true)
+        (0 until n).map { i =>
+          val img = reader.read(i)
+          (img.getWidth, img.getHeight, meanLuma(img))
+        }
+      } finally { reader.dispose(); in.close() }
     }
 
     /** Deterministic fake audio decoder: the video stand-in (no JDK
@@ -237,6 +279,28 @@ object Multimodal {
       val scale = math.min(1.0, maxDim.toDouble / math.max(f.width, f.height))
       f.copy(width = math.max(1, (f.width * scale).toInt),
              height = math.max(1, (f.height * scale).toInt))
+    }
+  }
+
+  /** Decode + feature-extract every `everyNth` frame of each multi-frame
+    * container (animated GIF via [[Decoders.gifFrames]]) — the REAL
+    * counterpart of [[sampleFrames]]' metadata-only generation: same
+    * partition-local batch lifecycle as [[decodeImages]], flatMap 1→N so
+    * output rows scale with sampled frames.
+    */
+  def decodeFrames(videos: Dataset[MediaItem], everyNth: Int = 1,
+                   decoder: FrameDecoder = Decoders.gifFrames): Dataset[FrameFeatures] = {
+    require(everyNth >= 1)
+    implicit val enc = Encoders.product[FrameFeatures]
+    videos.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { m =>
+          decoder(m.data).zipWithIndex.collect {
+            case ((w, h, luma), idx) if idx % everyNth == 0 =>
+              FrameFeatures(m.media_id, idx, w, h, luma)
+          }
+        }
+      }
     }
   }
 

@@ -867,6 +867,62 @@ object ExtensionQueries {
             col("channels"), lit(null).cast("double").as("luma"),
             col("duration_ms"), col("sample_rate"), col("rms"))
         img.union(aud).orderBy("kind", "idx")
+      }),
+    GraftQuery(
+      // mm02: REAL multi-frame container decode (animated GIF — the one
+      // video-like format the JDK ships a codec for): every 2nd frame of
+      // each generated vid_<i>.gif extracted through the GIF ImageReader
+      // and feature-mapped. Constant-grey frames survive palette
+      // quantization exactly, so per-frame luma is the same closed form
+      // as mm01's stills; the VALUES oracle pins frame COUNTS (via which
+      // frame_idx values appear), dimensions, and per-frame luma.
+      "mm02_video_frames",
+      Some("""SELECT CAST(idx AS INTEGER) AS idx, CAST(frame_idx AS INTEGER) AS frame_idx,
+        |  CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        |  CAST(luma AS DOUBLE) AS luma
+        |FROM (VALUES
+        |  (0, 0, 8, 6, 0.0784),
+        |  (0, 2, 8, 6, 0.1176),
+        |  (1, 0, 9, 7, 0.1294),
+        |  (1, 2, 9, 7, 0.1686),
+        |  (2, 0, 10, 8, 0.1804),
+        |  (2, 2, 10, 8, 0.2196),
+        |  (2, 4, 10, 8, 0.2588),
+        |  (3, 0, 11, 9, 0.2314),
+        |  (3, 2, 11, 9, 0.2706),
+        |  (3, 4, 11, 9, 0.3098),
+        |  (4, 0, 12, 10, 0.2824),
+        |  (4, 2, 12, 10, 0.3216),
+        |  (4, 4, 12, 10, 0.3608),
+        |  (4, 6, 12, 10, 0.4),
+        |  (5, 0, 13, 11, 0.3333),
+        |  (5, 2, 13, 11, 0.3725),
+        |  (5, 4, 13, 11, 0.4118),
+        |  (5, 6, 13, 11, 0.451),
+        |  (6, 0, 14, 12, 0.3843),
+        |  (6, 2, 14, 12, 0.4235),
+        |  (6, 4, 14, 12, 0.4627),
+        |  (6, 6, 14, 12, 0.502),
+        |  (6, 8, 14, 12, 0.5412),
+        |  (7, 0, 15, 13, 0.4353),
+        |  (7, 2, 15, 13, 0.4745),
+        |  (7, 4, 15, 13, 0.5137),
+        |  (7, 6, 15, 13, 0.5529),
+        |  (7, 8, 15, 13, 0.5922)
+        |) t(idx, frame_idx, width, height, luma)
+        |ORDER BY idx, frame_idx""".stripMargin),
+      (s, d) => {
+        import graft.multimodal.{MediaFixture, Multimodal}
+        val dir = MediaFixture.ensure()
+        val vids = Multimodal.readMedia(s, dir, "image/gif", Some("*.gif"))
+        val idx = vids.toDF.select(col("media_id"),
+          regexp_extract(element_at(col("meta"), lit("path")), "vid_(\\d+)\\.gif", 1)
+            .cast("int").as("idx"))
+        Multimodal.decodeFrames(vids, everyNth = 2).toDF
+          .join(idx, "media_id")
+          .select(col("idx"), col("frame_idx"), col("width"), col("height"),
+            round4(col("mean_luma")).as("luma"))
+          .orderBy("idx", "frame_idx")
       })
   )
 }

@@ -163,6 +163,20 @@ class MultimodalSpec extends SparkSpec {
       val (durMs, rate, ch, rms) = Decoders.wav(wav)
       assert((durMs, rate, ch) == (250L + 50 * i, 8000, 1))
       assert(rms == (8 + i) / 32.0, s"i=$i rms=$rms (must be exactly dyadic)")
+
+      // Animated GIF: real multi-frame decode — every frame's dimensions
+      // and palette-exact grey must match the generator's closed form.
+      val gif = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"vid_$i.gif"))
+      val frames = Decoders.gifFrames(gif)
+      val (gw, gh) = MediaFixture.gifDim(i)
+      assert(frames.size == MediaFixture.gifFrameCount(i), s"i=$i frames=${frames.size}")
+      frames.zipWithIndex.foreach { case ((fw, fh, luma), fr) =>
+        assert((fw, fh) == (gw, gh))
+        val u = MediaFixture.gifGrey(i, fr)
+        assert(math.abs(luma - u / 255.0) < 1e-9,
+          s"i=$i frame=$fr luma=$luma expected ~${u / 255.0}")
+      }
     }
   }
 }
