@@ -35,9 +35,9 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
 
-  test("the surface is exactly the two declared lists, with globally unique names") {
+  test("the surface is exactly the three declared lists, with globally unique names") {
     // allQueries is the driver contract; it must be the concatenation of
-    // the relational and extension surfaces with no name claimed twice
+    // the relational, partsupp and extension surfaces with no name claimed twice
     // (a duplicate name would make Verify/Bench silently drop an entry
     // through the Map view).
     val declared: Seq[GraftQuery] =
