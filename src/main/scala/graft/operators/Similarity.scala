@@ -42,6 +42,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Int8 scalar quantization of an embedding: per-vector symmetric
+    * scale s = maxAbs/127, code q_i = round(x_i / s) ∈ [-127, 127],
+    * computed as FLOOR(x/maxAbs*127 + 0.5) — the one rounding form both
+    * engines evaluate identically. The codes are carried as
+    * integer-VALUED doubles so downstream dot products are exact
+    * regardless of accumulation order. A zero vector quantizes to
+    * itself. At 100 TB this is the 4x memory / bandwidth cut for ANN
+    * scans (int8 SQ, the standard first rung before PQ); because cosine
+    * is scale-invariant, the per-vector scales cancel and quantized
+    * cosine needs no dequantization at all.
+    */
+  def quantized(embCol: Column): Column = {
+    val e = asDouble(embCol)
+    val maxAbs = array_max(transform(e, x => abs(x)))
+    when(maxAbs === 0, e)
+      .otherwise(transform(e, x => floor(x / maxAbs * 127 + 0.5).cast("double")))
+  }
+
+  /** Top-k by QUANTIZED cosine — the int8-SQ search path. Same plan
+    * shape as [[bruteForceTopK]] (broadcast probe, codegen'd cosine,
+    * TakeOrderedAndProject); only the vectors are 8-bit codes. Exactly
+    * reproducible cross-engine (integer dot products), so it gets a
+    * full hash oracle (sq01), not a recall band.
+    */
+  def quantizedTopK(emb: DataFrame, probeId: Long, k: Int): DataFrame = {
+    val q = emb.select(col("vec_id"), quantized(col("embedding")).as("q"))
+    val probe = q.filter(col("vec_id") === probeId).select(col("q").as("pq"))
+    q.filter(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id"), cosine_similarity(col("q"), col("pq")).as("score0"))
+      .orderBy(col("score0").desc, col("vec_id"))
+      .limit(k)
+      .select(col("vec_id"), round4(col("score0")).as("score"))
+  }
+
   /** Sign-bit LSH bucket key: one hyperplane per leading dimension
     * (axis-aligned random projection — deterministic and expressible in
     * the oracle SQL). */

@@ -102,6 +102,30 @@ object ExtensionQueries {
           .select(col("vec_id"), round4(col("score0")).as("score"), col("recall_ok"))
       }),
 
+    GraftQuery(
+      // Int8 scalar-quantized cosine search (Similarity.quantized /
+      // quantizedTopK): per-vector symmetric int8 codes, FLOOR(x/max*127
+      // + 0.5) — identical arithmetic in both engines — and cosine over
+      // the codes (scales cancel; dot products are exact integer sums).
+      // Unlike the ANN/IVF entries this is bit-reproducible, so it gets
+      // the full hash gate, not a recall band.
+      "sq01_quantized_cosine",
+      Some("""WITH qv AS (
+        |  SELECT vec_id,
+        |    CASE WHEN ma = 0 THEN e ELSE list_transform(e, x -> FLOOR(x / ma * 127 + 0.5)) END AS q
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |          list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS ma
+        |        FROM embeddings) b),
+        |probe AS (SELECT q AS pq FROM qv WHERE vec_id = 0),
+        |s AS (
+        |  SELECT qv.vec_id,
+        |    list_dot_product(qv.q, p.pq) /
+        |      (sqrt(list_dot_product(qv.q, qv.q)) * sqrt(list_dot_product(p.pq, p.pq))) AS c
+        |  FROM qv CROSS JOIN probe p WHERE qv.vec_id <> 0)
+        |SELECT vec_id, ROUND(c * 10000) / 10000 + 0 AS score FROM s
+        |ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
+      (s, d) => Similarity.quantizedTopK(t(s, d).embeddings, probeId = 0L, k = 5)),
+
     // ---------------------------------------------------------------- Q27
     GraftQuery(
       "q27_text_wordcount",

@@ -67,4 +67,33 @@ class SimilaritySpec extends SparkSpec {
     val bruteScores = brute.toMap
     ann.foreach { case (id, s) => bruteScores.get(id).foreach(b => assert(b == s)) }
   }
+
+  test("int8 quantized cosine is within the SQ error bound of exact cosine") {
+    // Per-component quantization error <= 0.5/127 of the vector's max
+    // component; cosine error stays well under 2% on the testdata
+    // embeddings. Also: codes must be integral and bounded by 127.
+    import org.apache.spark.sql.functions._
+    val emb = tables.embeddings
+    val q = emb.select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+    val bad = q.select(explode(col("q")).as("c"))
+      .filter(abs(col("c")) > 127 || col("c") =!= floor(col("c")))
+    assert(bad.isEmpty, "codes must be integral in [-127, 127]")
+
+    val exact = Similarity.bruteForceTopKRaw(emb, probeId = 0L, k = 50)
+      .select(col("vec_id"), col("score0").as("ce"))
+    val pq = q.filter(col("vec_id") === 0L).select(col("q").as("pq"))
+    val approx = q.filter(col("vec_id") =!= 0L).crossJoin(broadcast(pq))
+      .select(col("vec_id"), graft.functions.cosine_similarity(col("q"), col("pq")).as("cq"))
+    val maxErr = exact.join(approx, "vec_id")
+      .agg(max(abs(col("ce") - col("cq")))).head().getDouble(0)
+    assert(maxErr < 0.02, s"quantized-cosine error $maxErr exceeds the SQ bound")
+  }
+
+  test("quantized top-k keeps the no-UDF broadcast + TakeOrderedAndProject plan") {
+    val df = Similarity.quantizedTopK(tables.embeddings, probeId = 0L, k = 5)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"))
+    assert(plan.contains("TakeOrderedAndProject"))
+    assert(df.count() == 5)
+  }
 }
