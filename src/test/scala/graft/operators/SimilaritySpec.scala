@@ -96,4 +96,37 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"))
     assert(df.count() == 5)
   }
+
+  test("law: quantization is scale-invariant (the property sq01 rests on)") {
+    // cosine is scale-invariant and the int8 codes divide by the
+    // vector's own maxAbs, so scaling a vector by ANY positive constant
+    // must produce IDENTICAL codes — if this law broke, quantized
+    // cosine would depend on storage magnitude, not direction.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vecGen = for {
+      d <- Gen.choose(2, 16)
+      xs <- Gen.listOfN(d, Gen.choose(-1e3, 1e3)).suchThat(_.exists(_ != 0.0))
+      c <- Gen.choose(1e-6, 1e6)
+    } yield (xs.map(_.toFloat), c)
+    val cases = Gen.listOfN(60, vecGen)
+      .apply(Gen.Parameters.default, Seed(42L)).get
+    val rows = cases.zipWithIndex.flatMap { case ((xs, c), i) =>
+      // exact float scaling can overflow float range for extreme c; scale
+      // in double then cast back, mirroring how a pipeline would rescale
+      Seq((i.toLong * 2, xs), (i.toLong * 2 + 1, xs.map(x => (x.toDouble * c).toFloat)))
+    }.toDF("vec_id", "embedding")
+    val q = rows.select(col("vec_id"), Similarity.quantized(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    cases.indices.foreach { i =>
+      val (orig, scaled) = (q(i.toLong * 2), q(i.toLong * 2 + 1))
+      // float re-cast of the scaled vector perturbs components by <=1 ulp,
+      // which can flip a code by at most 1 on exact .5 boundaries — require
+      // near-identity, exact for the overwhelming majority
+      val diffs = orig.zip(scaled).count { case (a, b) => math.abs(a - b) > 1.0 }
+      assert(diffs == 0, s"case $i: codes differ by >1: $orig vs $scaled")
+    }
+  }
 }
