@@ -21,16 +21,26 @@ object SinkPath {
     s"$scheme://$root/$joined"
   }
 
-  /** Display form of a sink path: already-qualified URIs pass through,
-    * bare paths qualify as absolute `file:` URIs. */
+  /** Display form of a sink path: qualified URIs are re-composed through
+    * [[resolve]] (so the reference's trim/join rules normalize e.g.
+    * accidental double slashes in the logged path); bare paths qualify
+    * as absolute `file:` URIs. */
   def display(path: String): String =
-    if (path.contains("://")) path
-    else "file://" + new java.io.File(path).getAbsolutePath
+    path.split("://", 2) match {
+      case Array(scheme, rest) =>
+        val (root, key) = rest.span(_ != '/')
+        resolve(scheme, root, "", key)
+      case _ => "file://" + new java.io.File(path).getAbsolutePath
+    }
 
-  /** Base name of a key (reference: `path.Base`). */
+  /** Base name of a key (reference: `path.Base` — "." for the empty
+    * string, "/" when the key is all slashes). */
   def fileName(key: String): String = {
-    val trimmed = key.reverse.dropWhile(_ == '/').reverse
-    val i = trimmed.lastIndexOf('/')
-    if (trimmed.isEmpty) "/" else trimmed.substring(i + 1)
+    if (key.isEmpty) "."
+    else {
+      val trimmed = key.reverse.dropWhile(_ == '/').reverse
+      val i = trimmed.lastIndexOf('/')
+      if (trimmed.isEmpty) "/" else trimmed.substring(i + 1)
+    }
   }
 }

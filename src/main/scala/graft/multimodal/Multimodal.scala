@@ -118,24 +118,42 @@ object Multimodal {
       * JDK's GIF ImageReader: every frame extracted and feature-mapped.
       * This is the one video-like container decodable with zero external
       * libraries; general av codecs stay behind the documented stub.
-      * Undecodable bytes throw, like [[imageio]] — route through the
-      * failure path (DLQ, A5).
+      *
+      * FULL-FRAME GIFs only: a frame-optimized (delta-encoded) GIF
+      * stores some frames as changed sub-rectangles, and reporting a
+      * patch's dimensions/luma as frame features would be silently
+      * wrong — such payloads throw instead (detected by a frame whose
+      * stored size differs from frame 0's). Undecodable bytes throw
+      * too, like [[imageio]] — route both through the failure path
+      * (DLQ, A5).
       */
     val gifFrames: FrameDecoder = bytes => {
+      // The stream closes in a finally that guards EVERY exit, including
+      // the no-reader throw: with ImageIO's default disk cache each
+      // stream holds a temp file + fd, and the undecodable-payload path
+      // is exactly the one a DLQ-heavy partition hits repeatedly.
       val in = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(in)
-      if (!readers.hasNext) throw new IllegalArgumentException(
-        s"no installed reader decodes this ${bytes.length}-byte payload")
-      val reader = readers.next()
       try {
-        reader.setInput(in)
-        val n = reader.getNumImages(true)
-        (0 until n).map { i =>
-          val img = reader.read(i)
-          (img.getWidth, img.getHeight, meanLuma(img))
-        }
-      } finally { reader.dispose(); in.close() }
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) throw new IllegalArgumentException(
+          s"no installed reader decodes this ${bytes.length}-byte payload")
+        val reader = readers.next()
+        try {
+          reader.setInput(in)
+          val n = reader.getNumImages(true)
+          val (w0, h0) = (reader.getWidth(0), reader.getHeight(0))
+          (0 until n).map { i =>
+            val img = reader.read(i)
+            if (img.getWidth != w0 || img.getHeight != h0)
+              throw new IllegalArgumentException(
+                s"frame-optimized GIF: frame $i stores a ${img.getWidth}x${img.getHeight} " +
+                  s"sub-image of the ${w0}x$h0 canvas; only full-frame GIFs decode " +
+                  "to per-frame features")
+            (img.getWidth, img.getHeight, meanLuma(img))
+          }
+        } finally reader.dispose()
+      } finally in.close()
     }
 
     /** Deterministic fake audio decoder: the video stand-in (no JDK

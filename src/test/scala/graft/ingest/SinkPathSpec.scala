@@ -16,8 +16,9 @@ class SinkPathResolveSpec extends AnyFunSuite {
     assert(SinkPath.resolve("s3", "bucket", "p", "k") == "s3://bucket/p/k")
   }
 
-  test("display qualifies bare paths and passes URIs through") {
+  test("display qualifies bare paths and normalizes URIs through resolve") {
     assert(SinkPath.display("s3a://b/k") == "s3a://b/k")
+    assert(SinkPath.display("s3a://b///k") == "s3a://b/k")
     assert(SinkPath.display("/tmp/x").startsWith("file:///"))
   }
 
@@ -26,6 +27,7 @@ class SinkPathResolveSpec extends AnyFunSuite {
     assert(SinkPath.fileName("c.parquet") == "c.parquet")
     assert(SinkPath.fileName("a/b/") == "b")
     assert(SinkPath.fileName("/") == "/")
+    assert(SinkPath.fileName("") == ".")
   }
 }
 
