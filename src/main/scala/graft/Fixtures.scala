@@ -14,9 +14,15 @@ import java.io.File
   * .gitignored scratch; stale versions are simply abandoned on disk.
   *
   * The JVM-wide lock serializes generation across the driver's
-  * query-thread pool. (Cross-JVM races are benign for these fixtures:
-  * generation is deterministic, and the `_SUCCESS` check-then-generate
-  * window at worst regenerates identical bytes.)
+  * query-thread pool. Cross-JVM publication is ATOMIC (ADVICE r8):
+  * generation happens in a private `fixtures/.tmp-<pid>-<nanos>`
+  * directory that is renamed onto the versioned path in one filesystem
+  * op, so a concurrent `sbt test` and bench run can never observe (or
+  * overwrite-delete) each other's half-written parquet — the loser of
+  * the rename race discards its tmp dir and reads the winner's
+  * identical bytes. A destination lacking `_SUCCESS` can only be
+  * pre-atomic-era residue (generation never writes there directly), so
+  * it is deleted before publishing.
   */
 object Fixtures {
   private val lock = new Object
@@ -26,12 +32,35 @@ object Fixtures {
       val dir = new File(s"${sys.props("user.dir")}/fixtures/$name-$version")
       val done = new File(dir, "_SUCCESS")
       if (!done.exists()) {
-        dir.mkdirs()
-        generate(dir)
-        done.createNewFile()
+        val tmp = new File(dir.getParentFile,
+          s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+        tmp.mkdirs()
+        try {
+          generate(tmp)
+          new File(tmp, "_SUCCESS").createNewFile()
+          if (dir.exists() && !done.exists()) deleteRecursively(dir)
+          try
+            java.nio.file.Files.move(tmp.toPath, dir.toPath,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          catch {
+            // Another JVM published between our check and move: use theirs
+            // (deterministic generation ⇒ identical bytes).
+            case _: java.nio.file.FileAlreadyExistsException
+               | _: java.nio.file.DirectoryNotEmptyException
+               | _: java.nio.file.AccessDeniedException if done.exists() => ()
+          }
+        } finally if (tmp.exists()) deleteRecursively(tmp)
+        if (!done.exists()) sys.error(
+          s"fixture $name-$version failed to publish: no _SUCCESS at $dir")
       }
       dir.getAbsolutePath
     }
+
+  private def deleteRecursively(f: File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRecursively)
+    f.delete()
+  }
 
   /** Collision-proof tag for a source path: readable last segment plus a
     * hash of the FULL path (a sanitized path alone maps e.g. /a/b_1 and

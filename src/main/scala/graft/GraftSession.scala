@@ -28,7 +28,46 @@ object GraftSession {
     val spark = builder(master, appName).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     init(spark)
+    warmSharedPools(spark)
+    spark
   }
+
+  private val poolsWarmed = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** Warms Spark's SHARED stage-execution pools from the root session so
+    * short-lived child sessions are not retained by them.
+    *
+    * Measured on Spark 4.1 (TablesCacheSpec's development probe, NOTES.md
+    * round 9): the `QueryStageCreator` / `shuffle-exchange` /
+    * `ResultQueryStageExecution` / `broadcast-exchange` pools are
+    * process-global and their worker threads never die; each worker's
+    * inheritable active-session thread-local permanently holds whichever
+    * session was active WHEN THE THREAD WAS CREATED (`withThreadLocalCaptured`
+    * restores the inherited value after every task, so later sessions
+    * never displace it). If a transient session's first-in query grows a
+    * pool, that session — plans, catalog and all — is pinned for the
+    * process lifetime. Running a few parallel shuffle+broadcast queries
+    * HERE makes the threads inherit the root session instead, which the
+    * process keeps alive anyway. Bounded mitigation, not a guarantee: a
+    * later query can still grow a pool past its warmed size.
+    */
+  private def warmSharedPools(spark: SparkSession): Unit =
+    if (poolsWarmed.compareAndSet(false, true)) {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration._
+      val runs = (1 to 4).map { i =>
+        Future {
+          val facts = spark.range(64 * i).toDF("k")
+          val dim = spark.range(8).toDF("g")
+          facts.groupBy((col("k") % 5).as("g")).count()
+            .join(broadcast(dim), "g").count()
+        }
+      }
+      Await.result(Future.sequence(runs), 120.seconds)
+      ()
+    }
 
   /** Register graft SQL functions + optimizer rules on an
     * externally-built session (idempotent). */

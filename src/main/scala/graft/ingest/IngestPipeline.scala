@@ -121,12 +121,18 @@ final case class IngestPipeline[T <: Product : TypeTag](
       IngestMetrics.inc(IngestMetrics.RecordsFlushed, nGood)
 
       // A24: sink-write success event with the resolved display path
-      // (reference logSinkWrite, ingestor.go:757-769).
+      // (reference logSinkWrite, ingestor.go:757-769). `bytes` is the
+      // reference's -1 streaming-path sentinel (ingestor.go:578): Spark's
+      // parquet writer streams row groups straight to the sink (A11), so
+      // — exactly like the reference's stream-write branch — no buffered
+      // byte count exists at log time. `batch` is an addition, not a
+      // replacement.
       log.info("ingest.flush.sink_write_succeeded",
         "key" -> sinkPath,
         "path" -> SinkPath.display(sinkPath),
         "file_name" -> SinkPath.fileName(sinkPath),
         "items" -> nGood,
+        "bytes" -> -1L,
         "batch" -> batchId)
 
       dlqPath.foreach { p =>

@@ -120,12 +120,19 @@ object Multimodal {
       * libraries; general av codecs stay behind the documented stub.
       *
       * FULL-FRAME GIFs only: a frame-optimized (delta-encoded) GIF
-      * stores some frames as changed sub-rectangles, and reporting a
-      * patch's dimensions/luma as frame features would be silently
-      * wrong — such payloads throw instead (detected by a frame whose
-      * stored size differs from frame 0's). Undecodable bytes throw
-      * too, like [[imageio]] — route both through the failure path
-      * (DLQ, A5).
+      * stores some frames as patches of the previous frame, and
+      * reporting a patch's raw (uncomposited) luma as a frame feature
+      * would be silently wrong — such payloads throw instead. Dimensions
+      * alone don't detect this (ADVICE r8): delta encoders commonly ship
+      * full-canvas-size frames that patch via transparent pixels +
+      * disposal 'doNotDispose'. So each frame's GIF stream metadata is
+      * inspected and the payload throws when any frame is offset from
+      * the canvas origin or declares a transparent color. Given every
+      * frame is full-canvas, origin-anchored, and fully opaque, each
+      * frame overwrites the complete canvas — composited pixels equal
+      * raw pixels under EVERY disposal method, so disposal needs no
+      * further constraint. Undecodable bytes throw too, like
+      * [[imageio]] — route both through the failure path (DLQ, A5).
       */
     val gifFrames: FrameDecoder = bytes => {
       // The stream closes in a finally that guards EVERY exit, including
@@ -150,10 +157,43 @@ object Multimodal {
                 s"frame-optimized GIF: frame $i stores a ${img.getWidth}x${img.getHeight} " +
                   s"sub-image of the ${w0}x$h0 canvas; only full-frame GIFs decode " +
                   "to per-frame features")
+            requireCompositionFree(reader.getImageMetadata(i), i)
             (img.getWidth, img.getHeight, meanLuma(img))
           }
         } finally reader.dispose()
       } finally in.close()
+    }
+
+    /** Throws unless the frame's GIF stream metadata proves raw pixels ==
+      * composited pixels: zero ImageDescriptor offset and no transparent
+      * color. (Tested together with the full-canvas size check above,
+      * these make disposal method irrelevant — see [[gifFrames]] doc.)
+      * Reads the standard `javax_imageio_gif_image_1.0` native tree the
+      * JDK GIF reader always emits.
+      */
+    private def requireCompositionFree(
+        meta: javax.imageio.metadata.IIOMetadata, frame: Int): Unit = {
+      val tree = meta.getAsTree("javax_imageio_gif_image_1.0")
+        .asInstanceOf[org.w3c.dom.Element]
+      def attr(child: String, name: String): Option[String] = {
+        val kids = tree.getElementsByTagName(child)
+        if (kids.getLength == 0) None
+        else Option(kids.item(0).asInstanceOf[org.w3c.dom.Element].getAttribute(name))
+          .filter(_.nonEmpty)
+      }
+      val left = attr("ImageDescriptor", "imageLeftPosition").map(_.toInt).getOrElse(0)
+      val top  = attr("ImageDescriptor", "imageTopPosition").map(_.toInt).getOrElse(0)
+      if (left != 0 || top != 0)
+        throw new IllegalArgumentException(
+          s"frame-optimized GIF: frame $frame is offset ($left,$top) from the " +
+            "canvas origin; its raw pixels patch the previous frame")
+      val transparent = attr("GraphicControlExtension", "transparentColorFlag")
+        .exists(_.equalsIgnoreCase("TRUE"))
+      if (transparent)
+        throw new IllegalArgumentException(
+          s"frame-optimized GIF: frame $frame declares a transparent color; " +
+            "its raw pixels composite over the previous frame, so uncomposited " +
+            "features would be wrong")
     }
 
     /** Deterministic fake audio decoder: the video stand-in (no JDK

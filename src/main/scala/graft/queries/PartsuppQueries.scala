@@ -36,11 +36,11 @@ object PartsuppQueries {
   val psCte: String =
     """WITH ps_pairs AS (
       |  SELECT DISTINCT ps_partkey, ps_suppkey FROM (
-      |    SELECT p_partkey AS ps_partkey,
-      |           (p_partkey * 7 + i.i * 13) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
+      |    SELECT CAST(p_partkey AS BIGINT) AS ps_partkey,
+      |           (CAST(p_partkey AS BIGINT) * 7 + i.i * 13) % (SELECT COUNT(*) FROM supplier) AS ps_suppkey
       |    FROM part CROSS JOIN (VALUES (0),(1),(2),(3)) AS i(i)
       |    UNION ALL
-      |    SELECT l_partkey, l_suppkey FROM lineitem
+      |    SELECT CAST(l_partkey AS BIGINT), CAST(l_suppkey AS BIGINT) FROM lineitem
       |  ) raw_pairs
       |),
       |partsupp AS (

@@ -32,6 +32,18 @@ import org.apache.spark.sql.functions._
   * This is a replay HARNESS: the driver-side collect of the bounded
   * input is the point (a test feeding a stream), not a scale path — the
   * production form is the same expression over readStream (Q29).
+  *
+  * ==Child-session lifetime==
+  * Each replay call creates one `spark.newSession()` child (same
+  * SparkContext, isolated conf/catalog) to hold its 8-partition
+  * shuffle override, and the child is NOT torn down afterwards: Spark
+  * has no per-session close, so its catalog/listener registrations
+  * live until the SparkContext stops. The retained state is small
+  * (conf + empty catalog — the memory-sink table and checkpoint dir
+  * ARE dropped in the finally), but it accrues per call: fine for a
+  * bounded gate/test harness, not for an unbounded service loop. A
+  * service should call the underlying [[StreamingOps]] operator over
+  * `readStream` directly — the replay protocol is the test.
   */
 object StreamReplay {
 
