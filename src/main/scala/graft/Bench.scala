@@ -140,17 +140,30 @@ object Bench {
       name -> (if (errors.contains(name) || samples(name).isEmpty) None
                else Some(median(samples(name))))
     }
+    // Per-entry floor (min over passes): the contention-robust statistic.
+    // On a shared host a contention burst inflates the median of a pass
+    // it lands on, but the floor survives unless ALL passes were hit —
+    // BASELINE.md's 2x gate adjudicates on floors when the two disagree
+    // (VERDICT r8 #2).
+    val floors = entries.map { case (name, _) =>
+      name -> (if (errors.contains(name) || samples(name).isEmpty) None
+               else Some(samples(name).min))
+    }
     def fmt(d: Double): String = // Locale.ROOT: '.' decimal separator always
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(fmt).getOrElse("null")
     }.mkString("{", ",", "}")
+    val fs = floors.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(fmt).getOrElse("null")
+    }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+    val floorTotal = floors.flatMap(_._2).sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val partial = entries.map(_._1)
       .filter(n => samples(n).size < passes)
       .map(n => "\"" + n + "\":" + samples(n).size).mkString("{", ",", "}")
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errs,"passes":$passes,"samples":$partial,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"floors":$fs,"floor_total":${fmt(floorTotal)},"errors":$errs,"passes":$passes,"samples":$partial,"sf":"$sfDir"}"""
     println(line)
     // The driver records only the LAST 2000 chars of stdout and parses
     // the JSON line from there. With 90+ entries the full map is wider
@@ -173,8 +186,11 @@ object Bench {
     val errsCompact = (errNames.take(8).map("\"" + _ + "\"") ++
       (if (errNames.size > 8) Seq("\"...+" + (errNames.size - 8) + "\"") else Nil))
       .mkString("[", ",", "]")
+    // The compact line carries the aggregate floor only (the full
+    // per-entry floors map would halve the kept-entry budget); per-entry
+    // floors live in the full line above and the sidecar.
     def assemble(qsStr: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsStr,"omitted":$omitted,"full":"BENCH_LOCAL.json","errors":$errsCompact,"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsStr,"floor_total":${fmt(floorTotal)},"omitted":$omitted,"full":"BENCH_LOCAL.json","errors":$errsCompact,"passes":$passes,"sf":"$sfDir"}"""
     val tailBudget = 1900 - assemble("{}", results.size).length
     val byCost = results.sortBy { case (_, v) => -v.getOrElse(Double.MaxValue) }
     val kept = scala.collection.mutable.ListBuffer.empty[String]
@@ -194,6 +210,9 @@ object Bench {
     sidecar.append(s"""  "metric":"total","value":$total,"unit":"sec","passes":$passes,"sf":"$sfDir","errors":$errs,""" + "\n")
     sidecar.append("  \"medians\":{")
     sidecar.append(results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }.mkString(","))
+    sidecar.append("},\n  \"floors\":{")
+    sidecar.append(floors.map { case (k, v) =>
       "\"" + k + "\":" + v.map(_.toString).getOrElse("null") }.mkString(","))
     sidecar.append("},\n  \"samples\":{")
     sidecar.append(entries.map { case (name, _) =>

@@ -1,0 +1,198 @@
+package graft.queries
+
+import java.io.File
+import java.sql.Timestamp
+import java.time.{LocalDate, ZoneOffset}
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ingest.{BatchPolicy, Envelope, IngestPipeline, SimpleRetry, Transformer}
+
+/** Sink row of the ingestion gate: what the reference's transform stage
+  * emits, plus the event time that drives the y/m/d/h key layout. */
+case class GateRecord(id: Long, name: String, value: Double, kind: String,
+                      event_ts: Timestamp)
+
+/** The gate's JSON→record transform (A3/A4/A5 in one): 1→N flatMap
+  * ('F' orders emit an extra "filled" record), deliberate drop ('P'
+  * orders → empty, still acked), and failure routing (unparseable
+  * payloads throw → DLQ). Event time is rebuilt in EXPLICIT UTC — the
+  * oracle recomputes it as `o_orderdate + hh hours`, and going through
+  * the JVM-default-zone `Timestamp.valueOf` would shift it on any
+  * non-UTC host.
+  */
+class GateTransformer extends Transformer[GateRecord] {
+  private val Re =
+    ("""\{"id": (-?\d+), "name": "([^"]*)", "value": (-?[\d.eE+]+), """ +
+      """"date": "(\d{4}-\d{2}-\d{2})", "hh": (\d+), "status": "(\w)"\}""").r
+  override def transform(e: Envelope): Seq[GateRecord] = e.payload match {
+    case Re(id, name, value, date, hh, status) =>
+      val epochMs = LocalDate.parse(date).atStartOfDay(ZoneOffset.UTC)
+        .toInstant.toEpochMilli + hh.toLong * 3600000L
+      val ts = new Timestamp(epochMs)
+      status match {
+        case "P" => Seq.empty // deliberate drop: acked, never written (A4)
+        case "F" => Seq(
+          GateRecord(id.toLong, name, value.toDouble, "order", ts),
+          GateRecord(id.toLong, name, value.toDouble, "filled", ts))
+        case _ => Seq(GateRecord(id.toLong, name, value.toDouble, "order", ts))
+      }
+    case _ => throw new IllegalArgumentException(
+      s"unparseable payload: ${e.payload.take(40)}") // → DLQ (A5)
+  }
+}
+
+/** ig01/ig02 — the ingestion pipeline's OWN OUTPUT under the oracle
+  * hash gate (VERDICT r8 "Next round" #1; the mm01 pattern applied to
+  * the §2-A reference-parity layer, anchor:
+  * /root/reference/tests/integration_ingestor_test.go:158-286).
+  *
+  * Both entries run the REAL pipeline end-to-end per invocation:
+  * deterministic JSON envelopes derived from `orders` → MemoryStream →
+  * `IngestPipeline.start` (foreachBatch, ack-after-write) → UTC
+  * y/m/d/h-keyed snappy parquet → read back through a fresh scan. What
+  * each proves:
+  *
+  *   - '''ig01_ingest_roundtrip''': DuckDB reads THE SAME FILES the
+  *     pipeline wrote (`read_parquet(..., hive_partitioning=1)`) — one
+  *     hash over parquet encoding, the hive `y=/m=/d=/h=` layout, and
+  *     row content, as seen by a foreign reader. Its sink lives at the
+  *     FIXED path the oracle text embeds ([[IngestGate.RoundtripRoot]]),
+  *     so the entry and its oracle are only meaningful as the
+  *     sequential Verify→DuckDB pair the driver (and the verify skill)
+  *     runs — a later run at another scale factor overwrites the sink.
+  *   - '''ig02_ingest_content''': DuckDB RECOMPUTES the expected rows
+  *     from `orders` with pure SQL — transform semantics (1→N flatMap,
+  *     'P' drops, corrupt→DLQ exclusions), time keying, and value
+  *     fidelity through the JSON round-trip, independent of the files.
+  *     Scale-factor-agnostic; writes to a throwaway temp dir.
+  *
+  * Input protocol (all modular in `o_orderkey`, so any SF works):
+  * every 20th order is fed; every 1000th is sent CORRUPT (→ DLQ, must
+  * not reach the sink); hour-of-day is `o_orderkey % 24` for coverage
+  * of the `h=` dimension. Doubles survive exactly: Scala's
+  * `Double.toString` is shortest-round-trip, so `o_totalprice` comes
+  * back bit-identical after JSON transport.
+  *
+  * Scale: the driver-side collect feeds the replay harness (bounded:
+  * |orders|/20 short strings — the StreamReplay protocol); the
+  * production form is the same pipeline over a real queue source. The
+  * pipeline's own write path is fully distributed.
+  */
+object IngestGate {
+
+  /** Fixed sink root ig01's oracle SQL embeds (static text can't learn
+    * the run's temp dir). Scratch, wiped per invocation. */
+  val RoundtripRoot = "/root/repo/fixtures/igate/roundtrip"
+
+  private def deleteRecursively(f: File): Unit = {
+    val cs = f.listFiles()
+    if (cs != null) cs.foreach(deleteRecursively)
+    f.delete()
+  }
+
+  /** Deterministic JSON envelopes for the fed subset (driver-side,
+    * bounded — see class doc). */
+  private[queries] def envelopes(spark: SparkSession, dir: String): Seq[Envelope] = {
+    import spark.implicits._
+    val rows = Tables(spark, dir).orders
+      .filter(col("o_orderkey") % 20 === 0)
+      .select(
+        col("o_orderkey").as("id"),
+        col("o_orderpriority").as("name"),
+        col("o_totalprice").as("value"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("date"),
+        (col("o_orderkey") % 24).cast("int").as("hh"),
+        col("o_orderstatus").as("status"))
+      .as[(Long, String, Double, String, Int, String)]
+      .collect().sortBy(_._1)
+    rows.map { case (id, name, value, date, hh, status) =>
+      val payload =
+        if (id % 1000 == 0) s"""{"id": $id, CORRUPT""" // → DLQ
+        else s"""{"id": $id, "name": "$name", "value": $value, "date": "$date", "hh": $hh, "status": "$status"}"""
+      Envelope(payload, Map("order" -> id.toString))
+    }
+  }
+
+  /** Wipes `root`, streams the envelopes through the pipeline in three
+    * micro-batches, returns the read-back sink (y/m/d/h as INTs — the
+    * cast pins one type on both engines regardless of partition-type
+    * inference). */
+  private def ingestAndReadBack(spark: SparkSession, dir: String, root: String): DataFrame = {
+    deleteRecursively(new File(root))
+    val pipe = IngestPipeline[GateRecord](
+      transformer = new GateTransformer,
+      sinkPath = s"$root/sink",
+      checkpointPath = s"$root/cp",
+      policy = BatchPolicy(flushIntervalMs = 0L),
+      codec = "snappy",
+      dlqPath = Some(s"$root/dlq"),
+      retry = SimpleRetry(attempts = 3),
+      eventTimeCol = Some("event_ts"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val envEnc: org.apache.spark.sql.Encoder[Envelope] =
+      org.apache.spark.sql.Encoders.product[Envelope]
+    val ms = MemoryStream[Envelope]
+    val q = pipe.start(ms.toDS(), queryName = s"ig-gate-${System.nanoTime()}")
+    try {
+      val envs = envelopes(spark, dir)
+      envs.grouped(math.max(1, envs.size / 3 + 1))
+        .foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
+    } finally q.stop()
+
+    spark.read.parquet(s"$root/sink").select(
+      col("id"), col("name"), col("value"), col("kind"), col("event_ts"),
+      col("y").cast("int").as("y"), col("m").cast("int").as("m"),
+      col("d").cast("int").as("d"), col("h").cast("int").as("h"))
+      .orderBy("id", "kind") // the driver's hash is row-order-sensitive
+  }
+
+  /** DLQ row count of the last run under `root` (spec hook). */
+  private[queries] def dlqCount(spark: SparkSession, root: String): Long =
+    spark.read.parquet(s"$root/dlq").count()
+
+  private val roundtripOracle =
+    s"""SELECT id, name, value, kind, event_ts,
+       |       CAST(y AS INTEGER) AS y, CAST(m AS INTEGER) AS m,
+       |       CAST(d AS INTEGER) AS d, CAST(h AS INTEGER) AS h
+       |FROM read_parquet('$RoundtripRoot/sink/**/*.parquet', hive_partitioning=1)
+       |ORDER BY id, kind""".stripMargin
+
+  private val contentOracle =
+    """WITH src AS (
+      |  SELECT o_orderkey AS id, o_orderpriority AS name, o_totalprice AS value,
+      |         o_orderstatus AS status, o_orderdate,
+      |         CAST(o_orderkey % 24 AS INTEGER) AS hh
+      |  FROM orders WHERE o_orderkey % 20 = 0 AND o_orderkey % 1000 <> 0
+      |)
+      |SELECT id, name, value, 'order' AS kind,
+      |       o_orderdate + hh * INTERVAL 1 HOUR AS event_ts,
+      |       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+      |       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+      |       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+      |       hh AS h
+      |FROM src WHERE status <> 'P'
+      |UNION ALL
+      |SELECT id, name, value, 'filled' AS kind,
+      |       o_orderdate + hh * INTERVAL 1 HOUR AS event_ts,
+      |       CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS y,
+      |       CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS m,
+      |       CAST(EXTRACT(day FROM o_orderdate) AS INTEGER) AS d,
+      |       hh AS h
+      |FROM src WHERE status = 'F'
+      |ORDER BY id, kind""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+    GraftQuery("ig01_ingest_roundtrip", Some(roundtripOracle),
+      (s, d) => ingestAndReadBack(s, d, RoundtripRoot)),
+    GraftQuery("ig02_ingest_content", Some(contentOracle),
+      (s, d) => {
+        val root = java.nio.file.Files.createTempDirectory("igate-content").toString
+        ingestAndReadBack(s, d, root)
+      })
+  )
+}
