@@ -9,7 +9,7 @@ object SparkEntry {
   /** Every operator the engine exposes, as named verifiable queries. */
   def allQueries: Seq[GraftQuery] =
     RelationalQueries.all ++ PartsuppQueries.all ++ ExtensionQueries.all ++
-      IngestGate.all
+      IngestGate.all ++ TokenQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {

@@ -21,6 +21,15 @@ package object functions {
   def rolling_hash(text: Column): Column =
     F.call_function("rolling_hash", text)
 
+  /** Subword tokens / token count under a BPE vocabulary (native,
+    * codegen'd — see [[BpeVocab]]). The vocab travels as a foldable
+    * literal in [[BpeVocab.encode]] wire form, parsed once per operator.
+    */
+  def bpe_tokens(text: Column, vocab: BpeVocab): Column =
+    F.call_function("bpe_tokens", text, F.lit(vocab.encoded))
+  def bpe_count(text: Column, vocab: BpeVocab): Column =
+    F.call_function("bpe_count", text, F.lit(vocab.encoded))
+
   /** Lower-cased whitespace tokens with empties removed. */
   def tokens(text: Column): Column =
     F.filter(F.split(F.lower(text), " "), w => w =!= "")
@@ -80,6 +89,18 @@ package object functions {
       reg.createOrReplaceTempFunction(
         "rolling_hash",
         es => RollingHash(es.head),
+        "built-in")
+    }
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_tokens"))) {
+      reg.createOrReplaceTempFunction(
+        "bpe_tokens",
+        es => BpeTokens(es.head, es(1)),
+        "built-in")
+    }
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("bpe_count"))) {
+      reg.createOrReplaceTempFunction(
+        "bpe_count",
+        es => BpeCount(es.head, es(1)),
         "built-in")
     }
   }

@@ -35,13 +35,14 @@ class QuerySurfaceSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without an oracle: $missing")
   }
 
-  test("the surface is exactly the three declared lists, with globally unique names") {
+  test("the surface is exactly the five declared lists, with globally unique names") {
     // allQueries is the driver contract; it must be the concatenation of
-    // the relational, partsupp and extension surfaces with no name claimed twice
-    // (a duplicate name would make Verify/Bench silently drop an entry
-    // through the Map view).
+    // the declared surfaces with no name claimed twice (a duplicate name
+    // would make Verify/Bench silently drop an entry through the Map
+    // view).
     val declared: Seq[GraftQuery] =
-      RelationalQueries.all ++ PartsuppQueries.all ++ ExtensionQueries.all
+      RelationalQueries.all ++ PartsuppQueries.all ++ ExtensionQueries.all ++
+        IngestGate.all ++ TokenQueries.all
     assert(SparkEntry.allQueries.map(_.name) == declared.map(_.name))
     val dupes = declared.groupBy(_.name).filter(_._2.size > 1).keys
     assert(dupes.isEmpty, s"duplicate query names: $dupes")
