@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   *
   * Reference parity: not in the reference (single-node engines don't
   * shuffle); part of the 100 TB operator surface.
+  *
+  * ==Salting vs AQE skew-join (when to use which)==
+  * Spark's own `spark.sql.adaptive.skewJoin` (on by default in
+  * [[graft.GraftSession]]) splits an oversized POST-SHUFFLE partition of
+  * a sort-merge/shuffled-hash join at runtime and is the right default:
+  * zero code, no small-side replication cost, and it sees actual sizes
+  * instead of guessed factors — SkewJoinSpec's AQE gate pins that it
+  * really fires on the 90%-hot fixture. Reach for [[saltedJoin]] only
+  * when the runtime splitter structurally can't act: the skewed
+  * exchange feeds an AGGREGATION or window (OptimizeSkewedJoin handles
+  * joins only — splitting an agg's partition would break key
+  * colocation), stream-static or stream-stream joins (no AQE in
+  * micro-batch plans' stateful stages), a bucketed/pre-partitioned
+  * layout that must not be re-split, or an engine/version with AQE off.
+  * Salting also keeps the layout DETERMINISTIC (hash of a
+  * discriminator), which the oracle-verified entries rely on — AQE's
+  * split boundaries are size-dependent and run-varying.
   */
 object SkewJoin {
 

@@ -145,4 +145,52 @@ class SkewJoinSpec extends SparkSpec {
       .select(countDistinct("__salt")).as[Long].head()
     assert(salts > 4, s"hot key rows spread over $salts of 8 salts")
   }
+
+  test("AQE alone splits the 90%-hot join partition, no salting (VERDICT r8 #3)") {
+    // The same 90%-hot fixture joined PLAIN under AQE: Spark's
+    // OptimizeSkewedJoin must mark the sort-merge join skew-handled and
+    // split the hot partition into several reads. Thresholds are scaled
+    // to the fixture (defaults target 256 MiB partitions); a child
+    // session isolates them. This is the operator-selection gate the
+    // class doc promises: AQE first, saltedJoin for the shapes AQE
+    // can't touch.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "128k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force a shuffle join
+    s2.conf.set("spark.sql.shuffle.partitions", "32")
+
+    val n = 200000L
+    val big = s2.range(n).select(
+      when(col("id") < n * 9 / 10, 0L)
+        .otherwise(pmod(col("id"), lit(1000L))).as("k"),
+      col("id").as("rid"))
+    val small = s2.range(1000).select(col("id").as("k2"),
+      (col("id") * 2).as("payload"))
+
+    val joined = big.join(small, col("k") === col("k2"))
+    // Execute THIS Dataset's own QueryExecution (count() would build a
+    // different one and leave joined's adaptive plan unexecuted).
+    assert(joined.collect().length == n) // every key 0..999 matches exactly once
+
+    // Inspect the FINAL adaptive plan: the join node must be flagged
+    // skew-handled (isSkewJoin) — i.e. OptimizeSkewedJoin split the hot
+    // partition rather than leaving one stuck reducer.
+    val adaptive = joined.queryExecution.executedPlan.collectFirst {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a
+    }.getOrElse(fail("plan is not adaptive"))
+    // String-level check: the final plan nests under QueryStageExec
+    // LEAVES (collect() cannot traverse into them), and the formatter
+    // prints `(skew=true)` exactly from the join's isSkewJoin flag and
+    // `skewed` from the AQEShuffleRead's split specs.
+    val finalPlan = adaptive.executedPlan.toString
+    assert(finalPlan.contains("(skew=true)"),
+      s"OptimizeSkewedJoin did not mark the join skew-handled:\n$finalPlan")
+    assert(finalPlan.contains("AQEShuffleRead coalesced and skewed")
+        || finalPlan.contains("AQEShuffleRead skewed"),
+      s"hot partition was not split into skewed reads:\n$finalPlan")
+  }
 }
