@@ -125,3 +125,6 @@ class FakeFactoryScale extends RemoteQueueClientFactory {
 class FakeFactoryRestart extends RemoteQueueClientFactory {
   override def create(): RemoteQueueClient = new FakeQueueClient(FakeQueueService.state("restart"))
 }
+class FakeFactorySoak extends RemoteQueueClientFactory {
+  override def create(): RemoteQueueClient = new FakeQueueClient(FakeQueueService.state("soak"))
+}
