@@ -56,7 +56,7 @@ object Fixtures {
       dir.getAbsolutePath
     }
 
-  private def deleteRecursively(f: File): Unit = {
+  private[graft] def deleteRecursively(f: File): Unit = {
     val cs = f.listFiles()
     if (cs != null) cs.foreach(deleteRecursively)
     f.delete()

@@ -65,7 +65,15 @@ object GraftSession {
             .join(broadcast(dim), "g").count()
         }
       }
-      Await.result(Future.sequence(runs), 120.seconds)
+      // Best-effort BY CONTRACT: the warm-up's absence only weakens the
+      // retention mitigation, so its failure (timeout under heavy host
+      // contention, scratch-space exhaustion) must not take down session
+      // construction with it.
+      try Await.result(Future.sequence(runs), 120.seconds)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          Console.err.println(s"graft: shared-pool warm-up skipped: $e")
+      }
       ()
     }
 

@@ -129,15 +129,30 @@ object Tables {
     * listener until the context stops). [[graft.TablesCacheSpec]] pins
     * collectability empirically.
     */
+  // Per-session load serialization (review r9): the catalog-backed memo
+  // alone is check-then-act, so a cold start under Verify's thread pool
+  // would run the SAME load thunk (footer listing; for partsupp, fixture
+  // materialization) once per racing thread. Weak keys keep the map from
+  // pinning sessions — the values are bare lock Objects with no back-ref.
+  private val loadLocks = new java.util.WeakHashMap[SparkSession, AnyRef]()
+  private def lockFor(spark: SparkSession): AnyRef = loadLocks.synchronized {
+    var l = loadLocks.get(spark)
+    if (l == null) { l = new Object; loadLocks.put(spark, l) }
+    l
+  }
+
   private def memo(spark: SparkSession, key: String)(load: => DataFrame): DataFrame = {
     // '.' must not reach the view name (spark.table would parse it as a
     // namespace separator); the md5 in pathTag keeps names collision-free.
     val view = "__graft_memo_" + Fixtures.pathTag(key).replace('.', '_')
     if (spark.catalog.tableExists(view)) spark.table(view)
-    else {
-      val df = load
-      df.createOrReplaceTempView(view)
-      spark.table(view)
+    else lockFor(spark).synchronized { // reentrant: partsupp's thunk re-enters
+      if (spark.catalog.tableExists(view)) spark.table(view)
+      else {
+        val df = load
+        df.createOrReplaceTempView(view)
+        spark.table(view)
+      }
     }
   }
 

@@ -25,8 +25,11 @@ case class GateRecord(id: Long, name: String, value: Double, kind: String,
   * non-UTC host.
   */
 class GateTransformer extends Transformer[GateRecord] {
+  // The value pattern must cover every shortest-round-trip Double.toString
+  // form, including NEGATIVE exponents ("5.0E-4") — a char-class like
+  // [\d.eE+] silently DLQs small values and diverges from the oracle.
   private val Re =
-    ("""\{"id": (-?\d+), "name": "([^"]*)", "value": (-?[\d.eE+]+), """ +
+    ("""\{"id": (-?\d+), "name": "([^"]*)", "value": (-?\d+(?:\.\d+)?(?:[eE][-+]?\d+)?), """ +
       """"date": "(\d{4}-\d{2}-\d{2})", "hh": (\d+), "status": "(\w)"\}""").r
   override def transform(e: Envelope): Seq[GateRecord] = e.payload match {
     case Re(id, name, value, date, hh, status) =>
@@ -68,7 +71,7 @@ class GateTransformer extends Transformer[GateRecord] {
   *     from `orders` with pure SQL — transform semantics (1→N flatMap,
   *     'P' drops, corrupt→DLQ exclusions), time keying, and value
   *     fidelity through the JSON round-trip, independent of the files.
-  *     Scale-factor-agnostic; writes to a throwaway temp dir.
+  *     Scale-factor-agnostic; writes to its own fixed wiped root.
   *
   * Input protocol (all modular in `o_orderkey`, so any SF works):
   * every 20th order is fed; every 1000th is sent CORRUPT (→ DLQ, must
@@ -85,14 +88,21 @@ class GateTransformer extends Transformer[GateRecord] {
 object IngestGate {
 
   /** Fixed sink root ig01's oracle SQL embeds (static text can't learn
-    * the run's temp dir). Scratch, wiped per invocation. */
+    * the run's temp dir). Scratch, wiped per invocation.
+    *
+    * Concurrency contract: these fixed roots are touched ONLY by
+    * Verify/Bench runs — sbt serializes those JVMs behind its global
+    * project lock, and [[graft.queries.IngestGateSpec]] deliberately
+    * runs against its own temp root so `sbt test` never races a
+    * concurrent gate run here (the cross-JVM hazard ADVICE r8 flagged
+    * for fixtures). */
   val RoundtripRoot = "/root/repo/fixtures/igate/roundtrip"
 
-  private def deleteRecursively(f: File): Unit = {
-    val cs = f.listFiles()
-    if (cs != null) cs.foreach(deleteRecursively)
-    f.delete()
-  }
+  /** Fixed scratch root for ig02 (whose oracle recomputes from `orders`
+    * and never reads these files): reusing one wiped directory instead
+    * of a fresh temp dir per invocation keeps repeated Verify/bench runs
+    * from abandoning an unbounded trail of parquet sinks in /tmp. */
+  val ContentRoot = "/root/repo/fixtures/igate/content"
 
   /** Deterministic JSON envelopes for the fed subset (driver-side,
     * bounded — see class doc). */
@@ -121,8 +131,8 @@ object IngestGate {
     * micro-batches, returns the read-back sink (y/m/d/h as INTs — the
     * cast pins one type on both engines regardless of partition-type
     * inference). */
-  private def ingestAndReadBack(spark: SparkSession, dir: String, root: String): DataFrame = {
-    deleteRecursively(new File(root))
+  private[queries] def ingestAndReadBack(spark: SparkSession, dir: String, root: String): DataFrame = {
+    graft.Fixtures.deleteRecursively(new File(root))
     val pipe = IngestPipeline[GateRecord](
       transformer = new GateTransformer,
       sinkPath = s"$root/sink",
@@ -190,9 +200,6 @@ object IngestGate {
     GraftQuery("ig01_ingest_roundtrip", Some(roundtripOracle),
       (s, d) => ingestAndReadBack(s, d, RoundtripRoot)),
     GraftQuery("ig02_ingest_content", Some(contentOracle),
-      (s, d) => {
-        val root = java.nio.file.Files.createTempDirectory("igate-content").toString
-        ingestAndReadBack(s, d, root)
-      })
+      (s, d) => ingestAndReadBack(s, d, ContentRoot))
   )
 }

@@ -7,12 +7,18 @@ import graft.SparkSpec
   * lands in the DLQ and never the sink, drops vanish, the 1→N flatMap
   * doubles exactly the 'F' orders, and the sink's directory layout is
   * genuinely hive `y=/m=/d=/h=`.
+  *
+  * Runs against its OWN temp root, never [[IngestGate.RoundtripRoot]]:
+  * the fixed roots belong to the sequential Verify→DuckDB pair, and an
+  * `sbt test` racing a concurrent gate run there could interleave the
+  * wipe with the other JVM's in-flight streaming writes.
   */
 class IngestGateSpec extends SparkSpec {
 
+  private lazy val root = tmpDir("igate-spec")
+
   private lazy val result = {
-    val df = IngestGate.all.find(_.name == "ig01_ingest_roundtrip").get
-      .run(spark, sfDir)
+    val df = IngestGate.ingestAndReadBack(spark, sfDir, root)
     df.cache()
     df.count()
     df
@@ -38,17 +44,27 @@ class IngestGateSpec extends SparkSpec {
 
   test("corrupt payloads land in the DLQ with the error attached") {
     import org.apache.spark.sql.functions._
-    val dlq = spark.read.parquet(s"${IngestGate.RoundtripRoot}/dlq")
-    assert(dlq.count() > 0)
+    result // force the pipeline run
+    assert(IngestGate.dlqCount(spark, root) > 0)
+    val dlq = spark.read.parquet(s"$root/dlq")
     assert(dlq.filter(col("error").isNull).count() == 0)
     assert(dlq.filter(col("payload").contains("CORRUPT")).count() == dlq.count())
   }
 
   test("sink layout is hive y=/m=/d=/h= and h matches id % 24") {
     import org.apache.spark.sql.functions._
-    val leaf = new java.io.File(s"${IngestGate.RoundtripRoot}/sink")
+    result // force the pipeline run
+    val leaf = new java.io.File(s"$root/sink")
       .listFiles().filter(_.isDirectory).head
     assert(leaf.getName.startsWith("y="))
     assert(result.filter(col("h") =!= col("id") % 24).count() == 0)
+  }
+
+  test("value regex survives negative-exponent doubles (review r9)") {
+    val e = graft.ingest.Envelope(
+      """{"id": 40, "name": "1-URGENT", "value": 5.0E-4, "date": "1996-01-02", "hh": 16, "status": "O"}""",
+      Map.empty)
+    val out = new GateTransformer().transform(e)
+    assert(out.map(_.value) == Seq(5.0e-4))
   }
 }
