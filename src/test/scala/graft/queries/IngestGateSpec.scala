@@ -30,7 +30,7 @@ class IngestGateSpec extends SparkSpec {
     // corrupt (id % 1000 == 0) must be absent
     assert(result.filter(col("id") % 1000 === 0).count() == 0)
     // every surviving id is in the fed subset
-    assert(result.filter(col("id") % 20 =!= 0).count() == 0)
+    assert(result.filter(col("id") % 200 =!= 0).count() == 0)
   }
 
   test("1→N flatMap: each 'F' order appears exactly as order+filled pair") {
