@@ -72,6 +72,10 @@ object GraftSession {
       try Await.result(Future.sequence(runs), 120.seconds)
       catch {
         case scala.util.control.NonFatal(e) =>
+          // Allow the NEXT session construction to retry — a permanently
+          // latched flag would silently disable the mitigation for the
+          // process lifetime on one transient contention spike.
+          poolsWarmed.set(false)
           Console.err.println(s"graft: shared-pool warm-up skipped: $e")
       }
       ()

@@ -129,16 +129,28 @@ object Tables {
     * listener until the context stops). [[graft.TablesCacheSpec]] pins
     * collectability empirically.
     */
-  // Per-session load serialization (review r9): the catalog-backed memo
-  // alone is check-then-act, so a cold start under Verify's thread pool
-  // would run the SAME load thunk (footer listing; for partsupp, fixture
-  // materialization) once per racing thread. Weak keys keep the map from
-  // pinning sessions — the values are bare lock Objects with no back-ref.
-  private val loadLocks = new java.util.WeakHashMap[SparkSession, AnyRef]()
-  private def lockFor(spark: SparkSession): AnyRef = loadLocks.synchronized {
-    var l = loadLocks.get(spark)
-    if (l == null) { l = new Object; loadLocks.put(spark, l) }
-    l
+  // Per-(session, view) load serialization (review r9): the
+  // catalog-backed memo alone is check-then-act, so a cold start under
+  // Verify's thread pool would run the SAME load thunk (footer listing;
+  // for partsupp, fixture materialization) once per racing thread. The
+  // lock is per VIEW, not per session — one session-wide lock would
+  // convoy every unrelated cold load behind partsupp's multi-second
+  // materialization. No deadlock: partsupp's thunk acquires other
+  // views' locks while holding its own, but no thunk ever acquires
+  // partsupp's, so the acquisition graph is acyclic. Weak keys keep the
+  // outer map from pinning sessions — the values hold no back-ref.
+  private val loadLocks =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, AnyRef]]()
+  private def lockFor(spark: SparkSession, view: String): AnyRef = {
+    val perView = loadLocks.synchronized {
+      var m = loadLocks.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+        loadLocks.put(spark, m)
+      }
+      m
+    }
+    perView.computeIfAbsent(view, _ => new Object)
   }
 
   private def memo(spark: SparkSession, key: String)(load: => DataFrame): DataFrame = {
@@ -146,7 +158,7 @@ object Tables {
     // namespace separator); the md5 in pathTag keeps names collision-free.
     val view = "__graft_memo_" + Fixtures.pathTag(key).replace('.', '_')
     if (spark.catalog.tableExists(view)) spark.table(view)
-    else lockFor(spark).synchronized { // reentrant: partsupp's thunk re-enters
+    else lockFor(spark, view).synchronized {
       if (spark.catalog.tableExists(view)) spark.table(view)
       else {
         val df = load

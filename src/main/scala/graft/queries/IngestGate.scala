@@ -92,7 +92,7 @@ class GateTransformer extends Transformer[GateRecord] {
   * flush-time keys exactly as live traffic does.
   *
   * Scale: the driver-side collect feeds the replay harness (bounded:
-  * |orders|/20 short strings — the StreamReplay protocol); the
+  * |orders|/200 short strings — the StreamReplay protocol); the
   * production form is the same pipeline over a real queue source. The
   * pipeline's own write path is fully distributed.
   */
@@ -107,20 +107,27 @@ object IngestGate {
     * runs against its own temp root so `sbt test` never races a
     * concurrent gate run here (the cross-JVM hazard ADVICE r8 flagged
     * for fixtures). */
-  val RoundtripRoot = "/root/repo/fixtures/igate/roundtrip"
+  val RoundtripRoot = s"${sys.props("user.dir")}/fixtures/igate/roundtrip"
 
   /** Fixed scratch root for ig02 (whose oracle recomputes from `orders`
     * and never reads these files): reusing one wiped directory instead
     * of a fresh temp dir per invocation keeps repeated Verify/bench runs
     * from abandoning an unbounded trail of parquet sinks in /tmp. */
-  val ContentRoot = "/root/repo/fixtures/igate/content"
+  val ContentRoot = s"${sys.props("user.dir")}/fixtures/igate/content"
 
   /** Deterministic JSON envelopes for the fed subset (driver-side,
     * bounded — see class doc). */
-  private[queries] def envelopes(spark: SparkSession, dir: String): Seq[Envelope] = {
+  /** `every` sets the feed density (1-in-`every` orders): the oracle
+    * entries use the default 200 (the bounded-cost contract above);
+    * IngestGateSpec passes 20 so its invariants run on a dense feed at
+    * sf0.001 instead of 8 envelopes. Must divide 1000 so the corrupt
+    * set stays a subset of the fed set. */
+  private[queries] def envelopes(spark: SparkSession, dir: String,
+                                 every: Long = 200L): Seq[Envelope] = {
     import spark.implicits._
+    require(1000 % every == 0, s"corrupt set (%1000) must be a subset of the fed set (%$every)")
     val rows = Tables(spark, dir).orders
-      .filter(col("o_orderkey") % 200 === 0)
+      .filter(col("o_orderkey") % every === 0)
       .select(
         col("o_orderkey").as("id"),
         col("o_orderpriority").as("name"),
@@ -142,7 +149,8 @@ object IngestGate {
     * micro-batches, returns the read-back sink (y/m/d/h as INTs — the
     * cast pins one type on both engines regardless of partition-type
     * inference). */
-  private[queries] def ingestAndReadBack(spark: SparkSession, dir: String, root: String): DataFrame = {
+  private[queries] def ingestAndReadBack(spark: SparkSession, dir: String, root: String,
+                                         every: Long = 200L): DataFrame = {
     graft.Fixtures.deleteRecursively(new File(root))
     val pipe = IngestPipeline[GateRecord](
       transformer = new GateTransformer,
@@ -160,7 +168,7 @@ object IngestGate {
     val ms = MemoryStream[Envelope]
     val q = pipe.start(ms.toDS(), queryName = s"ig-gate-${System.nanoTime()}")
     try {
-      val envs = envelopes(spark, dir)
+      val envs = envelopes(spark, dir, every)
       envs.grouped(math.max(1, envs.size / 3 + 1))
         .foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
     } finally q.stop()
