@@ -108,4 +108,51 @@ object TextAnalysis {
     tokenStream(docs)
       .groupBy("doc_id")
       .agg(md5(concat_ws(" ", array_sort(collect_set(col("w"))))).as("fp"))
+
+  /** Self-trained bigram LM average negative log-likelihood per document
+    * — the statistical quality signal behind perplexity filtering in
+    * LLM curation pipelines, with the LM trained on the corpus itself in
+    * one distributed pass (add-one smoothing over the corpus
+    * vocabulary). Docs with < 2 tokens produce no pairs and are absent.
+    * Output (doc_id, n_pairs, avg_nll); high avg_nll = statistically
+    * unusual word sequences (the filter-or-inspect candidates).
+    *
+    * Cross-engine determinism: each pair's ln P is converted to integer
+    * MICRO-NATS via `floor(x*1e6 + 0.5)` — multiply/add/floor are
+    * IEEE-exact in both engines — so the per-doc accumulation is an
+    * exact BIGINT sum (order-free, unlike a double sum whose value
+    * depends on Spark's partial-aggregate order), and only the final
+    * average is FP-rounded. `ln` itself has no bitwise cross-engine
+    * guarantee; the micro-nat floor then the 4-decimal average round
+    * compound a last-ulp ln difference into ~1e-9 gate risk.
+    *
+    * Scale: two groupBys over the exploded pair stream plus two joins
+    * against count tables bounded by observed vocabulary; the only
+    * driver-side value is the vocab-size scalar (the supplier.count()
+    * precedent). At 100 TB the count tables are the compact side and
+    * broadcast under AQE.
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    val pairs = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        """explode(zip_with(slice(toks, 1, size(toks) - 1),
+          |                 slice(toks, 2, size(toks) - 1),
+          |                 (a, b) -> struct(a AS w1, b AS w2))) AS p""".stripMargin))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uni = toks.select(explode(col("toks")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = uni.count() // O(1) driver scalar, paid once
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    pairs
+      .join(big, Seq("w1", "w2"))
+      .join(uni, Seq("w1"))
+      .select(col("doc_id"),
+        floor(log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))) * 1e6 + 0.5)
+          .cast("bigint").as("micro"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("n_pairs"), sum("micro").as("s"))
+      .select(col("doc_id"), col("n_pairs"),
+        round4(-col("s").cast("double") / 1e6 / col("n_pairs")).as("avg_nll"))
+  }
 }

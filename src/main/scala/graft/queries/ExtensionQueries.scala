@@ -831,6 +831,40 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Statistical LM quality scoring (TextAnalysis.bigramNll): the
+      // perplexity-filter signal, self-trained. Determinism contract in
+      // the operator doc: per-pair ln P becomes integer micro-nats via
+      // FLOOR(x*1e6 + 0.5) (IEEE-exact ops), the per-doc sum is exact
+      // BIGINT (order-free), and only the final average is FP-rounded —
+      // the q35/q36 integer-cents pattern applied to log space. The
+      // oracle recomputes the whole model (counts, vocab, smoothing)
+      // from the same corpus.
+      "ta07_bigram_nll",
+      Some("""WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w1, count(*) AS c1 FROM (SELECT unnest(toks) AS w1 FROM docs) GROUP BY w1
+        |), vocab AS (SELECT count(*) AS v FROM uni),
+        |pairs AS (
+        |  SELECT doc_id, unnest(toks[1:len(toks)-1]) AS w1, unnest(toks[2:len(toks)]) AS w2
+        |  FROM docs WHERE len(toks) >= 2
+        |), big AS (
+        |  SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+        |), scored AS (
+        |  SELECT p.doc_id,
+        |    CAST(FLOOR(ln((b.c2 + 1.0) / (u.c1 + vocab.v)) * 1000000 + 0.5) AS BIGINT) AS micro
+        |  FROM pairs p
+        |  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+        |  JOIN uni u ON p.w1 = u.w1
+        |  CROSS JOIN vocab
+        |)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_pairs,
+        |  ROUND(-CAST(SUM(micro) AS DOUBLE) / 1000000 / count(*) * 10000) / 10000 + 0 AS avg_nll
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.bigramNll(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
       // Multimodal decode, driver-visible (VERDICT r7 #2): deterministic
       // PNG/WAV fixtures (MediaFixture — closed-form pixel/sample
       // content) ingested through the real binaryFile source and decoded

@@ -76,4 +76,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.length == tables.documents.count())
     assert(got.forall(r => Set("en", "es", "de", "fr", "zh").contains(r.getString(1))))
   }
+
+  test("bigram NLL matches an independent in-memory LM on a crafted corpus") {
+    // corpus: "a b a b", "a b c", "c" (c: no pairs -> absent from output)
+    val d = Seq((1L, "a b A b"), (2L, "a b c"), (3L, "c")).toDF("doc_id", "text")
+
+    // independent reimplementation: counts by hand over the same corpus
+    val toks = Seq(Seq("a", "b", "a", "b"), Seq("a", "b", "c"), Seq("c"))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size).toMap
+    val pairsOf = (t: Seq[String]) => t.zip(t.tail)
+    val big = toks.flatMap(pairsOf).groupBy(identity).view.mapValues(_.size).toMap
+    val vocab = uni.size // 3
+    def micro(p: (String, String)): Long =
+      math.floor(math.log((big(p) + 1.0) / (uni(p._1) + vocab)) * 1e6 + 0.5).toLong
+    def nll(t: Seq[String]): Double = {
+      val ms = pairsOf(t).map(micro)
+      val raw = -ms.sum.toDouble / 1e6 / ms.size
+      math.round(raw * 1e4) / 1e4.toDouble
+    }
+
+    val got = TextAnalysis.bigramNll(d).orderBy("doc_id")
+      .as[(Long, Int, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L, 2L), "pairless doc 3 is absent")
+    assert(got.map(_._2) == Seq(3, 2), "pair counts")
+    assert(got(0)._3 == nll(toks(0)) && got(1)._3 == nll(toks(1)),
+      s"got $got, want ${nll(toks(0))}, ${nll(toks(1))}")
+    // the doc made of the corpus's dominant bigrams scores LOWER nll
+    assert(got(0)._3 < got(1)._3, "frequent-pattern doc is less surprising")
+  }
 }
