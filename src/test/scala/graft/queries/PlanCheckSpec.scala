@@ -140,4 +140,15 @@ class PlanCheckSpec extends SparkSpec {
       "the quantity rollup must sit BELOW a join, not above all of them")
     assert(!optimized.toString.contains("Cartesian"))
   }
+
+  test("ta07: LM scoring is pure built-ins with partial counts, no UDF boundary") {
+    val df = SparkEntry.queries("ta07_bigram_nll")(spark, sfDir)
+    df.collect() // materialize the AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      "ln/floor/joins must stay codegen'd column arithmetic")
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "unigram/bigram counts must combine map-side")
+    assert(!plan.contains("Cartesian"), "count-table joins are equi-joins")
+  }
 }
