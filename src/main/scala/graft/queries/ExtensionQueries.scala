@@ -194,6 +194,26 @@ object ExtensionQueries {
         s, t(s, d).events.select("user_id", "event_id", "ts"))),
 
     GraftQuery(
+      // The OUTER half of the stream-stream interval join (st03): even
+      // events with no odd partner inside the band must emit exactly
+      // once, null-padded, when the watermark closes their band. The
+      // oracle is the batch LEFT JOIN over parity-filtered subqueries
+      // (parity must filter the LEFT side BEFORE the join — inside the
+      // ON clause it would merely unmatch, not remove, odd left rows).
+      // NULLS FIRST pins DuckDB's sort to Spark's null ordering.
+      "st03_stream_interval_join_outer",
+      Some("""SELECT l.user_id AS user_id, l.event_id AS l_event, r.event_id AS r_event
+        |FROM (SELECT * FROM events WHERE event_id % 2 = 0) l
+        |LEFT JOIN (SELECT * FROM events WHERE event_id % 2 = 1) r
+        |  ON l.user_id = r.user_id
+        |  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
+        |  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
+        |ORDER BY user_id, l_event, r_event NULLS FIRST""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.intervalJoinReplay(
+        s, t(s, d).events.select("user_id", "event_id", "ts"),
+        joinType = "leftOuter")),
+
+    GraftQuery(
       "q29_sliding_window",
       Some("""SELECT w, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),

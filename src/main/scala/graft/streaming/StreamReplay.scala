@@ -149,8 +149,17 @@ object StreamReplay {
     * driver-side feed); the production form is the same join over two
     * readStream sources. Returns (user_id, l_event, r_event).
     */
+  /** `joinType = "leftOuter"` additionally verifies the OUTER emission
+    * path (st03): an even event with no odd partner inside ±`band` must
+    * surface exactly once, null-padded, when the watermark closes its
+    * band — premature eviction loses the match, late emission
+    * duplicates or drops the outer row, and either breaks the batch
+    * LEFT JOIN oracle hash. Sentinel rows are filtered by key sign, so
+    * their own outer rows never reach the result.
+    */
   def intervalJoinReplay(spark: SparkSession, events: DataFrame,
-                         band: String = "5 minutes", nChunks: Int = 6): DataFrame = {
+                         band: String = "5 minutes", nChunks: Int = 6,
+                         joinType: String = "inner"): DataFrame = {
     import spark.implicits._
     require(nChunks >= 2, "replay needs at least two chunks")
 
@@ -190,7 +199,7 @@ object StreamReplay {
       msL.toDF.toDF("user_id", "l_event", "lts"),
       msR.toDF.toDF("user_id", "r_event", "rts"),
       key = "user_id", leftTs = "lts", rightTs = "rts",
-      band = band, watermark = s"$delayHours hours")
+      band = band, watermark = s"$delayHours hours", joinType = joinType)
 
     val name = s"st_ijreplay_${runSeq.incrementAndGet()}"
     val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString

@@ -41,6 +41,27 @@ class StreamReplaySpec extends SparkSpec {
     assert(streamed == batch, s"streamed ${streamed.size} pairs != batch ${batch.size}")
   }
 
+  test("leftOuter interval-join replay emits each unmatched left exactly once, null-padded") {
+    val ev = tables.events.select("user_id", "event_id", "ts")
+    val streamed = StreamReplay.intervalJoinReplay(spark, ev, joinType = "leftOuter")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    val l = ev.filter(col("event_id") % 2 === 0)
+      .select(col("user_id"), col("event_id").as("l_event"), col("ts").as("lts"))
+    val r = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id").as("r_user"), col("event_id").as("r_event"), col("ts").as("rts"))
+    val batch = l.join(r, col("user_id") === col("r_user") &&
+        col("rts") >= col("lts") - expr("INTERVAL 5 MINUTES") &&
+        col("rts") <= col("lts") + expr("INTERVAL 5 MINUTES"), "left_outer")
+      .select(col("user_id"), col("l_event"), col("r_event"))
+      .orderBy("user_id", "l_event", "r_event")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(batch.exists(_._3.isEmpty), "expected unmatched left events in testdata")
+    assert(batch.exists(_._3.nonEmpty), "expected matched pairs in testdata")
+    assert(streamed == batch,
+      s"streamed ${streamed.size} rows != batch ${batch.size} " +
+        s"(nulls: ${streamed.count(_._3.isEmpty)} vs ${batch.count(_._3.isEmpty)})")
+  }
+
   test("replay never mutates the caller's shuffle-partitions conf, even mid-run") {
     // The 8-partition override must live in the replay's private child
     // session (spark.newSession()). A background sampler polls the
