@@ -33,4 +33,44 @@ object Upsert {
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
+
+  /** Type-2 slowly-changing-dimension history from an append-only change
+    * log: per key, suppress consecutive rows whose `attrCol` did not
+    * change (null-safely — a null→value or value→null transition IS a
+    * change), then interval-ize the surviving change rows with
+    * `valid_to` = next change's `tsCol` (null = still current) and an
+    * `is_current` flag. The other half of [[latestByKey]]: that keeps
+    * only the present, this keeps the full auditable timeline a
+    * dimension table replays.
+    *
+    * Output = input columns (minus the suppressed no-change rows) plus
+    * `valid_to` (same type as `tsCol`) and `is_current`.
+    *
+    * Scale shape: both windows PARTITION BY the same keys with the same
+    * ordering, and the second runs over a filter of the first, so
+    * Catalyst plans ONE hash shuffle + one sort for the whole history
+    * build (gated in UpsertSpec) — no global sort, no single-partition
+    * stage. `tsCol` must be NON-NULL and `tsCol` + `tieBreak` tie-free
+    * per key for deterministic output (include a unique id last, as in
+    * [[latestByKey]]): a null `tsCol` would make the first-row
+    * detection below misfire.
+    */
+  def scd2(df: DataFrame, keys: Seq[String], tsCol: String, attrCol: String,
+           tieBreak: Seq[Column]): DataFrame = {
+    require(keys.nonEmpty, "scd2 needs at least one key column")
+    require(!df.columns.contains("__prev") && !df.columns.contains("__prev_ts"),
+      "input must not already have '__prev'/'__prev_ts' columns (they would be replaced and dropped)")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol) +: tieBreak: _*)
+    // __prev_ts distinguishes "no predecessor" (first version — always
+    // kept, even with a null attr) from "predecessor had a null attr"
+    // (kept only if the value changed) — lag(attrCol) alone conflates
+    // the two when the first version's attr is null.
+    df.withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__prev_ts", lag(col(tsCol), 1).over(w))
+      .filter(col("__prev_ts").isNull || !(col("__prev") <=> col(attrCol)))
+      .drop("__prev", "__prev_ts")
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -214,6 +214,22 @@ object ExtensionQueries {
         joinType = "leftOuter")),
 
     GraftQuery(
+      // STREAMING dedup made driver-visible (st04): the incremental half
+      // of the dedup family — an at-least-once replay of events where
+      // only the FIRST arrival per (user_id, hour-bucket) may survive,
+      // run through dropDuplicatesWithinWatermark with the horizon sized
+      // past the event span, so the streaming result must equal batch
+      // DISTINCT exactly: a duplicate emission, a key lost to premature
+      // state eviction, or a dropped late arrival each break the hash.
+      // See [[graft.streaming.StreamReplay.dedupReplay]].
+      "st04_stream_dedup",
+      Some("""SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_bucket
+        |FROM events GROUP BY user_id, hour_bucket
+        |ORDER BY user_id, hour_bucket""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.dedupReplay(
+        s, t(s, d).events.select("user_id", "event_id", "ts"))),
+
+    GraftQuery(
       "q29_sliding_window",
       Some("""SELECT w, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
@@ -488,6 +504,43 @@ object ExtensionQueries {
           Seq(col("ts").desc, col("event_id").desc))
         .select("user_id", "event_type", "event_id", "ts", "value")
         .orderBy("user_id", "event_type")),
+
+    GraftQuery(
+      // SCD2 history build — the other half of up01: instead of
+      // compacting to the latest row, keep the full auditable timeline.
+      // Per customer, orders sorted by (date, orderkey) form a change
+      // log of o_orderpriority; consecutive no-change rows are
+      // suppressed null-safely (IS DISTINCT FROM ≡ Spark's !(a <=> b)),
+      // the survivors interval-ize via LEAD. Both engines order by the
+      // DATE CAST (not the raw timestamp) so tie-breaking is in
+      // lockstep. One hash shuffle + one sort for both windows —
+      // plan-gated in UpsertSpec.
+      "up02_scd2",
+      Some("""WITH h AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority,
+        |    LAG(o_orderpriority) OVER (
+        |      PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev,
+        |    LAG(CAST(o_orderdate AS DATE)) OVER (
+        |      PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+        |  FROM orders),
+        |c AS (SELECT * FROM h WHERE prev_d IS NULL OR prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey AS custkey, o_orderkey AS change_id, o_orderpriority AS priority,
+        |  d AS valid_from,
+        |  LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS valid_to,
+        |  LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) IS NULL AS is_current
+        |FROM c ORDER BY custkey, valid_from, change_id""".stripMargin),
+      (s, d) => {
+        val log = t(s, d).orders.select(
+          col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast("date").as("valid_from"),
+          col("o_orderpriority").as("priority"))
+        graft.operators.Upsert
+          .scd2(log, Seq("o_custkey"), "valid_from", "priority",
+            Seq(col("o_orderkey")))
+          .select(col("o_custkey").as("custkey"), col("o_orderkey").as("change_id"),
+            col("priority"), col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy("custkey", "valid_from", "change_id")
+      }),
 
     GraftQuery(
       // Token-budget shard packing (sequence packing's shard-assignment

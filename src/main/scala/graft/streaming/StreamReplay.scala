@@ -157,6 +157,104 @@ object StreamReplay {
     * LEFT JOIN oracle hash. Sentinel rows are filtered by key sign, so
     * their own outer rows never reach the result.
     */
+  /** Replays `events` through STREAMING dedup
+    * ([[StreamingOps.dedupWithinWatermark]]) on the derived key
+    * `(user_id, hour_bucket)` — the incremental-corpus-dedup shape: an
+    * at-least-once feed where only the FIRST arrival per key may
+    * survive. Same chunked event-time-ordered protocol as
+    * [[sessionReplay]] (deterministic late subset displaced one chunk).
+    *
+    * The watermark delay here is the dedup HORIZON, not just the
+    * lateness bound: a key's state lives until the watermark passes its
+    * event time plus the delay, so the replay sizes the delay past the
+    * WHOLE event span — within-watermark dedup then equals global
+    * DISTINCT on the bounded input, and that equality is the contract
+    * (st04): a key re-emitted after premature state eviction, a dropped
+    * late row, or a duplicate emission each break the batch oracle
+    * hash. In production the horizon is what BOUNDS the state — dedup
+    * is exact within it and the state store never outgrows the horizon's
+    * key count; a service picks the horizon as its redelivery bound
+    * (the reference's at-least-once redeliveries arrive well inside
+    * one visibility timeout, ingestor.go:618-648).
+    *
+    * Replay HARNESS like the others: bounded input, driver-side feed;
+    * the production form is the same two calls over `readStream`.
+    * Returns (user_id, hour_bucket), the distinct admitted keys.
+    */
+  def dedupReplay(spark: SparkSession, events: DataFrame, nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(nChunks >= 2, "replay needs at least two chunks")
+
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"))
+      .as[(Long, Long, Timestamp)].collect().sortBy(r => (r._3.getTime, r._2))
+    require(rows.nonEmpty, "no events to replay")
+
+    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    val chunks = rows.grouped(chunkSize).toArray
+    val totalSpanMs = rows.last._3.getTime - rows.head._3.getTime
+    val delayHours = math.max(1L, 2 * totalSpanMs / 3600000L + 1)
+    val maxTs = rows.last._3.getTime
+    val delayMs = delayHours * 3600000L
+
+    // Same displacement as sessionReplay: the late subset lands one
+    // chunk forward — a displaced FIRST occurrence must still dedup
+    // against its partner that now arrives before it.
+    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long, Timestamp)])
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        val late = i < chunks.length - 1 && r._2 % 13 == 0
+        fed(if (late) i + 1 else i) += r
+      }
+    }
+
+    // Conf isolation as in sessionReplay: stateful stages at 8
+    // partitions inside a private child session.
+    val replay = spark.newSession()
+    replay.conf.set("spark.sql.shuffle.partitions", "8")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Long, Timestamp)]
+    val stream = StreamingOps.dedupWithinWatermark(
+      ms.toDF.toDF("user_id", "event_id", "ts")
+        .withColumn("hour_bucket", date_trunc("hour", col("ts"))),
+      tsCol = "ts", watermark = s"$delayHours hours",
+      keys = Seq("user_id", "hour_bucket"))
+
+    val name = s"st_ddreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        fed.foreach { b =>
+          val batch = b.result()
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+        // Dedup emits first arrivals immediately (no watermark wait), so
+        // the sentinels exist purely to advance the watermark and run a
+        // full state-eviction round before the drain — an eviction bug
+        // that re-admits a key would have to show before q.stop().
+        ms.addData(Seq((-1L, -1L, new Timestamp(maxTs + 2 * delayMs))))
+        q.processAllAvailable()
+        ms.addData(Seq((-1L, -2L, new Timestamp(maxTs + 4 * delayMs))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val out = replay.table(name)
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("hour_bucket"))
+        .orderBy("user_id", "hour_bucket")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   def intervalJoinReplay(spark: SparkSession, events: DataFrame,
                          band: String = "5 minutes", nChunks: Int = 6,
                          joinType: String = "inner"): DataFrame = {

@@ -40,6 +40,36 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective join") {
+    // The third leg of the layout/skew toolkit: at scale, a selective
+    // dim-side filter should cut the FACT side's shuffle before it
+    // happens. Spark's InjectRuntimeFilter builds a bloom filter over
+    // the filtered creation side and applies might_contain on the
+    // application side below its shuffle. The production thresholds
+    // (creation side < 10 MB, application scan > 10 GB) are exactly the
+    // 100 TB shape and never fire at test scale, so the gate lowers the
+    // application-side threshold and pins the injection — proving the
+    // engine's sessions leave the optimization reachable (AQE on,
+    // nothing disables the rule).
+    withSQLConf(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val dim = tables.customer.filter($"c_acctbal" > 9000).select("c_custkey")
+      val joined = tables.orders.join(dim, $"o_custkey" === $"c_custkey")
+        .select("o_orderkey", "o_custkey")
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected a bloom runtime filter on the probe side:\n${optimized.take(1200)}")
+      // pruning must be transparent: same rows as the unfiltered plan
+      val expected = withSQLConf(
+          "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false") {
+        tables.orders.join(dim, $"o_custkey" === $"c_custkey").count()
+      }
+      assert(joined.count() == expected)
+    }
+  }
+
   test("salted join equals the plain join") {
     val plain = tables.orders.join(tables.customer, $"o_custkey" === $"c_custkey")
       .groupBy("c_nationkey").count().orderBy("c_nationkey")

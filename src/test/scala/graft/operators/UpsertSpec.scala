@@ -18,6 +18,51 @@ class UpsertSpec extends SparkSpec {
     assert(got == Seq((3L, "k1", 20L, 3.0), (4L, "k2", 5L, 4.0), (5L, "k3", 9L, 5.0)))
   }
 
+  test("scd2 suppresses no-change runs null-safely and interval-izes the survivors") {
+    val log = Seq(
+      // k1: a -> a (suppressed) -> b -> b (suppressed) -> a
+      (1L, "k1", 10L, Some("a")), (2L, "k1", 20L, Some("a")),
+      (3L, "k1", 30L, Some("b")), (4L, "k1", 40L, Some("b")),
+      (5L, "k1", 50L, Some("a")),
+      // k2: null -> a -> null (both transitions are changes; the leading
+      // null row IS the first version)
+      (6L, "k2", 10L, None), (7L, "k2", 20L, Some("a")), (8L, "k2", 30L, None),
+      // k3: single row -> current
+      (9L, "k3", 10L, Some("z")))
+      .toDF("id", "key", "tsv", "attr")
+    val got = Upsert.scd2(log, Seq("key"), "tsv", "attr", Seq(col("id")))
+      .select("key", "tsv", "attr", "valid_to", "is_current")
+      .orderBy("key", "tsv")
+      .as[(String, Long, Option[String], Option[Long], Boolean)].collect().toSeq
+    assert(got == Seq(
+      ("k1", 10L, Some("a"), Some(30L), false),
+      ("k1", 30L, Some("b"), Some(50L), false),
+      ("k1", 50L, Some("a"), None, true),
+      ("k2", 10L, None, Some(20L), false),
+      ("k2", 20L, Some("a"), Some(30L), false),
+      ("k2", 30L, None, None, true),
+      ("k3", 10L, Some("z"), None, true)))
+  }
+
+  test("scd2 plans ONE shuffle and one sort for both windows") {
+    // lag (change detection) and lead (interval-ization) partition and
+    // order identically, and the second window consumes a filter of the
+    // first — Catalyst must satisfy it from the existing distribution
+    // and ordering instead of re-exchanging.
+    val out = Upsert.scd2(
+      tables.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_orderpriority"),
+      Seq("o_custkey"), "o_orderdate", "o_orderpriority", Seq(col("o_orderkey")))
+    out.collect()
+    // AQE's string form echoes the pre-adaptive plan under
+    // "== Initial Plan ==" — count nodes in the final plan only
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges == 1, s"scd2 must shuffle exactly once, got $exchanges:\n${plan.take(1200)}")
+    assert(!plan.contains("SinglePartition"), "per-key windows must not plan a global sort")
+    val sorts = "Sort \\[".r.findAllIn(plan).size
+    assert(sorts <= 1, s"scd2 must sort at most once, got $sorts:\n${plan.take(1200)}")
+  }
+
   test("latestByKey output has one row per distinct key on the events table") {
     val ev = tables.events
     val out = Upsert.latestByKey(ev, Seq("user_id", "event_type"),

@@ -62,6 +62,22 @@ class StreamReplaySpec extends SparkSpec {
         s"(nulls: ${streamed.count(_._3.isEmpty)} vs ${batch.count(_._3.isEmpty)})")
   }
 
+  test("streaming dedup replay converges to batch DISTINCT over a feed with real duplicates") {
+    val ev = tables.events.select("user_id", "event_id", "ts")
+    // the dedup path must actually dedup: the testdata needs duplicate
+    // (user_id, hour) keys, or first-arrival-wins is tested vacuously
+    val total = ev.count()
+    val batch = tables.events
+      .select(col("user_id"), date_trunc("hour", col("ts")).as("hour_bucket"))
+      .distinct().orderBy("user_id", "hour_bucket")
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(batch.size < total, "testdata must contain duplicate (user_id, hour) keys")
+    val streamed = StreamReplay.dedupReplay(spark, ev)
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(streamed == batch,
+      s"streamed ${streamed.size} keys != batch ${batch.size}")
+  }
+
   test("replay never mutates the caller's shuffle-partitions conf, even mid-run") {
     // The 8-partition override must live in the replay's private child
     // session (spark.newSession()). A background sampler polls the
