@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Physical-layout utilities for the 100 TB stance: bucketing for
@@ -30,6 +30,47 @@ object Layout {
     val saltedSmall = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     saltedBig.join(saltedSmall, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Z-order (Morton) key of two non-negative integer columns,
+    * bit-interleaved over the low `bits` bits of each: bit `i` of `x`
+    * lands at position `2i`, bit `i` of `y` at `2i+1`. Composed from
+    * codegen'd built-ins only (shiftright / shiftleft / bitwise and-or),
+    * so it stays inside whole-stage codegen — no UDF. Callers normalize
+    * the dimensions into `[0, 2^bits)` first (rank, bucket, or modulo);
+    * values outside that range alias into it (only the low bits
+    * participate).
+    *
+    * Within range the mapping is a bijection on (x, y) — gated in
+    * LayoutSpec — so a z-sorted layout loses no distinguishing power
+    * versus sorting on the pair.
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      val xb = shiftleft(shiftright(x.cast("long"), i).bitwiseAND(lit(1L)), 2 * i)
+      val yb = shiftleft(shiftright(y.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1)
+      acc.bitwiseOR(xb).bitwiseOR(yb)
+    }
+  }
+
+  /** Cluster `df` into `nParts` range-partitions of the z-order key over
+    * (`xCol`, `yCol`), sorted by the key within each partition — the
+    * write-side layout that makes BOTH dimensions skippable: each
+    * output file covers a bounded rectangle of (x, y) space, so parquet
+    * min/max stats prune files for point/box predicates on either
+    * column, where a linear sort bounds only its leading column
+    * (measured in LayoutSpec). The z-shuffle is paid once at write time,
+    * like [[writeBucketed]]'s bucket shuffle.
+    */
+  def zorderRepartition(df: DataFrame, xCol: String, yCol: String,
+                        nParts: Int, bits: Int = 16): DataFrame = {
+    require(nParts >= 1)
+    require(!df.columns.contains("__z"), "input must not already have a '__z' column")
+    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nParts, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
   }
 
   /** Two-phase salted aggregation: partial counts per (key, salt), then

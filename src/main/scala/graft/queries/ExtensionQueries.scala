@@ -371,6 +371,28 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Z-order (Morton) clustering key (operators.Layout.zValue): the
+      // write-side layout primitive that makes BOTH dimensions of a
+      // 2-D workload file-skippable (Layout.zorderRepartition; locality
+      // measured in LayoutSpec). The entry hash-gates the bit
+      // arithmetic itself: the oracle spells out the same 20-term
+      // interleave in SQL, so one misplaced bit in either engine breaks
+      // every row's hash.
+      "zo01_zorder_key",
+      Some {
+        val terms = (0 until 10).flatMap(i => Seq(
+            s"(((o_custkey % 1024) >> $i) & 1) << ${2 * i}",
+            s"(((o_orderkey % 1024) >> $i) & 1) << ${2 * i + 1}"))
+          .map(term => s"($term)").mkString(" | ")
+        s"SELECT o_orderkey, CAST($terms AS BIGINT) AS z FROM orders ORDER BY o_orderkey"
+      },
+      (s, d) => t(s, d).orders.select(col("o_orderkey"),
+        graft.operators.Layout.zValue(
+          pmod(col("o_custkey"), lit(1024)), pmod(col("o_orderkey"), lit(1024)),
+          bits = 10).as("z"))
+        .orderBy("o_orderkey")),
+
+    GraftQuery(
       "qp01_pivot",
       Some("""SELECT user_id,
         |  COUNT(CASE WHEN event_type='click' THEN 1 END) AS click,

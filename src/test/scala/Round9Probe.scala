@@ -68,6 +68,49 @@ object Round9Probe {
       "synthetic replication must not change learned merges")
     println(s"PROBE 50k-vocab merges stable at 20x corpus: ${s1.merges.take(5)}...")
 
+    zorderSkippingProbe(spark)
+
     spark.stop()
+  }
+
+  /** Claim under test (Layout.zorderRepartition's scale note): a
+    * z-ordered file layout turns parquet row-group min/max stats into
+    * skipped I/O for predicates on EITHER dimension, where a linear sort
+    * only serves its leading column. Measured: 1M 2-D points written as
+    * 32 files under each layout, then a 1/16-width band predicate on the
+    * NON-leading dimension; the scan node's output rows after pushdown
+    * approximate the rows actually read past row-group stats.
+    */
+  private def zorderSkippingProbe(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.operators.Layout
+    val n = 1024
+    val pts = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), floor(col("id") / n).cast("long").as("y"),
+      (col("id") * 2654435761L % 1000).as("payload"))
+    val base = java.nio.file.Files.createTempDirectory("zorder-probe").toString
+    try {
+      timed("write 1M rows, 32 z-ordered files") {
+        Layout.zorderRepartition(pts, "x", "y", nParts = 32, bits = 10)
+          .write.mode("overwrite").parquet(s"$base/zorder")
+      }
+      timed("write 1M rows, 32 x-sorted files") {
+        pts.repartitionByRange(32, col("x")).sortWithinPartitions("x")
+          .write.mode("overwrite").parquet(s"$base/linear")
+      }
+      def scannedRows(dir: String): Long = {
+        val df = spark.read.parquet(dir).filter(col("y") >= 512 && col("y") < 576)
+        df.collect()
+        val scan = df.queryExecution.executedPlan.collectLeaves().head
+        scan.metrics("numOutputRows").value
+      }
+      val zRows = timed("y-band scan over z-ordered layout")(scannedRows(s"$base/zorder"))
+      val linRows = timed("y-band scan over x-sorted layout")(scannedRows(s"$base/linear"))
+      println(s"PROBE rows past row-group stats: zorder=$zRows linear=$linRows " +
+        f"(${linRows.toDouble / zRows}%.1fx reduction)")
+      assert(zRows < linRows,
+        "z-order layout must let parquet stats skip row groups the linear layout reads")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(base)).deleteRecursively()
+    }
   }
 }

@@ -70,6 +70,46 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("zValue is a bijection on the grid and fills exactly 2*bits bits") {
+    val n = 256 // 8-bit coords -> 16-bit z
+    val grid = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), floor(col("id") / n).cast("long").as("y"))
+    val z = grid.select(Layout.zValue(col("x"), col("y"), bits = 8).as("z"))
+    assert(z.distinct().count() == n.toLong * n, "interleave must not collide")
+    val (mn, mx) = z.agg(min("z"), max("z")).as[(Long, Long)].head()
+    assert(mn == 0L && mx == (1L << 16) - 1, s"z range [$mn, $mx] must fill 16 bits")
+    // the whole expression must stay inside whole-stage codegen (no UDF)
+    val plan = z.queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"), "zValue must compose codegen'd built-ins only")
+  }
+
+  test("z-order layout bounds BOTH dimensions per file; a linear sort bounds only its leading column") {
+    // 256x256 uniform grid into 16 range-partitions ("files"). Linear
+    // sort by x gives each file a sliver: x-width ~16 but the FULL
+    // y-range (~255), so a predicate on y prunes nothing. The z-order
+    // layout gives every file a bounded rectangle in BOTH dimensions —
+    // this per-file min/max boundedness is exactly what parquet
+    // row-group stats turn into skipped I/O at 100 TB.
+    val n = 256
+    val pts = spark.range(n.toLong * n).select(
+      (col("id") % n).as("x"), floor(col("id") / n).cast("long").as("y"))
+    def widths(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+      df.withColumn("p", spark_partition_id())
+        .groupBy("p")
+        .agg((max("x") - min("x")).as("xw"), (max("y") - min("y")).as("yw"))
+        .select("xw", "yw").as[(Long, Long)].collect().toSeq
+    val zWidths = widths(Layout.zorderRepartition(pts, "x", "y", nParts = 16, bits = 8))
+    val linWidths = widths(pts.repartitionByRange(16, col("x")).sortWithinPartitions("x"))
+    val zAvgY = zWidths.map(_._2).sum.toDouble / zWidths.size
+    val linAvgY = linWidths.map(_._2).sum.toDouble / linWidths.size
+    assert(linAvgY > 0.9 * (n - 1), s"linear layout should span y fully, got $linAvgY")
+    assert(zAvgY < 0.6 * linAvgY,
+      s"z-order files must bound y: avg y-width $zAvgY vs linear $linAvgY")
+    // and x stays bounded too (the layout trades a little x-width for y)
+    val zAvgX = zWidths.map(_._1).sum.toDouble / zWidths.size
+    assert(zAvgX < 0.6 * (n - 1), s"z-order files must bound x too, got $zAvgX")
+  }
+
   test("salted join equals the plain join") {
     val plain = tables.orders.join(tables.customer, $"o_custkey" === $"c_custkey")
       .groupBy("c_nationkey").count().orderBy("c_nationkey")
