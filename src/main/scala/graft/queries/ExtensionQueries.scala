@@ -230,6 +230,38 @@ object ExtensionQueries {
         s, t(s, d).events.select("user_id", "event_id", "ts"))),
 
     GraftQuery(
+      // The CUSTOM-KEYED-STATE operator made driver-visible (st05):
+      // flatMapGroupsWithState CDC view maintenance
+      // (StatefulOps.latestByKeyStream) replayed with late-displaced
+      // versions. The harness THROWS unless every key's Update
+      // changelog is strictly version-increasing across micro-batches
+      // (a regressing changelog is the bug a CDC sink observes even
+      // when the final state heals), then the final state per
+      // (user_id, event_type) must equal the batch winner — max
+      // event_id — which is this oracle.
+      "st05_stream_latest_replay",
+      Some("""SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY event_id DESC) AS rn
+        |  FROM events) q
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.latestByKeyReplay(
+        s, t(s, d).events.select("user_id", "event_type", "event_id"))),
+
+    GraftQuery(
+      // Append-mode custom state (st06): per-key admission limiting
+      // (StatefulOps.rateLimit) carries the admitted count across
+      // micro-batches. WHICH events pass is arrival-order-dependent;
+      // the admitted COUNT is not — LEAST(total, k) exactly — so the
+      // count is the hashed surface. State loss between batches
+      // over-admits; an over-eager limiter under-admits; both break it.
+      "st06_stream_rate_limit",
+      Some("""SELECT user_id, CAST(LEAST(COUNT(*), 5) AS BIGINT) AS n_admitted
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.rateLimitReplay(
+        s, t(s, d).events.select("user_id", "value", "event_id"), maxPerKey = 5L)),
+
+    GraftQuery(
       "q29_sliding_window",
       Some("""SELECT w, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),

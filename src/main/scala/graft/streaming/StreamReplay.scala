@@ -3,7 +3,7 @@ package graft.streaming
 import java.sql.Timestamp
 import java.util.concurrent.atomic.AtomicInteger
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
@@ -246,6 +246,165 @@ object StreamReplay {
         .filter(col("user_id") >= 0)
         .select(col("user_id"), col("hour_bucket"))
         .orderBy("user_id", "hour_bucket")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
+  /** Replays `events` through the CUSTOM-KEYED-STATE operator
+    * [[StatefulOps.latestByKeyStream]] (flatMapGroupsWithState, Update
+    * mode — the stream half of Upsert.latestByKey / CDC view
+    * maintenance): records keyed by (user_id, event_type), versioned by
+    * `event_id` (the natural monotone sequence number), fed in the same
+    * chunked event-time-ordered protocol with the deterministic late
+    * subset displaced one chunk.
+    *
+    * Each micro-batch's Update output is captured via foreachBatch with
+    * its batch id, and the harness THROWS unless every key's emitted
+    * version sequence is strictly increasing across batches — the
+    * changelog a CDC sink would observe must never regress, and this
+    * closes the masking gap where a lost incumbent re-emitting an older
+    * version could still end at the right final state. The final state
+    * per key (last update) must then equal the batch winner — max
+    * event_id per (user_id, event_type) — which is the oracle (st05).
+    *
+    * Replay HARNESS like the others: bounded input, driver-side feed
+    * and capture; the production form is the same operator over
+    * readStream with a real sink. Returns (user_id, event_type,
+    * event_id) — one current row per key.
+    */
+  def latestByKeyReplay(spark: SparkSession, events: DataFrame,
+                        nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(nChunks >= 2, "replay needs at least two chunks")
+
+    val rows = events.select(col("user_id").cast("long"), col("event_type").cast("string"),
+        col("event_id").cast("long"))
+      .as[(Long, String, Long)].collect().sortBy(r => (r._3, r._1))
+    require(rows.nonEmpty, "no events to replay")
+
+    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    val chunks = rows.grouped(chunkSize).toArray
+
+    // Displacement by the version sequence itself (no event-time column
+    // here): a displaced record arrives AFTER higher-version records,
+    // and the state must keep the incumbent rather than regress.
+    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, String, Long)])
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        val late = i < chunks.length - 1 && r._3 % 13 == 0
+        fed(if (late) i + 1 else i) += r
+      }
+    }
+
+    val replay = spark.newSession()
+    replay.conf.set("spark.sql.shuffle.partitions", "8")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, String, Long)]
+    val latest = StatefulOps.latestByKeyStream(
+      ms.toDS())(key = t => (t._1, t._2), version = _._3)
+
+    // (batchId, key -> emitted version/row) captured per micro-batch.
+    val captured = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, String, Long)])]
+    val cp = java.nio.file.Files.createTempDirectory("st_lkreplay-cp").toString
+    try {
+      val q = latest.writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: Dataset[(Long, String, Long)], batchId: Long) =>
+          val rows = batch.collect().toSeq
+          captured.synchronized { captured += ((batchId, rows)) }
+          ()
+        }
+        .start()
+      try {
+        fed.foreach { b =>
+          val batch = b.result()
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+
+      // The changelog must never regress: per key, versions strictly
+      // increase in batch order (within a batch each key emits at most
+      // once by construction of the operator).
+      val byKey = captured.sortBy(_._1).flatMap { case (bid, rs) => rs.map(bid -> _) }
+        .groupBy { case (_, r) => (r._1, r._2) }
+      byKey.foreach { case (k, updates) =>
+        val versions = updates.map(_._2._3)
+        require(versions == versions.distinct.sorted,
+          s"CDC changelog regressed for key $k: $versions")
+      }
+      val finals = byKey.map { case (_, updates) => updates.last._2 }.toSeq
+      finals.toDF("user_id", "event_type", "event_id")
+        .orderBy("user_id", "event_type")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
+  /** Replays `events` through [[StatefulOps.rateLimit]]
+    * (flatMapGroupsWithState, Append mode): at most `maxPerKey` events
+    * per user_id are admitted across the whole replay, however many
+    * micro-batches they span. WHICH events are admitted depends on
+    * arrival order (first-come), so the oracle-checkable surface is the
+    * admission COUNT per key — LEAST(total, maxPerKey), exactly — which
+    * is arrival-order-invariant (st06). An admission-state loss between
+    * batches over-admits and breaks the count; an over-eager limiter
+    * under-admits and breaks it the other way.
+    *
+    * Returns (user_id, n_admitted), one row per user_id that sent
+    * anything.
+    */
+  def rateLimitReplay(spark: SparkSession, events: DataFrame,
+                      maxPerKey: Long, nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(nChunks >= 2, "replay needs at least two chunks")
+
+    val rows = events.select(col("user_id").cast("long"), col("value").cast("double"),
+        col("event_id").cast("long"))
+      .as[(Long, Double, Long)].collect().sortBy(r => (r._3, r._1))
+    require(rows.nonEmpty, "no events to replay")
+
+    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    val chunks = rows.grouped(chunkSize).toArray
+    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Double)])
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        val late = i < chunks.length - 1 && r._3 % 13 == 0
+        fed(if (late) i + 1 else i) += ((r._1, r._2))
+      }
+    }
+
+    val replay = spark.newSession()
+    replay.conf.set("spark.sql.shuffle.partitions", "8")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val admitted = StatefulOps.rateLimit(ms.toDS(), maxPerKey)
+
+    val name = s"st_rlreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = admitted.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        fed.foreach { b =>
+          val batch = b.result()
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      val out = replay.table(name)
+        .groupBy(col("_1").as("user_id"))
+        .agg(count(lit(1)).as("n_admitted"))
+        .select(col("user_id"), col("n_admitted"))
+        .orderBy("user_id")
       val schema = out.schema
       val resultRows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)

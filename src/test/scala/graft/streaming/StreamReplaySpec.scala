@@ -78,6 +78,33 @@ class StreamReplaySpec extends SparkSpec {
       s"streamed ${streamed.size} keys != batch ${batch.size}")
   }
 
+  test("latestByKey replay converges to the batch winner with a monotone changelog") {
+    val ev = tables.events.select("user_id", "event_type", "event_id")
+    // displaced versions must exist, or the regression-resistance path
+    // (incumbent kept against a late lower version) is tested vacuously
+    assert(tables.events.filter(col("event_id") % 13 === 0).count() > 0)
+    val streamed = StreamReplay.latestByKeyReplay(spark, ev)
+      .as[(Long, String, Long)].collect().toSeq
+    val batch = graft.operators.Upsert
+      .latestByKey(ev, Seq("user_id", "event_type"), Seq(col("event_id").desc))
+      .orderBy("user_id", "event_type")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(batch.nonEmpty)
+    assert(streamed == batch, s"streamed ${streamed.size} rows != batch ${batch.size}")
+  }
+
+  test("rateLimit replay admits exactly LEAST(total, k) per key across batches") {
+    val k = 5L
+    val streamed = StreamReplay.rateLimitReplay(
+        spark, tables.events.select("user_id", "value", "event_id"), maxPerKey = k)
+      .as[(Long, Long)].collect().toSeq
+    val batch = tables.events.groupBy("user_id").count()
+      .select(col("user_id"), least(col("count"), lit(k)).as("n"))
+      .orderBy("user_id").as[(Long, Long)].collect().toSeq
+    assert(batch.exists(_._2 == k), "testdata must have keys hitting the cap")
+    assert(streamed == batch)
+  }
+
   test("replay never mutates the caller's shuffle-partitions conf, even mid-run") {
     // The 8-partition override must live in the replay's private child
     // session (spark.newSession()). A background sampler polls the
