@@ -90,6 +90,19 @@ final case class BpeVocab(merges: IndexedSeq[(String, String)]) {
   def count(text: String): Int = tokenize(text).length
 
   def encoded: String = BpeVocab.encode(merges)
+
+  /** Persist the vocab as rank-ordered parquet (rank, a, b) so
+    * production tokenization LOADS a trained vocab instead of
+    * retraining per job — the [[graft.operators.IvfIndex]] save/load
+    * pattern. One file: a vocab is O(merges), driver-sized by
+    * construction (it rides query plans as a foldable literal).
+    */
+  def save(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("rank", "a", "b")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
 }
 
 object BpeVocab {
@@ -108,6 +121,21 @@ object BpeVocab {
       require(sp > 0 && sp < line.length - 1, s"bad BPE merge line: '$line'")
       (line.substring(0, sp), line.substring(sp + 1))
     }.toIndexedSeq)
+
+  /** Load a vocab written by [[BpeVocab.save]]: rank order restored
+    * explicitly (parquet row order is not a contract), then validated
+    * through the same `encode` checks a freshly-trained vocab passes.
+    */
+  def load(spark: org.apache.spark.sql.SparkSession, path: String): BpeVocab = {
+    val rows = spark.read.parquet(path)
+      .select("rank", "a", "b").orderBy("rank").collect()
+    rows.zipWithIndex.foreach { case (r, i) =>
+      require(r.getInt(0) == i, s"vocab at $path has rank gap: expected $i, got ${r.getInt(0)}")
+    }
+    val v = BpeVocab(rows.map(r => (r.getString(1), r.getString(2))).toIndexedSeq)
+    encode(v.merges) // re-run the wire-form invariant checks on load
+    v
+  }
 
   /** One left-to-right non-overlapping merge pass (training helper). */
   def applyOne(syms: Seq[String], a: String, b: String): Seq[String] = {

@@ -81,6 +81,50 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("save/load round-trips a trained vocab bit-identically") {
+    val dir = tmpDir("bpe-vocab")
+    val trained = Bpe.train(tables.documents, "text", nMerges = 8)
+    trained.save(spark, dir)
+    val loaded = BpeVocab.load(spark, dir)
+    assert(loaded.merges == trained.merges)
+    assert(loaded.encoded == trained.encoded)
+    // bit-identical tokenization through BOTH the Scala path and the
+    // codegen'd expressions (tok01's surface) on real documents
+    import spark.implicits._
+    tables.documents.select("text").as[String].take(30).foreach { t =>
+      assert(loaded.tokenize(t) == trained.tokenize(t))
+    }
+    val viaTrained = tables.documents.limit(50)
+      .select(col("doc_id"), bpe_tokens(col("text"), trained).as("toks"))
+      .orderBy("doc_id").collect().toSeq
+    val viaLoaded = tables.documents.limit(50)
+      .select(col("doc_id"), bpe_tokens(col("text"), loaded).as("toks"))
+      .orderBy("doc_id").collect().toSeq
+    assert(viaTrained == viaLoaded)
+    // the pinned vocab round-trips too (save is not train-only)
+    PinnedVocabRoundTrip()
+  }
+
+  private def PinnedVocabRoundTrip(): Unit = {
+    val dir = tmpDir("bpe-vocab-pinned")
+    vocab.save(spark, dir)
+    assert(BpeVocab.load(spark, dir).merges == vocab.merges)
+  }
+
+  test("packShards budgets by a LOADED vocab (production path: load, don't retrain)") {
+    val dir = tmpDir("bpe-vocab-pack")
+    vocab.save(spark, dir)
+    val loaded = BpeVocab.load(spark, dir)
+    val packed = graft.operators.TrainingPipeline.packShards(
+      tables.documents, budgetTokens = 2048L,
+      tokenCount = c => bpe_count(c, loaded).cast("long"))
+    val viaPinned = graft.operators.TrainingPipeline.packShards(
+      tables.documents, budgetTokens = 2048L,
+      tokenCount = c => bpe_count(c, vocab).cast("long"))
+    assert(packed.orderBy("doc_id").collect().toSeq ==
+      viaPinned.orderBy("doc_id").collect().toSeq)
+  }
+
   test("packShards accepts a subword counter and budgets by it") {
     val docs = tables.documents
     val packed = graft.operators.TrainingPipeline.packShards(
