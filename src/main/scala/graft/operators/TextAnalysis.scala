@@ -131,28 +131,41 @@ object TextAnalysis {
     * driver-side value is the vocab-size scalar (the supplier.count()
     * precedent). At 100 TB the count tables are the compact side and
     * broadcast under AQE.
+    *
+    * The unigram table, the bigram table, and the scoring join all
+    * derive from the tokenized corpus, so a fully lazy plan would scan
+    * and tokenize the corpus three times — and at the stated scale the
+    * corpus scan is the dominant cost (ADVICE r9). The tokenized corpus
+    * is therefore the call's working set under
+    * [[TextDedup.withWorkingSet]]: in the default eager mode it is
+    * persisted for the duration of the call (one scan + tokenize, three
+    * cache reads) and released before returning; under
+    * `spark.graft.dedup.materialize=none` the plan stays lazy and a
+    * cluster caller manages persistence itself.
     */
   def bigramNll(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-    val pairs = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), expr(
-        """explode(zip_with(slice(toks, 1, size(toks) - 1),
-          |                 slice(toks, 2, size(toks) - 1),
-          |                 (a, b) -> struct(a AS w1, b AS w2))) AS p""".stripMargin))
-      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val uni = toks.select(explode(col("toks")).as("w1"))
-      .groupBy("w1").agg(count(lit(1)).as("c1"))
-    val vocab = uni.count() // O(1) driver scalar, paid once
-    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    pairs
-      .join(big, Seq("w1", "w2"))
-      .join(uni, Seq("w1"))
-      .select(col("doc_id"),
-        floor(log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))) * 1e6 + 0.5)
-          .cast("bigint").as("micro"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).cast("int").as("n_pairs"), sum("micro").as("s"))
-      .select(col("doc_id"), col("n_pairs"),
-        round4(-col("s").cast("double") / 1e6 / col("n_pairs")).as("avg_nll"))
+    val toksAll = docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+    TextDedup.withWorkingSet(toksAll) { toks =>
+      val pairs = toks.filter(size(col("toks")) >= 2)
+        .select(col("doc_id"), expr(
+          """explode(zip_with(slice(toks, 1, size(toks) - 1),
+            |                 slice(toks, 2, size(toks) - 1),
+            |                 (a, b) -> struct(a AS w1, b AS w2))) AS p""".stripMargin))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val uni = toks.select(explode(col("toks")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = uni.count() // O(1) driver scalar, paid once
+      val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      pairs
+        .join(big, Seq("w1", "w2"))
+        .join(uni, Seq("w1"))
+        .select(col("doc_id"),
+          floor(log((col("c2") + lit(1.0)) / (col("c1") + lit(vocab.toDouble))) * 1e6 + 0.5)
+            .cast("bigint").as("micro"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("int").as("n_pairs"), sum("micro").as("s"))
+        .select(col("doc_id"), col("n_pairs"),
+          round4(-col("s").cast("double") / 1e6 / col("n_pairs")).as("avg_nll"))
+    }
   }
 }

@@ -233,10 +233,23 @@ object StreamReplay {
           val batch = b.result()
           if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
         }
-        // Dedup emits first arrivals immediately (no watermark wait), so
-        // the sentinels exist purely to advance the watermark and run a
-        // full state-eviction round before the drain — an eviction bug
-        // that re-admits a key would have to show before q.stop().
+        // Dedup emits first arrivals immediately (no watermark wait).
+        // Premature-eviction probe (ADVICE r9): the half-delay sentinel
+        // advances the watermark to maxTs - delay/2 — a REAL advance
+        // past every prior batch's watermark, yet below every real
+        // row's ts + delay (delay > 2*span by construction), so no
+        // state may be evicted. The re-fed copy of the earliest row
+        // must therefore still dedup; an implementation that evicted
+        // on the advance would re-admit it and the extra row would
+        // break the batch-DISTINCT oracle equality.
+        ms.addData(Seq((-1L, -3L, new Timestamp(maxTs + delayMs / 2))))
+        q.processAllAvailable()
+        ms.addData(Seq(rows.head))
+        q.processAllAvailable()
+        // Final sentinels: advance the watermark past every key's
+        // eviction bound and run full state-GC rounds before the drain
+        // (state-cleanup machinery, not a re-admission gate — nothing
+        // real is fed after them).
         ms.addData(Seq((-1L, -1L, new Timestamp(maxTs + 2 * delayMs))))
         q.processAllAvailable()
         ms.addData(Seq((-1L, -2L, new Timestamp(maxTs + 4 * delayMs))))
@@ -410,6 +423,92 @@ object StreamReplay {
       spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
     } finally {
       try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
+  /** Replays `events` through [[StatefulOps.smallestKByKey]] (st07):
+    * deterministic bounded admission — per user_id the k smallest
+    * event_ids win regardless of arrival order, so unlike st06 the
+    * FULL admitted row set hashes against a batch ROW_NUMBER oracle.
+    * Feed protocol as elsewhere: event_id-ordered chunks with the
+    * deterministic late subset (id % 13) displaced one chunk forward —
+    * a late-but-smaller id must still displace an already-admitted
+    * larger one via the Update changelog.
+    *
+    * The harness THROWS (st05 pattern) unless each key's changelog
+    * only improves in batch order: versions strictly increase, the set
+    * never shrinks, and a same-size change strictly decreases the set
+    * maximum (the operator's stated invariant — state loss or version
+    * skew breaks one of the three before the final-state compare can
+    * mask it). Returns the final admitted (user_id, event_id) rows.
+    */
+  def smallestKReplay(spark: SparkSession, events: DataFrame,
+                      k: Int, nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    require(nChunks >= 2, "replay needs at least two chunks")
+
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
+    require(rows.nonEmpty, "no events to replay")
+
+    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    val chunks = rows.grouped(chunkSize).toArray
+    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long)])
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        val late = i < chunks.length - 1 && r._2 % 13 == 0
+        fed(if (late) i + 1 else i) += r
+      }
+    }
+
+    val replay = spark.newSession()
+    replay.conf.set("spark.sql.shuffle.partitions", "8")
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val admitted = StatefulOps.smallestKByKey(ms.toDS(), k)
+
+    val captured = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[(Long, Long, Seq[Long])])]
+    val cp = java.nio.file.Files.createTempDirectory("st_tkreplay-cp").toString
+    try {
+      val q = admitted.writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: Dataset[(Long, Long, Seq[Long])], batchId: Long) =>
+          val rows = batch.collect().toSeq
+          captured.synchronized { captured += ((batchId, rows)) }
+          ()
+        }
+        .start()
+      try {
+        fed.foreach { b =>
+          val batch = b.result()
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+
+      val byKey = captured.sortBy(_._1).flatMap { case (_, rs) => rs }
+        .groupBy(_._1)
+      byKey.foreach { case (key, updates) =>
+        val versions = updates.map(_._2)
+        require(versions == versions.distinct.sorted,
+          s"admission changelog version regressed for key $key: $versions")
+        updates.map(_._3).sliding(2).foreach { w =>
+          if (w.size == 2) {
+            val (a, b) = (w.head, w.last)
+            require(b.size >= a.size && b.size <= k,
+              s"admitted set shrank or overflowed for key $key: $a -> $b")
+            require(b != a && (b.size > a.size || b.max < a.max),
+              s"admitted set did not improve for key $key: $a -> $b")
+          }
+        }
+      }
+      val finals = byKey.toSeq.flatMap { case (key, updates) =>
+        updates.last._3.map(id => (key, id))
+      }
+      finals.toDF("user_id", "event_id").orderBy("user_id", "event_id")
+    } finally {
       new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
     }
   }

@@ -142,7 +142,12 @@ class PlanCheckSpec extends SparkSpec {
   }
 
   test("ta07: LM scoring is pure built-ins with partial counts, no UDF boundary") {
-    val df = SparkEntry.queries("ta07_bigram_nll")(spark, sfDir)
+    // Lazy mode so the full plan is inspectable: in the default eager
+    // mode bigramNll checkpoints its result (corpus scanned once, not
+    // three times) and the executed plan collapses to an RDD scan.
+    spark.conf.set(graft.operators.TextDedup.MaterializeConf, "none")
+    val df = try SparkEntry.queries("ta07_bigram_nll")(spark, sfDir)
+    finally spark.conf.unset(graft.operators.TextDedup.MaterializeConf)
     df.collect() // materialize the AQE final plan
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
