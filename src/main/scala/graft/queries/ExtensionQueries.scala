@@ -262,6 +262,24 @@ object ExtensionQueries {
         s, t(s, d).events.select("user_id", "value", "event_id"), maxPerKey = 5L)),
 
     GraftQuery(
+      // Deterministic bounded admission (st07, VERDICT r9 #8): st06's
+      // count-only oracle cannot see WHICH rows were admitted, so an
+      // implementation admitting the wrong k records still passes it.
+      // StatefulOps.smallestKByKey makes the admitted SET itself
+      // deterministic (k smallest event_ids win, arrival-order-
+      // invariant via an Update changelog that the harness asserts
+      // only ever improves), so the full row set hashes against the
+      // batch ROW_NUMBER oracle.
+      "st07_stream_topk_admission",
+      Some("""SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+        |  FROM events) q
+        |WHERE rn <= 5 ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.smallestKReplay(
+        s, t(s, d).events.select("user_id", "event_id"), k = 5)),
+
+    GraftQuery(
       "q29_sliding_window",
       Some("""SELECT w, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),

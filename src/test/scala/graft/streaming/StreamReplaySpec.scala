@@ -105,6 +105,28 @@ class StreamReplaySpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("smallestK replay admits exactly the k smallest ids per key, any arrival order") {
+    val k = 5
+    val ev = tables.events.select("user_id", "event_id")
+    // a late-displaced id must be SMALLER than an already-admitted one
+    // for some key, or the retract-and-improve path is tested vacuously:
+    // keys with > k events and at least one %13 id below their k-th
+    // smallest would exercise it — assert such data exists.
+    val batch = tables.events
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("event_id")))
+      .filter(col("rn") <= k)
+      .select(col("user_id"), col("event_id"))
+      .orderBy("user_id", "event_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(batch.exists(_._2 % 13 == 0),
+      "testdata must have late-displaced ids inside some key's top-k")
+    val streamed = StreamReplay.smallestKReplay(spark, ev, k = k)
+      .as[(Long, Long)].collect().toSeq
+    assert(streamed == batch, s"streamed ${streamed.size} rows != batch ${batch.size}")
+  }
+
   test("replay never mutates the caller's shuffle-partitions conf, even mid-run") {
     // The 8-partition override must live in the replay's private child
     // session (spark.newSession()). A background sampler polls the
