@@ -9,7 +9,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ingest.{BatchPolicy, Envelope, IngestPipeline, SimpleRetry, Transformer}
+import graft.ingest.{BatchPolicy, Envelope, IdempotentSink, IngestPipeline, Routed, SimpleRetry, Transformer}
 
 /** Sink row of the ingestion gate: what the reference's transform stage
   * emits, plus the event time that drives the y/m/d/h key layout. */
@@ -115,6 +115,9 @@ object IngestGate {
     * from abandoning an unbounded trail of parquet sinks in /tmp. */
   val ContentRoot = s"${sys.props("user.dir")}/fixtures/igate/content"
 
+  /** Fixed scratch root for ig03 (content oracle, own wiped dir). */
+  val OnceRoot = s"${sys.props("user.dir")}/fixtures/igate/once"
+
   /** Deterministic JSON envelopes for the fed subset (driver-side,
     * bounded — see class doc). */
   /** `every` sets the feed density (1-in-`every` orders): the oracle
@@ -173,11 +176,96 @@ object IngestGate {
         .foreach { chunk => ms.addData(chunk); q.processAllAvailable() }
     } finally q.stop()
 
+    readSink(spark, root)
+  }
+
+  /** Read-back shared by every gate: y/m/d/h as INTs — the cast pins
+    * one type on both engines regardless of partition-type inference. */
+  private def readSink(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(s"$root/sink").select(
       col("id"), col("name"), col("value"), col("kind"), col("event_ts"),
       col("y").cast("int").as("y"), col("m").cast("int").as("m"),
       col("d").cast("int").as("d"), col("h").cast("int").as("h"))
       .orderBy("id", "kind") // the driver's hash is row-order-sensitive
+
+  /** ig03 (VERDICT r9 #7) — effectively-once under failure, oracle-
+    * visible. ig01/ig02 hash the happy path; this entry injects a crash
+    * in the at-least-once window the reference's design discussion
+    * names (ingestor.go:57-60 ack-after-write;
+    * runtime_behavior_test.go:98-150): AFTER the durable parquet write
+    * of a micro-batch, BEFORE its offset commit. The restarted query
+    * replays that batch from the offset WAL — the exact duplicate-write
+    * hazard — and the [[IdempotentSink]] batch-marker guard must skip
+    * the replayed body. The final sink parquet then hashes against the
+    * same pure-SQL `orders` recomputation as ig02: one green row proves
+    * BOTH no-loss (the crashed batch's rows are present) and
+    * no-duplication (present once) at the oracle level, not just in
+    * ScalaTest (IdempotentSinkSpec's scope).
+    *
+    * The harness REQUIREs that the crash surfaced, that the crashed
+    * batch's marker existed before restart (the write was durable), and
+    * that the replay was actually skipped — a run where the fault never
+    * fired cannot pass vacuously.
+    */
+  private[queries] def ingestWithCrashReplay(spark: SparkSession, dir: String, root: String,
+                                             every: Long = 200L): DataFrame = {
+    graft.Fixtures.deleteRecursively(new File(root))
+    val pipe = IngestPipeline[GateRecord](
+      transformer = new GateTransformer,
+      sinkPath = s"$root/sink",
+      checkpointPath = s"$root/cp",
+      policy = BatchPolicy(flushIntervalMs = 0L),
+      codec = "snappy",
+      dlqPath = Some(s"$root/dlq"),
+      retry = SimpleRetry(attempts = 3),
+      eventTimeCol = Some("event_ts"))
+    val markers = s"$root/markers"
+    val armCrash = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val replaysSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    implicit val envEnc: org.apache.spark.sql.Encoder[Envelope] =
+      org.apache.spark.sql.Encoders.product[Envelope]
+    val ms = MemoryStream[Envelope]
+    // foreachBatch bodies run on the driver: the method-local fault
+    // switches are visible to both queries below.
+    def start(name: String) = pipe.route(ms.toDS()).writeStream
+      .queryName(name)
+      .option("checkpointLocation", s"$root/cp")
+      .foreachBatch { (b: Dataset[graft.ingest.Routed[GateRecord]], id: Long) =>
+        val ran = IdempotentSink.once(spark, markers, id)(pipe.processBatch(b, id))
+        if (!ran) { replaysSkipped.incrementAndGet(); () }
+        if (ran && armCrash.getAndSet(false))
+          throw new RuntimeException("injected crash after durable write, before offset commit")
+      }
+      .start()
+
+    val envs = envelopes(spark, dir, every)
+    val chunks = envs.grouped(math.max(1, envs.size / 3 + 1)).toSeq
+    require(chunks.size >= 2, "need a clean batch and a crashed batch")
+
+    val q1 = start(s"ig-once-a-${System.nanoTime()}")
+    try {
+      ms.addData(chunks.head); q1.processAllAvailable()
+      armCrash.set(true)
+      ms.addData(chunks(1))
+      val crashed =
+        try { q1.processAllAvailable(); false }
+        catch { case _: Exception => true } // StreamingQueryException wraps the injection
+      require(crashed, "the injected post-write crash must surface through the query")
+    } finally q1.stop()
+    require(IdempotentSink.committedBatches(spark, markers).size >= 2,
+      "the crashed batch's write must be durable (marker present) before restart")
+
+    val q2 = start(s"ig-once-b-${System.nanoTime()}")
+    try {
+      chunks.drop(2).foreach(ms.addData(_))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    require(replaysSkipped.get() >= 1,
+      "the crashed batch must replay on restart and be skipped — otherwise this gate proved nothing")
+
+    readSink(spark, root)
   }
 
   /** DLQ row count of the last run under `root` (spec hook). */
@@ -219,6 +307,11 @@ object IngestGate {
     GraftQuery("ig01_ingest_roundtrip", Some(roundtripOracle),
       (s, d) => ingestAndReadBack(s, d, RoundtripRoot)),
     GraftQuery("ig02_ingest_content", Some(contentOracle),
-      (s, d) => ingestAndReadBack(s, d, ContentRoot))
+      (s, d) => ingestAndReadBack(s, d, ContentRoot)),
+    // Same content oracle as ig02: the crash/replay must be invisible
+    // in the final rows — that invisibility IS the effectively-once
+    // claim, and any loss or duplicate breaks the hash.
+    GraftQuery("ig03_ingest_effectively_once", Some(contentOracle),
+      (s, d) => ingestWithCrashReplay(s, d, OnceRoot))
   )
 }

@@ -63,6 +63,20 @@ class IngestGateSpec extends SparkSpec {
     assert(result.filter(col("h") =!= col("id") % 24).count() == 0)
   }
 
+  test("ig03: post-write crash replays the batch and the guard skips the rewrite") {
+    import org.apache.spark.sql.functions._
+    val onceRoot = tmpDir("igate-once-spec")
+    val out = IngestGate.ingestWithCrashReplay(spark, sfDir, onceRoot, every = 20L)
+    // the harness itself REQUIREs crash-surfaced + marker-durable +
+    // replay-skipped; here assert the resulting ROWS equal the clean
+    // run's — the crash/replay must be invisible in the data
+    val clean = result.collect().toSeq
+    assert(out.collect().toSeq == clean,
+      "crash-replay run must produce exactly the clean run's rows (no loss, no duplicates)")
+    // and the sink holds no duplicate (id, kind) pairs
+    assert(out.groupBy("id", "kind").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("value regex survives negative-exponent doubles (review r9)") {
     val e = graft.ingest.Envelope(
       """{"id": 40, "name": "1-URGENT", "value": 5.0E-4, "date": "1996-01-02", "hh": 16, "status": "O"}""",
