@@ -232,7 +232,7 @@ object IngestGate {
     def start(name: String) = pipe.route(ms.toDS()).writeStream
       .queryName(name)
       .option("checkpointLocation", s"$root/cp")
-      .foreachBatch { (b: Dataset[graft.ingest.Routed[GateRecord]], id: Long) =>
+      .foreachBatch { (b: Dataset[Routed[GateRecord]], id: Long) =>
         val ran = IdempotentSink.once(spark, markers, id)(pipe.processBatch(b, id))
         if (!ran) { replaysSkipped.incrementAndGet(); () }
         if (ran && armCrash.getAndSet(false))

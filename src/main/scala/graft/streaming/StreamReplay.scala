@@ -49,34 +49,49 @@ object StreamReplay {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** The feed protocol's chunking step: `rows` (already sorted by the
+    * caller's replay order) split into `nChunks` micro-batch chunks. */
+  private def chunked[T: scala.reflect.ClassTag](rows: Array[T], nChunks: Int): Array[Array[T]] = {
+    require(nChunks >= 2, "replay needs at least two chunks")
+    require(rows.nonEmpty, "no events to replay")
+    rows.grouped(math.max(1, (rows.length + nChunks - 1) / nChunks)).toArray
+  }
+
+  /** The feed protocol's displacement step, in ONE place (review r10 —
+    * this was hand-copied per replay): the deterministic late subset
+    * (`lateId % 13 == 0`, non-final chunks only) lands one chunk
+    * forward — genuinely late arrivals, bounded by one chunk's span.
+    * Every replay builds its feed through this, so a protocol change
+    * (modulus, displacement distance) edits one function and cannot
+    * silently diverge between harnesses.
+    */
+  private def displaced[T](chunks: Array[Array[T]])(lateId: T => Long): Seq[Vector[T]] = {
+    val fed = Array.fill(chunks.length)(Vector.newBuilder[T])
+    chunks.zipWithIndex.foreach { case (chunk, i) =>
+      chunk.foreach { r =>
+        val late = i < chunks.length - 1 && lateId(r) % 13 == 0
+        fed(if (late) i + 1 else i) += r
+      }
+    }
+    fed.toSeq.map(_.result())
+  }
+
   /** Replays `events` (user_id, event_id, ts) through streaming session
     * windows; returns (user_id, session_start, n) matching the batch
     * q29 oracle. */
   def sessionReplay(spark: SparkSession, events: DataFrame,
                     gap: String = "10 minutes", nChunks: Int = 6): DataFrame = {
     import spark.implicits._
-    require(nChunks >= 2, "replay needs at least two chunks")
-
     val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("ts").cast("timestamp"))
       .as[(Long, Long, Timestamp)].collect().sortBy(r => (r._3.getTime, r._2))
-    require(rows.nonEmpty, "no events to replay")
 
-    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
-    val chunks = rows.grouped(chunkSize).toArray
+    val chunks = chunked(rows, nChunks)
     val spanMs = chunks.map(c => c.last._3.getTime - c.head._3.getTime).max
     val delayHours = math.max(1L, 2 * spanMs / 3600000L + 1)
     val maxTs = rows.last._3.getTime
     val delayMs = delayHours * 3600000L
-
-    // Displace the deterministic late subset one chunk forward.
-    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long, Timestamp)])
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      chunk.foreach { r =>
-        val late = i < chunks.length - 1 && r._2 % 13 == 0
-        fed(if (late) i + 1 else i) += r
-      }
-    }
+    val fed = displaced(chunks)(_._2)
 
     // Each micro-batch pays one state-store round trip PER shuffle
     // partition; for a bounded replay that fixed cost dominates (the
@@ -109,8 +124,7 @@ object StreamReplay {
         .option("checkpointLocation", cp)
         .start()
       try {
-        fed.foreach { b =>
-          val batch = b.result()
+        fed.foreach { batch =>
           if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
         }
         // Sentinels: the first advances the watermark past every real
@@ -183,30 +197,18 @@ object StreamReplay {
     */
   def dedupReplay(spark: SparkSession, events: DataFrame, nChunks: Int = 6): DataFrame = {
     import spark.implicits._
-    require(nChunks >= 2, "replay needs at least two chunks")
-
     val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("ts").cast("timestamp"))
       .as[(Long, Long, Timestamp)].collect().sortBy(r => (r._3.getTime, r._2))
-    require(rows.nonEmpty, "no events to replay")
 
-    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
-    val chunks = rows.grouped(chunkSize).toArray
+    val chunks = chunked(rows, nChunks)
     val totalSpanMs = rows.last._3.getTime - rows.head._3.getTime
     val delayHours = math.max(1L, 2 * totalSpanMs / 3600000L + 1)
     val maxTs = rows.last._3.getTime
     val delayMs = delayHours * 3600000L
-
-    // Same displacement as sessionReplay: the late subset lands one
-    // chunk forward — a displaced FIRST occurrence must still dedup
-    // against its partner that now arrives before it.
-    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long, Timestamp)])
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      chunk.foreach { r =>
-        val late = i < chunks.length - 1 && r._2 % 13 == 0
-        fed(if (late) i + 1 else i) += r
-      }
-    }
+    // Same displacement as sessionReplay: a displaced FIRST occurrence
+    // must still dedup against its partner that now arrives before it.
+    val fed = displaced(chunks)(_._2)
 
     // Conf isolation as in sessionReplay: stateful stages at 8
     // partitions inside a private child session.
@@ -229,8 +231,7 @@ object StreamReplay {
         .option("checkpointLocation", cp)
         .start()
       try {
-        fed.foreach { b =>
-          val batch = b.result()
+        fed.foreach { batch =>
           if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
         }
         // Dedup emits first arrivals immediately (no watermark wait).
@@ -293,26 +294,14 @@ object StreamReplay {
   def latestByKeyReplay(spark: SparkSession, events: DataFrame,
                         nChunks: Int = 6): DataFrame = {
     import spark.implicits._
-    require(nChunks >= 2, "replay needs at least two chunks")
-
     val rows = events.select(col("user_id").cast("long"), col("event_type").cast("string"),
         col("event_id").cast("long"))
       .as[(Long, String, Long)].collect().sortBy(r => (r._3, r._1))
-    require(rows.nonEmpty, "no events to replay")
-
-    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
-    val chunks = rows.grouped(chunkSize).toArray
 
     // Displacement by the version sequence itself (no event-time column
     // here): a displaced record arrives AFTER higher-version records,
     // and the state must keep the incumbent rather than regress.
-    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, String, Long)])
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      chunk.foreach { r =>
-        val late = i < chunks.length - 1 && r._3 % 13 == 0
-        fed(if (late) i + 1 else i) += r
-      }
-    }
+    val fed = displaced(chunked(rows, nChunks))(_._3)
 
     val replay = spark.newSession()
     replay.conf.set("spark.sql.shuffle.partitions", "8")
@@ -336,8 +325,7 @@ object StreamReplay {
         }
         .start()
       try {
-        fed.foreach { b =>
-          val batch = b.result()
+        fed.foreach { batch =>
           if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
         }
       } finally q.stop()
@@ -376,22 +364,13 @@ object StreamReplay {
   def rateLimitReplay(spark: SparkSession, events: DataFrame,
                       maxPerKey: Long, nChunks: Int = 6): DataFrame = {
     import spark.implicits._
-    require(nChunks >= 2, "replay needs at least two chunks")
-
     val rows = events.select(col("user_id").cast("long"), col("value").cast("double"),
         col("event_id").cast("long"))
       .as[(Long, Double, Long)].collect().sortBy(r => (r._3, r._1))
-    require(rows.nonEmpty, "no events to replay")
 
-    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
-    val chunks = rows.grouped(chunkSize).toArray
-    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Double)])
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      chunk.foreach { r =>
-        val late = i < chunks.length - 1 && r._3 % 13 == 0
-        fed(if (late) i + 1 else i) += ((r._1, r._2))
-      }
-    }
+    // event_id drives the displacement, then drops out of the feed.
+    val fed = displaced(chunked(rows, nChunks))(_._3)
+      .map(_.map(r => (r._1, r._2)))
 
     val replay = spark.newSession()
     replay.conf.set("spark.sql.shuffle.partitions", "8")
@@ -408,8 +387,7 @@ object StreamReplay {
         .option("checkpointLocation", cp)
         .start()
       try {
-        fed.foreach { b =>
-          val batch = b.result()
+        fed.foreach { batch =>
           if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
         }
       } finally q.stop()
@@ -446,21 +424,10 @@ object StreamReplay {
   def smallestKReplay(spark: SparkSession, events: DataFrame,
                       k: Int, nChunks: Int = 6): DataFrame = {
     import spark.implicits._
-    require(nChunks >= 2, "replay needs at least two chunks")
-
     val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"))
       .as[(Long, Long)].collect().sortBy(r => (r._2, r._1))
-    require(rows.nonEmpty, "no events to replay")
 
-    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
-    val chunks = rows.grouped(chunkSize).toArray
-    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long)])
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      chunk.foreach { r =>
-        val late = i < chunks.length - 1 && r._2 % 13 == 0
-        fed(if (late) i + 1 else i) += r
-      }
-    }
+    val fed = displaced(chunked(rows, nChunks))(_._2)
 
     val replay = spark.newSession()
     replay.conf.set("spark.sql.shuffle.partitions", "8")
@@ -482,8 +449,7 @@ object StreamReplay {
         }
         .start()
       try {
-        fed.foreach { b =>
-          val batch = b.result()
+        fed.foreach { batch =>
           if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
         }
       } finally q.stop()
@@ -517,29 +483,18 @@ object StreamReplay {
                          band: String = "5 minutes", nChunks: Int = 6,
                          joinType: String = "inner"): DataFrame = {
     import spark.implicits._
-    require(nChunks >= 2, "replay needs at least two chunks")
-
     val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("ts").cast("timestamp"))
       .as[(Long, Long, Timestamp)].collect().sortBy(r => (r._3.getTime, r._2))
-    require(rows.nonEmpty, "no events to replay")
 
-    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
-    val chunks = rows.grouped(chunkSize).toArray
+    val chunks = chunked(rows, nChunks)
     val spanMs = chunks.map(c => c.last._3.getTime - c.head._3.getTime).max
     val delayHours = math.max(1L, 2 * spanMs / 3600000L + 1)
     val maxTs = rows.last._3.getTime
     val delayMs = delayHours * 3600000L
-
     // Same displacement as sessionReplay: the late subset lands one
     // chunk forward, on whichever stream its parity routes it to.
-    val fed = Array.fill(chunks.length)(Vector.newBuilder[(Long, Long, Timestamp)])
-    chunks.zipWithIndex.foreach { case (chunk, i) =>
-      chunk.foreach { r =>
-        val late = i < chunks.length - 1 && r._2 % 13 == 0
-        fed(if (late) i + 1 else i) += r
-      }
-    }
+    val fed = displaced(chunks)(_._2)
 
     // Conf isolation as in sessionReplay: stateful stages at 8
     // partitions inside a private child session. (Measured: dropping to
@@ -565,8 +520,7 @@ object StreamReplay {
         .option("checkpointLocation", cp)
         .start()
       try {
-        fed.foreach { b =>
-          val batch = b.result()
+        fed.foreach { batch =>
           val (l, r) = batch.partition(_._2 % 2 == 0)
           if (l.nonEmpty) msL.addData(l)
           if (r.nonEmpty) msR.addData(r)

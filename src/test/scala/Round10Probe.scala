@@ -1,4 +1,4 @@
-import graft.{GraftSession, SparkEntry, Tables}
+import graft.{GraftSession, SparkEntry}
 
 /** Round-10 probe: re-measure dd04_simhash's floor in isolation
   * (VERDICT r9 "What's wrong" #2 — its floor moved 1.56 -> 1.93 between
@@ -44,7 +44,6 @@ object Round10Probe {
     println("===== dd04_simhash executed plan =====")
     println(q.run(spark, sfDir).queryExecution.executedPlan.toString.take(6000))
 
-    val _ = Tables(spark, sfDir)
     spark.stop()
   }
 }

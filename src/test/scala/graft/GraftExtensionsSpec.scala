@@ -5,22 +5,39 @@ import org.apache.spark.sql.SparkSession
 
 class GraftExtensionsSpec extends AnyFunSuite {
 
-  /** The spark-submit user's path: a session whose ONLY graft hook is
-    * the `spark.sql.extensions` conf — no GraftSession, no registerAll.
-    * Each native function must resolve from SQL (VERDICT r9 #5: only
-    * cosine_similarity was injected; bpe/rolling_hash were per-session).
+  /** The spark-submit user's path is `spark.sql.extensions=graft.
+    * GraftExtensions` — a STATIC conf: Spark instantiates the named
+    * class and applies it at SparkContext/first-session creation, so a
+    * suite sharing one SparkContext cannot exercise the conf string
+    * end-to-end (the context predates the conf). What CAN be proven
+    * in-JVM, and together covers that path:
+    *   1. the class applied to a session exposes ALL FOUR natives in
+    *      SQL (the `withExtensions` test below — same apply() Spark's
+    *      conf path calls);
+    *   2. the class is instantiable by reflection with a no-arg
+    *      constructor, which is the only contract the conf string adds
+    *      beyond apply() (this test).
     */
-  test("spark.sql.extensions alone exposes all four native functions in SQL") {
-    // getOrCreate returns any live session untouched, so drop the
-    // active/default handles first; the SparkContext itself is reused.
+  test("GraftExtensions is conf-string instantiable (reflective no-arg construction)") {
+    val cls = Class.forName(classOf[GraftExtensions].getName)
+    val inst = cls.getConstructor().newInstance()
+    assert(inst.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
+  }
+
+  test("withExtensions exposes all four native functions in SQL, no registerAll") {
+    // getOrCreate returns any live session untouched — which in the
+    // shared-context suite would be the GraftSession whose registerAll
+    // already exposed these names, making the test vacuous. Clear the
+    // handles so a genuinely FRESH session (new sessionState, only the
+    // injected functions) is built on the shared context.
     val prevDefault = SparkSession.getDefaultSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master("local[2]")
-      .appName("ext-conf-test")
+      .appName("ext-test")
       .config("spark.ui.enabled", "false")
-      .config("spark.sql.extensions", classOf[GraftExtensions].getName)
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     try {
       val cos = spark.sql(
@@ -46,25 +63,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head().getInt(0)
       assert(n == 4)
     } finally {
+      // shared context: do not stop; restore the suite's session handles
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
     }
-  }
-
-  test("withExtensions injects cosine_similarity without registerAll") {
-    // fresh session sharing the context but with its own extensions
-    val spark = SparkSession.builder()
-      .master("local[2]")
-      .appName("ext-test")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val v = spark.sql(
-        "SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
-        .head().getDouble(0)
-      assert(math.abs(v - 1.0) < 1e-12)
-    } finally () // shared context: do not stop
   }
 }
