@@ -31,6 +31,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     // handles so a genuinely FRESH session (new sessionState, only the
     // injected functions) is built on the shared context.
     val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
@@ -67,6 +68,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
       prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
     }
   }
 }
