@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Loaders for the TPC-H-ish star schema used by the correctness gate
   * (see /root/repo/TESTDATA.md). One parquet file per table under `dir`.
@@ -27,18 +27,32 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) in parquet, which Spark's reader
-    * rejects natively; with `spark.sql.legacy.parquet.nanosAsLong` (set by
-    * GraftSession.init) it arrives as LONG nanos and is truncated to
-    * microseconds here — the same truncation DuckDB applies, keeping the
-    * oracle comparable. Integer division (`div`) avoids the double-path
-    * precision loss on ~1e18 nano values.
+  /** `events.ts` has shipped in three parquet shapes across testdata
+    * regenerations, all normalized HERE (not at call sites) to session-TZ
+    * TIMESTAMP so every downstream consumer (`unix_millis`/`unix_micros`,
+    * event-time windows, as-of joins) sees one type:
+    *
+    *   - TIMESTAMP(NANOS): Spark's reader rejects it natively; with
+    *     `spark.sql.legacy.parquet.nanosAsLong` (set by GraftSession.init)
+    *     it arrives as LONG nanos and is truncated to microseconds — the
+    *     same truncation DuckDB applies. Integer division (`div`) avoids
+    *     the double-path precision loss on ~1e18 nano values.
+    *   - timestamp[us] with isAdjustedToUTC=false (pandas/pyarrow
+    *     default): Spark 4 reads TIMESTAMP_NTZ, which the epoch functions
+    *     reject. The session time zone is pinned UTC, so casting the
+    *     naive wall time to TIMESTAMP is lossless and matches DuckDB's
+    *     epoch interpretation of the same naive value.
+    *   - timestamp[us] UTC-adjusted: already TIMESTAMP, passes through.
     */
   def events: DataFrame = {
     val df = t("events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -101,11 +115,16 @@ final case class Tables(spark: SparkSession, dir: String) {
           .cast("bigint") / 1000.0).as("ps_supplycost"))
   }
 
-  /** Register all tables as temp views (for SQL-surface queries). */
-  def registerViews(): Unit =
+  /** Register all tables as temp views (for SQL-surface queries).
+    * `events` goes through the normalizing accessor so SQL consumers see
+    * the same TIMESTAMP-typed `ts` as the DataFrame surface.
+    */
+  def registerViews(): Unit = {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings")
+        "lineitem", "documents", "embeddings")
       .foreach(n => t(n).createOrReplaceTempView(n))
+    events.createOrReplaceTempView("events")
+  }
 }
 
 object Tables {

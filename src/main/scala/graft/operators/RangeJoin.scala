@@ -57,14 +57,20 @@ object RangeJoin {
     // takes the dividend's sign), which is Math.floorDiv in integer ops.
     def floorDiv(x: String): String =
       s"(($x) div ${w}L + (CASE WHEN ($x) % ${w}L < 0 THEN -1 ELSE 0 END))"
+    // The cast makes the operator input-robust: callers may hold
+    // TIMESTAMP_NTZ columns (e.g. pandas-written parquet, which Spark 4
+    // reads as NTZ), and unix_micros requires TIMESTAMP. NTZ→TIMESTAMP
+    // reinterprets the naive wall time in the session zone — lossless
+    // under the library's pinned-UTC sessions; a TIMESTAMP input is
+    // unchanged by the cast.
     // Right side: one bucket per row.
-    val r = right.withColumn("__rt", unix_micros(col(rightTs)))
+    val r = right.withColumn("__rt", unix_micros(col(rightTs).cast("timestamp")))
       .withColumn("__bucket", expr(floorDiv("__rt")))
     // Left side: replicate to the (≤2) buckets the window overlaps.
     // sequence() is inclusive on both ends; b1 may over-cover by one
     // bucket when the window ends exactly on a boundary — the residual
     // filter removes those candidates.
-    val l = left.withColumn("__lt", unix_micros(col(leftTs)))
+    val l = left.withColumn("__lt", unix_micros(col(leftTs).cast("timestamp")))
       .withColumn("__bucket",
         explode(sequence(expr(floorDiv(s"__lt + ${lowerUs}L")),
           expr(floorDiv(s"__lt + ${upperUs}L")))))
