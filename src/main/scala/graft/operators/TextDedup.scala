@@ -419,59 +419,101 @@ object TextDedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
-  /** Connected components over undirected near-dup pairs, by iterative
-    * min-label propagation: every vertex starts labelled with its own
-    * id; each round it takes the min of its label and its neighbors'
-    * labels; at fixpoint the label is the component's minimum id. Rounds
-    * needed = graph diameter (near-dup clusters are shallow), each round
-    * one equi-join + one aggregation — no driver-side graph, no
-    * graph library. Returns (doc_id, component) for every vertex that
-    * appears in a pair.
+  /** Connected components over undirected near-dup pairs, by alternating
+    * large-star / small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — the standard
+    * bounded-round formulation):
+    *
+    *   - large-star(u): every neighbor v > u re-attaches to
+    *     m = min(Γ(u) ∪ {u});
+    *   - small-star(u): u and its smaller neighbors all attach to the
+    *     minimum among them.
+    *
+    * Both steps preserve connectivity, and the alternation converges to
+    * star graphs rooted at each component's MINIMUM id in O(log n)
+    * rounds — independent of component diameter. The previous min-label
+    * propagation needed diameter rounds, which is fine for shallow
+    * near-dup clusters but pathological on chain-shaped components (a
+    * 63-diameter chain needed 63 rounds; this converges in ~6); at
+    * 100 TB diameter is data-dependent and unbounded, so the log-round
+    * variant is the one to ship. Each round is two groupBy-min
+    * aggregations + two equi-joins — no driver-side graph, no graph
+    * library. Returns (doc_id, component) for every vertex that appears
+    * in a pair.
     */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Eager checkpoint per iteration truncates the logical plan: without
-    // it each round re-analyzes the whole accumulated lineage and
-    // Catalyst analysis time grows super-linearly with iterations —
-    // measured catastrophic by the round-2 scale probe on a 63-diameter
-    // chain long before any executor work became the bottleneck. Unlike
-    // the gated result materialization ([[MaterializeConf]]) this is
-    // load-bearing for the algorithm itself, so it always happens;
-    // [[materialize]] upgrades it to a RELIABLE checkpoint whenever the
-    // session has a checkpoint dir, which is what a dynamic-allocation
-    // cluster should configure.
-    var labels = materialize(edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("component", col("doc_id")))
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    connectedComponentsWithRounds(pairs, maxIter)._1
+
+  /** [[connectedComponents]] plus the number of alternation rounds used —
+    * exposed so the round-bound (≤ ~log₂(max component size) + c) is a
+    * testable property, not a comment. */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    // One row per undirected edge, self-loops dropped. Orientation is
+    // irrelevant: each step symmetrizes or re-orients as needed.
+    val init = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: E' = { (v, min(Γ(u) ∪ {u})) : v ∈ Γ(u), v > u }.
+    // Emitted targets satisfy m ≤ u < v, so no self-loops arise.
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nbrs.join(mins, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v")).distinct()
+    }
+
+    // small-star: orient each edge toward the smaller endpoint; for each
+    // u, Γ⁻(u) ∪ {u} all attach to m = min(Γ⁻(u)) (m < u by
+    // construction). The (u, m) edge keeps u connected to its new root.
+    def smallStar(e: DataFrame): DataFrame = {
+      val directed = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      val mins = directed.groupBy("u").agg(min("v").as("m"))
+      val reattached = directed.join(mins, Seq("u"))
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      reattached.union(mins.select(col("u"), col("m").as("v"))).distinct()
+    }
+
+    // Eager checkpoint per round truncates the logical plan: without it
+    // each round re-analyzes the whole accumulated lineage and Catalyst
+    // analysis time grows super-linearly with rounds — measured
+    // catastrophic by the round-2 scale probe long before any executor
+    // work became the bottleneck. Unlike the gated result
+    // materialization ([[MaterializeConf]]) this is load-bearing for the
+    // algorithm itself, so it always happens; [[materialize]] upgrades
+    // it to a RELIABLE checkpoint whenever the session has a checkpoint
+    // dir, which is what a dynamic-allocation cluster should configure.
+    var e = materialize(init)
+    var eCount = e.count()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      // min label among each vertex's neighbors
-      val neighborMin = edges
-        .join(labels.select(col("doc_id").as("src"), col("component").as("nbr")), Seq("src"))
-        .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("nbr")).as("nbr_min"))
-      val next = materialize(labels.join(neighborMin, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component"))).as("component")))
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("doc_id"))
-        .filter(col("component") < col("old")).count()
-      labels = next
-      converged = changed == 0L
+      val next = materialize(smallStar(largeStar(e)))
+      val nextCount = next.count()
+      // Set equality via one anti-join + the counts: next⊆e ∧ |next|=|e|
+      // ⇒ next=e. At the star-forest fixpoint both steps are identities.
+      converged = nextCount == eCount && next.except(e).isEmpty
+      e = next
+      eCount = nextCount
       iter += 1
     }
-    edges.unpersist()
-    // Silently returning partially-propagated labels would make every
+    // Silently returning partially-contracted edges would make every
     // downstream survivor decision wrong with no error signal (and
-    // diverge from any exact-closure oracle); a graph deeper than
-    // maxIter must FAIL, not degrade — callers with legitimately deep
-    // graphs raise maxIter (rounds needed = graph diameter).
+    // diverge from any exact-closure oracle); a graph that hasn't
+    // reached its star form within maxIter must FAIL, not degrade.
+    // Rounds scale with log(component size), so the default bound
+    // covers any realistic graph — hitting it means something is wrong.
     if (!converged) throw new IllegalStateException(
-      s"connected components did not converge within $maxIter iterations — " +
-        "pair-graph diameter exceeds maxIter; raise it")
-    labels
+      s"connected components did not converge within $maxIter rounds — " +
+        "raise maxIter (rounds needed ≈ log₂ of the largest component)")
+    // Fixpoint edges form (child, root) stars; roots appear only on the
+    // right. Labels = children→root plus each root→itself.
+    val labels = e.select(col("u").as("doc_id"), col("v").as("component"))
+      .union(e.select(col("v").as("doc_id"), col("v").as("component")).distinct())
+    (labels, iter)
   }
 
   /** The production dedup pipeline: exact dedup FIRST (identical copies

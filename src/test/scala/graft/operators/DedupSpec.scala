@@ -256,6 +256,19 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("connected components: log-bounded rounds on a deep chain") {
+    // A 64-vertex path has diameter 63 — min-label propagation needed 63
+    // rounds on exactly this shape (the round-2 scale probe); the
+    // large-star/small-star alternation must converge in O(log n):
+    // ⌈log₂ 64⌉ = 6, +4 slack for the alternation constant.
+    val chain = (1L to 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextDedup.connectedComponentsWithRounds(chain, maxIter = 15)
+    val comp = labels.as[(Long, Long)].collect().toMap
+    assert(comp.size == 64 && comp.values.forall(_ == 1L),
+      s"single component rooted at 1 expected, got ${comp.values.toSet}")
+    assert(rounds <= 10, s"expected ≤10 alternation rounds on a 63-diameter chain, took $rounds")
+  }
+
   test("fullDedup keeps one representative per transitive near-dup chain") {
     // a~b and b~c verify, a~c does NOT (different ends of the chain):
     // pairwise higher-id drop would also remove c via b even though b is
