@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the TPC-H-ish star schema used by the correctness gate
   * (see /root/repo/TESTDATA.md). One parquet file per table under `dir`.
@@ -51,7 +51,13 @@ final case class Tables(spark: SparkSession, dir: String) {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
         df.withColumn("ts", col("ts").cast("timestamp"))
-      case _ => df
+      case TimestampType => df
+      // A FOURTH shape must fail here, once, with a loader-level message
+      // — not as a confusing per-query analysis error downstream (or,
+      // worse, a silently wrong cast interpretation).
+      case other => throw new IllegalStateException(
+        s"events.ts arrived as unsupported type $other — teach Tables.events " +
+          "to normalize this shape (see TimestampShapeSpec for the known ones)")
     }
   }
   def documents: DataFrame  = t("documents")

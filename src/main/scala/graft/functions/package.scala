@@ -78,6 +78,15 @@ package object functions {
     // Driver testdata writes events.ts as TIMESTAMP(NANOS); read as long
     // nanos (converted to microsecond timestamps in Tables.events).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The engine's timestamp semantics are defined under UTC: the
+    // loader's TIMESTAMP_NTZ→TIMESTAMP normalization (Tables.events,
+    // RangeJoin) is lossless only when the session zone is UTC, and the
+    // DuckDB oracle compares epoch values under the same convention.
+    // GraftSession.builder pins this for library-built sessions; pinning
+    // it here too covers externally-built sessions routed through init()
+    // — without it, a host-local zone would shift every normalized NTZ
+    // timestamp by the zone offset.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"))) {
       reg.createOrReplaceTempFunction(

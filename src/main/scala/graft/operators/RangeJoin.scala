@@ -57,20 +57,26 @@ object RangeJoin {
     // takes the dividend's sign), which is Math.floorDiv in integer ops.
     def floorDiv(x: String): String =
       s"(($x) div ${w}L + (CASE WHEN ($x) % ${w}L < 0 THEN -1 ELSE 0 END))"
-    // The cast makes the operator input-robust: callers may hold
-    // TIMESTAMP_NTZ columns (e.g. pandas-written parquet, which Spark 4
-    // reads as NTZ), and unix_micros requires TIMESTAMP. NTZ→TIMESTAMP
-    // reinterprets the naive wall time in the session zone — lossless
-    // under the library's pinned-UTC sessions; a TIMESTAMP input is
-    // unchanged by the cast.
+    // NTZ-only cast for input robustness: callers may hold TIMESTAMP_NTZ
+    // columns (e.g. pandas-written parquet, which Spark 4 reads as NTZ),
+    // and unix_micros requires TIMESTAMP. NTZ→TIMESTAMP reinterprets the
+    // naive wall time in the session zone — lossless under the library's
+    // pinned-UTC sessions. The cast is gated on the actual NTZ type so
+    // any OTHER non-timestamp column still fails analysis loudly at
+    // unix_micros (an unconditional cast would quietly read a numeric
+    // column as epoch SECONDS and a malformed string as null).
+    def ts(df: DataFrame, name: String) =
+      if (df.schema(name).dataType == org.apache.spark.sql.types.TimestampNTZType)
+        col(name).cast("timestamp")
+      else col(name)
     // Right side: one bucket per row.
-    val r = right.withColumn("__rt", unix_micros(col(rightTs).cast("timestamp")))
+    val r = right.withColumn("__rt", unix_micros(ts(right, rightTs)))
       .withColumn("__bucket", expr(floorDiv("__rt")))
     // Left side: replicate to the (≤2) buckets the window overlaps.
     // sequence() is inclusive on both ends; b1 may over-cover by one
     // bucket when the window ends exactly on a boundary — the residual
     // filter removes those candidates.
-    val l = left.withColumn("__lt", unix_micros(col(leftTs).cast("timestamp")))
+    val l = left.withColumn("__lt", unix_micros(ts(left, leftTs)))
       .withColumn("__bucket",
         explode(sequence(expr(floorDiv(s"__lt + ${lowerUs}L")),
           expr(floorDiv(s"__lt + ${upperUs}L")))))

@@ -510,9 +510,18 @@ object TextDedup {
       s"connected components did not converge within $maxIter rounds — " +
         "raise maxIter (rounds needed ≈ log₂ of the largest component)")
     // Fixpoint edges form (child, root) stars; roots appear only on the
-    // right. Labels = children→root plus each root→itself.
-    val labels = e.select(col("u").as("doc_id"), col("v").as("component"))
+    // right. Labels = children→root plus each root→itself — joined back
+    // to the ORIGINAL pair vertices so the contract ("every vertex that
+    // appears in a pair") holds even for a vertex whose only pair is a
+    // self-loop (x, x): the init filter drops that edge, so without the
+    // join-back x would vanish from the output instead of labelling
+    // itself.
+    val starLabels = e.select(col("u").as("doc_id"), col("v").as("component"))
       .union(e.select(col("v").as("doc_id"), col("v").as("component")).distinct())
+    val vertices = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val labels = vertices.join(starLabels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     (labels, iter)
   }
 

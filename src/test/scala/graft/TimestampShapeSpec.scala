@@ -27,7 +27,7 @@ import org.apache.spark.sql.types.TimestampType
   * regeneration that ships a new shape should fail HERE, loudly, not in
   * the round's correctness gate.
   */
-class TimestampShapeSpec extends SparkSpec {
+class TimestampShapeSpec extends SparkSpec with org.scalatest.BeforeAndAfterAll {
 
   /** Entries that consume `events.ts` through analysis-sensitive paths
     * (epoch functions, event-time windows, as-of/range joins). The
@@ -40,9 +40,25 @@ class TimestampShapeSpec extends SparkSpec {
     "q16_window_firstlast", "q28_window_tumbling", "q29_session_window",
     "aj01_asof_last_purchase", "rj01_range_join")
 
+  private var fixtureRoot: Option[Path] = None
+
+  private def deleteRecursively(root: Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    val walk = Files.walk(root)
+    try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+      .iterator().asScala.foreach(Files.deleteIfExists(_))
+    finally walk.close()
+  }
+
+  override def afterAll(): Unit = {
+    fixtureRoot.foreach(deleteRecursively)
+    super.afterAll()
+  }
+
   private lazy val shapeDirs: Map[String, String] = {
     import spark.implicits._
     val root = Files.createTempDirectory("ts_shapes")
+    fixtureRoot = Some(root)
     // Canonical normalized events (whatever shape the live testdata is in).
     val canon = tables.events
     def writeShape(name: String)(reshape: DataFrame => DataFrame): (String, String) = {
@@ -52,11 +68,12 @@ class TimestampShapeSpec extends SparkSpec {
       // The other tables are shape-irrelevant; symlink them so each
       // fixture dir is a complete sf directory without copying bytes.
       val src = Paths.get(sfDir)
-      Files.list(src).forEach { p: Path =>
+      val listing = Files.list(src)
+      try listing.forEach { p: Path =>
         val f = p.getFileName.toString
         if (f != "events.parquet")
           Files.createSymbolicLink(dir.resolve(f), p.toAbsolutePath)
-      }
+      } finally listing.close()
       name -> dir.toString
     }
     // us_utc: force the modern UTC-adjusted micros physical type (the
@@ -86,6 +103,16 @@ class TimestampShapeSpec extends SparkSpec {
       val got = ev.select("event_id", "ts").orderBy("event_id").collect().toSeq
       assert(got == canon, s"shape $shape: normalized ts values diverge from canonical")
     }
+  }
+
+  test("a fourth (unknown) ts shape fails loudly at the loader") {
+    val root = Files.createTempDirectory("ts_shape_bad")
+    try {
+      tables.events.withColumn("ts", col("ts").cast("string"))
+        .write.parquet(root.resolve("events.parquet").toString)
+      val e = intercept[IllegalStateException](Tables(spark, root.toString).events)
+      assert(e.getMessage.contains("unsupported type"))
+    } finally deleteRecursively(root)
   }
 
   test("event-time entries return identical rows on every shipped ts shape") {

@@ -269,6 +269,14 @@ class DedupSpec extends SparkSpec {
     assert(rounds <= 10, s"expected ≤10 alternation rounds on a 63-diameter chain, took $rounds")
   }
 
+  test("connected components: self-loop-only vertices keep their label") {
+    // (5,5) is x's ONLY pair: the edge is degenerate but the vertex
+    // appears in a pair, so the contract requires (5 -> 5) in the output.
+    val pairs = Seq((1L, 2L), (5L, 5L)).toDF("doc_a", "doc_b")
+    val comp = TextDedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
+  }
+
   test("fullDedup keeps one representative per transitive near-dup chain") {
     // a~b and b~c verify, a~c does NOT (different ends of the chain):
     // pairwise higher-id drop would also remove c via b even though b is
