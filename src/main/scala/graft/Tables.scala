@@ -50,6 +50,20 @@ final case class Tables(spark: SparkSession, dir: String) {
       case LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType =>
+        // The NTZ→TIMESTAMP cast reinterprets the naive wall time in the
+        // SESSION zone; it is lossless (and oracle-stable) only under
+        // UTC. GraftSession.builder and functions.registerAll both pin
+        // UTC, but Tables is public API — a session that reached here
+        // un-pinned (e.g. extensions-only packaging on a non-UTC host)
+        // would get every timestamp silently shifted by the zone offset,
+        // so the precondition is enforced where the cast lives.
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        val rules = java.time.ZoneId.of(tz).getRules
+        require(rules.isFixedOffset &&
+            rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC,
+          s"events.ts is TIMESTAMP_NTZ; normalizing it requires " +
+            s"spark.sql.session.timeZone=UTC (got '$tz') — use GraftSession " +
+            "or call graft.functions.registerAll(spark) first")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case TimestampType => df
       // A FOURTH shape must fail here, once, with a loader-level message

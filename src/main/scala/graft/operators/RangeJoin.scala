@@ -65,8 +65,13 @@ object RangeJoin {
     // any OTHER non-timestamp column still fails analysis loudly at
     // unix_micros (an unconditional cast would quietly read a numeric
     // column as epoch SECONDS and a malformed string as null).
+    // Type lookup goes through the analyzer (`df.select`) rather than
+    // `df.schema(name)`: the latter is an exact case-sensitive string
+    // match, which would reject a casing the session's resolver accepts
+    // everywhere else in the join.
     def ts(df: DataFrame, name: String) =
-      if (df.schema(name).dataType == org.apache.spark.sql.types.TimestampNTZType)
+      if (df.select(col(name)).schema.head.dataType ==
+          org.apache.spark.sql.types.TimestampNTZType)
         col(name).cast("timestamp")
       else col(name)
     // Right side: one bucket per row.

@@ -449,10 +449,17 @@ object TextDedup {
     * testable property, not a comment. */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
+    // The caller's `pairs` plan is executed EXACTLY ONCE, into this
+    // checkpoint; the vertex set and the edge worklist both derive from
+    // it. Deriving either from `pairs` directly would re-run the whole
+    // upstream pair-generation pipeline (the dominant cost in dedup
+    // jobs) on every downstream action in lazy mode — and with a
+    // nondeterministic doc_id source could even disagree with the edges
+    // the labels were computed from.
+    val raw = materialize(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     // One row per undirected edge, self-loops dropped. Orientation is
     // irrelevant: each step symmetrizes or re-orients as needed.
-    val init = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+    val init = raw.filter(col("u") =!= col("v")).distinct()
 
     // large-star: E' = { (v, min(Γ(u) ∪ {u})) : v ∈ Γ(u), v > u }.
     // Emitted targets satisfy m ≤ u < v, so no self-loops arise.
@@ -518,8 +525,8 @@ object TextDedup {
     // itself.
     val starLabels = e.select(col("u").as("doc_id"), col("v").as("component"))
       .union(e.select(col("v").as("doc_id"), col("v").as("component")).distinct())
-    val vertices = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val vertices = raw.select(col("u").as("doc_id"))
+      .union(raw.select(col("v").as("doc_id"))).distinct()
     val labels = vertices.join(starLabels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
     (labels, iter)
@@ -557,9 +564,9 @@ object TextDedup {
         // the caller's doc_id is deterministic — with e.g.
         // monotonically_increasing_id the recomputed ids can disagree
         // with `drop` and retain the wrong rows. `drop` itself needs no
-        // extra materialization: it is a narrow filter over
-        // connectedComponents' labels, which are already eagerly
-        // checkpointed every iteration.
+        // extra materialization: connectedComponents checkpoints its
+        // input pairs once up front and its labels derive only from
+        // that checkpoint and the per-round checkpointed edges.
         materialize(cached).join(drop, Seq("doc_id"), "left_anti")
       } finally cached.unpersist()
     } else {

@@ -13,17 +13,21 @@ import graft.{GraftSession, SparkEntry}
   * floor reported; compare against BENCH_LOCAL.json sf0.1 floors.
   */
 object Sf1Bench {
-  // The 20 most expensive oracle entries from the round-12 sf0.1 bench
-  // after dropping st*/ig* (harness-bound) — joins, aggregation-heavy
-  // TPC-H shapes, the dedup suite, BPE, token packing, SCD2, ANN.
+  // The 20 most expensive entries by FLOOR in the committed round-12
+  // BENCH_LOCAL.json after dropping st*/ig*/ingest_*/ack_*/receive_*
+  // (harness-bound) — recompute when the comparison point is
+  // re-recorded:
+  //   python3 -c "import json; d=json.load(open('BENCH_LOCAL.json'));
+  //     f=d['floors']; print(sorted((k for k in f if not k.startswith(
+  //     ('st0','ig0','ingest_','ack_','receive_'))), key=lambda k:-f[k])[:20])"
   private val Entries = Seq(
-    "dd08_components", "dd02_minhash_lsh", "dd09_capped_jaccard",
-    "dd03_ngram_jaccard", "tok01_bpe_tokenize", "dd06_simhash_pairs",
-    "tp01_training_pipeline", "q46_tpch18_shape", "q53_tpch21_shape",
-    "dd07_paragraph_dedup", "up02_scd2", "q49_tpch9_shape",
-    "tp03_token_packing", "aj02_asof_next_purchase", "q36_tpch10_shape",
-    "q43_tpch7_shape", "q26_similarity_ivf", "sq01_quantized_cosine",
-    "zo01_zorder_key", "rj01_range_join")
+    "dd09_capped_jaccard", "dd02_minhash_lsh", "dd08_components",
+    "dd03_ngram_jaccard", "q26_similarity_ivf", "tp05_contamination",
+    "dd06_simhash_pairs", "dd04_simhash", "q12_approx_distinct",
+    "dd07_paragraph_dedup", "qs01_percentile", "ta07_bigram_nll",
+    "q49_tpch9_shape", "q43_tpch7_shape", "q53_tpch21_shape",
+    "q22_math_case", "q52_tpch20_shape", "q35_tpch5_shape",
+    "q51_tpch16_shape", "q29_session_window")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(s"${sys.props("user.dir")}/fixtures/sf1")
@@ -40,18 +44,21 @@ object Sf1Bench {
     SparkEntry.queries("q01_scan")(spark, sfDir).collect()
     graft.Tables(spark, sfDir).partsupp.count()
 
+    // Cache teardown happens OUTSIDE the timed region, matching
+    // Bench.scala's sf0.1 methodology so the ratios are comparable.
     def once(name: String): Double = {
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
+      val t = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      t
     }
 
     val floors = Entries.map { name =>
       val t = try Seq(once(name), once(name)).min
       catch { case e: Throwable =>
-        println(s"SF1BENCH $name FAILED: ${e.getMessage.take(200)}"); -1.0 }
+        println(s"SF1BENCH $name FAILED: ${e.toString.take(200)}"); -1.0 }
       println(f"SF1BENCH $name%-28s $t%8.2f s")
       name -> t
     }
