@@ -458,7 +458,11 @@ object TextDedup {
     // the labels were computed from.
     val raw = materialize(pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
     // One row per undirected edge, self-loops dropped. Orientation is
-    // irrelevant: each step symmetrizes or re-orients as needed.
+    // irrelevant: each step symmetrizes or re-orients as needed. NOT
+    // separately checkpointed: `raw` is the single checkpoint (measured:
+    // a second one here cost dd08 ~1.5× at sf0.1), and this narrow
+    // filter+distinct over it is cheap to evaluate in the first round's
+    // lineage before the per-round checkpoints take over.
     val init = raw.filter(col("u") =!= col("v")).distinct()
 
     // large-star: E' = { (v, min(Γ(u) ∪ {u})) : v ∈ Γ(u), v > u }.
@@ -493,8 +497,12 @@ object TextDedup {
     // algorithm itself, so it always happens; [[materialize]] upgrades
     // it to a RELIABLE checkpoint whenever the session has a checkpoint
     // dir, which is what a dynamic-allocation cluster should configure.
-    var e = materialize(init)
-    var eCount = e.count()
+    var e = init
+    // -1 sentinel defers the first count: round 1 can never test equal
+    // against it, which is correct (an already-star input just spends
+    // one identity round before round 2 detects the fixpoint) and saves
+    // a full standalone evaluation of `init` before the loop.
+    var eCount = -1L
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -517,19 +525,20 @@ object TextDedup {
       s"connected components did not converge within $maxIter rounds — " +
         "raise maxIter (rounds needed ≈ log₂ of the largest component)")
     // Fixpoint edges form (child, root) stars; roots appear only on the
-    // right. Labels = children→root plus each root→itself — joined back
-    // to the ORIGINAL pair vertices so the contract ("every vertex that
-    // appears in a pair") holds even for a vertex whose only pair is a
-    // self-loop (x, x): the init filter drops that edge, so without the
-    // join-back x would vanish from the output instead of labelling
-    // itself.
+    // right. Labels = children→root plus each root→itself, plus the
+    // vertices whose ONLY pair was a self-loop (x, x): the init filter
+    // drops that edge, so without this arm x would vanish from the
+    // output instead of labelling itself (contract: every vertex that
+    // appears in a pair). The anti-join arm is near-free in the common
+    // no-self-loop case — the filtered side is empty — where a
+    // join-back against ALL vertices would shuffle the full vertex set
+    // on every downstream action.
     val starLabels = e.select(col("u").as("doc_id"), col("v").as("component"))
       .union(e.select(col("v").as("doc_id"), col("v").as("component")).distinct())
-    val vertices = raw.select(col("u").as("doc_id"))
-      .union(raw.select(col("v").as("doc_id"))).distinct()
-    val labels = vertices.join(starLabels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("component"))
-    (labels, iter)
+    val selfLoopOnly = raw.filter(col("u") === col("v"))
+      .select(col("u").as("doc_id"), col("u").as("component")).distinct()
+      .join(starLabels.select("doc_id"), Seq("doc_id"), "left_anti")
+    (starLabels.union(selfLoopOnly), iter)
   }
 
   /** The production dedup pipeline: exact dedup FIRST (identical copies
