@@ -57,13 +57,8 @@ final case class Tables(spark: SparkSession, dir: String) {
         // un-pinned (e.g. extensions-only packaging on a non-UTC host)
         // would get every timestamp silently shifted by the zone offset,
         // so the precondition is enforced where the cast lives.
-        val tz = spark.conf.get("spark.sql.session.timeZone")
-        val rules = java.time.ZoneId.of(tz).getRules
-        require(rules.isFixedOffset &&
-            rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC,
-          s"events.ts is TIMESTAMP_NTZ; normalizing it requires " +
-            s"spark.sql.session.timeZone=UTC (got '$tz') — use GraftSession " +
-            "or call graft.functions.registerAll(spark) first")
+        graft.functions.requireUtcSession(spark,
+          "events.ts is TIMESTAMP_NTZ; normalizing it")
         df.withColumn("ts", col("ts").cast("timestamp"))
       case TimestampType => df
       // A FOURTH shape must fail here, once, with a loader-level message

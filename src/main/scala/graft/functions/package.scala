@@ -71,8 +71,38 @@ package object functions {
   def round2(c: Column): Column = roundFp(c, 2)
   def round4(c: Column): Column = roundFp(c, 4)
 
+  /** True iff `tz` denotes a fixed offset equal to UTC (accepts "UTC",
+    * "Z", "+00:00", "Etc/UTC", ... — anything whose rules are a fixed
+    * zero offset). */
+  private[graft] def isUtcZone(tz: String): Boolean = {
+    val rules = java.time.ZoneId.of(tz).getRules
+    rules.isFixedOffset &&
+      rules.getOffset(java.time.Instant.EPOCH) == java.time.ZoneOffset.UTC
+  }
+
+  /** Precondition guard for every NTZ→TIMESTAMP normalization cast in the
+    * library (Tables.events, RangeJoin.intervalJoin): the cast
+    * reinterprets a naive wall time in the SESSION zone, so it is
+    * lossless — and stable against the epoch-comparing oracle — only
+    * under fixed-offset UTC. In any other zone (including DST zones,
+    * where the wall-time offset is non-uniform across the data's time
+    * range) the cast would silently shift timestamps; failing loudly at
+    * the operator that owns the cast beats a wrong answer with no error.
+    */
+  private[graft] def requireUtcSession(spark: SparkSession, context: String): Unit = {
+    val tz = spark.conf.get("spark.sql.session.timeZone")
+    require(isUtcZone(tz),
+      s"$context requires spark.sql.session.timeZone=UTC (got '$tz') — use " +
+        "GraftSession or call graft.functions.registerAll(spark) first")
+  }
+
   /** Register graft SQL functions and session confs on `spark`
     * (idempotent — safe to call per query).
+    *
+    * SIDE EFFECT: pins `spark.sql.session.timeZone` to UTC (see below).
+    * If the session arrived with an explicitly configured non-UTC zone,
+    * the override is logged at WARN so the semantic change to the user's
+    * own timestamp queries is observable rather than silent.
     */
   def registerAll(spark: SparkSession): Unit = {
     // Driver testdata writes events.ts as TIMESTAMP(NANOS); read as long
@@ -86,6 +116,14 @@ package object functions {
     // it here too covers externally-built sessions routed through init()
     // — without it, a host-local zone would shift every normalized NTZ
     // timestamp by the zone offset.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    if (!isUtcZone(prevTz)) {
+      org.slf4j.LoggerFactory.getLogger("graft.functions").warn(
+        s"graft.functions.registerAll: overriding spark.sql.session.timeZone " +
+          s"'$prevTz' with 'UTC' — graft's timestamp semantics (NTZ " +
+          "normalization, epoch functions) are defined under UTC; timestamp " +
+          "queries outside graft running on this session are affected too")
+    }
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"))) {

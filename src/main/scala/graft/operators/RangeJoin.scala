@@ -69,11 +69,17 @@ object RangeJoin {
     // `df.schema(name)`: the latter is an exact case-sensitive string
     // match, which would reject a casing the session's resolver accepts
     // everywhere else in the join.
+    // The cast is guarded by the same UTC-session precondition as
+    // Tables.events: in an externally-built non-UTC (or DST) session a
+    // join mixing an NTZ side with a TIMESTAMP side would silently shift
+    // the NTZ side's wall times and return wrong pairs with no error.
     def ts(df: DataFrame, name: String) =
       if (df.select(col(name)).schema.head.dataType ==
-          org.apache.spark.sql.types.TimestampNTZType)
+          org.apache.spark.sql.types.TimestampNTZType) {
+        graft.functions.requireUtcSession(df.sparkSession,
+          s"intervalJoin: column '$name' is TIMESTAMP_NTZ; normalizing it")
         col(name).cast("timestamp")
-      else col(name)
+      } else col(name)
     // Right side: one bucket per row.
     val r = right.withColumn("__rt", unix_micros(ts(right, rightTs)))
       .withColumn("__bucket", expr(floorDiv("__rt")))

@@ -84,6 +84,23 @@ object TextDedup {
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Best-effort handle on the storage behind a [[materialize]]d
+    * DataFrame, for releasing superseded intermediates eagerly instead
+    * of waiting for GC + ContextCleaner. A checkpointed Dataset's plan
+    * bottoms out at a `LogicalRDD` leaf wrapping the materialized RDD;
+    * unpersisting that RDD frees its local-checkpoint blocks (for
+    * reliable checkpoints the blocks-level unpersist is a no-op and file
+    * cleanup stays with `spark.cleaner.referenceTracking.cleanCheckpoints`).
+    * CAUTION: a local checkpoint's lineage is truncated, so releasing is
+    * only safe once nothing can re-evaluate the DataFrame — callers must
+    * release strictly superseded rounds only. Returns None (degrading to
+    * the GC path) if the plan shape is not the expected single leaf.
+    */
+  private def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectFirst {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Distinct word n-gram shingles per document: (doc_id, s). */
   def shingleSet(docs: DataFrame, idCol: String = "doc_id",
                  textCol: String = "text", n: Int = 3): DataFrame =
@@ -500,8 +517,9 @@ object TextDedup {
     var e = init
     // -1 sentinel defers the first count: round 1 can never test equal
     // against it, which is correct (an already-star input just spends
-    // one identity round before round 2 detects the fixpoint) and saves
-    // a full standalone evaluation of `init` before the loop.
+    // one identity round before round 2 detects the fixpoint — so a
+    // NON-empty graph always needs maxIter >= 2) and saves a full
+    // standalone evaluation of `init` before the loop.
     var eCount = -1L
     var iter = 0
     var converged = false
@@ -510,7 +528,21 @@ object TextDedup {
       val nextCount = next.count()
       // Set equality via one anti-join + the counts: next⊆e ∧ |next|=|e|
       // ⇒ next=e. At the star-forest fixpoint both steps are identities.
-      converged = nextCount == eCount && next.except(e).isEmpty
+      // The 0-count arm short-circuits the sentinel: star rounds never
+      // empty a non-empty edge set (edges re-attach, never vanish), so
+      // nextCount == 0 ⟺ the input graph had no non-self-loop edges —
+      // converged at round 1, which keeps maxIter = 1 legal for the
+      // trivially empty graph instead of throwing 'did not converge'.
+      converged = nextCount == 0 ||
+        (nextCount == eCount && next.except(e).isEmpty)
+      // The previous round's checkpoint is now strictly superseded (its
+      // only remaining reader was the except() above): release its
+      // blocks eagerly so a long-lived session running dedup repeatedly
+      // doesn't accumulate every intermediate round in executor storage
+      // until GC. iter 0's `e` is `init` — un-checkpointed lineage over
+      // `raw` — so there is nothing to release; `raw` itself and the
+      // FINAL round stay live (the returned labels' lineage needs both).
+      if (iter > 0) release(e)
       e = next
       eCount = nextCount
       iter += 1

@@ -277,6 +277,25 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
   }
 
+  test("connected components: empty graph converges with maxIter = 1") {
+    // The deferred-count sentinel used to force two rounds even on an
+    // empty edge set; the 0-count short-circuit makes maxIter = 1 legal
+    // for the trivially empty graph.
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextDedup.connectedComponentsWithRounds(empty, maxIter = 1)
+    assert(labels.isEmpty && rounds == 1)
+  }
+
+  test("connected components: self-loop-only input converges with maxIter = 1") {
+    // Self-loops are dropped from the edge worklist, so the working
+    // graph is empty — round 1 must detect that while the self-loop
+    // vertex still labels itself through the raw-pairs arm.
+    val pairs = Seq((5L, 5L)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = TextDedup.connectedComponentsWithRounds(pairs, maxIter = 1)
+    assert(labels.as[(Long, Long)].collect().toMap == Map(5L -> 5L))
+    assert(rounds == 1)
+  }
+
   test("fullDedup keeps one representative per transitive near-dup chain") {
     // a~b and b~c verify, a~c does NOT (different ends of the chain):
     // pairwise higher-id drop would also remove c via b even though b is

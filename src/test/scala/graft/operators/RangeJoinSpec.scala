@@ -95,6 +95,28 @@ class RangeJoinSpec extends SparkSpec {
     assert(banded == naive)
   }
 
+  test("NTZ input in a non-UTC session fails loudly instead of shifting wall times") {
+    // The NTZ→TIMESTAMP normalization reinterprets naive wall time in
+    // the session zone; outside fixed-offset UTC (here: a DST zone) the
+    // shift would silently produce wrong pairs, so the guard must fire
+    // at plan build. With UTC restored the same inputs must join fine.
+    val left = Seq((1L, "k", "2024-01-01 00:00:00")).toDF("pid", "k", "s")
+      .select(col("pid"), col("k"), to_timestamp_ntz(col("s")).as("lts"))
+    val right = Seq(("k", "2024-01-01 00:00:30")).toDF("k", "s")
+      .select(col("k"), to_timestamp_ntz(col("s")).as("rts"))
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val ex = intercept[IllegalArgumentException] {
+        RangeJoin.intervalJoin(left, right, "k", "lts", "rts", -60000000L, 60000000L)
+      }
+      assert(ex.getMessage.contains("timeZone"), ex.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    val pairs = RangeJoin.intervalJoin(left, right, "k", "lts", "rts",
+      -60000000L, 60000000L)
+    assert(pairs.count() == 1)
+  }
+
   test("the banded plan joins on (key, bucket) — no per-key cross product") {
     val plan = RangeJoin.intervalJoin(
       events.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts"),
