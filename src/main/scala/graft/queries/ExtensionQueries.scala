@@ -17,6 +17,31 @@ object ExtensionQueries {
 
   private def t(spark: SparkSession, dir: String) = Tables(spark, dir)
 
+  /** The production IVF path: load a PERSISTED index, building it only
+    * if absent — so repeated searches (bench passes, a query service)
+    * amortize the KMeans codebook fit to zero instead of re-paying it
+    * per call the way the one-shot `q26_similarity_ivf` entry does. The
+    * cache key folds in the embeddings table's mtime: when the driver
+    * regenerates testdata, a stale index (whose vec_ids/centroids no
+    * longer describe the data) is rebuilt instead of silently searched.
+    * Locally the index lives under java.io.tmpdir; at 100 TB the same
+    * save/load contract targets the distributed store and the search
+    * still reads only the probed nProbe/nLists partition fraction.
+    */
+  private def ivfLoaded(s: SparkSession, d: String): IvfIndex = {
+    val src = java.nio.file.Paths.get(d, "embeddings.parquet")
+    val mtime = java.nio.file.Files.getLastModifiedTime(src).toMillis
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$d@$mtime".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val cache = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_ivf_cache", key).toString
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(cache, "centroids"))) {
+      IvfIndex.build(t(s, d).embeddings.select(col("vec_id"), col("embedding")),
+        nLists = 16, seed = 42L).save(cache)
+    }
+    IvfIndex.load(s, cache)
+  }
+
   /** Shared oracle CTE: distinct 3-gram shingles per document. */
   private val ShingleCte =
     """WITH toks AS (
@@ -93,6 +118,38 @@ object ExtensionQueries {
         val brute = Similarity.bruteForceTopKRaw(emb, probeId = 0L, k = 5)
         val ivf = IvfIndex.build(emb.select(col("vec_id"), col("embedding")),
             nLists = 16, seed = 42L)
+          .searchById(probeId = 0L, k = 5, nProbe = 10)
+          .select(col("vec_id"))
+        val metric = brute.select("vec_id").join(ivf, "vec_id")
+          .agg((count(lit(1)) >= 4).as("recall_ok"))
+        brute.crossJoin(broadcast(metric))
+          .orderBy(col("score0").desc, col("vec_id"))
+          .select(col("vec_id"), round4(col("score0")).as("score"), col("recall_ok"))
+      }),
+
+    GraftQuery(
+      // Amortized-IVF search (VERDICT r12 #4): identical self-check
+      // shape to q26_similarity_ivf — oracle hashes the EXACT
+      // brute-force top-k, the IVF side is band-checked as recall@5 >=
+      // 0.8 — but the searched index comes from IvfIndex.save/load via
+      // [[ivfLoaded]], so the KMeans fit is paid once per dataset, not
+      // per call. This is the entry that measures the production search
+      // path (centroid table + nProbe pruned lists); q26_similarity_ivf
+      // keeps measuring the one-shot build+search convenience.
+      "q26_similarity_ivf_loaded",
+      Some("""WITH probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+        |s AS (
+        |  SELECT e.vec_id,
+        |    list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pe) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(p.pe, p.pe))) AS c
+        |  FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0)
+        |SELECT vec_id, ROUND(c * 10000) / 10000 + 0 AS score, CAST(1 AS BOOLEAN) AS recall_ok
+        |FROM s ORDER BY c DESC, vec_id LIMIT 5""".stripMargin),
+      (s, d) => {
+        val emb = t(s, d).embeddings
+        val brute = Similarity.bruteForceTopKRaw(emb, probeId = 0L, k = 5)
+        val ivf = ivfLoaded(s, d)
           .searchById(probeId = 0L, k = 5, nProbe = 10)
           .select(col("vec_id"))
         val metric = brute.select("vec_id").join(ivf, "vec_id")
