@@ -9,6 +9,19 @@ import org.apache.spark.sql.SparkSession
   * skew-join splitting, partition coalescing), UTC session time zone for
   * cross-engine timestamp parity, shuffle partitions sized to the core
   * count rather than the 200 default.
+  *
+  * ==Streaming state store==
+  * Stateful streaming (dedup, session windows, stream-stream joins,
+  * flatMapGroupsWithState) runs on the default in-memory HDFS-backed
+  * state store, which holds every live key on the executor heap. At
+  * production key cardinality (100 TB corpus keys) set
+  * `spark.sql.streaming.stateStore.providerClass` to
+  * `org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider`
+  * — state then lives in per-partition RocksDB instances on local disk
+  * with a bounded heap. The engine's stateful operators are
+  * provider-agnostic (RocksDbStateStoreSpec pins identical output on
+  * both providers), and the replay harnesses propagate the caller's
+  * provider choice into their child sessions.
   */
 object GraftSession {
 

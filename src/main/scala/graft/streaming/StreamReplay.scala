@@ -49,6 +49,24 @@ object StreamReplay {
 
   private val runSeq = new AtomicInteger(0)
 
+  /** The per-replay child session, in ONE place: 8-partition shuffle
+    * override (see the partition-count comment at the first call site)
+    * plus propagation of the caller's state-store provider choice.
+    * `newSession()` does NOT inherit the parent's RUNTIME conf (only
+    * the builder-time options), so a caller that set
+    * `spark.sql.streaming.stateStore.providerClass` — e.g. RocksDB for
+    * bounded-memory state at production key cardinality — would
+    * silently replay on the default in-memory provider without this
+    * copy. RocksDbStateStoreSpec pins provider-identical output.
+    */
+  private[streaming] def replaySession(spark: SparkSession): SparkSession = {
+    val replay = spark.newSession()
+    replay.conf.set("spark.sql.shuffle.partitions", "8")
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    replay.conf.set(provider, spark.conf.get(provider))
+    replay
+  }
+
   /** The feed protocol's chunking step: `rows` (already sorted by the
     * caller's replay order) split into `nChunks` micro-batch chunks. */
   private def chunked[T: scala.reflect.ClassTag](rows: Array[T], nChunks: Int): Array[Array[T]] = {
@@ -103,8 +121,7 @@ object StreamReplay {
     // it (VERDICT r7 #5 / ADVICE r7). The partitioning of the RESULT is
     // unaffected (the memory sink collects per batch) and the returned
     // DataFrame is rebuilt on the CALLER's session.
-    val replay = spark.newSession()
-    replay.conf.set("spark.sql.shuffle.partitions", "8")
+    val replay = replaySession(spark)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
     val ms = MemoryStream[(Long, Long, Timestamp)]
@@ -212,8 +229,7 @@ object StreamReplay {
 
     // Conf isolation as in sessionReplay: stateful stages at 8
     // partitions inside a private child session.
-    val replay = spark.newSession()
-    replay.conf.set("spark.sql.shuffle.partitions", "8")
+    val replay = replaySession(spark)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
     val ms = MemoryStream[(Long, Long, Timestamp)]
@@ -303,8 +319,7 @@ object StreamReplay {
     // and the state must keep the incumbent rather than regress.
     val fed = displaced(chunked(rows, nChunks))(_._3)
 
-    val replay = spark.newSession()
-    replay.conf.set("spark.sql.shuffle.partitions", "8")
+    val replay = replaySession(spark)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
     val ms = MemoryStream[(Long, String, Long)]
@@ -372,8 +387,7 @@ object StreamReplay {
     val fed = displaced(chunked(rows, nChunks))(_._3)
       .map(_.map(r => (r._1, r._2)))
 
-    val replay = spark.newSession()
-    replay.conf.set("spark.sql.shuffle.partitions", "8")
+    val replay = replaySession(spark)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
     val ms = MemoryStream[(Long, Double)]
@@ -429,8 +443,7 @@ object StreamReplay {
 
     val fed = displaced(chunked(rows, nChunks))(_._2)
 
-    val replay = spark.newSession()
-    replay.conf.set("spark.sql.shuffle.partitions", "8")
+    val replay = replaySession(spark)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
     val ms = MemoryStream[(Long, Long)]
@@ -500,8 +513,7 @@ object StreamReplay {
     // partitions inside a private child session. (Measured: dropping to
     // 4 does not help — the replay cost is per-micro-batch planning of
     // the join + two state stores, not per-partition state I/O.)
-    val replay = spark.newSession()
-    replay.conf.set("spark.sql.shuffle.partitions", "8")
+    val replay = replaySession(spark)
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
     val msL = MemoryStream[(Long, Long, Timestamp)]
