@@ -35,6 +35,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // Spark's default parquet timestamp encoding is legacy INT96,
+      // which carries NO column statistics — every engine-written table
+      // silently loses row-group/file pruning on its time column, the
+      // single most common predicate dimension at 100 TB (measured:
+      // zero skipping on a z-ordered-by-time layout, ZorderSf1Probe
+      // round 13; with MICROS the same probe skips 10×+). INT64 micros
+      // is the modern spec encoding at the exact precision of Spark's
+      // TimestampType — nothing is lost, stats and pushdown come back.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
 
   def apply(master: String = "local[32]", appName: String = "graft"): SparkSession = {

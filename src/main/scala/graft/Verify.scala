@@ -32,9 +32,26 @@ object Verify {
 
     val pool = Executors.newFixedThreadPool(4)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // Dump timestamps as NTZ (the session is pinned UTC, so this is the
+    // UTC wall time — value-identical to what the oracle's DuckDB
+    // computes): the engine's sessions write TIMESTAMP_MICROS with
+    // isAdjustedToUTC=true for statistics/pruning (GraftSession), which
+    // DuckDB reads as TIMESTAMP WITH TIME ZONE and the driver's compare
+    // rejects as a type-family mismatch against the oracle's naive
+    // TIMESTAMP. The gate compares VALUES under one convention; the
+    // instant-vs-wall encoding is a storage concern the dump normalizes.
+    def ntz(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      df.schema.fields.foldLeft(df) { (d, f) =>
+        if (f.dataType == TimestampType)
+          d.withColumn(f.name, col(f.name).cast(TimestampNTZType))
+        else d
+      }
+    }
     val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
       Future {
-        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

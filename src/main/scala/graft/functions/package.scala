@@ -125,6 +125,10 @@ package object functions {
           "queries outside graft running on this session are affected too")
     }
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // Parquet writes must carry timestamp statistics (legacy INT96 has
+    // none — no time-predicate pruning on anything the engine writes);
+    // see the GraftSession.builder comment for the measured impact.
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"))) {
       reg.createOrReplaceTempFunction(

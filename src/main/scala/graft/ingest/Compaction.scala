@@ -29,9 +29,24 @@ object Compaction {
     fs.listStatus(dir).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
 
   /** Rewrites the parquet files directly under `dir` (non-recursive)
-    * into files of ~`targetFileBytes`. No-op when already compact. */
+    * into files of ~`targetFileBytes`. No-op when already compact.
+    *
+    * `sortBy` preserves a CLUSTERED layout through the rewrite: the
+    * default round-robin `repartition` scatters rows arbitrarily, which
+    * is fine for the time-partitioned ingest tree (files within a
+    * y/m/d/h leaf carry no intra-leaf order contract) but DESTROYS a
+    * z-ordered or range-sorted table's min/max locality — every output
+    * file would span the whole key range and parquet stats stop
+    * skipping (measured 10.4×→1.0× at sf1, ZorderSf1Probe). Passing the
+    * cluster key (e.g. the persisted z-key column) rewrites via
+    * range-repartition + within-partition sort instead, so compacted
+    * files keep disjoint key ranges at one extra shuffle's cost —
+    * identical asymptotics, the standard OPTIMIZE-style maintenance
+    * rewrite.
+    */
   def compactLeaf(spark: SparkSession, dir: String,
-                  targetFileBytes: Long = 128L * 1024 * 1024): CompactionStats = {
+                  targetFileBytes: Long = 128L * 1024 * 1024,
+                  sortBy: Seq[String] = Nil): CompactionStats = {
     require(targetFileBytes > 0)
     val path = new Path(dir)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
@@ -43,8 +58,15 @@ object Compaction {
 
     val tmp = new Path(path.getParent, s".compact-tmp-${path.getName}")
     fs.delete(tmp, true)
-    spark.read.parquet(dir).repartition(want)
-      .write.mode("overwrite").parquet(tmp.toString)
+    val reread = spark.read.parquet(dir)
+    val rewritten =
+      if (sortBy.isEmpty) reread.repartition(want)
+      else {
+        import org.apache.spark.sql.functions.col
+        reread.repartitionByRange(want, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      }
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
     // swap: remove originals, move rewritten files in, drop the temp dir
     files.foreach(f => fs.delete(f.getPath, false))
     parquetFiles(fs, tmp).foreach { f =>
@@ -60,7 +82,8 @@ object Compaction {
     * parquet files (hive-style partition tree). Returns per-leaf stats.
     */
   def compactPartitioned(spark: SparkSession, root: String,
-                         targetFileBytes: Long = 128L * 1024 * 1024): Seq[CompactionStats] = {
+                         targetFileBytes: Long = 128L * 1024 * 1024,
+                         sortBy: Seq[String] = Nil): Seq[CompactionStats] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -71,6 +94,6 @@ object Compaction {
       val hasParquet = entries.exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       (if (hasParquet) Seq(p) else Seq.empty) ++ dirs.flatMap(leaves)
     }
-    leaves(rootPath).map(p => compactLeaf(spark, p.toString, targetFileBytes))
+    leaves(rootPath).map(p => compactLeaf(spark, p.toString, targetFileBytes, sortBy))
   }
 }

@@ -63,14 +63,24 @@ object Layout {
     * (measured in LayoutSpec). The z-shuffle is paid once at write time,
     * like [[writeBucketed]]'s bucket shuffle.
     */
+  /** `keepZAs` persists the z-key under the given column name instead
+    * of dropping it. A table that keeps its cluster key can be
+    * re-compacted later WITHOUT recomputing the interleave —
+    * `Compaction.compactLeaf(..., sortBy = Seq(zCol))` range-rewrites
+    * on the persisted key and the skipping layout survives layout
+    * maintenance (lacking a table format's metadata, the persisted
+    * column IS the layout contract; one long per row buys it).
+    */
   def zorderRepartition(df: DataFrame, xCol: String, yCol: String,
-                        nParts: Int, bits: Int = 16): DataFrame = {
+                        nParts: Int, bits: Int = 16,
+                        keepZAs: Option[String] = None): DataFrame = {
     require(nParts >= 1)
-    require(!df.columns.contains("__z"), "input must not already have a '__z' column")
-    df.withColumn("__z", zValue(col(xCol), col(yCol), bits))
-      .repartitionByRange(nParts, col("__z"))
-      .sortWithinPartitions("__z")
-      .drop("__z")
+    val zCol = keepZAs.getOrElse("__z")
+    require(!df.columns.contains(zCol), s"input must not already have a '$zCol' column")
+    val clustered = df.withColumn(zCol, zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nParts, col(zCol))
+      .sortWithinPartitions(zCol)
+    if (keepZAs.isEmpty) clustered.drop(zCol) else clustered
   }
 
   /** Two-phase salted aggregation: partial counts per (key, salt), then

@@ -272,8 +272,14 @@ object IngestGate {
   private[queries] def dlqCount(spark: SparkSession, root: String): Long =
     spark.read.parquet(s"$root/dlq").count()
 
+  // The sink tree is engine-written parquet: TIMESTAMP_MICROS with
+  // isAdjustedToUTC=true (GraftSession — the stats-bearing encoding),
+  // which DuckDB reads as TIMESTAMP WITH TIME ZONE. timezone('UTC', ..)
+  // recovers the UTC wall time as naive TIMESTAMP — the same value the
+  // Spark side dumps (Verify normalizes TimestampType to NTZ under the
+  // pinned-UTC session), keeping the compare in one type family.
   private val roundtripOracle =
-    s"""SELECT id, name, value, kind, event_ts,
+    s"""SELECT id, name, value, kind, timezone('UTC', event_ts) AS event_ts,
        |       CAST(y AS INTEGER) AS y, CAST(m AS INTEGER) AS m,
        |       CAST(d AS INTEGER) AS d, CAST(h AS INTEGER) AS h
        |FROM read_parquet('$RoundtripRoot/sink/**/*.parquet', hive_partitioning=1)

@@ -27,6 +27,34 @@ class CompactionSpec extends SparkSpec {
     assert(!stats.compacted && stats.filesAfter == stats.filesBefore)
   }
 
+  test("compactLeaf(sortBy) preserves disjoint per-file key ranges") {
+    // A clustered table compacted with the default round-robin rewrite
+    // loses its min/max locality; sortBy must keep output files on
+    // DISJOINT key ranges (the property parquet row-group skipping
+    // needs). Fixture: a key-sorted 64-file layout, compacted 64 -> 4.
+    val dir = tmpDir("compact-sorted")
+    spark.range(100000).select(col("id").as("zkey"), (col("id") % 7).as("v"))
+      .repartitionByRange(64, col("zkey")).sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(dir)
+    val bytes = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    val stats = Compaction.compactLeaf(spark, dir,
+      targetFileBytes = bytes / 4 + 1, sortBy = Seq("zkey"))
+    assert(stats.compacted && stats.filesBefore == 64 && stats.filesAfter <= 5,
+      s"expected 64 -> ~4 files, got $stats")
+    // per-file [min, max] ranges must not overlap
+    val ranges = spark.read.parquet(dir)
+      .select(input_file_name().as("f"), col("zkey"))
+      .groupBy("f").agg(min("zkey").as("lo"), max("zkey").as("hi"))
+      .orderBy("lo").as[(String, Long, Long)].collect()
+    ranges.sliding(2).foreach {
+      case Array(a, b) => assert(a._3 < b._2,
+        s"overlapping compacted ranges: ${a._1} [${a._2},${a._3}] vs ${b._1} [${b._2},${b._3}]")
+      case _ => ()
+    }
+    assert(spark.read.parquet(dir).count() == 100000)
+  }
+
   test("compactPartitioned compacts every leaf of an ingest-style layout") {
     val root = tmpDir("compact-tree")
     val df = spark.range(4000).select(col("id"),
