@@ -128,6 +128,17 @@ package object functions {
     // Parquet writes must carry timestamp statistics (legacy INT96 has
     // none — no time-predicate pruning on anything the engine writes);
     // see the GraftSession.builder comment for the measured impact.
+    // Same observability contract as the timeZone override above: an
+    // externally-built session gets one WARN, because this changes the
+    // encoding of the user's OWN parquet writes too (a reader fleet
+    // pinned to INT96-era expectations should know when it flipped).
+    val prevEnc = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    if (prevEnc != "TIMESTAMP_MICROS") {
+      org.slf4j.LoggerFactory.getLogger("graft.functions").warn(
+        s"graft.functions.registerAll: overriding spark.sql.parquet.outputTimestampType " +
+          s"'$prevEnc' with 'TIMESTAMP_MICROS' — INT96 carries no column statistics " +
+          "(no time-predicate pruning); all parquet written on this session is affected")
+    }
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_similarity"))) {

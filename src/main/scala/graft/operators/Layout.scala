@@ -62,8 +62,8 @@ object Layout {
     * column, where a linear sort bounds only its leading column
     * (measured in LayoutSpec). The z-shuffle is paid once at write time,
     * like [[writeBucketed]]'s bucket shuffle.
-    */
-  /** `keepZAs` persists the z-key under the given column name instead
+    *
+    * `keepZAs` persists the z-key under the given column name instead
     * of dropping it. A table that keeps its cluster key can be
     * re-compacted later WITHOUT recomputing the interleave —
     * `Compaction.compactLeaf(..., sortBy = Seq(zCol))` range-rewrites

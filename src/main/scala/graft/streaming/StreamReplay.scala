@@ -51,19 +51,24 @@ object StreamReplay {
 
   /** The per-replay child session, in ONE place: 8-partition shuffle
     * override (see the partition-count comment at the first call site)
-    * plus propagation of the caller's state-store provider choice.
+    * plus propagation of the caller's state-store configuration.
     * `newSession()` does NOT inherit the parent's RUNTIME conf (only
-    * the builder-time options), so a caller that set
-    * `spark.sql.streaming.stateStore.providerClass` — e.g. RocksDB for
-    * bounded-memory state at production key cardinality — would
+    * the builder-time options), so a caller that configured RocksDB —
+    * for bounded-memory state at production key cardinality — would
     * silently replay on the default in-memory provider without this
-    * copy. RocksDbStateStoreSpec pins provider-identical output.
+    * copy. EVERY `spark.sql.streaming.stateStore.*` key is copied, not
+    * just providerClass: the provider's companion knobs (bounded memory
+    * caps, changelog checkpointing, compression) are exactly the ones a
+    * production caller sets alongside it, and dropping them would
+    * re-create the same silent-divergence bug one key at a time
+    * (review r13). RocksDbStateStoreSpec pins provider-identical output.
     */
   private[streaming] def replaySession(spark: SparkSession): SparkSession = {
     val replay = spark.newSession()
     replay.conf.set("spark.sql.shuffle.partitions", "8")
-    val provider = "spark.sql.streaming.stateStore.providerClass"
-    replay.conf.set(provider, spark.conf.get(provider))
+    spark.conf.getAll
+      .filter { case (k, _) => k.startsWith("spark.sql.streaming.stateStore.") }
+      .foreach { case (k, v) => replay.conf.set(k, v) }
     replay
   }
 

@@ -31,6 +31,14 @@ object IvfLoadedProbe {
     }
 
     run("q01_scan") // warm
+    // The persisted index survives across JVMs by design; delete this
+    // dataset's index fixtures so the "cold" pass really measures the
+    // build, not a warm load from a previous run (review r13).
+    val tag = s"ivf-${graft.Fixtures.pathTag(sfDir)}"
+    Option(new java.io.File(s"${sys.props("user.dir")}/fixtures").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.startsWith(tag))
+      .foreach(f => new scala.reflect.io.Directory(f).deleteRecursively())
     timed("q26_similarity_ivf_loaded (cold: build+save)")(run("q26_similarity_ivf_loaded"))
     val warm = (1 to 4).map(i =>
       timed(s"q26_similarity_ivf_loaded warm pass $i")(run("q26_similarity_ivf_loaded")))
