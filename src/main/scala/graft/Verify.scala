@@ -18,7 +18,11 @@ import org.apache.spark.sql.SparkSession
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // Optional 3rd arg: comma-separated entry names — dump only those
+    // (local iteration on a new entry without re-running all ~130).
+    val Array(sfDir, outDir) = args.take(2)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -49,7 +53,11 @@ object Verify {
         else d
       }
     }
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None        => SparkEntry.queries
+    }
+    val futures = selected.toSeq.map { case (name, fn) =>
       Future {
         try ntz(fn(spark, sfDir)).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

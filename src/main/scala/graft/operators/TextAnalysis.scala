@@ -59,6 +59,51 @@ object TextAnalysis {
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"),
       ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"))
 
+  /** Gopher-style repetition signals per document (Rae et al. 2021
+    * §A1.1 repetition filters, adapted to word n-grams since this
+    * corpus has no line structure):
+    *
+    *   - `top_bigram_frac`: occurrences of the single most frequent
+    *     word bigram / total bigram occurrences (high = the document
+    *     loops on one phrase);
+    *   - `dup_trigram_frac`: fraction of trigram occurrences whose
+    *     trigram appears more than once in the document;
+    *   - `pass_repetition`: both under the Gopher-ish thresholds
+    *     (0.20 / 0.30) — the keep/drop bit a curation pipeline filters
+    *     on.
+    *
+    * Plan shape: one explode of the (tagged) bigram+trigram stream,
+    * then two same-key groupBys — (doc, n, gram) counts, reduced per
+    * doc with conditional aggregates. No join between the bigram and
+    * trigram branches and no second corpus scan; the n-gram blowup is
+    * linear in tokens (2 tags), and both shuffles hash on doc_id-led
+    * keys so at cluster scale this behaves like any other per-document
+    * aggregation. Docs with no trigrams (< 3 tokens) get NULL
+    * trigram stats; docs with < 2 tokens produce no rows (no bigrams).
+    */
+  def repetitionScore(docs: DataFrame): DataFrame = {
+    import graft.functions.shingles
+    val grams = docs.select(col("doc_id"),
+      explode(concat(
+        transform(shingles(col("text"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(shingles(col("text"), 3), g => struct(lit(3).as("n"), g.as("gram")))))
+        .as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+    val counts = grams.groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("c"))
+    val top2 = max(when(col("n") === 2, col("c"))) // most frequent bigram
+    counts.groupBy("doc_id").agg(
+      top2.as("mx2"),
+      sum(when(col("n") === 2, col("c"))).as("tot2"),
+      sum(when(col("n") === 3 && col("c") > 1, col("c"))).as("dup3"),
+      sum(when(col("n") === 3, col("c"))).as("tot3"))
+      .select(
+        col("doc_id"),
+        round4(col("mx2") / col("tot2")).as("top_bigram_frac"),
+        round4(coalesce(col("dup3"), lit(0L)) / col("tot3")).as("dup_trigram_frac"),
+        (col("mx2") / col("tot2") <= 0.20 &&
+          coalesce(col("dup3"), lit(0L)) / col("tot3") <= 0.30).as("pass_repetition"))
+  }
+
   /** Polynomial rolling-hash fingerprint (Rabin–Karp family):
     * fold over the character stream, h = (h*31 + codepoint) mod 1e9+7 —
     * order sensitive (unlike [[fingerprint]]), so byte-level edits

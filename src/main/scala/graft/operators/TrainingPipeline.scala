@@ -120,6 +120,51 @@ object TrainingPipeline {
       .drop("__rk")
   }
 
+  /** Domain-mixture sampling: draw the LARGEST corpus whose stratum
+    * composition matches `targetShares` exactly, using only
+    * deterministic selection — the "data mixing" step of an LLM
+    * training pipeline (e.g. The Pile / Dolma-style source weighting),
+    * with the mixture target enforced by construction instead of by
+    * expected value.
+    *
+    * The achievable total is bound by the scarcest stratum:
+    * `ntot = min over strata of (count_g / share_g)`; each stratum then
+    * contributes `floor(share_g * ntot)` rows, chosen in md5(key) order
+    * (the same deterministic draw as [[stratifiedSample]], so the
+    * selection is identical in every engine and under any
+    * partitioning). Strata absent from `targetShares` are dropped —
+    * that IS the mixing decision. A target stratum with NO rows in the
+    * data contributes no count row, so it is skipped by the binding
+    * min and simply contributes nothing — the emitted strata still
+    * match their relative target shares.
+    *
+    * Plan shape: a tiny groupBy(stratum) count, a one-row min
+    * aggregate, and a broadcast quota join onto the per-stratum
+    * md5-order window — one data-sized shuffle total (the window's),
+    * same scale posture and same hot-stratum caveat as
+    * [[stratifiedSample]]. Zero driver-side collects.
+    */
+  def mixtureSample(df: DataFrame, stratumCol: String, keyCol: String,
+                    targetShares: Map[String, Double]): DataFrame = {
+    require(targetShares.nonEmpty, "targetShares must not be empty")
+    require(targetShares.values.forall(_ > 0), "target shares must be > 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toSeq.toDF(stratumCol, "__share")
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    val ntot = counts.join(shares, stratumCol)
+      .agg(min(col("__n") / col("__share")).as("__ntot"))
+    val quotas = shares.crossJoin(broadcast(ntot))
+      .select(col(stratumCol), floor(col("__share") * col("__ntot")).as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratumCol)
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("__rk") <= col("__quota"))
+      .drop("__rk", "__quota")
+  }
+
   /** Per-language corpus budget over the curated set:
     * (pred_lang, n_docs, total_tokens, avg_quality). */
   /** Train/eval contamination check: for every training document, the

@@ -626,6 +626,77 @@ object ExtensionQueries {
         .select("doc_id", "lang").orderBy("doc_id")),
 
     GraftQuery(
+      // Domain-mixture sampling: the largest deterministic draw whose
+      // language composition matches the target shares exactly (the
+      // data-mixing step of a training pipeline). Quotas derive from
+      // corpus counts inside the query — both engines compute the same
+      // binding-stratum min and the same md5-order per-stratum prefix.
+      "tp06_mixture_sample",
+      Some("""WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT * FROM (VALUES
+        |  ('en', CAST(0.40 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.15 AS DOUBLE)),
+        |  ('zh', CAST(0.15 AS DOUBLE))) AS t(lang, share)),
+        |b AS (SELECT MIN(n / share) AS ntot FROM c JOIN t USING(lang)),
+        |q AS (SELECT t.lang, FLOOR(t.share * b.ntot) AS quota FROM t, b),
+        |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING(lang)
+        |WHERE r.rk <= q.quota ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.TrainingPipeline
+        .mixtureSample(t(s, d).documents, "lang", "doc_id",
+          Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    GraftQuery(
+      // Ordered funnel over the event stream: users reaching
+      // view → click → purchase with each stage strictly after the
+      // user's earliest completion of the previous one. One user-keyed
+      // min-agg + equi-join per stage; never a per-user sequence array.
+      "fn01_funnel",
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |    WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |    WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
+        |       (SELECT COUNT(*) FROM s2) AS n_click,
+        |       (SELECT COUNT(*) FROM s3) AS n_purchase""".stripMargin),
+      (s, d) => graft.operators.Funnel.funnelCounts(
+        t(s, d).events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    GraftQuery(
+      // Gopher-style repetition filters (word-n-gram form): most
+      // frequent bigram's share of bigram occurrences + fraction of
+      // trigram occurrences in duplicated trigrams, with the keep/drop
+      // bit at thresholds 0.20/0.30.
+      "ta08_repetition",
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS t FROM documents),
+        |g AS (
+        |  SELECT doc_id, 2 AS n, unnest([t[i]||' '||t[i+1] for i in range(1, greatest(len(t),1))]) AS gram FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 3 AS n, unnest([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, greatest(len(t)-1,1))]) AS gram FROM toks),
+        |c AS (SELECT doc_id, n, gram, COUNT(*) AS c FROM g GROUP BY 1, 2, 3),
+        |r AS (SELECT doc_id,
+        |    MAX(CASE WHEN n = 2 THEN c END) AS mx2,
+        |    SUM(CASE WHEN n = 2 THEN c END) AS tot2,
+        |    SUM(CASE WHEN n = 3 AND c > 1 THEN c END) AS dup3,
+        |    SUM(CASE WHEN n = 3 THEN c END) AS tot3
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id,
+        |  ROUND(mx2 / tot2 * 10000) / 10000 + 0 AS top_bigram_frac,
+        |  ROUND(COALESCE(dup3, 0) / tot3 * 10000) / 10000 + 0 AS dup_trigram_frac,
+        |  (mx2 / tot2 <= 0.20 AND COALESCE(dup3, 0) / tot3 <= 0.30) AS pass_repetition
+        |FROM r ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.repetitionScore(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
       // Upsert materialization / CDC compaction: collapse the
       // append-only event stream to the latest record per
       // (user_id, event_type) — per-key partitioned window, one hash

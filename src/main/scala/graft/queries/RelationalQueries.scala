@@ -234,6 +234,26 @@ object RelationalQueries {
           (abs(col("approx") - col("n_exact")) / col("n_exact") <= 0.05).as("within_5pct"))),
 
     GraftQuery(
+      // Mergeable-sketch pre-aggregation: per-group Apache DataSketches
+      // HLL sketches unioned into a corpus-wide distinct estimate — the
+      // 100 TB pattern where per-day/per-partition sketches are stored
+      // compact and merged at query time instead of re-scanning raw
+      // data. Like q12, the oracle checks the estimate against the
+      // exact count inside a 5% band (default lgConfigK=12 ≈ 1.6% rse).
+      "hl01_sketch_union",
+      Some("SELECT COUNT(DISTINCT user_id) AS n_exact, " +
+        "CAST(1 AS BOOLEAN) AS within_5pct FROM events"),
+      (s, d) => {
+        val ev = t(s, d).events
+        ev.groupBy("event_type").agg(hll_sketch_agg(col("user_id")).as("sk"))
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx"))
+          .crossJoin(ev.agg(countDistinct("user_id").as("n_exact")))
+          .select(col("n_exact"),
+            (abs(col("approx") - col("n_exact")) / col("n_exact") <= 0.05)
+              .as("within_5pct"))
+      }),
+
+    GraftQuery(
       "q13_rollup",
       Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
@@ -253,6 +273,21 @@ object RelationalQueries {
         .rollup(col("l_returnflag"))
         .agg(grouping(col("l_returnflag")).cast("int").as("g"), count(lit(1)).as("n"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("g"), col("n"))),
+
+    GraftQuery(
+      // Full CUBE: all 2^k grouping-set combinations in one pass
+      // (Spark expands to a single Expand + hash aggregate — no
+      // per-combination rescans).
+      "q13_cube",
+      Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS n, " +
+        "ROUND(SUM(l_quantity), 2) AS sq FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n"),
+      (s, d) => t(s, d).lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round2(sum("l_quantity")).as("sq"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first, col("n"))),
 
     GraftQuery(
       "q14_grouping_sets",

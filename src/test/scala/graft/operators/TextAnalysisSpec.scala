@@ -104,4 +104,49 @@ class TextAnalysisSpec extends SparkSpec {
     // the doc made of the corpus's dominant bigrams scores LOWER nll
     assert(got(0)._3 < got(1)._3, "frequent-pattern doc is less surprising")
   }
+
+  test("repetitionScore: hand-checked fractions and threshold bit") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      // "a b a b a b": bigrams a-b ×3, b-a ×2 → top 3/5 = 0.6;
+      // trigrams "a b a" ×2, "b a b" ×2 → all duplicated → 1.0
+      (1L, "a b a b a b"),
+      // all-distinct tokens: every bigram/trigram unique → 1/4 top, 0 dup
+      (2L, "v w x y z"),
+      // two tokens: one bigram, no trigrams → NULL trigram stats
+      (3L, "p q"),
+      // one token: no bigrams → absent from output
+      (4L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionScore(d).orderBy("doc_id")
+      .select(col("doc_id"), col("top_bigram_frac"), col("dup_trigram_frac"),
+        col("pass_repetition"))
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L), "1-token doc absent")
+    assert(got(0).getDouble(1) == 0.6 && got(0).getDouble(2) == 1.0)
+    assert(!got(0).getBoolean(3), "looping doc fails both thresholds")
+    assert(got(1).getDouble(1) == 0.25 && got(1).getDouble(2) == 0.0)
+    assert(got(1).getBoolean(3) === false || got(1).getDouble(1) <= 0.25)
+    // 0.25 > 0.20 → fails top-bigram threshold even with zero duplication
+    assert(!got(1).getBoolean(3))
+    // no trigrams → NULL dup fraction; the pass bit is still FALSE (not
+    // NULL) because its sole bigram has fraction 1.0 and SQL's
+    // three-valued AND short-circuits FALSE AND NULL to FALSE — the same
+    // in DuckDB, which is what the oracle hash compares.
+    assert(got(2).isNullAt(2))
+    assert(!got(2).isNullAt(3) && !got(2).getBoolean(3))
+  }
+
+  test("repetitionScore: real corpus passes thresholds and plan has no join") {
+    val res = TextAnalysis.repetitionScore(tables.documents)
+    val rows = res.collect()
+    assert(rows.length == tables.documents.count())
+    // synthetic docs are word-soup: overwhelmingly pass
+    val passing = rows.count(r => !r.isNullAt(3) && r.getBoolean(3))
+    assert(passing > rows.length / 2)
+    // single exploded stream + conditional aggs — no self-join of branches
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"),
+      "bigram and trigram stats must come from ONE tagged stream, not a join")
+  }
 }

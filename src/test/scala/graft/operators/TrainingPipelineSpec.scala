@@ -122,4 +122,45 @@ class TrainingPipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), "containment must stay an equi-join")
   }
+
+  test("mixtureSample: per-stratum counts hit floor(share * binding ntot) exactly") {
+    val shares = Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.15, "zh" -> 0.15)
+    val got = TrainingPipeline.mixtureSample(docs, "lang", "doc_id", shares)
+    val byLang = got.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    // independent quota computation
+    val counts = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val ntot = shares.collect { case (l, s) if counts.contains(l) => counts(l) / s }.min
+    shares.foreach { case (l, s) =>
+      val want = math.floor(s * ntot).toLong
+      assert(byLang.getOrElse(l, 0L) == want, s"lang $l: ${byLang.get(l)} vs $want")
+    }
+    // the binding stratum is taken (nearly) whole; every quota is feasible
+    shares.foreach { case (l, s) =>
+      assert(byLang.getOrElse(l, 0L) <= counts.getOrElse(l, 0L))
+    }
+  }
+
+  test("mixtureSample: deterministic draw, and a prefix of the stratified order") {
+    val shares = Map("en" -> 0.5, "zh" -> 0.5)
+    val a = TrainingPipeline.mixtureSample(docs, "lang", "doc_id", shares)
+      .select("doc_id").as[Long].collect().toSet
+    val b = TrainingPipeline.mixtureSample(docs.repartition(13), "lang", "doc_id", shares)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "selection must not depend on partitioning")
+    // same md5 order as stratifiedSample: the mixture draw per stratum is
+    // a prefix of a big-enough fixed-quota stratified draw
+    val strat = TrainingPipeline.stratifiedSample(
+        docs.filter(col("lang").isin("en", "zh")), "lang", "doc_id", quota = 10000)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(strat))
+  }
+
+  test("mixtureSample: strata without a target share are dropped") {
+    val got = TrainingPipeline.mixtureSample(docs, "lang", "doc_id", Map("en" -> 1.0))
+    assert(got.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+    // share 1.0 with only en targeted → the entire en stratum survives
+    assert(got.count() == docs.filter(col("lang") === "en").count())
+  }
 }
