@@ -165,6 +165,39 @@ object TrainingPipeline {
       .drop("__rk", "__quota")
   }
 
+  /** Deterministic weighted sampling without replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u ∈ (0,1] from a 48-bit md5 slice
+    * of its key and ranks by ln(u)/weight — the k largest ranks are a
+    * weighted sample, each row's inclusion probability proportional to
+    * its weight. The draw is a pure function of the key, so the same
+    * rows are selected in every engine, at any partitioning, on any
+    * rerun (the md5-derived-uniform discipline of
+    * [[deterministicSample]], extended to weights).
+    *
+    * Cross-engine determinism: maximize u^(1/w) ⇔ maximize ln(u)/w
+    * (1/w > 0, ln monotone), and the exponent is micro-quantized with
+    * `floor(x*1e6 + 0.5)` so a last-ulp `ln` difference between engines
+    * is inert (the bigramNll micro-nat discipline); residual boundary
+    * ties break on the key.
+    *
+    * Scale: one scan computing a per-row priority + a distributed
+    * top-k (TakeOrdered — per-partition heaps, k rows to the driver),
+    * never a global sort.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // 48-bit md5 slice + 1 → u in (0, 2^48] scaled: ln defined at the
+    // all-zero slice; (long+1) is exact in double (48 < 53 bits).
+    val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+      .cast("long") + 1).cast("double") / 281474976710656.0
+    val prio = floor(log(u) / col(weightCol) * 1e6 + 0.5).cast("long")
+    df.withColumn("__prio", prio)
+      .orderBy(col("__prio").desc, col(keyCol))
+      .limit(k)
+      .drop("__prio")
+  }
+
   /** Per-language corpus budget over the curated set:
     * (pred_lang, n_docs, total_tokens, avg_quality). */
   /** Train/eval contamination check: for every training document, the

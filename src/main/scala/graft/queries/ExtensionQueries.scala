@@ -487,6 +487,28 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Broadcast-Bloom semi-join reduction (operators.BloomJoin): the
+      // big side is pruned by a broadcast Bloom filter over the small
+      // side's keys BEFORE the exact semi join drops the false
+      // positives — identical result to a plain semi join (the oracle
+      // IS the plain semi join), with the shuffle paid only by rows
+      // that might match.
+      "bf01_bloom_semi_join",
+      Some("""SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_items
+        |FROM lineitem WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        graft.operators.BloomJoin.bloomSemiJoin(
+            tb.lineitem, tb.orders.filter(col("o_orderpriority") === "1-URGENT"),
+            bigKey = "l_orderkey", smallKey = "o_orderkey",
+            expectedItems = 100000L, fpp = 0.01)
+          .groupBy("l_orderkey").agg(count(lit(1)).as("n_items"))
+          .orderBy("l_orderkey")
+      }),
+
+    GraftQuery(
       // Z-order (Morton) clustering key (operators.Layout.zValue): the
       // write-side layout primitive that makes BOTH dimensions of a
       // 2-D workload file-skippable (Layout.zorderRepartition; locality
@@ -570,6 +592,21 @@ object ExtensionQueries {
         .orderBy("l_returnflag")),
 
     GraftQuery(
+      // Fixed-width histogram/binning: one hash aggregate over the
+      // bucket expression — the distribution-profiling primitive.
+      // Integer-cents accumulation keeps the double SUM order-free.
+      "qs03_histogram",
+      Some("SELECT CAST(FLOOR(l_extendedprice / 10000) AS BIGINT) AS bucket, " +
+        "CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+      (s, d) => t(s, d).lineitem
+        .groupBy(floor(col("l_extendedprice") / 10000).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long").as("price_cents"))
+        .orderBy("bucket")),
+
+    GraftQuery(
       // The whole curation pipeline as ONE verified query: exact dedup →
       // language ID → quality gate → token floor → per-language token
       // budget (graft.operators.TrainingPipeline). The oracle recomputes
@@ -647,6 +684,23 @@ object ExtensionQueries {
       (s, d) => graft.operators.TrainingPipeline
         .mixtureSample(t(s, d).documents, "lang", "doc_id",
           Map("en" -> 0.40, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))
+        .select("doc_id", "lang").orderBy("doc_id")),
+
+    GraftQuery(
+      // Deterministic weighted sampling without replacement
+      // (Efraimidis–Spirakis, md5-derived uniforms, micro-quantized
+      // ln): longer documents (weight = n_chars) are proportionally
+      // more likely, and both engines draw the identical sample.
+      "tp07_weighted_sample",
+      Some("""SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(FLOOR(ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT + 1.0)
+        |      / 281474976710656.0) / n_chars * 1000000 + 0.5) AS BIGINT) AS prio
+        |  FROM documents
+        |  ORDER BY prio DESC, doc_id LIMIT 100) q
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.TrainingPipeline
+        .weightedSample(t(s, d).documents, "doc_id", "n_chars", k = 100)
         .select("doc_id", "lang").orderBy("doc_id")),
 
     GraftQuery(

@@ -157,6 +157,24 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(a.subsetOf(strat))
   }
 
+  test("weightedSample: deterministic, exactly k, partitioning-independent") {
+    val a = TrainingPipeline.weightedSample(docs, "doc_id", "n_chars", k = 40)
+      .select("doc_id").as[Long].collect().toSet
+    val b = TrainingPipeline.weightedSample(docs.repartition(17), "doc_id", "n_chars", k = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b && a.size == 40)
+  }
+
+  test("weightedSample: heavy weights dominate the draw") {
+    val rows = (1L to 100L).map(i => (i, 10000L)) ++ (101L to 200L).map(i => (i, 1L))
+    val df = rows.toDF("doc_id", "w")
+    val got = TrainingPipeline.weightedSample(df, "doc_id", "w", k = 50)
+      .select("doc_id").as[Long].collect()
+    val heavy = got.count(_ <= 100L)
+    // weight ratio 10^4: a light row wins only on an extreme uniform draw
+    assert(heavy >= 45, s"only $heavy of 50 came from the heavy stratum")
+  }
+
   test("mixtureSample: strata without a target share are dropped") {
     val got = TrainingPipeline.mixtureSample(docs, "lang", "doc_id", Map("en" -> 1.0))
     assert(got.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
