@@ -29,8 +29,13 @@ object Sf1BenchAll {
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.init(spark)
 
+    // Optional 2nd arg: comma-separated entry names — measure only those
+    // (incremental sf1 rows for entries added after a full run).
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").toSet) else None
     val entries = SparkEntry.queries.keys.toSeq
       .filterNot(n => n.startsWith("st0") || n.startsWith("ig0"))
+      .filter(n => only.forall(_(n)))
       .sorted
 
     // Warm-up outside the measurements: file indexes, codegen, and the

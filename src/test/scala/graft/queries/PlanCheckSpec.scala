@@ -156,4 +156,53 @@ class PlanCheckSpec extends SparkSpec {
       "unigram/bigram counts must combine map-side")
     assert(!plan.contains("Cartesian"), "count-table joins are equi-joins")
   }
+
+  test("q13_cube: all 2^k grouping sets come from ONE Expand over ONE scan") {
+    val plan = physicalPlan("q13_cube")
+    assert("Expand".r.findAllIn(plan).size == 1,
+      "CUBE must expand once, not re-scan per grouping set")
+    assert("Scan parquet".r.findAllIn(plan).size == 1)
+    assert(plan.contains("partial_count") || plan.contains("partial_"),
+      "expanded rows must combine map-side")
+  }
+
+  test("hl01: sketches build as partial aggregates (mergeable pre-aggregation)") {
+    val plan = physicalPlan("hl01_sketch_union")
+    assert(plan.contains("partial_hll_sketch_agg"),
+      "per-group sketches must build map-side — that IS the mergeable-sketch pattern")
+    assert("Scan parquet".r.findAllIn(plan).size <= 2,
+      "sketch chain + exact cross-check: at most two passes over events")
+  }
+
+  test("fn01: every funnel stage joins on the user key — no cartesian stage") {
+    val plan = physicalPlan("fn01_funnel")
+    assert(!plan.contains("CartesianProduct"),
+      "stage joins must be user_id equi-joins (the 1-row count combines broadcast)")
+  }
+
+  test("tp06: quotas join broadcast; the data pays one stratum-keyed window") {
+    val df = SparkEntry.queries("tp06_mixture_sample")(spark, sfDir)
+    df.collect() // materialize the AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the per-stratum quota table is tiny and must broadcast onto the ranked rows")
+    assert(plan.contains("Window"), "per-stratum md5-order ranking")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("tp07: weighted top-k plans as TakeOrderedAndProject (no global sort)") {
+    val plan = physicalPlan("tp07_weighted_sample")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the E-S draw must take per-partition heaps, never sort the corpus")
+  }
+
+  test("bf01: the exact semi join broadcasts; the Bloom probe rides the scan side") {
+    val df = SparkEntry.queries("bf01_bloom_semi_join")(spark, sfDir)
+    df.collect() // materialize the AQE final plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "false-positive removal is an exact semi join")
+    assert(plan.contains("UDF") || plan.contains("ScalaUDF"),
+      "the Bloom membership probe (declared UDF) must appear as a pre-join filter")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
