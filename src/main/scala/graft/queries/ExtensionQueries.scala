@@ -346,6 +346,38 @@ object ExtensionQueries {
         s, t(s, d).events.select("user_id", "event_id"), k = 5)),
 
     GraftQuery(
+      // Streaming funnel (st08): the stream half of fn01 — per-user
+      // deepest ordered stage (view → click → purchase, strictly
+      // after), maintained EXACTLY in keyed state under the replay's
+      // displaced late arrivals (a late earlier-stage event must
+      // re-qualify later-stage events that already arrived; the pruned
+      // candidate frontier in StatefulOps.funnelStream is what makes
+      // that exact). Final per-user stage hashes against the batch
+      // strictly-after CTE chain.
+      "st08_stream_funnel",
+      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+        |    WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |    WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |    WHERE e.event_type = 'purchase' GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |            WHEN s2.user_id IS NOT NULL THEN 2
+        |            WHEN s1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.funnelReplay(
+        s, t(s, d).events.select("user_id", "ts", "event_type", "event_id"),
+        stages = Seq("view", "click", "purchase"))),
+
+    GraftQuery(
       "q29_sliding_window",
       Some("""SELECT w, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),

@@ -101,6 +101,83 @@ object StatefulOps {
       }
   }
 
+  /** Streaming ordered-funnel progression — the stream half of
+    * [[graft.operators.Funnel]]: per user, maintain the earliest
+    * completion time of each funnel stage under the strictly-after rule
+    * (t_k = min stage-k time > t_{k-1}) EXACTLY, under ANY arrival
+    * order across micro-batches. Input rows are (user, tsMicros,
+    * stageIdx) with stageIdx in [0, nStages) for funnel events and a
+    * negative index for everything else (non-funnel events register the
+    * user at stage 0 — the same universe as the batch oracle's DISTINCT
+    * user set). Emits (user, deepestStageReached) on first touch and
+    * whenever it improves (Update mode, emit-on-change).
+    *
+    * Exactness under out-of-order arrival is the hard part: a LATE
+    * stage-(k-1) event can lower t_{k-1}, which newly qualifies
+    * stage-k events that were useless when they arrived — so the state
+    * keeps, per stage k >= 1, the pruned candidate frontier
+    * {c : c < current t_k} (a candidate >= t_k can never win because
+    * t_k is monotone non-increasing as information only accumulates),
+    * and every touch re-runs the stage cascade; one forward pass
+    * reaches the fixpoint because t_k depends only on t_{k-1} and the
+    * stage's own frontier. Stage 0 needs no frontier — its min is
+    * unconditional.
+    *
+    * State per user = nStages times + the frontiers. Frontiers are
+    * capped by their stage's current winner, so they collapse once the
+    * funnel progresses; a user who never completes stage k-1
+    * accumulates stage-k candidates, which a production deployment
+    * bounds with an event-time timeout on the keyed state (funnel
+    * abandonment IS a timeout) — the replay harness keeps full
+    * exactness instead.
+    */
+  def funnelStream(events: Dataset[(Long, Long, Int)],
+                   nStages: Int): Dataset[(Long, Int)] = {
+    require(nStages >= 1, s"funnel needs at least one stage, got $nStages")
+    val Undef = Long.MaxValue
+    implicit val outEnc: Encoder[(Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    implicit val stateEnc: Encoder[(Seq[Long], Seq[Seq[Long]])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Seq[Seq[Long]]), (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Int)],
+         state: GroupState[(Seq[Long], Seq[Seq[Long]])]) =>
+          val first = !state.exists
+          val (times0, cands0) = state.getOption.getOrElse(
+            (Seq.fill(nStages)(Undef), Seq.fill(nStages)(Seq.empty[Long])))
+          val times = times0.toArray
+          val cands = cands0.map(s => scala.collection.mutable.ArrayBuffer(s: _*))
+          var candsChanged = false
+          it.foreach { case (_, ts, k) =>
+            if (k >= 0 && k < nStages) {
+              if (k == 0) { if (ts < times(0)) times(0) = ts }
+              else if (ts < times(k)) { cands(k) += ts; candsChanged = true }
+            }
+          }
+          var k = 1
+          while (k < nStages) {
+            if (times(k - 1) != Undef) {
+              val qual = cands(k).filter(_ > times(k - 1))
+              if (qual.nonEmpty && qual.min < times(k)) times(k) = qual.min
+            }
+            val kept = cands(k).filter(_ < times(k))
+            if (kept.size != cands(k).size) { candsChanged = true }
+            cands(k).clear(); cands(k) ++= kept
+            k += 1
+          }
+          val timesChanged = times.indices.exists(i => times(i) != times0(i))
+          if (first || timesChanged || candsChanged)
+            state.update((times.toSeq, cands.map(_.toSeq)))
+          if (first || timesChanged) {
+            val deepest = times.lastIndexWhere(_ != Undef) + 1
+            Iterator.single((user, deepest))
+          } else Iterator.empty
+      }
+  }
+
   /** Per-key admission limit across the whole stream: at most
     * `maxPerKey` events per key pass; the rest are dropped, however many
     * batches they span (Append mode, flatMap = 0..N outputs per group).

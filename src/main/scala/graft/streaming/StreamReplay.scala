@@ -565,4 +565,67 @@ object StreamReplay {
       new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
     }
   }
+
+  /** Replays `events` (user_id, ts, event_type) through the streaming
+    * funnel ([[StatefulOps.funnelStream]]) with the standard displaced
+    * late subset, and returns the FINAL (user_id, stage) per user —
+    * which must equal the batch strictly-after funnel of
+    * [[graft.operators.Funnel]] (the st08 oracle). The displacement is
+    * what makes this a real test: a late earlier-stage arrival must
+    * re-qualify later-stage events that were useless when they arrived,
+    * or the final stage comes out too shallow and breaks the hash.
+    *
+    * Harness invariant asserted per user: the emitted stage never
+    * regresses across micro-batches (information only accumulates).
+    */
+  def funnelReplay(spark: SparkSession, events: DataFrame,
+                   stages: Seq[String], nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    val idx = stages.zipWithIndex.toMap
+    val rows = events.select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_type").cast("string"), col("event_id").cast("long"))
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._2, r._4))
+
+    // event_id drives the displacement, then drops out of the feed;
+    // non-funnel types ride along with stage -1 (they register the user).
+    val fed = displaced(chunked(rows, nChunks))(_._4)
+      .map(_.map(r => (r._1, r._2, idx.getOrElse(r._3, -1))))
+
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Long, Int)]
+    val staged = StatefulOps.funnelStream(ms.toDS(), stages.length)
+
+    val captured = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Int)])]
+    val cp = java.nio.file.Files.createTempDirectory("st_fnreplay-cp").toString
+    try {
+      val q = staged.writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: Dataset[(Long, Int)], batchId: Long) =>
+          val rs = batch.collect().toSeq
+          captured.synchronized { captured += ((batchId, rs)) }
+          ()
+        }
+        .start()
+      try {
+        fed.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+
+      val byUser = captured.sortBy(_._1).flatMap { case (bid, rs) => rs.map(bid -> _) }
+        .groupBy { case (_, r) => r._1 }
+      byUser.foreach { case (u, updates) =>
+        val ss = updates.map(_._2._2)
+        require(ss == ss.sorted,
+          s"funnel stage regressed for user $u across batches: $ss")
+      }
+      val finals = byUser.map { case (u, updates) => (u, updates.last._2._2) }.toSeq
+      finals.toDF("user_id", "stage").orderBy("user_id")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
 }

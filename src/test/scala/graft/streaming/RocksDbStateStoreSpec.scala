@@ -44,4 +44,23 @@ class RocksDbStateStoreSpec extends SparkSpec {
         s"RocksDB replay diverged: ${rocksRows.size} vs ${defaultRows.size} rows")
     } finally spark.conf.set(Provider, prev)
   }
+
+  test("st08 funnel replay output is identical under the RocksDB state store") {
+    // The funnel carries the richest state shape of the st* family
+    // (per-user times + candidate frontiers, a nested Seq[Seq[Long]]
+    // encoder) — exactly the state most worth pinning across providers.
+    val events = tables.events.select("user_id", "ts", "event_type", "event_id")
+    val stages = Seq("view", "click", "purchase")
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val defaultRows = sortedRows(StreamReplay.funnelReplay(spark, events, stages))
+    assert(defaultRows.nonEmpty)
+    val prev = spark.conf.get(Provider)
+    spark.conf.set(Provider, RocksDb)
+    try {
+      val rocksRows = sortedRows(StreamReplay.funnelReplay(spark, events, stages))
+      assert(rocksRows == defaultRows,
+        s"RocksDB funnel replay diverged: ${rocksRows.size} vs ${defaultRows.size} rows")
+    } finally spark.conf.set(Provider, prev)
+  }
 }

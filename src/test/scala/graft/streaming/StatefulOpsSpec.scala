@@ -65,4 +65,48 @@ class StatefulOpsSpec extends SparkSpec {
     } finally q.stop()
     assert(spark.table("rl_out").count() == 4, "only 4 of 6 events admitted")
   }
+
+  test("funnelStream: a LATE earlier-stage event re-qualifies a parked later-stage event") {
+    // batch 1: click@20 arrives BEFORE any view — useless for now (stage 0)
+    // batch 2: view@10 arrives late — t1=10, and the parked click@20 must
+    //          now qualify (20 > 10) → stage 2. An implementation that
+    //          discarded the click on arrival answers 1 and fails here.
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Int)] // (user, tsMicros, stageIdx)
+    val q = StatefulOps.funnelStream(ms.toDS(), nStages = 3)
+      .toDF("user_id", "stage")
+      .writeStream.outputMode("update").format("memory").queryName("fn_out").start()
+    try {
+      ms.addData((1L, 20L, 1))
+      q.processAllAvailable()
+      ms.addData((1L, 10L, 0))
+      q.processAllAvailable()
+      // batch 3: purchase@15 sits BETWEEN view and click — strictly-after
+      // rule says it does NOT complete the funnel (15 < t2=20)
+      ms.addData((1L, 15L, 2))
+      q.processAllAvailable()
+      // batch 4: purchase@30 does
+      ms.addData((1L, 30L, 2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val emitted = spark.table("fn_out").as[(Long, Int)].collect().toSeq
+    assert(emitted.map(_._2) == Seq(0, 2, 3),
+      s"expected stage emissions 0 (parked click), 2 (late view cascades), 3: $emitted")
+  }
+
+  test("funnelStream: same-timestamp next stage does not qualify; non-funnel registers stage 0") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Int)]
+    val q = StatefulOps.funnelStream(ms.toDS(), nStages = 2)
+      .toDF("user_id", "stage")
+      .writeStream.outputMode("update").format("memory").queryName("fn_out2").start()
+    try {
+      ms.addData((1L, 10L, 0), (1L, 10L, 1), (2L, 5L, -1))
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("fn_out2").as[(Long, Int)].collect()
+      .groupBy(_._1).map { case (u, vs) => u -> vs.last._2 }
+    assert(last == Map(1L -> 1, 2L -> 0),
+      s"strictly-after must reject ts==t1; non-funnel user registers at 0: $last")
+  }
 }
