@@ -59,6 +59,21 @@ object TextAnalysis {
       expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))").as("n_re_tokens"),
       ceil(length(col("text")) / lit(4.0)).cast("int").as("n_bpe_est"))
 
+  /** Canonical text normalization — the pass that precedes every dedup
+    * / fingerprint stage in a curation pipeline (unnormalized near-dups
+    * defeat exact hashing): lowercase, non-alphanumerics → space,
+    * whitespace runs collapsed, trimmed. Pure codegen'd
+    * `regexp_replace` chain restricted (like [[redactPii]]) to the
+    * syntax subset Java regex and RE2 interpret identically. Output
+    * (doc_id, norm_text, n_norm_tokens).
+    */
+  def normalize(docs: DataFrame): DataFrame = {
+    val collapsed = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "), " +", " "))
+    docs.select(col("doc_id"), collapsed.as("norm_text"),
+      size(tokens(collapsed)).as("n_norm_tokens"))
+  }
+
   /** Gopher-style repetition signals per document (Rae et al. 2021
     * §A1.1 repetition filters, adapted to word n-grams since this
     * corpus has no line structure):

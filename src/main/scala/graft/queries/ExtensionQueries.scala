@@ -757,6 +757,45 @@ object ExtensionQueries {
         Seq("view", "click", "purchase"))),
 
     GraftQuery(
+      // Canonical text normalization (the pass before any dedup /
+      // fingerprint stage): codegen'd regexp_replace chain, RE2/Java
+      // shared-syntax subset only.
+      "ta09_normalize",
+      Some("""WITH n AS (SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  FROM documents)
+        |SELECT doc_id, norm_text,
+        |  CAST(len(list_filter(string_split(norm_text, ' '), x -> x <> '')) AS INTEGER) AS n_norm_tokens
+        |FROM n ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.normalize(t(s, d).documents).orderBy("doc_id")),
+
+    GraftQuery(
+      // Incremental aggregate maintenance (operators/IncrementalAgg):
+      // the base per-user (count, cents) aggregate is maintained under
+      // a CDC DELETE delta (every event_id % 10 == 0 retracted) by
+      // merging the signed delta aggregate — never rescanning the
+      // base. The oracle is the full recompute over the post-delete
+      // data: maintained == recomputed, including fully-retracted keys
+      // disappearing.
+      "up03_incremental_agg",
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events WHERE event_id % 10 <> 0
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d).events.select(col("user_id"), col("event_id"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+        val baseAgg = ev.groupBy("user_id")
+          .agg(count(lit(1)).cast("long").as("n"), sum("cents").cast("long").as("value_cents"))
+        val deletes = ev.filter(col("event_id") % 10 === 0).withColumn("__sign", lit(-1L))
+        graft.operators.IncrementalAgg.applyDelta(
+            baseAgg,
+            graft.operators.IncrementalAgg.signedAgg(deletes, Seq("user_id"), "cents", "__sign"),
+            Seq("user_id"), "n", "value_cents")
+          .orderBy("user_id")
+      }),
+
+    GraftQuery(
       // Gopher-style repetition filters (word-n-gram form): most
       // frequent bigram's share of bigram occurrences + fraction of
       // trigram occurrences in duplicated trigrams, with the keep/drop

@@ -105,6 +105,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(0)._3 < got(1)._3, "frequent-pattern doc is less surprising")
   }
 
+  test("normalize: lowercases, strips punctuation, collapses whitespace") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq(
+      (1L, "Hello, World!!  Foo-bar?"),
+      (2L, "  already clean text  "),
+      (3L, "...")) // all-punctuation → empty
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.normalize(d).orderBy("doc_id")
+      .select(col("doc_id"), col("norm_text"), col("n_norm_tokens"))
+      .collect()
+    assert(got(0).getString(1) == "hello world foo bar" && got(0).getInt(2) == 4)
+    assert(got(1).getString(1) == "already clean text" && got(1).getInt(2) == 3)
+    assert(got(2).getString(1) == "" && got(2).getInt(2) == 0)
+  }
+
   test("repetitionScore: hand-checked fractions and threshold bit") {
     import org.apache.spark.sql.functions.col
     val d = Seq(
