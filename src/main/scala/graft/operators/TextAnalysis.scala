@@ -68,8 +68,12 @@ object TextAnalysis {
     * (doc_id, norm_text, n_norm_tokens).
     */
   def normalize(docs: DataFrame): DataFrame = {
-    val collapsed = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]+", " "), " +", " "))
+    // ONE regex pass: a run of anything non-alphanumeric — punctuation,
+    // spaces, or a mix — becomes a single space, which is exactly
+    // punct→space followed by whitespace-collapse, at half the regex
+    // cost (normalization is pure per-byte CPU; the corpus scan is the
+    // whole bill at scale).
+    val collapsed = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     docs.select(col("doc_id"), collapsed.as("norm_text"),
       size(tokens(collapsed)).as("n_norm_tokens"))
   }

@@ -762,7 +762,7 @@ object ExtensionQueries {
       // shared-syntax subset only.
       "ta09_normalize",
       Some("""WITH n AS (SELECT doc_id,
-        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+        |  trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm_text
         |  FROM documents)
         |SELECT doc_id, norm_text,
         |  CAST(len(list_filter(string_split(norm_text, ' '), x -> x <> '')) AS INTEGER) AS n_norm_tokens
