@@ -586,6 +586,27 @@ object TextDedup {
     *
     * Returns the retained (doc_id, text) rows.
     */
+  /** Quality-aware survivor selection: given component labels (from
+    * [[connectedComponents]]) and a per-doc score table, pick each
+    * component's survivor as the HIGHEST-scoring member (ties → min
+    * doc_id) instead of the min-id default — what a curation pipeline
+    * actually wants: when near-dups differ (truncation, boilerplate,
+    * OCR noise), keep the best copy, not the numerically-first one.
+    *
+    * One component-keyed window pass — `first_value` over
+    * (score DESC, doc_id) labels every member with its survivor in the
+    * same shuffle that ranks it; no join-back. Output
+    * (doc_id, component, survivor_id) for every labelled doc.
+    */
+  def survivorsByQuality(components: DataFrame, scores: DataFrame,
+                         scoreCol: String = "quality"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("component").orderBy(col(scoreCol).desc, col("doc_id"))
+    components.join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
+      .select(col("doc_id"), col("component"),
+        first(col("doc_id")).over(w).as("survivor_id"))
+  }
+
   def fullDedup(docs: DataFrame, threshold: Double = 0.8,
                 numHashes: Int = 16, rowsPerBand: Int = 4,
                 shingleN: Int = 3): DataFrame = {

@@ -1053,6 +1053,53 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     GraftQuery(
+      // Quality-aware survivorship (dd10): each near-dup component
+      // keeps its HIGHEST-quality member (ta02's quality score; ties →
+      // min doc_id) instead of the min-id default — the curation
+      // policy that preserves the best copy of truncated/noisy
+      // near-dups. Same component closure as dd08; survivor labelling
+      // is one first_value window in the component shuffle.
+      "dd10_survivor_quality",
+      Some(ShingleCte.replaceFirst("WITH toks", "WITH RECURSIVE toks") +
+        """,
+        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+        |inter AS (
+        |  SELECT ta.doc_id AS doc_a, tb.doc_id AS doc_b, COUNT(*) AS i
+        |  FROM sh ta JOIN sh tb ON tb.s = ta.s AND ta.doc_id < tb.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b
+        |  FROM inter JOIN sizes na ON na.doc_id = doc_a JOIN sizes nb ON nb.doc_id = doc_b
+        |  WHERE CAST(i AS DOUBLE) / (na.n + nb.n - i) >= 0.8),
+        |edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |reach AS (
+        |  SELECT s, d FROM edges
+        |  UNION
+        |  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+        |comp AS (
+        |  SELECT doc_id, CAST(LEAST(doc_id, MIN(d)) AS BIGINT) AS component
+        |  FROM (SELECT s AS doc_id, d FROM reach) q GROUP BY doc_id),
+        |qual AS (
+        |  SELECT doc_id, ROUND(LEAST(1.0, COUNT(*) / 100.0)
+        |    * (1.0 - SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) / COUNT(*))
+        |    * 10000) / 10000 + 0 AS quality
+        |  FROM (SELECT doc_id, unnest(t) AS w FROM toks) x GROUP BY doc_id)
+        |SELECT c.doc_id, c.component,
+        |  FIRST_VALUE(c.doc_id) OVER (
+        |    PARTITION BY c.component ORDER BY q.quality DESC, c.doc_id) AS survivor_id
+        |FROM comp c JOIN qual q ON q.doc_id = c.doc_id
+        |ORDER BY c.doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d).documents
+        val comp = TextDedup.connectedComponents(
+          TextDedup.exactJaccardPairs(docs, threshold = 0.8))
+        TextDedup.survivorsByQuality(comp,
+            TextAnalysis.qualityScore(docs).select("doc_id", "quality"))
+          .orderBy("doc_id")
+      }),
+
+    GraftQuery(
       "dd04_simhash",
       Some(ShingleCte +
         """,

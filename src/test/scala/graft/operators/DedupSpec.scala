@@ -322,4 +322,41 @@ class DedupSpec extends SparkSpec {
     val reverify = TextDedup.exactJaccardPairs(kept, threshold = 0.8)
     assert(reverify.isEmpty, "retained set must be mutually non-duplicate")
   }
+
+  test("survivorsByQuality keeps the best copy, not the min id") {
+    import org.apache.spark.sql.functions.col
+    // component {1,2,3}: doc 3 has the highest score; singleton pair {8,9}
+    val comp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (8L, 8L), (9L, 8L))
+      .toDF("doc_id", "component")
+    val scores = Seq((1L, 0.2), (2L, 0.5), (3L, 0.9), (8L, 0.4), (9L, 0.4))
+      .toDF("doc_id", "quality")
+    val got = TextDedup.survivorsByQuality(comp, scores)
+      .orderBy("doc_id")
+      .select("doc_id", "survivor_id")
+      .as[(Long, Long)].collect().toSeq
+    // component 1 → doc 3 (best quality); component 8 → doc 8 (tie → min id)
+    assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (8L, 8L), (9L, 8L)), got.toString)
+  }
+
+  test("survivorsByQuality over the real pipeline: one survivor per component, argmax") {
+    val docs = tables.documents
+    val comp = TextDedup.connectedComponents(
+      TextDedup.exactJaccardPairs(docs, threshold = 0.8))
+    val q = TextAnalysis.qualityScore(docs).select("doc_id", "quality")
+    val got = TextDedup.survivorsByQuality(comp, q)
+    val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // survivor is a member of its own component and consistent per component
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length == 1, s"component $c has conflicting survivors")
+      assert(ms.exists(m => m._1 == m._3), s"survivor of $c is not a member")
+    }
+    // argmax property against an independent computation
+    val qual = q.as[(Long, Double)].collect().toMap
+    byComp.foreach { case (c, ms) =>
+      val best = ms.map(_._1).minBy(id => (-qual(id), id))
+      assert(ms.head._3 == best, s"component $c survivor ${ms.head._3} != argmax $best")
+    }
+  }
 }
