@@ -72,6 +72,11 @@ object BloomJoin {
   def bloomSelectivity(big: DataFrame, small: DataFrame,
       bigKey: String, smallKey: String,
       expectedItems: Long = 1000000L, fpp: Double = 0.01): Double = {
+    big.schema(bigKey).dataType match {
+      case LongType | IntegerType => ()
+      case other => throw new IllegalArgumentException(
+        s"bloomSelectivity probes the long sketch path; key must be integral, got $other")
+    }
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val probe = udf((k: java.lang.Long) => k != null && bc.value.mightContainLong(k))

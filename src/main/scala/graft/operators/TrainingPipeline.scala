@@ -159,8 +159,11 @@ object TrainingPipeline {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratumCol)
       .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
-    df.withColumn("__rk", row_number().over(w))
-      .join(broadcast(quotas), Seq(stratumCol))
+    // Quota join BEFORE the window: rows of strata outside the target
+    // mix die in the broadcast join and never enter the ranking
+    // shuffle — at scale the dropped strata can be most of the corpus.
+    df.join(broadcast(quotas), Seq(stratumCol))
+      .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= col("__quota"))
       .drop("__rk", "__quota")
   }
