@@ -54,8 +54,15 @@ object Verify {
       }
     }
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
-      case None        => SparkEntry.queries
+      case Some(names) =>
+        // A typo'd name silently selecting nothing would exit green with
+        // an empty outDir — the user believes the entry verified when
+        // nothing ran. Unknown names fail loudly instead (review r13).
+        val unknown = names -- SparkEntry.queries.keySet
+        require(unknown.isEmpty,
+          s"unknown entry name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+        SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
     }
     val futures = selected.toSeq.map { case (name, fn) =>
       Future {

@@ -50,6 +50,16 @@ object BloomJoin {
         throw new IllegalArgumentException(
           s"bloomSemiJoin key must be integral or string, got $other")
     }
+    // BOTH sides must probe/put the same hash family: a string-keyed
+    // sketch probed with mightContainLong (or vice versa) yields Bloom
+    // FALSE NEGATIVES — rows the exact semi join can never restore —
+    // i.e. silently wrong results rather than an error (review r13).
+    val smallType = small.schema(smallKey).dataType
+    val integral = Set[org.apache.spark.sql.types.DataType](LongType, IntegerType)
+    require(
+      (integral(keyType) && integral(smallType)) ||
+        (keyType == StringType && smallType == StringType),
+      s"bloomSemiJoin key types must share a sketch family: big $keyType vs small $smallType")
     val bf = small.stat.bloomFilter(smallKey, expectedItems, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val probe: Column = keyType match {
@@ -60,9 +70,11 @@ object BloomJoin {
         udf((k: String) => k != null && bc.value.mightContainString(k))
           .apply(col(bigKey))
     }
+    // No .distinct() on the build side: semi-join semantics already
+    // deduplicate it — an explicit distinct is a wasted hash aggregate
+    // on exactly the operator meant to shave work (review r13).
     big.filter(probe)
-      .join(small.select(col(smallKey).as(bigKey)).distinct(),
-        Seq(bigKey), "left_semi")
+      .join(small.select(col(smallKey).as(bigKey)), Seq(bigKey), "left_semi")
   }
 
   /** Diagnostic: fraction of big-side rows surviving the Bloom pass

@@ -602,7 +602,12 @@ object TextDedup {
                          scoreCol: String = "quality"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("component").orderBy(col(scoreCol).desc, col("doc_id"))
-    components.join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"))
+    // LEFT join: a member missing from the scores table must stay in
+    // the output and remain a (last-ranked) survivor candidate — an
+    // inner join would silently drop it from both, breaking the
+    // "every labelled doc" contract (review r13). Spark's DESC ranks
+    // NULL scores last, which is exactly "unscored loses to any score".
+    components.join(scores.select(col("doc_id"), col(scoreCol)), Seq("doc_id"), "left")
       .select(col("doc_id"), col("component"),
         first(col("doc_id")).over(w).as("survivor_id"))
   }

@@ -194,7 +194,15 @@ object TrainingPipeline {
     // all-zero slice; (long+1) is exact in double (48 < 53 bits).
     val u = (conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
       .cast("long") + 1).cast("double") / 281474976710656.0
-    val prio = floor(log(u) / col(weightCol) * 1e6 + 0.5).cast("long")
+    // E-S is defined for POSITIVE weights only: a negative weight flips
+    // ln(u)/w positive and deterministically dominates the top-k (the
+    // opposite of proportional), w = 0 divides by zero — both are data
+    // bugs that must fail loudly, not skew the draw (review r13). The
+    // branch is free on the happy path (codegen'd per-row CASE).
+    val w = when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"weightedSample: non-positive $weightCol for $keyCol="),
+        col(keyCol).cast("string")))).otherwise(col(weightCol))
+    val prio = floor(log(u) / w * 1e6 + 0.5).cast("long")
     df.withColumn("__prio", prio)
       .orderBy(col("__prio").desc, col(keyCol))
       .limit(k)

@@ -30,9 +30,16 @@ object Sf1BenchAll {
     GraftSession.init(spark)
 
     // Optional 2nd arg: comma-separated entry names — measure only those
-    // (incremental sf1 rows for entries added after a full run).
+    // (incremental sf1 rows for entries added after a full run). Unknown
+    // names fail loudly: a typo selecting nothing would print an empty
+    // "benchmark" that reads as a clean run.
     val only: Option[Set[String]] =
       if (args.length > 1) Some(args(1).split(",").toSet) else None
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown entry name(s): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val entries = SparkEntry.queries.keys.toSeq
       .filterNot(n => n.startsWith("st0") || n.startsWith("ig0"))
       .filter(n => only.forall(_(n)))

@@ -37,6 +37,18 @@ class BloomJoinSpec extends SparkSpec {
     }
   }
 
+  test("mismatched sketch families fail loudly instead of losing rows") {
+    // long-keyed big vs string-keyed small: the sketch would be built
+    // over UTF-8 bytes and probed with the long hash — Bloom false
+    // NEGATIVES, i.e. silently dropped matches. Must throw.
+    val big = Seq((1L, "x")).toDF("k", "v")
+    val small = Seq(("1", 1L)).toDF("k", "v")
+    val e = intercept[IllegalArgumentException] {
+      BloomJoin.bloomSemiJoin(big, small, "k", "k")
+    }
+    assert(e.getMessage.contains("sketch family"))
+  }
+
   test("Bloom pass alone already removes most non-matching rows") {
     val sel = BloomJoin.bloomSelectivity(lineitem, urgent, "l_orderkey", "o_orderkey",
       expectedItems = 10000L, fpp = 0.01)

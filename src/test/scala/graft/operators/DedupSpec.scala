@@ -338,6 +338,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((1L, 3L), (2L, 3L), (3L, 3L), (8L, 8L), (9L, 8L)), got.toString)
   }
 
+  test("survivorsByQuality keeps unscored members as last-ranked candidates") {
+    import org.apache.spark.sql.functions.col
+    // doc 3 has no score row: it must stay in the output, lose to any
+    // scored member, and still win a component where nobody is scored
+    val comp = Seq((1L, 1L), (3L, 1L), (7L, 7L)).toDF("doc_id", "component")
+    val scores = Seq((1L, 0.1)).toDF("doc_id", "quality")
+    val got = TextDedup.survivorsByQuality(comp, scores)
+      .orderBy("doc_id").select("doc_id", "survivor_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (3L, 1L), (7L, 7L)), got.toString)
+  }
+
   test("survivorsByQuality over the real pipeline: one survivor per component, argmax") {
     val docs = tables.documents
     val comp = TextDedup.connectedComponents(

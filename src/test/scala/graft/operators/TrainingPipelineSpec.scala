@@ -175,6 +175,16 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(heavy >= 45, s"only $heavy of 50 came from the heavy stratum")
   }
 
+  test("weightedSample: non-positive weights fail loudly, not skew the draw") {
+    val df = Seq((1L, 10L), (2L, -1L), (3L, 5L)).toDF("doc_id", "w")
+    val e = intercept[Exception] {
+      TrainingPipeline.weightedSample(df, "doc_id", "w", k = 2).collect()
+    }
+    assert(e.toString.contains("non-positive") ||
+      Option(e.getCause).exists(_.toString.contains("non-positive")),
+      s"expected the raise_error message, got $e")
+  }
+
   test("mixtureSample: strata without a target share are dropped") {
     val got = TrainingPipeline.mixtureSample(docs, "lang", "doc_id", Map("en" -> 1.0))
     assert(got.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
