@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Frequency estimation with a count-min sketch.
+  *
+  * The sketch is built distributed (`DataFrameStatFunctions
+  * .countMinSketch` runs a map-side sketch per partition and merges the
+  * fixed-size tables — one treeAggregate, no key shuffle at all), so at
+  * 100 TB the cost is a single scan producing depth x width counters per
+  * partition regardless of key cardinality. That is the point of the
+  * sketch: the exact groupBy this module's verification runs needs a
+  * shuffle keyed on every distinct value; the sketch needs none.
+  */
+object Frequency {
+
+  /** Exact top-k keys with the count-min estimate verified against the
+    * CMS guarantee: `exact <= estimate <= exact + eps * N` (the upper
+    * bound holds with probability >= confidence; estimates never
+    * undercount). Output is one row per top-k key:
+    * (keyCol, n_exact, within_band).
+    *
+    * The exact top-k side exists to make the sketch's accuracy claim
+    * oracle-checkable — it is the verification harness, not the scale
+    * path (same pattern as the HLL entry hl01: sketch result
+    * self-checked against the exact computation inside the declared
+    * band). The only driver-side work is the k-row collect of the
+    * verified candidates and the sketch itself (depth x width longs,
+    * ~1 MB at eps=1e-4).
+    */
+  def heavyHittersVerified(
+      df: DataFrame,
+      keyCol: String,
+      k: Int,
+      eps: Double = 1e-4,
+      confidence: Double = 0.99,
+      seed: Int = 42): DataFrame = {
+    require(k > 0 && k <= 1000, s"k=$k must be in (0, 1000] — top-k rows are collected")
+    val spark = df.sparkSession
+    val keyed = df.select(col(keyCol))
+    val sketch = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
+    val total = sketch.totalCount() // N rides the sketch — no extra count job
+    val slack = math.ceil(eps * total).toLong
+    // Deterministic top-k: count desc, key asc — ties are totally ordered.
+    val top = keyed.groupBy(keyCol)
+      .agg(count(lit(1)).as("n_exact"))
+      .orderBy(col("n_exact").desc, col(keyCol))
+      .limit(k)
+      .collect()
+    val verified = top.map { r =>
+      val key = r.getLong(0)
+      val exact = r.getLong(1)
+      val est = sketch.estimateCount(key)
+      Row(key, exact, est >= exact && est <= exact + slack)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(verified.toSeq, 1),
+      StructType(Seq(
+        StructField(keyCol, LongType),
+        StructField("n_exact", LongType),
+        StructField("within_band", BooleanType))))
+  }
+}

@@ -50,6 +50,39 @@ object TextAnalysis {
         round4(col("stop0")).as("stop_ratio"),
         round4(least(lit(1.0), col("n_tokens") / lit(100.0)) * (lit(1.0) - col("stop0"))).as("quality"))
 
+  /** Top-k terms per document by TF-IDF.
+    *
+    * Plan shape: one token explode → (doc, term) count → term
+    * document-frequency aggregate → equi-join tf × df on the term key →
+    * per-doc top-k window. Every stage is a keyed shuffle (parallel in
+    * the doc/term domain); the corpus size N rides a broadcast 1-row
+    * aggregate. At 100 TB the df table is |vocab| rows — it shuffles
+    * with the term-keyed join, it is never collected.
+    *
+    * Scoring is integer micro-nats (the ta07 discipline): score_micro =
+    * tf * round(1e6 * ln((N+1)/(df+1))) — the output carries no raw
+    * doubles, so cross-engine comparison is exact, and ties rank
+    * deterministically by term. Output
+    * (doc_id, term, tf, df, score_micro), k rows per doc.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokenStream(docs).groupBy(col("doc_id"), col("w").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        col("tf") * floor(log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))
+          * 1000000 + 0.5).cast("long"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score_micro").desc, col("term"))
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select("doc_id", "term", "tf", "df", "score_micro")
+  }
+
   /** Token counts per doc: whitespace tokens, regex word-ish tokens, and
     * a chars/4 BPE-token estimate. */
   def tokenCounts(docs: DataFrame): DataFrame =

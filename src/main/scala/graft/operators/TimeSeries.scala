@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.round4
+
+/** Time-series completion and cohort analytics over an event stream.
+  *
+  * Both operators follow the engine's scale rules: the only shuffles are
+  * keyed aggregations/windows (parallel across keys), the date spine is
+  * derived from a 1-row global min/max aggregate broadcast against the
+  * key domain, and nothing is collected to the driver.
+  */
+object TimeSeries {
+
+  /** Dense daily spine per key with forward-filled values.
+    *
+    * Missing (key, day) combinations are materialized via
+    * `sequence(min_day, max_day)` over the distinct key domain, then the
+    * last observed aggregate is carried forward with an
+    * ignore-nulls `last` window. Spine size is |keys| x days — it grows
+    * with the key domain and the time range, never with raw event volume,
+    * so a 100 TB event table with 10M keys x 365 days stays a 3.6B-row
+    * spine regardless of input row count. The fill window partitions by
+    * key (parallel, bounded per-task state); days-per-key is the only
+    * per-partition axis.
+    *
+    * @param events input with `keyCols`, a date column `dayCol` and a
+    *               numeric `valueCol` already in integer units (the
+    *               caller picks the quantization so sums stay order-free)
+    * @return (keyCols*, day, day_value [null on gap days], filled_value
+    *         [last non-null at or before day; null before first obs])
+    */
+  def gapFillForwardFill(
+      events: DataFrame,
+      keyCols: Seq[String],
+      dayCol: String,
+      valueCol: String): DataFrame = {
+    val kc = keyCols.map(col)
+    val daily = events.groupBy(kc :+ col(dayCol): _*)
+      .agg(sum(valueCol).as("day_value"))
+    // 1-row global range: broadcast against the distinct key domain.
+    // Deriving the range from data (not literals) keeps the operator
+    // scale-factor- and backfill-agnostic.
+    val range = events.agg(min(dayCol).as("__d0"), max(dayCol).as("__d1"))
+    val spine = events.select(kc: _*).distinct()
+      .crossJoin(broadcast(range))
+      .select(kc :+ explode(sequence(col("__d0"), col("__d1"))).as(dayCol): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(col(dayCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, keyCols :+ dayCol, "left")
+      .select(kc ++ Seq(col(dayCol), col("day_value"),
+        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value")): _*)
+  }
+
+  /** Cohort retention matrix: users grouped by their first-activity day,
+    * counted on each subsequent active day.
+    *
+    * Two keyed aggregations (first day per user; distinct active days per
+    * user) and one equi-join on the user key — all shuffle-parallel on
+    * user_id, output bounded by days². `retention_pct` divides by the
+    * day-0 cohort size via a cohort-partitioned window (day 0 always
+    * exists: every user is active on their own first day).
+    *
+    * @return (cohort_day, days_since, n_users, cohort_size, retention_pct)
+    */
+  def cohortRetention(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String): DataFrame = {
+    val act = events
+      .select(col(userCol), to_date(col(tsCol)).as("__day"))
+      .distinct()
+    val firstDay = act.groupBy(userCol).agg(min("__day").as("cohort_day"))
+    val matrix = act.join(firstDay, userCol)
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("days_since"))
+      .agg(count(lit(1)).as("n_users"))
+    val w = Window.partitionBy("cohort_day").orderBy("days_since")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    matrix.select(col("cohort_day"), col("days_since"), col("n_users"),
+        first(col("n_users")).over(w).as("cohort_size"))
+      .withColumn("retention_pct",
+        round4(col("n_users").cast("double") / col("cohort_size")))
+  }
+}

@@ -757,6 +757,76 @@ object ExtensionQueries {
         Seq("view", "click", "purchase"))),
 
     GraftQuery(
+      // Time-series gap fill + forward fill (operators/TimeSeries): the
+      // dense-panel primitive behind rollup dashboards and feature
+      // backfills. Spine = |key domain| x days (grows with keys and the
+      // calendar, never with event volume); fill is one key-partitioned
+      // ignore-nulls last() window. Integer cents keep the daily sums
+      // order-free.
+      "ts01_gap_fill",
+      Some("""WITH ev AS (SELECT user_id, event_type, CAST(ts AS DATE) AS day,
+        |    CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |r AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM ev),
+        |keys AS (SELECT DISTINCT user_id, event_type FROM ev),
+        |spine AS (SELECT k.user_id, k.event_type,
+        |    CAST(unnest(generate_series(r.d0, r.d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM keys k, r),
+        |daily AS (SELECT user_id, event_type, day, SUM(cents) AS day_cents
+        |  FROM ev GROUP BY 1, 2, 3)
+        |SELECT s.user_id, s.event_type, s.day, CAST(d2.day_cents AS BIGINT) AS day_value,
+        |  CAST(last_value(d2.day_cents IGNORE NULLS) OVER (
+        |    PARTITION BY s.user_id, s.event_type ORDER BY s.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS filled_value
+        |FROM spine s LEFT JOIN daily d2 USING (user_id, event_type, day)
+        |ORDER BY user_id, event_type, day""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.gapFillForwardFill(
+          t(s, d).events.select(col("user_id"), col("event_type"),
+            to_date(col("ts")).as("day"),
+            floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+          keyCols = Seq("user_id", "event_type"), dayCol = "day", valueCol = "cents")
+        .orderBy("user_id", "event_type", "day")),
+
+    GraftQuery(
+      // Cohort retention matrix (operators/TimeSeries): users bucketed
+      // by first-activity day, traced across days-since. Two user-keyed
+      // aggregates + one equi-join; output bounded by days², not users.
+      "ct01_cohort_retention",
+      Some("""WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY 1),
+        |m AS (SELECT cohort_day, date_diff('day', cohort_day, day) AS days_since,
+        |    COUNT(*) AS n_users FROM act JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT cohort_day, CAST(days_since AS INTEGER) AS days_since,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(first_value(n_users) OVER (PARTITION BY cohort_day ORDER BY days_since
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT) AS cohort_size,
+        |  ROUND(n_users / CAST(first_value(n_users) OVER (PARTITION BY cohort_day ORDER BY days_since
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE) * 10000) / 10000 + 0 AS retention_pct
+        |FROM m ORDER BY cohort_day, days_since""".stripMargin),
+      (s, d) => graft.operators.TimeSeries
+        .cohortRetention(t(s, d).events, "user_id", "ts")
+        .orderBy("cohort_day", "days_since")),
+
+    GraftQuery(
+      // TF-IDF term ranking (operators/TextAnalysis.tfidfTopTerms): the
+      // relevance-scoring primitive for corpus search/labeling. Integer
+      // micro-nat scores (ta07 discipline) — no raw doubles cross the
+      // engine boundary; ties rank by term.
+      "ta10_tfidf",
+      Some("""WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |sc AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+        |    tf.tf * CAST(FLOOR(ln((nd.n + 1.0) / (dfq.df + 1.0)) * 1000000 + 0.5) AS BIGINT) AS score_micro
+        |  FROM tf JOIN dfq USING (w) CROSS JOIN nd)
+        |SELECT doc_id, w AS term, tf, df, score_micro FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score_micro DESC, w) AS rk FROM sc) q
+        |WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin),
+      (s, d) => TextAnalysis.tfidfTopTerms(t(s, d).documents, k = 3)
+        .orderBy("doc_id", "term")),
+
+    GraftQuery(
       // Canonical text normalization (the pass before any dedup /
       // fingerprint stage): codegen'd regexp_replace chain, RE2/Java
       // shared-syntax subset only.

@@ -1078,6 +1078,73 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // PIVOT: long→wide reshape in ONE hash aggregate (Catalyst plans
+      // groupBy.pivot as a single aggregate over casewhen projections —
+      // no per-value rescans). The pivot values are EXPLICIT: omitting
+      // them makes Spark run an eager distinct-collect job to discover
+      // the domain before planning — the list is the 100 TB form.
+      // Counts for absent (priority, status) cells coalesce to 0 to
+      // match COUNT FILTER; sums stay NULL in both engines.
+      "q55_pivot",
+      Some("""SELECT o_orderpriority,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS f_cents,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS o_cents,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_n,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS p_cents
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => t(s, d).orders
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+        .select(col("o_orderpriority"),
+          coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_cents").as("f_cents"),
+          coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_cents").as("o_cents"),
+          coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_cents").as("p_cents"))
+        .orderBy("o_orderpriority")),
+
+    GraftQuery(
+      // UNPIVOT/melt: wide→long reshape. Spark's unpivot is a zero-
+      // shuffle Expand over the already-aggregated frame (2 output rows
+      // per input row here) — the reshape itself never touches the fact
+      // table. Integer-cents metrics keep the melted value column
+      // exactly comparable.
+      "q56_unpivot",
+      Some("""WITH a AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS qty_cents,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS price_cents
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'qty_cents' AS metric, qty_cents AS val FROM a
+        |UNION ALL
+        |SELECT l_returnflag, 'price_cents' AS metric, price_cents AS val FROM a
+        |ORDER BY l_returnflag, metric""".stripMargin),
+      (s, d) => t(s, d).lineitem
+        .groupBy("l_returnflag")
+        .agg(
+          sum(floor(col("l_quantity") * 100 + 0.5)).cast("long").as("qty_cents"),
+          sum(floor(col("l_extendedprice") * 100 + 0.5)).cast("long").as("price_cents"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty_cents"), col("price_cents")), "metric", "val")
+        .orderBy("l_returnflag", "metric")),
+
+    GraftQuery(
+      // Count-min-sketch frequency estimation (operators/Frequency):
+      // the sketch builds in one shuffle-free treeAggregate scan —
+      // frequency estimates at 100 TB key cardinality without the
+      // groupBy shuffle. Verified hl01-style: the exact top-10 keys
+      // self-check the CMS guarantee (exact <= est <= exact + eps*N),
+      // oracle recomputes the exact side.
+      "cm01_heavy_hitters",
+      Some("SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_exact, " +
+        "CAST(1 AS BOOLEAN) AS within_band FROM lineitem " +
+        "GROUP BY l_partkey ORDER BY n_exact DESC, l_partkey LIMIT 10"),
+      (s, d) => graft.operators.Frequency
+        .heavyHittersVerified(t(s, d).lineitem, "l_partkey", k = 10)
+        .orderBy(col("n_exact").desc, col("l_partkey"))),
+
+    GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
       // under readStream with a watermark); batch-checkable oracle.
       "q28_window_tumbling",

@@ -1,0 +1,79 @@
+package graft.operators
+
+import java.sql.Date
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def d(s: String) = Date.valueOf(s)
+
+  test("gapFillForwardFill fills gaps and carries the last observation") {
+    val ev = Seq(
+      (1L, "a", d("2024-01-01"), 10L),
+      (1L, "a", d("2024-01-01"), 5L), // same day, sums to 15
+      (1L, "a", d("2024-01-04"), 7L),
+      (2L, "a", d("2024-01-02"), 3L))
+      .toDF("user_id", "event_type", "day", "cents")
+    val got = TimeSeries.gapFillForwardFill(ev, Seq("user_id", "event_type"), "day", "cents")
+      .orderBy("user_id", "day")
+      .as[(Long, String, Date, Option[Long], Option[Long])].collect().toSeq
+
+    // spine = 2 keys x 4 days (global range 01-01..01-04)
+    assert(got.size == 8)
+    val u1 = got.filter(_._1 == 1L).map(r => (r._3.toString, r._4, r._5))
+    assert(u1 == Seq(
+      ("2024-01-01", Some(15L), Some(15L)),
+      ("2024-01-02", None, Some(15L)), // gap: forward-filled
+      ("2024-01-03", None, Some(15L)),
+      ("2024-01-04", Some(7L), Some(7L))))
+    val u2 = got.filter(_._1 == 2L).map(r => (r._3.toString, r._4, r._5))
+    assert(u2 == Seq(
+      ("2024-01-01", None, None), // before first observation: stays null
+      ("2024-01-02", Some(3L), Some(3L)),
+      ("2024-01-03", None, Some(3L)),
+      ("2024-01-04", None, Some(3L))))
+  }
+
+  test("gapFillForwardFill spine is keys x days, independent of event count") {
+    val ev = tables.events.select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"), lit(1L).as("v"))
+    val got = TimeSeries.gapFillForwardFill(ev, Seq("user_id", "event_type"), "day", "v")
+    val keys = ev.select("user_id", "event_type").distinct().count()
+    val days = ev.agg(
+      (datediff(max("day"), min("day")) + 1).as("n")).as[Long].head()
+    assert(got.count() == keys * days)
+  }
+
+  test("cohortRetention: day-0 row is the full cohort at retention 1.0") {
+    val got = TimeSeries.cohortRetention(tables.events, "user_id", "ts")
+    val day0 = got.filter(col("days_since") === 0)
+      .select("cohort_day", "n_users", "cohort_size", "retention_pct")
+      .as[(Date, Long, Long, Double)].collect()
+    assert(day0.nonEmpty)
+    assert(day0.forall { case (_, n, size, pct) => n == size && pct == 1.0 })
+    // cohort sizes partition the user base: every user is in exactly one cohort
+    val totalUsers = tables.events.select("user_id").distinct().count()
+    assert(day0.map(_._2).sum == totalUsers)
+    // retention never exceeds the cohort
+    val bad = got.filter(col("n_users") > col("cohort_size")).count()
+    assert(bad == 0)
+  }
+
+  test("cohortRetention matches a hand-computed tiny case") {
+    val ev = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-03 10:00:00"),
+      (2L, "2024-01-01 11:00:00"),
+      (3L, "2024-01-03 09:00:00"), (3L, "2024-01-03 23:00:00"))
+      .toDF("user_id", "s").select(col("user_id"), col("s").cast("timestamp").as("ts"))
+    val got = TimeSeries.cohortRetention(ev, "user_id", "ts")
+      .select("cohort_day", "days_since", "n_users", "cohort_size")
+      .as[(Date, Int, Long, Long)].collect().toSet
+    assert(got == Set(
+      (d("2024-01-01"), 0, 2L, 2L),
+      (d("2024-01-01"), 2, 1L, 2L), // user 1 returns on day 2
+      (d("2024-01-03"), 0, 1L, 1L))) // user 3's two same-day events collapse
+  }
+}
