@@ -67,20 +67,27 @@ object TextAnalysis {
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tf = tokenStream(docs).groupBy(col("doc_id"), col("w").as("term"))
-      .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val n = docs.agg(count(lit(1)).as("__n"))
-    val scored = tf.join(df, "term")
-      .crossJoin(broadcast(n))
-      .withColumn("score_micro",
-        col("tf") * floor(log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))
-          * 1000000 + 0.5).cast("long"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score_micro").desc, col("term"))
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= k)
-      .select("doc_id", "term", "tf", "df", "score_micro")
+    // The (doc, term) count feeds BOTH the tf side and the df aggregate;
+    // without a materialization point Catalyst re-executes the token
+    // explode + doc/term shuffle — the two most expensive stages — once
+    // per branch. Same working-set discipline (and the same
+    // spark.graft.dedup.materialize escape hatch) as the dedup suite.
+    TextDedup.withWorkingSet(
+      tokenStream(docs).groupBy(col("doc_id"), col("w").as("term"))
+        .agg(count(lit(1)).as("tf"))) { tf =>
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("__n"))
+      val scored = tf.join(df, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score_micro",
+          col("tf") * floor(log((col("__n") + lit(1.0)) / (col("df") + lit(1.0)))
+            * 1000000 + 0.5).cast("long"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("term"))
+      scored.withColumn("__rk", row_number().over(w))
+        .filter(col("__rk") <= k)
+        .select("doc_id", "term", "tf", "df", "score_micro")
+    }
   }
 
   /** Token counts per doc: whitespace tokens, regex word-ish tokens, and
