@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{tokens, round4}
 
@@ -87,6 +87,71 @@ object TextAnalysis {
       scored.withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= k)
         .select("doc_id", "term", "tf", "df", "score_micro")
+    }
+  }
+
+  /** BM25 relevance scores for a fixed keyword query over the corpus.
+    *
+    * Returns every document matching at least one query term:
+    * (doc_id, n_terms_matched, score). Okapi BM25 with the +0.5
+    * idf smoothing; idf is micro-nat quantized (the one non-IEEE-exact
+    * op — ln — crosses engines as an integer, everything after is
+    * exactly-rounded IEEE arithmetic written in one fixed evaluation
+    * order), and per-term scores combine via fixed-order conditional
+    * aggregates, not an order-dependent SUM, so the cross-engine hash
+    * is stable.
+    *
+    * Plan shape: ONE token explode → ONE doc-keyed grouped pass with a
+    * wide conditional aggregate per query term (the minhash wide-agg
+    * discipline — |terms| CASE columns beat a second explode + a
+    * (doc, term) shuffle + a df join) → a 1-row corpus aggregate
+    * (N, Σdl, df per term) broadcast back. At 100 TB the only large
+    * shuffle is the doc-keyed aggregate; nothing scales with |vocab| or
+    * |terms|².
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"${terms.size} query terms — bm25 builds a fixed-order score column per term")
+    // The per-doc (dl, tf_i) frame feeds BOTH the corpus aggregate and
+    // the scoring projection; materialize it (withWorkingSet) or the
+    // token explode — the expensive stage — runs once per branch.
+    TextDedup.withWorkingSet(
+      tokenStream(docs).groupBy("doc_id").agg(
+        count(lit(1)).as("dl"),
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(col("w") === t, 1L).otherwise(0L)).as(s"__tf$i")
+        }: _*)) { perDoc =>
+      // 1-row (N, Σdl, df_i): explicit SUM/COUNT division later — both
+      // engines divide the same exact integers, where avg()
+      // implementations may accumulate differently.
+      val corpusAggs = sum("dl").as("__sumdl") +: terms.indices.map(i =>
+        sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+      val corpus = perDoc.agg(count(lit(1)).as("__n"), corpusAggs: _*)
+      // Every composite constant stays a column-space op on the raw
+      // literals (k1+1, 1-b) so the oracle can spell the identical
+      // addition — a Scala-folded k1+1.0 and a SQL-parsed literal are
+      // not guaranteed the same double.
+      def termScore(i: Int): Column = {
+        val tf = col(s"__tf$i"); val df = col(s"__df$i")
+        val idfMicro = floor(log((col("__n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+          * 1000000 + 0.5).cast("long")
+        when(tf > 0,
+          (idfMicro / lit(1000000.0)) * (tf * (lit(k1) + lit(1.0))) /
+            (tf + lit(k1) * ((lit(1.0) - lit(b)) +
+              lit(b) * col("dl") / (col("__sumdl").cast("double") / col("__n")))))
+          .otherwise(lit(0.0))
+      }
+      // Fixed-order combination in query order — never a SUM whose
+      // addend order the shuffle picks.
+      val combined = terms.indices.map(termScore).reduce(_ + _)
+      val matched = terms.indices
+        .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L))
+        .reduce(_ + _)
+      perDoc.crossJoin(broadcast(corpus))
+        .select(col("doc_id"), matched.as("n_terms_matched"),
+          round4(combined).as("score"))
+        .filter(col("n_terms_matched") > 0)
     }
   }
 

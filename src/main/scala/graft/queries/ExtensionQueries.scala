@@ -827,6 +827,36 @@ object ExtensionQueries {
         .orderBy("doc_id", "term")),
 
     GraftQuery(
+      // BM25 keyword search (TextAnalysis.bm25): Okapi scoring for a
+      // fixed 3-term query over the corpus — the retrieval primitive on
+      // top of the ta10 tf/df machinery. idf crosses engines as
+      // micro-nats; everything after is exactly-rounded IEEE arithmetic
+      // in ONE spelled-out evaluation order, and per-term scores add in
+      // query order via conditional aggregates (never an
+      // order-dependent SUM). Terms span the df spectrum (rare 'dup'
+      // df≈5%, common 'batch' df≈80%) so idf weighting is exercised.
+      "ir01_bm25",
+      Some("""WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+        |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE w IN ('query', 'dup', 'batch') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    (CAST(FLOOR(ln((corpus.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT)
+        |      / 1000000.0) * (tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (CAST(corpus.sumdl AS DOUBLE) / corpus.n))) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+        |  ROUND((COALESCE(SUM(CASE WHEN term = 'query' THEN s END), 0)
+        |       + COALESCE(SUM(CASE WHEN term = 'dup' THEN s END), 0)
+        |       + COALESCE(SUM(CASE WHEN term = 'batch' THEN s END), 0)) * 10000) / 10000 + 0 AS score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => TextAnalysis.bm25(t(s, d).documents, Seq("query", "dup", "batch"))
+        .orderBy("doc_id")),
+
+    GraftQuery(
       // Canonical text normalization (the pass before any dedup /
       // fingerprint stage): codegen'd regexp_replace chain, RE2/Java
       // shared-syntax subset only.

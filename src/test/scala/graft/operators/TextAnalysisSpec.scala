@@ -189,6 +189,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.size == 6, "k=2 terms for every doc")
   }
 
+  test("bm25: hand-computed tiny corpus") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apple banana apple"), // dl=3
+      (2L, "banana cherry"),      // dl=2
+      (3L, "cherry cherry")).toDF("doc_id", "text") // dl=2, no query term
+    val got = TextAnalysis.bm25(docs, Seq("apple", "banana"))
+      .orderBy("doc_id").as[(Long, Long, Double)].collect().toSeq
+    // N=3, sumdl=7, avgdl=7/3; idf_micro(df) = round(1e6*ln((3-df+0.5)/(df+0.5)+1))
+    def idfM(df: Long): Long =
+      math.floor(math.log((3.0 - df + 0.5) / (df + 0.5) + 1.0) * 1e6 + 0.5).toLong
+    def s(tf: Long, df: Long, dl: Long): Double =
+      (idfM(df) / 1e6) * (tf * (1.2 + 1.0)) /
+        (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / (7.0 / 3)))
+    def r4(x: Double): Double = math.round(x * 10000) / 10000.0
+    assert(got.map(_._1) == Seq(1L, 2L), "doc 3 matches no query term")
+    assert(got(0) == ((1L, 2L, r4(s(2, 1, 3) + s(1, 2, 3))))) // apple tf=2 df=1; banana tf=1 df=2
+    assert(got(1) == ((2L, 1L, r4(s(1, 2, 2)))))
+    // rare term outweighs common at equal tf/dl: idf monotone in df
+    assert(idfM(1) > idfM(2))
+  }
+
+  test("bm25: rejects an unbounded term list") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25(tables.documents, (1 to 20).map(i => s"t$i"))
+    }
+  }
+
   test("tfidfTopTerms: every doc gets at most k rows on the real corpus") {
     val got = TextAnalysis.tfidfTopTerms(tables.documents, k = 3)
     val worst = got.groupBy("doc_id").count().agg(org.apache.spark.sql.functions.max("count"))
