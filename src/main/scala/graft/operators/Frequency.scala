@@ -38,11 +38,24 @@ object Frequency {
       confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     require(k > 0 && k <= 1000, s"k=$k must be in (0, 1000] — top-k rows are collected")
+    // The driver-side estimate/collect path below is LongType-specific
+    // (getLong + the long-hash probe); any other key type would run both
+    // jobs and then throw an opaque ClassCastException.
+    val keyType = df.schema(keyCol).dataType
+    require(keyType == LongType,
+      s"$keyCol is $keyType — heavyHittersVerified probes the sketch with " +
+        "the long hash; cast the key to LONG first")
     val spark = df.sparkSession
     val keyed = df.select(col(keyCol))
     val sketch = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
     val total = sketch.totalCount() // N rides the sketch — no extra count job
-    val slack = math.ceil(eps * total).toLong
+    // Verify at 2x the sketch's declared eps band: the 1-eps-band bound
+    // holds only with per-key probability >= confidence (depth-7 Markov:
+    // ~(1/2)^7 per key, ~8% union over 10 keys — a realistic false-red
+    // on a testdata regeneration). Doubling the band squares away the
+    // tail (P[row extra > 2 eps N] <= 1/4, min over 7 rows ~6e-5/key)
+    // while still asserting the sketch is doing its job.
+    val slack = 2L * math.ceil(eps * total).toLong
     // Deterministic top-k: count desc, key asc — ties are totally ordered.
     val top = keyed.groupBy(keyCol)
       .agg(count(lit(1)).as("n_exact"))

@@ -66,6 +66,8 @@ object TextAnalysis {
     * (doc_id, term, tf, df, score_micro), k rows per doc.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k=$k — a non-positive k would run the full explode " +
+      "and shuffles only to filter every row out")
     import org.apache.spark.sql.expressions.Window
     // The (doc, term) count feeds BOTH the tf side and the df aggregate;
     // without a materialization point Catalyst re-executes the token
@@ -113,6 +115,15 @@ object TextAnalysis {
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty && terms.size <= 16,
       s"${terms.size} query terms — bm25 builds a fixed-order score column per term")
+    // Silent-wrong-result guards: a duplicate term double-counts its
+    // score; an uppercase or multi-word term can never match the
+    // lowercased space-split token stream and silently scores nothing.
+    require(terms.distinct == terms, s"duplicate query terms in $terms")
+    terms.foreach { t =>
+      require(t.nonEmpty && t == t.toLowerCase && !t.exists(_.isWhitespace),
+        s"query term '$t' must be a non-empty lowercase single token " +
+          "(match the tokenizer: lowercased, whitespace-split)")
+    }
     // The per-doc (dl, tf_i) frame feeds BOTH the corpus aggregate and
     // the scoring projection; materialize it (withWorkingSet) or the
     // token explode — the expensive stage — runs once per branch.

@@ -39,20 +39,28 @@ object TimeSeries {
       dayCol: String,
       valueCol: String): DataFrame = {
     val kc = keyCols.map(col)
-    val daily = events.groupBy(kc :+ col(dayCol): _*)
-      .agg(sum(valueCol).as("day_value"))
-    // 1-row global range: broadcast against the distinct key domain.
+    // The daily aggregate feeds THREE branches (the global range, the
+    // key domain, and the fill join). Deriving the branches from a lazy
+    // `daily` does NOT share the scan: Catalyst collapses
+    // distinct-over-aggregate and min/max-over-aggregate into direct
+    // (column-pruned) scans of the raw input — three event-table scans
+    // (measured). Materializing daily via the working-set discipline
+    // pins it to ONE raw scan; daily is |keys| x active-days rows,
+    // orders of magnitude smaller than a 100 TB event table.
     // Deriving the range from data (not literals) keeps the operator
     // scale-factor- and backfill-agnostic.
-    val range = events.agg(min(dayCol).as("__d0"), max(dayCol).as("__d1"))
-    val spine = events.select(kc: _*).distinct()
-      .crossJoin(broadcast(range))
-      .select(kc :+ explode(sequence(col("__d0"), col("__d1"))).as(dayCol): _*)
-    val w = Window.partitionBy(kc: _*).orderBy(col(dayCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    spine.join(daily, keyCols :+ dayCol, "left")
-      .select(kc ++ Seq(col(dayCol), col("day_value"),
-        last(col("day_value"), ignoreNulls = true).over(w).as("filled_value")): _*)
+    TextDedup.withWorkingSet(
+      events.groupBy(kc :+ col(dayCol): _*).agg(sum(valueCol).as("day_value"))) { daily =>
+      val range = daily.agg(min(dayCol).as("__d0"), max(dayCol).as("__d1"))
+      val spine = daily.select(kc: _*).distinct()
+        .crossJoin(broadcast(range))
+        .select(kc :+ explode(sequence(col("__d0"), col("__d1"))).as(dayCol): _*)
+      val w = Window.partitionBy(kc: _*).orderBy(col(dayCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, keyCols :+ dayCol, "left")
+        .select(kc ++ Seq(col(dayCol), col("day_value"),
+          last(col("day_value"), ignoreNulls = true).over(w).as("filled_value")): _*)
+    }
   }
 
   /** Cohort retention matrix: users grouped by their first-activity day,

@@ -835,6 +835,12 @@ object ExtensionQueries {
       // query order via conditional aggregates (never an
       // order-dependent SUM). Terms span the df spectrum (rare 'dup'
       // df≈5%, common 'batch' df≈80%) so idf weighting is exercised.
+      // The (k1 + 1) factor is CAST to DOUBLE in the oracle: DuckDB
+      // would otherwise keep `tf * (1.2 + 1.0)` in exact DECIMAL (e.g.
+      // 3 x 2.2 = 6.6 exactly) where Spark's double multiply yields
+      // 6.6000000000000005 — a 1-ulp pre-round divergence. DuckDB's
+      // DECIMAL division already lands in DOUBLE, so the idf ratio and
+      // dl/avgdl paths are value-identical without casts (probed).
       "ir01_bm25",
       Some("""WITH toks AS (SELECT doc_id,
         |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents),
@@ -845,7 +851,7 @@ object ExtensionQueries {
         |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
         |sc AS (SELECT tf.doc_id, tf.term,
         |    (CAST(FLOOR(ln((corpus.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT)
-        |      / 1000000.0) * (tf.tf * (1.2 + 1.0)) /
+        |      / 1000000.0) * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
         |      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (CAST(corpus.sumdl AS DOUBLE) / corpus.n))) AS s
         |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,

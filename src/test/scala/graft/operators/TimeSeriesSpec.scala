@@ -47,6 +47,29 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count() == keys * days)
   }
 
+  test("gapFillForwardFill scans the input once — daily is a materialized working set") {
+    val ev = tables.events.select(col("user_id"), col("event_type"),
+      to_date(col("ts")).as("day"),
+      floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+    // Default (eager) mode: the three branches read the persisted daily
+    // aggregate — one raw scan during the build, and the returned plan
+    // bottoms out at the checkpointed result, not at the parquet scan.
+    // (A lazy daily measures at THREE raw scans: Catalyst collapses the
+    // derived distinct/min-max branches into direct scans.)
+    val got = TimeSeries.gapFillForwardFill(ev, Seq("user_id", "event_type"), "day", "cents")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan parquet"),
+      s"default mode must return the materialized working-set result:\n${plan.take(1500)}")
+    // Lazy mode stays pushdown-able (no checkpoint) and row-identical.
+    spark.conf.set(TextDedup.MaterializeConf, "none")
+    val lazyRows = try {
+      val lz = TimeSeries.gapFillForwardFill(ev, Seq("user_id", "event_type"), "day", "cents")
+      assert(lz.queryExecution.executedPlan.toString.contains("FileScan parquet"))
+      lz.collect().toSet
+    } finally spark.conf.unset(TextDedup.MaterializeConf)
+    assert(lazyRows == got.collect().toSet)
+  }
+
   test("cohortRetention: day-0 row is the full cohort at retention 1.0") {
     val got = TimeSeries.cohortRetention(tables.events, "user_id", "ts")
     val day0 = got.filter(col("days_since") === 0)
