@@ -185,7 +185,13 @@ object TextDedup {
     * cheap — and the pair generation is an equi-join on
     * (band_id, band_key), the step that makes this scale.
     */
-  def lshCandidatePairs(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+  /** (doc_id, band_id, band_key) rows from a signature frame — the
+    * banding step shared by the batch candidate join and the streaming
+    * candidate operator ([[graft.streaming.StatefulOps.lshCandidateStream]]):
+    * one banding definition, so batch and stream bucket identically.
+    * Pure projection + explode — runs unchanged on a streaming Dataset.
+    */
+  def bandRows(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = sig.columns.count(_.startsWith("sig"))
     require(numHashes % rowsPerBand == 0, s"$numHashes signatures not divisible into bands of $rowsPerBand")
     val bandStructs = (0 until numHashes / rowsPerBand).map { b =>
@@ -193,9 +199,12 @@ object TextDedup {
         .map(r => s"CAST(sig${b * rowsPerBand + r} AS STRING)").mkString(", ")
       expr(s"named_struct('band_id', $b, 'band_key', concat_ws('|', $keyCols))")
     }
-    val bands = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
+  }
+
+  def lshCandidatePairs(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
+    val bands = bandRows(sig, rowsPerBand)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
     val b = bands.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key"))
     a.join(b, Seq("band_id", "band_key"))

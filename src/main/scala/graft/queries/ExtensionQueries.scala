@@ -296,6 +296,35 @@ object ExtensionQueries {
         s, t(s, d).events.select("user_id", "event_id", "ts"))),
 
     GraftQuery(
+      // Streaming near-dup detection ON INGEST (st09): the whole
+      // minhash fingerprint pipeline — zero-shuffle signatures + the
+      // SHARED banding projection (TextDedup.bandRows) — runs inside
+      // the streaming query, with band-bucket keyed state
+      // (StatefulOps.lshCandidateStream) emitting each candidate pair
+      // when its second member arrives. The oracle is the BATCH band
+      // self-join (the dd02 candidate stage in DuckDB SQL):
+      // arrival-order-invariance means the distinct streamed pairs
+      // equal the batch candidates on any chunking.
+      "st09_stream_lsh_candidates",
+      Some(ShingleCte +
+        """,
+        |seeds AS (SELECT unnest(range(16)) AS seed),
+        |h AS (
+        |  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+        |         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2 FROM sh),
+        |sig AS (
+        |  SELECT doc_id, seed, MIN((h1 + seed * h2) % 281474976710656) AS sig
+        |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+        |band AS (
+        |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
+        |  FROM sig GROUP BY doc_id, seed // 4)
+        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+        |ORDER BY doc_a, doc_b""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.lshCandidateReplay(
+        s, t(s, d).documents.select("doc_id", "text"))),
+
+    GraftQuery(
       // The CUSTOM-KEYED-STATE operator made driver-visible (st05):
       // flatMapGroupsWithState CDC view maintenance
       // (StatefulOps.latestByKeyStream) replayed with late-displaced

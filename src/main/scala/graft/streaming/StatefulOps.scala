@@ -178,6 +178,54 @@ object StatefulOps {
       }
   }
 
+  /** Streaming LSH candidate emission — near-dup detection ON INGEST.
+    *
+    * Input: (band_id, band_key, doc_id) rows
+    * ([[graft.operators.TextDedup.bandRows]] over streaming minhash
+    * signatures). Keyed state per band bucket holds the sorted distinct
+    * doc ids seen so far; each micro-batch emits every (old, new) and
+    * (new, new) pair as (doc_a < doc_b) — exactly the pairs the batch
+    * band self-join produces, but incrementally, as documents arrive.
+    * A pair sharing several buckets is emitted once per bucket (same as
+    * the batch join before DISTINCT); dedup downstream.
+    *
+    * Arrival-order-invariant by construction: a pair is emitted when
+    * its second member arrives, whatever the chunking — so the distinct
+    * streamed pairs equal the batch candidates on any replay split (the
+    * st09 gate).
+    *
+    * State is one id list per OCCUPIED bucket: it scales with the
+    * near-dup cluster structure, not stream length; a hot bucket (mass
+    * duplication of one document) produces quadratic pairs because LSH
+    * candidate semantics DEMAND those pairs — cap upstream (drop or
+    * sample exact-dup clusters before banding) if that is not wanted.
+    * No timeout here: production would add a TTL timeout keyed to the
+    * dedup horizon the service guarantees.
+    */
+  def lshCandidateStream(bands: Dataset[(Int, String, Long)]): Dataset[(Long, Long)] = {
+    implicit val outEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[(Int, String)] = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val stEnc: Encoder[Seq[Long]] = Encoders.kryo[Seq[Long]]
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, String), it: Iterator[(Int, String, Long)], state: GroupState[Seq[Long]]) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val oldSet = old.toSet
+          val incoming = it.map(_._3).toSeq.distinct.filterNot(oldSet).sorted
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            state.update(old ++ incoming)
+            val out = Seq.newBuilder[(Long, Long)]
+            for (d <- incoming; m <- old)
+              out += ((math.min(d, m), math.max(d, m)))
+            for (i <- incoming.indices; j <- i + 1 until incoming.size)
+              out += ((incoming(i), incoming(j)))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Per-key admission limit across the whole stream: at most
     * `maxPerKey` events per key pass; the rest are dropped, however many
     * batches they span (Append mode, flatMap = 0..N outputs per group).

@@ -290,6 +290,67 @@ object StreamReplay {
     }
   }
 
+  /** Replays `docs` through the streaming LSH candidate operator
+    * ([[StatefulOps.lshCandidateStream]]) — near-dup detection ON
+    * INGEST, the streaming twin of the batch dd02 pipeline's candidate
+    * stage. The WHOLE fingerprint pipeline runs inside the streaming
+    * query: zero-shuffle minhash signatures
+    * ([[graft.operators.TextDedup.minhashSignaturesNoShuffle]] — a pure
+    * projection, so it runs unchanged on the stream) → the SHARED
+    * banding projection (TextDedup.bandRows — one definition for batch
+    * and stream) → band-bucket keyed state emitting each candidate
+    * pair when its second member arrives.
+    *
+    * Docs are fed in `nChunks` doc_id-ordered micro-batches (no event
+    * time — candidate emission is arrival-order-invariant, which is
+    * exactly the property the gate exercises: the distinct streamed
+    * pairs must equal the batch band self-join on ANY chunking).
+    * Returns distinct (doc_a, doc_b), ordered.
+    */
+  def lshCandidateReplay(spark: SparkSession, docs: DataFrame, nChunks: Int = 6): DataFrame = {
+    import graft.operators.TextDedup
+    val rows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.STRING))
+      .collect().sortBy(_._1)
+    val chunks = chunked(rows, nChunks)
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    import replay.implicits._
+    val ms = MemoryStream[(Long, String)]
+    val bands = TextDedup.bandRows(
+        TextDedup.minhashSignaturesNoShuffle(ms.toDF.toDF("doc_id", "text")))
+      .select(col("band_id").cast("int"), col("band_key"), col("doc_id").cast("long"))
+      .as[(Int, String, Long)]
+    val stream = StatefulOps.lshCandidateStream(bands)
+      .toDF("doc_a", "doc_b")
+
+    val name = s"st_lshreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        chunks.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch.toSeq); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      // A pair sharing several buckets is emitted once per bucket (the
+      // batch join's pre-DISTINCT shape) — dedup at the collection
+      // boundary, same as the batch candidate consumer does.
+      val out = replay.table(name).distinct().orderBy("doc_a", "doc_b")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Replays `events` through the CUSTOM-KEYED-STATE operator
     * [[StatefulOps.latestByKeyStream]] (flatMapGroupsWithState, Update
     * mode — the stream half of Upsert.latestByKey / CDC view

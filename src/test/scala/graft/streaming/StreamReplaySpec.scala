@@ -135,6 +135,35 @@ class StreamReplaySpec extends SparkSpec {
     assert(streamed == batch, s"streamed ${streamed.size} rows != batch ${batch.size}")
   }
 
+  test("streaming LSH candidates equal the batch band self-join on any chunking") {
+    import graft.operators.TextDedup
+    val docs = tables.documents.select("doc_id", "text")
+    val batch = TextDedup.lshCandidatePairs(
+        TextDedup.minhashSignatures(TextDedup.shingleSet(docs)))
+      .distinct().orderBy("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSeq
+    assert(batch.nonEmpty, "expected planted near-dup candidates in testdata")
+    // two different chunkings must both converge to the batch candidates
+    for (n <- Seq(3, 6)) {
+      val streamed = StreamReplay.lshCandidateReplay(spark, docs, nChunks = n)
+        .as[(Long, Long)].collect().toSeq
+      assert(streamed == batch, s"nChunks=$n: ${streamed.size} != batch ${batch.size}")
+    }
+  }
+
+  test("lshCandidateStream emits a cross-batch pair exactly when the second member arrives") {
+    // crafted: docs 1 and 2 are identical (all 4 bands collide), doc 3
+    // unrelated; 1 arrives in batch A, 2 in batch B — the pair must be
+    // emitted in batch B, once per shared bucket, and never again.
+    val d1 = (1L, "alpha beta gamma delta epsilon zeta")
+    val d2 = (2L, "alpha beta gamma delta epsilon zeta")
+    val d3 = (3L, "one two three four five six seven")
+    val got = StreamReplay.lshCandidateReplay(
+      spark, Seq(d1, d3, d2).toDF("doc_id", "text"), nChunks = 3)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L)))
+  }
+
   test("replay never mutates the caller's shuffle-partitions conf, even mid-run") {
     // The 8-partition override must live in the replay's private child
     // session (spark.newSession()). A background sampler polls the
