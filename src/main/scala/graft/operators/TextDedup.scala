@@ -203,6 +203,46 @@ object TextDedup {
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
   }
 
+  /** Persist the LSH band index of a corpus: the (band_id, band_key,
+    * doc_id) rows, computed via the zero-shuffle signature path (pure
+    * scan — the corpus is read once, nothing else shuffles). The saved
+    * index is what makes dedup INCREMENTAL: a later ingest batch joins
+    * its own bands against this table instead of re-fingerprinting the
+    * historical corpus. At warehouse scale, write it `bucketBy`
+    * (band_key) once so every nightly join is shuffle-free on the index
+    * side; the plain parquet form here keeps the fixture portable.
+    */
+  def saveBandIndex(docs: DataFrame, path: String,
+                    numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
+    bandRows(minhashSignaturesNoShuffle(docs, numHashes = numHashes), rowsPerBand)
+      .write.mode("overwrite").parquet(path)
+
+  /** Candidate pairs INVOLVING a new batch of documents, against a
+    * persisted [[saveBandIndex]] corpus: (indexed x new) bucket
+    * collisions plus (new x new) — never (indexed x indexed), those
+    * were emitted when the index was built. The historical corpus costs
+    * one index READ; only the new batch is fingerprinted. Output
+    * (doc_a < doc_b), distinct.
+    */
+  def incrementalCandidatePairs(newDocs: DataFrame, indexPath: String,
+                                numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(indexPath)
+    val nb = bandRows(minhashSignaturesNoShuffle(newDocs, numHashes = numHashes), rowsPerBand)
+    val oldNew = idx.select(col("doc_id").as("doc_o"), col("band_id"), col("band_key"))
+      .join(nb.select(col("doc_id").as("doc_n"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("doc_o") =!= col("doc_n"))
+      .select(least(col("doc_o"), col("doc_n")).as("doc_a"),
+        greatest(col("doc_o"), col("doc_n")).as("doc_b"))
+    val newNew = nb.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+      .join(nb.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
+        Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+    oldNew.union(newNew).distinct()
+  }
+
   def lshCandidatePairs(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val bands = bandRows(sig, rowsPerBand)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))

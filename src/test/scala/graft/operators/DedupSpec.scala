@@ -18,6 +18,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("incremental candidates vs a saved band index equal the batch pairs involving new docs") {
+    import org.apache.spark.sql.functions.col
+    val old = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val fresh = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val idx = tmpDir("bandidx")
+    TextDedup.saveBandIndex(old, idx)
+    val got = TextDedup.incrementalCandidatePairs(fresh, idx)
+      .orderBy("doc_a", "doc_b").as[(Long, Long)].collect().toSeq
+    val all = TextDedup.lshCandidatePairs(
+        TextDedup.minhashSignatures(TextDedup.shingleSet(docs.select("doc_id", "text"))))
+      .distinct().as[(Long, Long)].collect().toSeq
+    val want = all.filter(p => p._1 % 10 == 0 || p._2 % 10 == 0).sorted
+    assert(want.nonEmpty, "expected candidates involving the new slice in testdata")
+    assert(got == want)
+    // never an (indexed x indexed) pair — those were found at index build
+    assert(got.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
+  }
+
   test("materialize=none returns identical results from a fully lazy plan") {
     // Lazy cluster mode must be value-identical to the default eager
     // mode — only the caching/checkpointing strategy differs.

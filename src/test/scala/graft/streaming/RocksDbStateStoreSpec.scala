@@ -45,6 +45,24 @@ class RocksDbStateStoreSpec extends SparkSpec {
     } finally spark.conf.set(Provider, prev)
   }
 
+  test("st09 LSH-candidate replay output is identical under the RocksDB state store") {
+    // The candidate stream is the one st* operator whose state uses a
+    // kryo-encoded Seq[Long] per band bucket — the opaque-binary state
+    // shape most worth pinning across providers.
+    val docs = tables.documents.select("doc_id", "text")
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val defaultRows = sortedRows(StreamReplay.lshCandidateReplay(spark, docs))
+    assert(defaultRows.nonEmpty)
+    val prev = spark.conf.get(Provider)
+    spark.conf.set(Provider, RocksDb)
+    try {
+      val rocksRows = sortedRows(StreamReplay.lshCandidateReplay(spark, docs))
+      assert(rocksRows == defaultRows,
+        s"RocksDB LSH replay diverged: ${rocksRows.size} vs ${defaultRows.size} rows")
+    } finally spark.conf.set(Provider, prev)
+  }
+
   test("st08 funnel replay output is identical under the RocksDB state store") {
     // The funnel carries the richest state shape of the st* family
     // (per-user times + candidate frontiers, a nested Seq[Seq[Long]]
