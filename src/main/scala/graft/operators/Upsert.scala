@@ -73,4 +73,41 @@ object Upsert {
       .withColumn("valid_to", lead(col(tsCol), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Snapshot diff: classify every key across two table versions as
+    * `added` (new only), `removed` (old only), or `changed` (present in
+    * both with any compare column differing, null-safely) — the
+    * change-data-feed a lakehouse derives between versions when no
+    * change log was captured. `unchanged` keys are dropped (at 100 TB
+    * they are the overwhelming bulk; emitting them would turn a diff
+    * into a copy).
+    *
+    * ONE full outer equi-join on the key — both sides shuffle once on
+    * the key columns; comparisons are codegen'd null-safe equality.
+    * Keys must be unique per snapshot (it is a diff of keyed versions,
+    * not a multiset diff); enforce upstream with [[latestByKey]].
+    * Output: keys*, change ('added'|'removed'|'changed'),
+    * old_<c>/new_<c> per compare column.
+    */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "snapshotDiff needs at least one key column")
+    require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    // __present markers distinguish a missing row from a row of nulls
+    // (a key whose compare columns are all null is still PRESENT).
+    val o = oldSnap.select(
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"old_$c")) :+ lit(1).as("__po"): _*)
+    val n = newSnap.select(
+      keys.map(col) ++ compareCols.map(c => col(c).as(s"new_$c")) :+ lit(1).as("__pn"): _*)
+    val changed = compareCols
+      .map(c => !(col(s"old_$c") <=> col(s"new_$c")))
+      .reduce(_ || _)
+    o.join(n, keys, "full_outer")
+      .withColumn("change",
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
+          .when(changed, "changed"))
+      .filter(col("change").isNotNull)
+      .drop("__po", "__pn")
+  }
 }

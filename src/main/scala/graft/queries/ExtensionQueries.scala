@@ -983,6 +983,41 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Snapshot diff (Upsert.snapshotDiff): the change-data-feed
+      // derived between two keyed table versions when no change log was
+      // captured — added/removed/changed per key, unchanged keys
+      // dropped (at 100 TB they are the bulk; emitting them turns a
+      // diff into a copy). One full outer equi-join, both sides shuffle
+      // once on the key. Old = orderkey % 11 != 0; new = orderkey % 13
+      // != 0 with even-key prices bumped one cent — so all three
+      // classes are populated from deterministic arithmetic.
+      "up04_snapshot_diff",
+      Some("""WITH o AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders WHERE o_orderkey % 11 <> 0),
+        |n AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)
+        |    + CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS cents
+        |  FROM orders WHERE o_orderkey % 13 <> 0)
+        |SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN n.o_orderkey IS NULL THEN 'removed' ELSE 'changed' END AS change,
+        |  o.cents AS old_cents, n.cents AS new_cents
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL OR o.cents <> n.cents
+        |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val base = t(s, d).orders.select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        graft.operators.Upsert.snapshotDiff(
+            base.filter(col("o_orderkey") % 11 =!= 0),
+            base.filter(col("o_orderkey") % 13 =!= 0)
+              .withColumn("cents", col("cents") +
+                when(col("o_orderkey") % 2 === 0, 1).otherwise(0)),
+            keys = Seq("o_orderkey"), compareCols = Seq("cents"))
+          .select("o_orderkey", "change", "old_cents", "new_cents")
+          .orderBy("o_orderkey")
+      }),
+
+    GraftQuery(
       // Gopher-style repetition filters (word-n-gram form): most
       // frequent bigram's share of bigram occurrences + fraction of
       // trigram occurrences in duplicated trigrams, with the keep/drop

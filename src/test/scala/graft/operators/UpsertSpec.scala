@@ -73,4 +73,31 @@ class UpsertSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), "per-key window must not plan a global sort")
   }
+
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    import spark.implicits._
+    val old = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, None: Option[Long]), (4L, Some(40L)))
+      .toDF("k", "v")
+    val neu = Seq((2L, Some(21L)), (3L, None: Option[Long]), (4L, Some(40L)), (5L, Some(50L)))
+      .toDF("k", "v")
+    val got = Upsert.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .orderBy("k")
+      .as[(Long, Option[Long], Option[Long], String)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some(10L), None, "removed"),
+      (2L, Some(20L), Some(21L), "changed"),
+      (5L, None, Some(50L), "added")))
+    // key 3 (null <=> null) and key 4 (equal) are dropped as unchanged
+    assert(!got.exists(r => r._1 == 3L || r._1 == 4L))
+    val plan = Upsert.snapshotDiff(old, neu, Seq("k"), Seq("v"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FullOuter"))
+  }
+
+  test("snapshotDiff rejects empty key or compare lists") {
+    import spark.implicits._
+    val df = Seq((1L, 2L)).toDF("k", "v")
+    intercept[IllegalArgumentException] { Upsert.snapshotDiff(df, df, Seq(), Seq("v")) }
+    intercept[IllegalArgumentException] { Upsert.snapshotDiff(df, df, Seq("k"), Seq()) }
+  }
 }
