@@ -179,17 +179,19 @@ object TextDedup {
     slices.reduce((a, b) => s"zip_with($a, $b, (x, y) -> concat(x, ' ', y))")
   }
 
-  /** LSH banding over the wide signature matrix: docs agreeing on every
-    * signature of a band become a candidate pair. Returns distinct
-    * (doc_a, doc_b), a < b. The band explode happens on |docs| rows —
-    * cheap — and the pair generation is an equi-join on
-    * (band_id, band_key), the step that makes this scale.
-    */
   /** (doc_id, band_id, band_key) rows from a signature frame — the
     * banding step shared by the batch candidate join and the streaming
     * candidate operator ([[graft.streaming.StatefulOps.lshCandidateStream]]):
     * one banding definition, so batch and stream bucket identically.
     * Pure projection + explode — runs unchanged on a streaming Dataset.
+    *
+    * Shingle-less docs (fewer than n words, empty/null text) carry
+    * all-NULL signatures on the no-shuffle path; `concat_ws` would
+    * collapse every such doc into one shared "" bucket — a quadratic
+    * spurious-candidate explosion among short docs at web-corpus scale,
+    * and a divergence from the grouped path and the oracle (both drop
+    * them with the shingle explode). They are filtered here so every
+    * banding consumer gets the dropped-doc semantics.
     */
   def bandRows(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = sig.columns.count(_.startsWith("sig"))
@@ -199,7 +201,10 @@ object TextDedup {
         .map(r => s"CAST(sig${b * rowsPerBand + r} AS STRING)").mkString(", ")
       expr(s"named_struct('band_id', $b, 'band_key', concat_ws('|', $keyCols))")
     }
-    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+    // sigs are all-null together (one empty shingle array), so sig0
+    // alone decides
+    sig.filter(col("sig0").isNotNull)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
   }
 
@@ -228,21 +233,33 @@ object TextDedup {
                                 numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
     val spark = newDocs.sparkSession
     val idx = spark.read.parquet(indexPath)
-    val nb = bandRows(minhashSignaturesNoShuffle(newDocs, numHashes = numHashes), rowsPerBand)
-    val oldNew = idx.select(col("doc_id").as("doc_o"), col("band_id"), col("band_key"))
-      .join(nb.select(col("doc_id").as("doc_n"), col("band_id"), col("band_key")),
-        Seq("band_id", "band_key"))
-      .filter(col("doc_o") =!= col("doc_n"))
-      .select(least(col("doc_o"), col("doc_n")).as("doc_a"),
-        greatest(col("doc_o"), col("doc_n")).as("doc_b"))
-    val newNew = nb.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
-      .join(nb.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
-        Seq("band_id", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-    oldNew.union(newNew).distinct()
+    // The new batch's band rows feed THREE join branches (old-new probe
+    // + both sides of the new-new self-join); working-set
+    // materialization keeps the fingerprint pipeline — the dominant
+    // cost — at one evaluation, as the docstring promises.
+    withWorkingSet(
+      bandRows(minhashSignaturesNoShuffle(newDocs, numHashes = numHashes), rowsPerBand)) { nb =>
+      val oldNew = idx.select(col("doc_id").as("doc_o"), col("band_id"), col("band_key"))
+        .join(nb.select(col("doc_id").as("doc_n"), col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"))
+        .filter(col("doc_o") =!= col("doc_n"))
+        .select(least(col("doc_o"), col("doc_n")).as("doc_a"),
+          greatest(col("doc_o"), col("doc_n")).as("doc_b"))
+      val newNew = nb.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
+        .join(nb.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
+          Seq("band_id", "band_key"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b")
+      oldNew.union(newNew).distinct()
+    }
   }
 
+  /** LSH banding over the wide signature matrix: docs agreeing on every
+    * signature of a band become a candidate pair. Returns distinct
+    * (doc_a, doc_b), a < b. The band explode happens on |docs| rows —
+    * cheap — and the pair generation is an equi-join on
+    * (band_id, band_key), the step that makes this scale.
+    */
   def lshCandidatePairs(sig: DataFrame, rowsPerBand: Int = 4): DataFrame = {
     val bands = bandRows(sig, rowsPerBand)
     val a = bands.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))

@@ -86,13 +86,18 @@ object Upsert {
     * the key columns; comparisons are codegen'd null-safe equality.
     * Keys must be unique per snapshot (it is a diff of keyed versions,
     * not a multiset diff); enforce upstream with [[latestByKey]].
-    * Output: keys*, change ('added'|'removed'|'changed'),
-    * old_<c>/new_<c> per compare column.
+    * Output: keys*, old_<c>/new_<c> per compare column, then
+    * change ('added'|'removed'|'changed') last.
     */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keys: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "snapshotDiff needs at least one key column")
     require(compareCols.nonEmpty, "snapshotDiff needs at least one compare column")
+    val generated = compareCols.flatMap(c => Seq(s"old_$c", s"new_$c")) ++
+      Seq("change", "__po", "__pn")
+    val collisions = keys.intersect(generated)
+    require(collisions.isEmpty,
+      s"key columns $collisions collide with generated output columns — rename the keys")
     // __present markers distinguish a missing row from a row of nulls
     // (a key whose compare columns are all null is still PRESENT).
     val o = oldSnap.select(

@@ -36,41 +36,41 @@ object ExtensionQueries {
     * Fixtures' abandon-on-disk default is fine for KB-scale partsupp,
     * not for per-regeneration corpus duplicates).
     */
-  private def ivfLoaded(s: SparkSession, d: String): IvfIndex = {
+  private def ivfLoaded(s: SparkSession, d: String): IvfIndex =
+    IvfIndex.load(s, corpusFixture(d, "embeddings", "ivf") { tmp =>
+      IvfIndex.build(t(s, d).embeddings.select(col("vec_id"), col("embedding")),
+        nLists = 16, seed = 42L).save(tmp.toString)
+    })
+
+  /** Shared mtime-versioned fixture discipline for per-sfDir derived
+    * indexes ([[ivfLoaded]], [[bandIndexLoaded]]): version = the source
+    * table's mtime (driver testdata regeneration self-invalidates),
+    * superseded versions of THIS dataset's fixture pruned before ensure
+    * (each holds a corpus-sized artifact — Fixtures' abandon-on-disk
+    * default fits KB-scale partsupp, not per-regeneration corpus
+    * copies). One implementation so a prune-logic fix lands everywhere.
+    */
+  private def corpusFixture(d: String, sourceTable: String, prefix: String)(
+      generate: java.io.File => Unit): String = {
     val mtime = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(d, "embeddings.parquet")).toMillis
-    val name = s"ivf-${graft.Fixtures.pathTag(d)}"
+      java.nio.file.Paths.get(d, s"$sourceTable.parquet")).toMillis
+    val name = s"$prefix-${graft.Fixtures.pathTag(d)}"
     val parent = new java.io.File(s"${sys.props("user.dir")}/fixtures")
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
       .filter(f => f.getName.startsWith(s"$name-") && f.getName != s"$name-$mtime")
       .foreach(graft.Fixtures.deleteRecursively)
-    val dir = graft.Fixtures.ensure(name, mtime.toString) { tmp =>
-      IvfIndex.build(t(s, d).embeddings.select(col("vec_id"), col("embedding")),
-        nLists = 16, seed = 42L).save(tmp.toString)
-    }
-    IvfIndex.load(s, dir)
+    graft.Fixtures.ensure(name, mtime.toString)(generate)
   }
 
   /** Persisted LSH band index over the "historical" corpus slice
-    * (doc_id % 10 != 0) for dd11 — the same once-per-workdir fixture
-    * discipline as [[ivfLoaded]] (versioned by the documents table's
-    * mtime so driver testdata regeneration self-invalidates; superseded
-    * versions pruned — each holds a corpus-sized band table).
-    */
-  private def bandIndexLoaded(s: SparkSession, d: String): String = {
-    val mtime = java.nio.file.Files.getLastModifiedTime(
-      java.nio.file.Paths.get(d, "documents.parquet")).toMillis
-    val name = s"bandidx-${graft.Fixtures.pathTag(d)}"
-    val parent = new java.io.File(s"${sys.props("user.dir")}/fixtures")
-    Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith(s"$name-") && f.getName != s"$name-$mtime")
-      .foreach(graft.Fixtures.deleteRecursively)
-    graft.Fixtures.ensure(name, mtime.toString) { tmp =>
+    * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
+    * discipline. */
+  private def bandIndexLoaded(s: SparkSession, d: String): String =
+    corpusFixture(d, "documents", "bandidx") { tmp =>
       TextDedup.saveBandIndex(
         t(s, d).documents.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
         tmp.toString)
     }
-  }
 
   /** Shared oracle CTE: distinct 3-gram shingles per document. */
   private val ShingleCte =
@@ -80,6 +80,23 @@ object ExtensionQueries {
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, greatest(len(t)-1,1))]) AS s
       |    FROM toks) q)""".stripMargin
+
+  /** Shared oracle CTE: [[ShingleCte]] + 16-seed Carter-Wegman minhash
+    * signatures + 4-row band keys — ONE SQL text for every banding
+    * oracle (dd02, dd11, st09), so a banding-formula change cannot
+    * silently desynchronize one of them. */
+  private val BandCte = ShingleCte +
+    """,
+      |seeds AS (SELECT unnest(range(16)) AS seed),
+      |h AS (
+      |  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
+      |         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2 FROM sh),
+      |sig AS (
+      |  SELECT doc_id, seed, MIN((h1 + seed * h2) % 281474976710656) AS sig
+      |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+      |band AS (
+      |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
+      |  FROM sig GROUP BY doc_id, seed // 4)""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -326,18 +343,8 @@ object ExtensionQueries {
       // oracle recomputes the full band self-join and keeps exactly the
       // pairs involving a new doc.
       "dd11_incremental_candidates",
-      Some(ShingleCte +
-        """,
-        |seeds AS (SELECT unnest(range(16)) AS seed),
-        |h AS (
-        |  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
-        |         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2 FROM sh),
-        |sig AS (
-        |  SELECT doc_id, seed, MIN((h1 + seed * h2) % 281474976710656) AS sig
-        |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-        |band AS (
-        |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
-        |  FROM sig GROUP BY doc_id, seed // 4)
+      Some(BandCte +
+        """
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
@@ -358,18 +365,8 @@ object ExtensionQueries {
       // arrival-order-invariance means the distinct streamed pairs
       // equal the batch candidates on any chunking.
       "st09_stream_lsh_candidates",
-      Some(ShingleCte +
-        """,
-        |seeds AS (SELECT unnest(range(16)) AS seed),
-        |h AS (
-        |  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
-        |         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2 FROM sh),
-        |sig AS (
-        |  SELECT doc_id, seed, MIN((h1 + seed * h2) % 281474976710656) AS sig
-        |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-        |band AS (
-        |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
-        |  FROM sig GROUP BY doc_id, seed // 4)
+      Some(BandCte +
+        """
         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
@@ -1174,18 +1171,8 @@ object ExtensionQueries {
 
     GraftQuery(
       "dd02_minhash_lsh",
-      Some(ShingleCte +
+      Some(BandCte +
         """,
-        |seeds AS (SELECT unnest(range(16)) AS seed),
-        |h AS (
-        |  SELECT doc_id, s, ('0x' || substr(md5(s), 1, 12))::BIGINT AS h1,
-        |         ('0x' || substr(md5(s), 13, 12))::BIGINT AS h2 FROM sh),
-        |sig AS (
-        |  SELECT doc_id, seed, MIN((h1 + seed * h2) % 281474976710656) AS sig
-        |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-        |band AS (
-        |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
-        |  FROM sig GROUP BY doc_id, seed // 4),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),

@@ -36,6 +36,25 @@ class DedupSpec extends SparkSpec {
     assert(got.forall(p => p._1 % 10 == 0 || p._2 % 10 == 0))
   }
 
+  test("shingle-less docs never band: no spurious \"\" bucket on the no-shuffle path") {
+    import org.apache.spark.sql.functions.col
+    // two <3-word docs would share an all-NULL signature row; concat_ws
+    // would collapse them into one "" bucket → 4 spurious candidate
+    // pairs, diverging from the grouped path and the oracle (both drop
+    // them at the shingle explode)
+    val docs = Seq((1L, "hi there"), (2L, "ok bye"),
+      (3L, "alpha beta gamma delta"), (4L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val bands = TextDedup.bandRows(TextDedup.minhashSignaturesNoShuffle(docs))
+    assert(bands.filter(col("doc_id").isin(1L, 2L)).count() == 0,
+      "short docs must be dropped, not banded into a shared empty key")
+    val idx = tmpDir("bandidx-short")
+    TextDedup.saveBandIndex(docs.filter(col("doc_id") <= 2), idx)
+    val got = TextDedup.incrementalCandidatePairs(docs.filter(col("doc_id") >= 3), idx)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((3L, 4L)), s"only the real near-dup pair may survive, got $got")
+  }
+
   test("materialize=none returns identical results from a fully lazy plan") {
     // Lazy cluster mode must be value-identical to the default eager
     // mode — only the caching/checkpointing strategy differs.
