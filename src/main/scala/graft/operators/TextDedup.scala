@@ -213,9 +213,13 @@ object TextDedup {
     * scan — the corpus is read once, nothing else shuffles). The saved
     * index is what makes dedup INCREMENTAL: a later ingest batch joins
     * its own bands against this table instead of re-fingerprinting the
-    * historical corpus. At warehouse scale, write it `bucketBy`
-    * (band_key) once so every nightly join is shuffle-free on the index
-    * side; the plain parquet form here keeps the fixture portable.
+    * historical corpus. At warehouse scale, write it `bucketBy` a
+    * SINGLE composite key (concat of band_id and band_key — bucket
+    * keys must BE the join keys; a band_key-only bucketing cannot
+    * co-partition with a two-column join and reshuffles both sides)
+    * so every nightly join leaves the index side exchange-free
+    * (plan-gated in DedupSpec); the plain parquet form here keeps the
+    * fixture portable.
     */
   def saveBandIndex(docs: DataFrame, path: String,
                     numHashes: Int = 16, rowsPerBand: Int = 4): Unit =

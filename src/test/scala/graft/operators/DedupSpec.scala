@@ -55,6 +55,63 @@ class DedupSpec extends SparkSpec {
     assert(got == Seq((3L, 4L)), s"only the real near-dup pair may survive, got $got")
   }
 
+  test("bucketed band index joins with zero Exchange on the index side") {
+    import org.apache.spark.sql.functions.col
+    // The saveBandIndex scaladoc's warehouse-scale claim, proven: a
+    // band index written bucketBy(band_key) feeds the candidate join
+    // without re-shuffling — HashPartitioning(band_key) satisfies the
+    // (band_id, band_key) clustering requirement (subset rule), so only
+    // the (small) new-batch side exchanges. The recurring nightly join
+    // cost is then the new batch alone, whatever the index size.
+    val old = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+    val fresh = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+    val table = s"band_idx_bucketed_${System.nanoTime()}"
+    // ONE composite bucket column: co-partitioning requires the bucket
+    // keys to BE the join keys (a band_key-only bucketing cannot pair
+    // with a (band_id, band_key) join — EnsureRequirements reshuffles
+    // both sides); band_id is a numeric prefix, '#' cannot occur in it,
+    // so the concat is unambiguous.
+    def keyed(bands: org.apache.spark.sql.DataFrame) =
+      bands.withColumn("bucket", concat_ws("#", col("band_id"), col("band_key")))
+    Layout.writeBucketed(
+      keyed(TextDedup.bandRows(TextDedup.minhashSignaturesNoShuffle(old))), table, "bucket", 8)
+    // At this tiny SF the planner would broadcast the new side and skip
+    // bucketed reading entirely ("disabled by query planner") — the
+    // warehouse regime being proven is the SHUFFLE join, so pin it.
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqeBcast = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevBcast)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = spark.table(table)
+      val nb = keyed(TextDedup.bandRows(TextDedup.minhashSignaturesNoShuffle(fresh)))
+      val joined = idx.select(col("doc_id").as("doc_o"), col("bucket"))
+        .join(nb.select(col("doc_id").as("doc_n"), col("bucket")), Seq("bucket"))
+      joined.collect() // finalize AQE
+      val plan = graft.PlanSig.finalPlanText(joined)
+      // exactly ONE hash exchange: the new side aligning to the
+      // index's buckets; the index side reads pre-partitioned
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges == 1,
+        s"index side must read pre-bucketed (1 exchange = new side only), got $exchanges:\n${plan.take(1500)}")
+      assert(plan.contains("Bucketed: true"),
+        s"join must consume the bucketed layout:\n${plan.take(1500)}")
+      // and the join result equals the unbucketed old-new candidates
+      val viaIdx = joined.filter(col("doc_o") =!= col("doc_n"))
+        .selectExpr("least(doc_o, doc_n) AS a", "greatest(doc_o, doc_n) AS b")
+        .distinct().as[(Long, Long)].collect().toSet
+      val all = TextDedup.lshCandidatePairs(
+          TextDedup.minhashSignatures(TextDedup.shingleSet(docs.select("doc_id", "text"))))
+        .as[(Long, Long)].collect().toSet
+      val wantOldNew = all.filter(p => (p._1 % 10 == 0) != (p._2 % 10 == 0))
+      assert(viaIdx == wantOldNew)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqeBcast)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("materialize=none returns identical results from a fully lazy plan") {
     // Lazy cluster mode must be value-identical to the default eager
     // mode — only the caching/checkpointing strategy differs.
