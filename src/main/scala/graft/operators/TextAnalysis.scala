@@ -166,6 +166,29 @@ object TextAnalysis {
     }
   }
 
+  /** Signed feature hashing (the "hashing trick"): tokens map to a
+    * fixed bucket space via md5, with a ±1 sign from an independent
+    * hash digit so collisions cancel in expectation — the
+    * vocabulary-free text→sparse-vector step of a scalable featurizer
+    * (no vocab table to build, broadcast, or keep consistent across
+    * runs). One explode + one (doc, bucket) hash aggregate; the output
+    * is bounded by |docs| × min(numBuckets, distinct tokens per doc),
+    * never by vocabulary size. md5-derived buckets/signs are the usual
+    * cross-engine discipline (NOTES invariant #3). Output:
+    * (doc_id, bucket, weight).
+    */
+  def featureHash(docs: DataFrame, numBuckets: Int = 1024): DataFrame = {
+    require(numBuckets > 0, s"numBuckets=$numBuckets must be positive")
+    tokenStream(docs)
+      .withColumn("bucket",
+        pmod(expr("CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)"), lit(numBuckets.toLong)))
+      .withColumn("__sign",
+        when(expr("CAST(conv(substring(md5(w), 9, 1), 16, 10) AS BIGINT)") % 2 === 0, 1L)
+          .otherwise(-1L))
+      .groupBy("doc_id", "bucket")
+      .agg(sum("__sign").as("weight"))
+  }
+
   /** Token counts per doc: whitespace tokens, regex word-ish tokens, and
     * a chars/4 BPE-token estimate. */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -941,6 +941,23 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     GraftQuery(
+      // Signed feature hashing (TextAnalysis.featureHash): the
+      // vocabulary-free text→sparse-vector featurizer — md5 buckets +
+      // ±1 collision-cancelling signs, one explode + one hash
+      // aggregate, output bounded by docs × buckets, never |vocab|.
+      "fh01_feature_hash",
+      Some("""WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents),
+        |f AS (SELECT doc_id,
+        |    ('0x' || substring(md5(w), 1, 8))::BIGINT % 1024 AS bucket,
+        |    CASE WHEN ('0x' || substring(md5(w), 9, 1))::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sign
+        |  FROM toks)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(SUM(sign) AS BIGINT) AS weight
+        |FROM f GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin),
+      (s, d) => TextAnalysis.featureHash(t(s, d).documents)
+        .orderBy("doc_id", "bucket")),
+
+    GraftQuery(
       // Canonical text normalization (the pass before any dedup /
       // fingerprint stage): codegen'd regexp_replace chain, RE2/Java
       // shared-syntax subset only.

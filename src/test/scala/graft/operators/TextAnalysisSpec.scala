@@ -217,6 +217,36 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("featureHash: deterministic buckets, cancelling signs, bounded range") {
+    import spark.implicits._
+    val docs = Seq((1L, "apple apple banana"), (2L, "apple cherry")).toDF("doc_id", "text")
+    val got = TextAnalysis.featureHash(docs, numBuckets = 16)
+      .orderBy("doc_id", "bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(got.forall(r => r._2 >= 0 && r._2 < 16), "buckets must be in [0, numBuckets)")
+    // same token -> same (bucket, sign) in every doc: apple's weight in
+    // doc 1 is exactly 2x its weight in doc 2's apple bucket
+    def bucketOf(w: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 8), 16) % 16
+    }
+    val appleB = bucketOf("apple")
+    val w1 = got.find(r => r._1 == 1L && r._2 == appleB).map(_._3)
+    val w2 = got.find(r => r._1 == 2L && r._2 == appleB).map(_._3)
+    // (assumes no collision of banana/cherry into apple's bucket at 16
+    // buckets for these words — verified by the exact equality below)
+    if (bucketOf("banana") != appleB && bucketOf("cherry") != appleB)
+      assert(w1.get == 2 * w2.get, s"apple tf=2 vs tf=1: $w1 vs $w2")
+    // a zero-weight row (colliding tokens with opposite signs) is LEGAL
+    // output — the cancelling is the point — so no nonzero assertion.
+  }
+
+  test("featureHash rejects a non-positive bucket count") {
+    intercept[IllegalArgumentException] {
+      TextAnalysis.featureHash(tables.documents, numBuckets = 0)
+    }
+  }
+
   test("tfidfTopTerms: every doc gets at most k rows on the real corpus") {
     val got = TextAnalysis.tfidfTopTerms(tables.documents, k = 3)
     val worst = got.groupBy("doc_id").count().agg(org.apache.spark.sql.functions.max("count"))
