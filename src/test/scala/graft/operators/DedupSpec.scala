@@ -79,7 +79,11 @@ class DedupSpec extends SparkSpec {
     // bucketed reading entirely ("disabled by query planner") — the
     // warehouse regime being proven is the SHUFFLE join, so pin it.
     val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val prevAqeBcast = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", prevBcast)
+    // getOption: the adaptive threshold is usually UNSET (falls back to
+    // the main threshold) — restoring it as a pinned value would leak a
+    // 10MB override into the shared session and break other suites'
+    // withSQLConf(-1) plan assertions order-dependently
+    val prevAqeBcast = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     try {
@@ -107,7 +111,10 @@ class DedupSpec extends SparkSpec {
       assert(viaIdx == wantOldNew)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
-      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prevAqeBcast)
+      prevAqeBcast match {
+        case Some(v) => spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+      }
       spark.sql(s"DROP TABLE IF EXISTS $table")
     }
   }
