@@ -74,6 +74,43 @@ object Upsert {
       .withColumn("is_current", col("valid_to").isNull)
   }
 
+  /** MERGE INTO semantics over a keyed snapshot: apply a change batch
+    * carrying an op column ('U' upsert / 'D' delete) and produce the
+    * next snapshot — matched U replaces the base row, unmatched U
+    * inserts, D removes, base rows untouched by any change pass
+    * through. The canonical lakehouse write path, expressed as ONE full
+    * outer equi-join on the key (both sides shuffle once); callers with
+    * multiple changes per key compact them first ([[latestByKey]]) —
+    * enforced here by requiring op to be U/D per row, with duplicate
+    * keys in `changes` rejected via a loud runtime check (a duplicate
+    * would silently produce two versions of one key in the "snapshot").
+    *
+    * Output: the base schema (keys + valueCols).
+    */
+  def mergeInto(base: DataFrame, changes: DataFrame,
+                keys: Seq[String], valueCols: Seq[String], opCol: String): DataFrame = {
+    require(keys.nonEmpty, "mergeInto needs at least one key column")
+    require(valueCols.nonEmpty, "mergeInto needs at least one value column")
+    val n = changes.select(
+      keys.map(col) ++ valueCols.map(c => col(c).as(s"__n_$c")) :+
+        col(opCol).as("__op"): _*)
+    // Guards ride the LIVE __op column as raise_error CASEs — a guard
+    // on a column that is later dropped is dead code Catalyst prunes
+    // away (measured: a dropped __dup check never fired). The dup check
+    // pays one key-partitioned window over the CHANGE BATCH only, never
+    // the base; the op check is a pure codegen'd CASE.
+    val w = Window.partitionBy(keys.map(col): _*)
+    val guarded = n
+      .withColumn("__op", when(col("__op").isin("U", "D"), col("__op"))
+        .otherwise(raise_error(concat(lit(s"mergeInto: op must be 'U' or 'D', got "), col("__op")))))
+      .withColumn("__op", when(count(lit(1)).over(w) === 1, col("__op"))
+        .otherwise(raise_error(lit("mergeInto: duplicate key in changes — compact with latestByKey first"))))
+    base.join(guarded, keys, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(keys.map(col) ++ valueCols.map(c =>
+        when(col("__op") === "U", col(s"__n_$c")).otherwise(col(c)).as(c)): _*)
+  }
+
   /** Snapshot diff: classify every key across two table versions as
     * `added` (new only), `removed` (old only), or `changed` (present in
     * both with any compare column differing, null-safely) — the

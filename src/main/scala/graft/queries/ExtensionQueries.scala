@@ -1032,6 +1032,42 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // MERGE INTO (Upsert.mergeInto): the canonical lakehouse write —
+      // one change batch with U(psert)/D(elete) ops applied to a keyed
+      // snapshot in ONE full outer join. The change batch exercises all
+      // paths from deterministic arithmetic: matched updates (%5,
+      // cents+7), deletes (%10), and inserts (key+1e8 for %7). The
+      // op/duplicate guards ride the join as codegen'd raise_error
+      // CASEs (no extra pass).
+      "up05_merge_into",
+      Some("""WITH b AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |c AS (
+        |  SELECT o_orderkey, cents + 7 AS cents,
+        |      CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
+        |    FROM b WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000 AS o_orderkey, cents, 'U' FROM b WHERE o_orderkey % 7 = 0)
+        |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
+        |FROM b FULL OUTER JOIN c ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'D'
+        |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        val base = t(s, d).orders.select(col("o_orderkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+        val changes = base.filter(col("o_orderkey") % 5 === 0)
+          .select(col("o_orderkey"), (col("cents") + 7).as("cents"),
+            when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"))
+          .unionAll(base.filter(col("o_orderkey") % 7 === 0)
+            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+              col("cents"), lit("U").as("op")))
+        graft.operators.Upsert.mergeInto(base, changes,
+            keys = Seq("o_orderkey"), valueCols = Seq("cents"), opCol = "op")
+          .orderBy("o_orderkey")
+      }),
+
+    GraftQuery(
       // Gopher-style repetition filters (word-n-gram form): most
       // frequent bigram's share of bigram occurrences + fraction of
       // trigram occurrences in duplicated trigrams, with the keep/drop

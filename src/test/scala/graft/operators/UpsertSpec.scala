@@ -94,6 +94,34 @@ class UpsertSpec extends SparkSpec {
     assert(plan.contains("FullOuter"))
   }
 
+  test("mergeInto applies U/D/insert and passes untouched rows through") {
+    import spark.implicits._
+    val base = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v")
+    val changes = Seq((2L, 21L, "U"), (3L, 0L, "D"), (4L, 40L, "U"), (9L, 0L, "D"))
+      .toDF("k", "v", "op")
+    val got = Upsert.mergeInto(base, changes, Seq("k"), Seq("v"), "op")
+      .orderBy("k").as[(Long, Long)].collect().toSeq
+    // 1 untouched, 2 updated, 3 deleted, 4 inserted, 9 delete-of-absent no-op
+    assert(got == Seq((1L, 10L), (2L, 21L), (4L, 40L)))
+  }
+
+  test("mergeInto fails loudly on an unknown op or duplicate change keys") {
+    import spark.implicits._
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val badOp = Seq((1L, 11L, "X")).toDF("k", "v", "op")
+    val ex1 = intercept[Exception] {
+      Upsert.mergeInto(base, badOp, Seq("k"), Seq("v"), "op").collect()
+    }
+    assert(ex1.getMessage.contains("op must be 'U' or 'D'") ||
+      ex1.getCause != null && ex1.getCause.getMessage.contains("op must be 'U' or 'D'"))
+    val dup = Seq((1L, 11L, "U"), (1L, 12L, "U")).toDF("k", "v", "op")
+    val ex2 = intercept[Exception] {
+      Upsert.mergeInto(base, dup, Seq("k"), Seq("v"), "op").collect()
+    }
+    assert(ex2.getMessage.contains("duplicate key") ||
+      ex2.getCause != null && ex2.getCause.getMessage.contains("duplicate key"))
+  }
+
   test("snapshotDiff rejects empty key or compare lists") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("k", "v")
