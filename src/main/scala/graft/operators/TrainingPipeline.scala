@@ -201,7 +201,8 @@ object TrainingPipeline {
     // branch is free on the happy path (codegen'd per-row CASE).
     val w = when(col(weightCol) <= 0, raise_error(concat(
         lit(s"weightedSample: non-positive $weightCol for $keyCol="),
-        col(keyCol).cast("string")))).otherwise(col(weightCol))
+        // coalesce: a null key would null-propagate the whole message
+        coalesce(col(keyCol).cast("string"), lit("NULL"))))).otherwise(col(weightCol))
     val prio = floor(log(u) / w * 1e6 + 0.5).cast("long")
     df.withColumn("__prio", prio)
       .orderBy(col("__prio").desc, col(keyCol))

@@ -91,6 +91,14 @@ object Upsert {
                 keys: Seq[String], valueCols: Seq[String], opCol: String): DataFrame = {
     require(keys.nonEmpty, "mergeInto needs at least one key column")
     require(valueCols.nonEmpty, "mergeInto needs at least one value column")
+    // Same precondition style as the siblings (latestByKey's __rn,
+    // scd2's __prev, snapshotDiff's collision require): a base column
+    // named like a generated one would die later as an ambiguous
+    // reference instead of a clear message.
+    val generated = "__op" +: valueCols.map(c => s"__n_$c")
+    val collisions = base.columns.toSeq.intersect(generated)
+    require(collisions.isEmpty,
+      s"base columns $collisions collide with mergeInto's generated columns — rename them")
     val n = changes.select(
       keys.map(col) ++ valueCols.map(c => col(c).as(s"__n_$c")) :+
         col(opCol).as("__op"): _*)
@@ -102,7 +110,10 @@ object Upsert {
     val w = Window.partitionBy(keys.map(col): _*)
     val guarded = n
       .withColumn("__op", when(col("__op").isin("U", "D"), col("__op"))
-        .otherwise(raise_error(concat(lit(s"mergeInto: op must be 'U' or 'D', got "), col("__op")))))
+        // coalesce: a NULL op would null-propagate through concat and
+        // raise with an EMPTY message — the diagnostic must survive
+        .otherwise(raise_error(concat(lit(s"mergeInto: op must be 'U' or 'D', got "),
+          coalesce(col("__op").cast("string"), lit("NULL"))))))
       .withColumn("__op", when(count(lit(1)).over(w) === 1, col("__op"))
         .otherwise(raise_error(lit("mergeInto: duplicate key in changes — compact with latestByKey first"))))
     base.join(guarded, keys, "full_outer")

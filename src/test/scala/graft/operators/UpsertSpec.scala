@@ -122,6 +122,39 @@ class UpsertSpec extends SparkSpec {
       ex2.getCause != null && ex2.getCause.getMessage.contains("duplicate key"))
   }
 
+  test("mergeInto: null op raises with a readable message; collisions fail fast") {
+    import spark.implicits._
+    val base = Seq((1L, 10L)).toDF("k", "v")
+    val nullOp = Seq((1L, 11L, null.asInstanceOf[String])).toDF("k", "v", "op")
+    val ex = intercept[Exception] {
+      Upsert.mergeInto(base, nullOp, Seq("k"), Seq("v"), "op").collect()
+    }
+    val msg = Option(ex.getMessage).getOrElse("") +
+      Option(ex.getCause).flatMap(c => Option(c.getMessage)).getOrElse("")
+    assert(msg.contains("got NULL"), s"null op must keep the diagnostic, got: $msg")
+    // a base column colliding with a generated name dies with a clear
+    // precondition, not a late ambiguous-reference AnalysisException
+    val collide = base.withColumn("__op", org.apache.spark.sql.functions.lit("x"))
+    intercept[IllegalArgumentException] {
+      Upsert.mergeInto(collide, Seq((1L, 1L, "U")).toDF("k", "v", "op"),
+        Seq("k"), Seq("v"), "op")
+    }
+  }
+
+  test("mergeInto plan: one FullOuter join, two key exchanges (window reuses the change side)") {
+    import spark.implicits._
+    val base = (1L to 200L).map(i => (i, i * 10)).toDF("k", "v")
+    val changes = (1L to 50L).map(i => (i * 4, i, if (i % 5 == 0) "D" else "U"))
+      .toDF("k", "v", "op")
+    val out = Upsert.mergeInto(base, changes, Seq("k"), Seq("v"), "op")
+    out.collect() // finalize AQE
+    val plan = graft.PlanSig.finalPlanText(out)
+    assert(plan.contains("FullOuter"), s"must stay a full outer join:\n${plan.take(1200)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges <= 2,
+      s"one exchange per side (dup-check window must reuse the change side's), got $exchanges:\n${plan.take(1500)}")
+  }
+
   test("snapshotDiff rejects empty key or compare lists") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("k", "v")
