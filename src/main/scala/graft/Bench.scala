@@ -13,6 +13,11 @@ import graft.ingest.examples.{Item, JsonItemTransformer}
   * Queries execute into the `noop` sink so the full physical plan —
   * including final sorts and projections that `count()` would let the
   * optimizer elide — is exercised end-to-end.
+  *
+  * The full-precision sidecar goes to the gitignored
+  * `fixtures/bench_local.json` by default so a bench run never dirties
+  * the working tree; pass `--record` (or SPARK_GRAFT_BENCH_RECORD=1) to
+  * write the committed comparison point `BENCH_LOCAL.json` instead.
   */
 object Bench {
 
@@ -186,11 +191,19 @@ object Bench {
     val errsCompact = (errNames.take(8).map("\"" + _ + "\"") ++
       (if (errNames.size > 8) Seq("\"...+" + (errNames.size - 8) + "\"") else Nil))
       .mkString("[", ",", "]")
+    // The committed comparison point (BENCH_LOCAL.json) is only written
+    // when explicitly requested; an ordinary bench run (including the
+    // driver's per-round run) must leave `git status` clean. Default
+    // sidecar lands under the gitignored fixtures/ dir.
+    val record = args.contains("--record") ||
+      sys.env.get("SPARK_GRAFT_BENCH_RECORD").contains("1")
+    val sidecarPath =
+      if (record) "BENCH_LOCAL.json" else "fixtures/bench_local.json"
     // The compact line carries the aggregate floor only (the full
     // per-entry floors map would halve the kept-entry budget); per-entry
     // floors live in the full line above and the sidecar.
     def assemble(qsStr: String, omitted: Int): String =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsStr,"floor_total":${fmt(floorTotal)},"omitted":$omitted,"full":"BENCH_LOCAL.json","errors":$errsCompact,"passes":$passes,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsStr,"floor_total":${fmt(floorTotal)},"omitted":$omitted,"full":"$sidecarPath","errors":$errsCompact,"passes":$passes,"sf":"$sfDir"}"""
     val tailBudget = 1900 - assemble("{}", results.size).length
     val byCost = results.sortBy { case (_, v) => -v.getOrElse(Double.MaxValue) }
     val kept = scala.collection.mutable.ListBuffer.empty[String]
@@ -218,7 +231,9 @@ object Bench {
     sidecar.append(entries.map { case (name, _) =>
       "\"" + name + "\":[" + samples(name).mkString(",") + "]" }.mkString(","))
     sidecar.append("}\n}\n")
-    java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+    val sidecarFile = java.nio.file.Paths.get(sidecarPath)
+    Option(sidecarFile.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    java.nio.file.Files.write(sidecarFile,
       sidecar.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }

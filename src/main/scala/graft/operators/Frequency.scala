@@ -46,7 +46,11 @@ object Frequency {
       s"$keyCol is $keyType — heavyHittersVerified probes the sketch with " +
         "the long hash; cast the key to LONG first")
     val spark = df.sparkSession
-    val keyed = df.select(col(keyCol))
+    // The CMS ignores null keys but the exact groupBy would keep a
+    // null-key group; if that group reached the top-k, getLong(0) below
+    // would NPE. Null keys are dropped from BOTH paths so the exact and
+    // sketched counts agree on the same (non-null) key domain.
+    val keyed = df.select(col(keyCol)).filter(col(keyCol).isNotNull)
     val sketch = keyed.stat.countMinSketch(keyCol, eps, confidence, seed)
     val total = sketch.totalCount() // N rides the sketch — no extra count job
     // Verify at 2x the sketch's declared eps band: the 1-eps-band bound

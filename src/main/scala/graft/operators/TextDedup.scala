@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.functions.{shingles, round4}
@@ -208,50 +208,146 @@ object TextDedup {
       .select(col("doc_id"), col("band.band_id").as("band_id"), col("band.band_key").as("band_key"))
   }
 
+  /** Fingerprint parameters persisted WITH a [[saveBandIndex]] index.
+    * The read path derives its banding from this record instead of
+    * trusting caller-supplied parameters — a numHashes/rowsPerBand
+    * mismatch used to silently produce ZERO old-new collisions (band
+    * keys never match); now it is structurally impossible (ADVICE r13).
+    */
+  final case class BandIndexMeta(numHashes: Int, rowsPerBand: Int, nBuckets: Int)
+
+  // Underscore prefix: parquet/Spark directory listings treat the file
+  // as hidden metadata, so it never pollutes a scan of the index dir.
+  private val BandIndexMetaFile = "_graft_band_index.properties"
+
+  private def writeBandIndexMeta(path: String, meta: BandIndexMeta): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("numHashes", meta.numHashes.toString)
+    p.setProperty("rowsPerBand", meta.rowsPerBand.toString)
+    p.setProperty("nBuckets", meta.nBuckets.toString)
+    val f = java.nio.file.Paths.get(path, BandIndexMetaFile)
+    val out = java.nio.file.Files.newOutputStream(f)
+    try p.store(out, "graft band index format") finally out.close()
+  }
+
+  /** Read the persisted fingerprint parameters; fails LOUDLY on a
+    * pre-metadata or foreign directory instead of silently joining with
+    * mismatched band keys. */
+  def readBandIndexMeta(path: String): BandIndexMeta = {
+    val f = java.nio.file.Paths.get(path, BandIndexMetaFile)
+    require(java.nio.file.Files.exists(f),
+      s"$path has no $BandIndexMetaFile — not a graft band index " +
+        "(or written by a pre-metadata version); rebuild with saveBandIndex")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    def get(k: String): Int = {
+      val v = p.getProperty(k)
+      require(v != null, s"band index metadata at $path is missing '$k'")
+      v.toInt
+    }
+    BandIndexMeta(get("numHashes"), get("rowsPerBand"), get("nBuckets"))
+  }
+
+  // Catalog registrations are per-path-deterministic and guarded by one
+  // lock: concurrent loads of the same index must not race a
+  // check-then-create.
+  private val catalogLock = new Object
+  private def bandIndexTable(path: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(path).getAbsolutePath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"graft_band_idx_$digest"
+  }
+
   /** Persist the LSH band index of a corpus: the (band_id, band_key,
-    * doc_id) rows, computed via the zero-shuffle signature path (pure
-    * scan — the corpus is read once, nothing else shuffles). The saved
-    * index is what makes dedup INCREMENTAL: a later ingest batch joins
-    * its own bands against this table instead of re-fingerprinting the
-    * historical corpus. At warehouse scale, write it `bucketBy` a
-    * SINGLE composite key (concat of band_id and band_key — bucket
-    * keys must BE the join keys; a band_key-only bucketing cannot
-    * co-partition with a two-column join and reshuffles both sides)
-    * so every nightly join leaves the index side exchange-free
-    * (plan-gated in DedupSpec); the plain parquet form here keeps the
-    * fixture portable.
+    * doc_id, bucket) rows, computed via the zero-shuffle signature path
+    * (pure scan — the corpus is read once; the one shuffle is the
+    * bucketed write itself, paid ONCE and amortized over every nightly
+    * join). The saved index is what makes dedup INCREMENTAL: a later
+    * ingest batch joins its own bands against this table instead of
+    * re-fingerprinting the historical corpus.
+    *
+    * The layout is BUCKETED by a SINGLE composite key (`bucket` =
+    * band_id '#' band_key — bucket keys must BE the join keys; a
+    * band_key-only bucketing cannot co-partition with a two-column
+    * join and reshuffles both sides), so every [[incrementalCandidatePairs]]
+    * run reads the index side exchange-free (plan-gated in DedupSpec).
+    * Files are written via a transient external-table registration and
+    * re-registered at read time from the directory alone
+    * ([[loadBandIndex]]), so the index stays a portable directory: it
+    * survives fixture renames, fresh sessions, and metastore loss.
+    * Fingerprint parameters ride along in [[BandIndexMetaFile]].
     */
   def saveBandIndex(docs: DataFrame, path: String,
-                    numHashes: Int = 16, rowsPerBand: Int = 4): Unit =
-    bandRows(minhashSignaturesNoShuffle(docs, numHashes = numHashes), rowsPerBand)
-      .write.mode("overwrite").parquet(path)
+                    numHashes: Int = 16, rowsPerBand: Int = 4,
+                    nBuckets: Int = 8): Unit = catalogLock.synchronized {
+    val spark = docs.sparkSession
+    val bands = bandRows(minhashSignaturesNoShuffle(docs, numHashes = numHashes), rowsPerBand)
+      .withColumn("bucket", concat_ws("#", col("band_id"), col("band_key")))
+    val table = bandIndexTable(path)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    bands.write.mode("overwrite")
+      .bucketBy(nBuckets, "bucket").sortBy("bucket")
+      .option("path", new java.io.File(path).getAbsolutePath)
+      .saveAsTable(table)
+    // External-table drop keeps the files; the registration was only
+    // scaffolding for the bucketed writer (the dir may be atomically
+    // renamed by the fixture publisher right after this call).
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    writeBandIndexMeta(path, BandIndexMeta(numHashes, rowsPerBand, nBuckets))
+  }
+
+  /** Open a [[saveBandIndex]] directory as the bucketed catalog table
+    * the candidate join consumes. Registration is idempotent per path
+    * (the table name is derived from the absolute path) and
+    * reconstructed purely from the directory + its metadata file, so a
+    * fresh session can read an index written by another JVM.
+    */
+  def loadBandIndex(spark: SparkSession, path: String): DataFrame =
+    catalogLock.synchronized {
+      val meta = readBandIndexMeta(path)
+      val table = bandIndexTable(path)
+      if (!spark.catalog.tableExists(table)) {
+        val loc = new java.io.File(path).getAbsolutePath
+        spark.sql(
+          s"""CREATE TABLE $table (doc_id BIGINT, band_id INT, band_key STRING, bucket STRING)
+             |USING PARQUET
+             |CLUSTERED BY (bucket) SORTED BY (bucket) INTO ${meta.nBuckets} BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+      }
+      spark.table(table)
+    }
 
   /** Candidate pairs INVOLVING a new batch of documents, against a
     * persisted [[saveBandIndex]] corpus: (indexed x new) bucket
     * collisions plus (new x new) — never (indexed x indexed), those
     * were emitted when the index was built. The historical corpus costs
-    * one index READ; only the new batch is fingerprinted. Output
-    * (doc_a < doc_b), distinct.
+    * one index READ — and that read is the bucketed table, so the
+    * index side joins with ZERO exchange whatever its size; the
+    * recurring nightly cost is fingerprinting + shuffling the NEW batch
+    * alone. Banding parameters come from the index's own metadata (a
+    * caller-side mismatch cannot exist). Output (doc_a < doc_b),
+    * distinct.
     */
-  def incrementalCandidatePairs(newDocs: DataFrame, indexPath: String,
-                                numHashes: Int = 16, rowsPerBand: Int = 4): DataFrame = {
+  def incrementalCandidatePairs(newDocs: DataFrame, indexPath: String): DataFrame = {
     val spark = newDocs.sparkSession
-    val idx = spark.read.parquet(indexPath)
+    val meta = readBandIndexMeta(indexPath)
+    val idx = loadBandIndex(spark, indexPath)
     // The new batch's band rows feed THREE join branches (old-new probe
     // + both sides of the new-new self-join); working-set
     // materialization keeps the fingerprint pipeline — the dominant
     // cost — at one evaluation, as the docstring promises.
     withWorkingSet(
-      bandRows(minhashSignaturesNoShuffle(newDocs, numHashes = numHashes), rowsPerBand)) { nb =>
-      val oldNew = idx.select(col("doc_id").as("doc_o"), col("band_id"), col("band_key"))
-        .join(nb.select(col("doc_id").as("doc_n"), col("band_id"), col("band_key")),
-          Seq("band_id", "band_key"))
+      bandRows(minhashSignaturesNoShuffle(newDocs, numHashes = meta.numHashes), meta.rowsPerBand)
+        .withColumn("bucket", concat_ws("#", col("band_id"), col("band_key")))) { nb =>
+      val oldNew = idx.select(col("doc_id").as("doc_o"), col("bucket"))
+        .join(nb.select(col("doc_id").as("doc_n"), col("bucket")), Seq("bucket"))
         .filter(col("doc_o") =!= col("doc_n"))
         .select(least(col("doc_o"), col("doc_n")).as("doc_a"),
           greatest(col("doc_o"), col("doc_n")).as("doc_b"))
-      val newNew = nb.select(col("doc_id").as("doc_a"), col("band_id"), col("band_key"))
-        .join(nb.select(col("doc_id").as("doc_b"), col("band_id"), col("band_key")),
-          Seq("band_id", "band_key"))
+      val newNew = nb.select(col("doc_id").as("doc_a"), col("bucket"))
+        .join(nb.select(col("doc_id").as("doc_b"), col("bucket")), Seq("bucket"))
         .filter(col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b")
       oldNew.union(newNew).distinct()

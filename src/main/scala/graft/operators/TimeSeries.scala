@@ -38,6 +38,15 @@ object TimeSeries {
       keyCols: Seq[String],
       dayCol: String,
       valueCol: String): DataFrame = {
+    // Same generated-name collision precondition as mergeInto /
+    // snapshotDiff: an input column named like one of the stage-internal
+    // or output columns would fail late with an ambiguous-reference
+    // error (or silently misbind in the fill join).
+    val reserved = Set("day_value", "filled_value", "__d0", "__d1")
+    val clash = (keyCols :+ dayCol :+ valueCol).filter(reserved)
+    require(clash.isEmpty,
+      s"column name(s) ${clash.mkString(", ")} collide with gapFillForwardFill's " +
+        s"generated columns (${reserved.mkString(", ")}) — rename the input column(s)")
     val kc = keyCols.map(col)
     // The daily aggregate feeds THREE branches (the global range, the
     // key domain, and the fill join). Deriving the branches from a lazy

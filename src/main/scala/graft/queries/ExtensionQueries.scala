@@ -50,23 +50,28 @@ object ExtensionQueries {
     * default fits KB-scale partsupp, not per-regeneration corpus
     * copies). One implementation so a prune-logic fix lands everywhere.
     */
-  private def corpusFixture(d: String, sourceTable: String, prefix: String)(
+  private def corpusFixture(d: String, sourceTable: String, prefix: String,
+                            formatVer: String = "")(
       generate: java.io.File => Unit): String = {
     val mtime = java.nio.file.Files.getLastModifiedTime(
       java.nio.file.Paths.get(d, s"$sourceTable.parquet")).toMillis
+    // formatVer participates in the version: a generator-format change
+    // (e.g. the bucketed band-index layout) self-invalidates fixtures
+    // built by the old formula even when the source mtime is unchanged.
+    val ver = s"$mtime$formatVer"
     val name = s"$prefix-${graft.Fixtures.pathTag(d)}"
     val parent = new java.io.File(s"${sys.props("user.dir")}/fixtures")
     Option(parent.listFiles()).getOrElse(Array.empty[java.io.File])
-      .filter(f => f.getName.startsWith(s"$name-") && f.getName != s"$name-$mtime")
+      .filter(f => f.getName.startsWith(s"$name-") && f.getName != s"$name-$ver")
       .foreach(graft.Fixtures.deleteRecursively)
-    graft.Fixtures.ensure(name, mtime.toString)(generate)
+    graft.Fixtures.ensure(name, ver)(generate)
   }
 
   /** Persisted LSH band index over the "historical" corpus slice
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
   private def bandIndexLoaded(s: SparkSession, d: String): String =
-    corpusFixture(d, "documents", "bandidx") { tmp =>
+    corpusFixture(d, "documents", "bandidx", formatVer = "b") { tmp =>
       TextDedup.saveBandIndex(
         t(s, d).documents.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
         tmp.toString)
@@ -97,6 +102,22 @@ object ExtensionQueries {
       |band AS (
       |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
       |  FROM sig GROUP BY doc_id, seed // 4)""".stripMargin
+
+  /** Shared oracle CTE: the strictly-after funnel stage chain
+    * (view → click → purchase, each stage's earliest time strictly
+    * after the user's earliest completion of the previous stage) —
+    * ONE SQL text for both funnel oracles (fn01, st08), the
+    * [[BandCte]] discipline: a stage-formula change cannot silently
+    * desynchronize one consumer. */
+  private val FunnelCte =
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+      |    WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+      |    WHERE e.event_type = 'click' GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      |    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+      |    WHERE e.event_type = 'purchase' GROUP BY 1)""".stripMargin
 
   val all: Seq[GraftQuery] = Seq(
 
@@ -433,14 +454,8 @@ object ExtensionQueries {
       // that exact). Final per-user stage hashes against the batch
       // strictly-after CTE chain.
       "st08_stream_funnel",
-      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
-        |    WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
-        |    WHERE e.event_type = 'click' GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
-        |    WHERE e.event_type = 'purchase' GROUP BY 1)
+      Some(FunnelCte +
+        """
         |SELECT u.user_id,
         |  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
         |            WHEN s2.user_id IS NOT NULL THEN 2
@@ -819,14 +834,8 @@ object ExtensionQueries {
       // user's earliest completion of the previous one. One user-keyed
       // min-agg + equi-join per stage; never a per-user sequence array.
       "fn01_funnel",
-      Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
-        |    WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |    JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
-        |    WHERE e.event_type = 'click' GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
-        |    JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
-        |    WHERE e.event_type = 'purchase' GROUP BY 1)
+      Some(FunnelCte +
+        """
         |SELECT (SELECT COUNT(*) FROM s1) AS n_view,
         |       (SELECT COUNT(*) FROM s2) AS n_click,
         |       (SELECT COUNT(*) FROM s3) AS n_purchase""".stripMargin),
@@ -1036,8 +1045,11 @@ object ExtensionQueries {
       // one change batch with U(psert)/D(elete) ops applied to a keyed
       // snapshot in ONE full outer join. The change batch exercises all
       // paths from deterministic arithmetic: matched updates (%5,
-      // cents+7), deletes (%10), and inserts (key+1e8 for %7). The
-      // op/duplicate guards ride the join as codegen'd raise_error
+      // cents+7), deletes (%10), and inserts (-(key+1) for %7 —
+      // strictly negative, provably outside the >= 0 orderkey domain
+      // at EVERY scale factor, unlike an additive offset which
+      // collides once keys exceed it; plain -key collides at key 0).
+      // The op/duplicate guards ride the join as codegen'd raise_error
       // CASEs (no extra pass).
       "up05_merge_into",
       Some("""WITH b AS (SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
@@ -1047,7 +1059,7 @@ object ExtensionQueries {
         |      CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op
         |    FROM b WHERE o_orderkey % 5 = 0
         |  UNION ALL
-        |  SELECT o_orderkey + 100000000 AS o_orderkey, cents, 'U' FROM b WHERE o_orderkey % 7 = 0)
+        |  SELECT -o_orderkey - 1 AS o_orderkey, cents, 'U' FROM b WHERE o_orderkey % 7 = 0)
         |SELECT COALESCE(b.o_orderkey, c.o_orderkey) AS o_orderkey,
         |  CASE WHEN c.op = 'U' THEN c.cents ELSE b.cents END AS cents
         |FROM b FULL OUTER JOIN c ON b.o_orderkey = c.o_orderkey
@@ -1060,7 +1072,7 @@ object ExtensionQueries {
           .select(col("o_orderkey"), (col("cents") + 7).as("cents"),
             when(col("o_orderkey") % 10 === 0, "D").otherwise("U").as("op"))
           .unionAll(base.filter(col("o_orderkey") % 7 === 0)
-            .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
+            .select((-col("o_orderkey") - 1).as("o_orderkey"),
               col("cents"), lit("U").as("op")))
         graft.operators.Upsert.mergeInto(base, changes,
             keys = Seq("o_orderkey"), valueCols = Seq("cents"), opCol = "op")

@@ -131,10 +131,52 @@ object StatefulOps {
     * abandonment IS a timeout) — the replay harness keeps full
     * exactness instead.
     */
+  private val Undef = Long.MaxValue
+
+  /** One funnel state transition — the cascade shared verbatim by
+    * [[funnelStream]] and [[funnelStreamTtl]] so the two can never
+    * diverge on the strictly-after semantics. Takes the prior
+    * (times, frontiers) and this batch's (ts, stageIdx) events; returns
+    * the new state plus change flags and the (user-relative) deepest
+    * stage to emit (None = no emission).
+    */
+  private def funnelTransition(
+      nStages: Int,
+      prior: Option[(Seq[Long], Seq[Seq[Long]])],
+      batch: Iterator[(Long, Int)])
+      : ((Seq[Long], Seq[Seq[Long]]), Boolean, Option[Int]) = {
+    val first = prior.isEmpty
+    val (times0, cands0) = prior.getOrElse(
+      (Seq.fill(nStages)(Undef), Seq.fill(nStages)(Seq.empty[Long])))
+    val times = times0.toArray
+    val cands = cands0.map(s => scala.collection.mutable.ArrayBuffer(s: _*))
+    var candsChanged = false
+    batch.foreach { case (ts, k) =>
+      if (k >= 0 && k < nStages) {
+        if (k == 0) { if (ts < times(0)) times(0) = ts }
+        else if (ts < times(k)) { cands(k) += ts; candsChanged = true }
+      }
+    }
+    var k = 1
+    while (k < nStages) {
+      if (times(k - 1) != Undef) {
+        val qual = cands(k).filter(_ > times(k - 1))
+        if (qual.nonEmpty && qual.min < times(k)) times(k) = qual.min
+      }
+      val kept = cands(k).filter(_ < times(k))
+      if (kept.size != cands(k).size) { candsChanged = true }
+      cands(k).clear(); cands(k) ++= kept
+      k += 1
+    }
+    val timesChanged = times.indices.exists(i => times(i) != times0(i))
+    val emit = if (first || timesChanged)
+      Some(times.lastIndexWhere(_ != Undef) + 1) else None
+    ((times.toSeq, cands.map(_.toSeq)), first || timesChanged || candsChanged, emit)
+  }
+
   def funnelStream(events: Dataset[(Long, Long, Int)],
                    nStages: Int): Dataset[(Long, Int)] = {
     require(nStages >= 1, s"funnel needs at least one stage, got $nStages")
-    val Undef = Long.MaxValue
     implicit val outEnc: Encoder[(Long, Int)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
     implicit val stateEnc: Encoder[(Seq[Long], Seq[Seq[Long]])] =
@@ -145,36 +187,75 @@ object StatefulOps {
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[(Long, Long, Int)],
          state: GroupState[(Seq[Long], Seq[Seq[Long]])]) =>
-          val first = !state.exists
-          val (times0, cands0) = state.getOption.getOrElse(
-            (Seq.fill(nStages)(Undef), Seq.fill(nStages)(Seq.empty[Long])))
-          val times = times0.toArray
-          val cands = cands0.map(s => scala.collection.mutable.ArrayBuffer(s: _*))
-          var candsChanged = false
-          it.foreach { case (_, ts, k) =>
-            if (k >= 0 && k < nStages) {
-              if (k == 0) { if (ts < times(0)) times(0) = ts }
-              else if (ts < times(k)) { cands(k) += ts; candsChanged = true }
-            }
+          val (next, changed, emit) =
+            funnelTransition(nStages, state.getOption, it.map(e => (e._2, e._3)))
+          if (changed) state.update(next)
+          emit.iterator.map(d => (user, d))
+      }
+  }
+
+  /** [[funnelStream]] with event-time state eviction — the funnel
+    * abandonment window made real. Input rows carry an event-time
+    * Timestamp column (`_4`) that drives the watermark
+    * (`delayThreshold`); a user whose last event is more than
+    * `horizonMs` behind the watermark has their keyed state REMOVED
+    * (funnel abandonment IS a timeout — an abandoned user's deepest
+    * stage was already emitted on every improvement, so eviction
+    * emits nothing). A user re-appearing after eviction starts a fresh
+    * funnel: that is the declared horizon semantics, not state loss.
+    *
+    * Inside the horizon the output is IDENTICAL to [[funnelStream]]
+    * (same [[funnelTransition]], spec-pinned); the difference is that
+    * `stateOperators.numRowsTotal` now FALLS as users age out instead
+    * of growing with lifetime key cardinality — the property that
+    * separates a streaming operator from a slow memory leak at 100 TB.
+    *
+    * Two standard watermark caveats: rows whose event time trails the
+    * watermark are late-DROPPED before the function (size
+    * `delayThreshold` to the expected disorder), and eviction is lazy —
+    * Spark fires the timeout only for keys WITHOUT data in a batch, so
+    * a key touched in the same batch its horizon passes survives until
+    * a quiet batch (fine: the TTL bounds state, it is not a semantic
+    * exactly-the-horizon filter).
+    */
+  def funnelStreamTtl(events: Dataset[(Long, Long, Int, java.sql.Timestamp)],
+                      nStages: Int,
+                      delayThreshold: String,
+                      horizonMs: Long): Dataset[(Long, Int)] = {
+    require(nStages >= 1, s"funnel needs at least one stage, got $nStages")
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt)
+    implicit val stateEnc: Encoder[(Seq[Long], Seq[Seq[Long]], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.withWatermark("_4", delayThreshold)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Seq[Seq[Long]], Long), (Long, Int)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Int, java.sql.Timestamp)],
+         state: GroupState[(Seq[Long], Seq[Seq[Long]], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val prior = state.getOption.map { case (t, c, _) => (t, c) }
+            val (next, changed, emit) =
+              funnelTransition(nStages, prior, rows.iterator.map(e => (e._2, e._3)))
+            // Activity refreshes the lease: TTL counts from the user's
+            // latest event time, monotone across batches so a displaced
+            // late arrival cannot shorten an already-armed timeout.
+            val lastSeen = math.max(
+              state.getOption.map(_._3).getOrElse(Long.MinValue),
+              rows.iterator.map(_._4.getTime).max)
+            if (changed || state.getOption.forall(_._3 != lastSeen))
+              state.update((next._1, next._2, lastSeen))
+            // Timeout must sit strictly past the current watermark or
+            // Spark rejects it; a key whose horizon already passed gets
+            // the earliest legal eviction point instead.
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            emit.iterator.map(d => (user, d))
           }
-          var k = 1
-          while (k < nStages) {
-            if (times(k - 1) != Undef) {
-              val qual = cands(k).filter(_ > times(k - 1))
-              if (qual.nonEmpty && qual.min < times(k)) times(k) = qual.min
-            }
-            val kept = cands(k).filter(_ < times(k))
-            if (kept.size != cands(k).size) { candsChanged = true }
-            cands(k).clear(); cands(k) ++= kept
-            k += 1
-          }
-          val timesChanged = times.indices.exists(i => times(i) != times0(i))
-          if (first || timesChanged || candsChanged)
-            state.update((times.toSeq, cands.map(_.toSeq)))
-          if (first || timesChanged) {
-            val deepest = times.lastIndexWhere(_ != Undef) + 1
-            Iterator.single((user, deepest))
-          } else Iterator.empty
       }
   }
 
@@ -222,6 +303,64 @@ object StatefulOps {
             for (i <- incoming.indices; j <- i + 1 until incoming.size)
               out += ((incoming(i), incoming(j)))
             out.result().iterator
+          }
+      }
+  }
+
+  /** [[lshCandidateStream]] with event-time state eviction — the dedup
+    * horizon made real. Input band rows carry an event-time Timestamp
+    * column (`_4`, the document's ingest time) that drives the
+    * watermark; a band bucket untouched for more than `horizonMs` past
+    * the watermark has its id list REMOVED from the state store. A
+    * document arriving after its bucket was evicted pairs only against
+    * documents inside the horizon — exactly the "dedup against the last
+    * N days" contract a production ingest service declares (state
+    * scales with the ACTIVE corpus window, never with ingest history).
+    *
+    * Inside the horizon the emitted pairs are IDENTICAL to
+    * [[lshCandidateStream]] (same accumulate-and-pair step,
+    * spec-pinned); activity refreshes a bucket's lease, and the lease
+    * timestamp is monotone so a displaced late arrival cannot shorten
+    * an already-armed timeout. Standard watermark caveats apply as in
+    * [[funnelStreamTtl]]: rows behind the watermark are late-dropped,
+    * and eviction is lazy (a bucket with data in the batch its horizon
+    * passes survives until a quiet batch) — the TTL bounds state, it is
+    * not an exactly-the-horizon pair filter.
+    */
+  def lshCandidateStreamTtl(bands: Dataset[(Int, String, Long, java.sql.Timestamp)],
+                            delayThreshold: String,
+                            horizonMs: Long): Dataset[(Long, Long)] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[(Int, String)] = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)
+    implicit val stEnc: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    bands.withWatermark("_4", delayThreshold)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, String), it: Iterator[(Int, String, Long, java.sql.Timestamp)],
+         state: GroupState[(Seq[Long], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val (old, lastSeen0) = state.getOption.getOrElse((Seq.empty[Long], Long.MinValue))
+            val oldSet = old.toSet
+            val incoming = rows.map(_._3).distinct.filterNot(oldSet).sorted
+            val lastSeen = math.max(lastSeen0, rows.iterator.map(_._4.getTime).max)
+            if (incoming.nonEmpty || lastSeen != lastSeen0)
+              state.update((old ++ incoming, lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            if (incoming.isEmpty) Iterator.empty
+            else {
+              val out = Seq.newBuilder[(Long, Long)]
+              for (d <- incoming; m <- old)
+                out += ((math.min(d, m), math.max(d, m)))
+              for (i <- incoming.indices; j <- i + 1 until incoming.size)
+                out += ((incoming(i), incoming(j)))
+              out.result().iterator
+            }
           }
       }
   }

@@ -29,4 +29,17 @@ class FrequencySpec extends SparkSpec {
       Frequency.heavyHittersVerified(tables.lineitem, "l_partkey", k = 100000)
     }
   }
+
+  test("null keys are dropped from both the exact and sketched paths — no NPE") {
+    // A null-key group big enough to reach the top-k: the CMS ignores
+    // nulls, and an exact groupBy that kept them would NPE at the
+    // getLong probe (ADVICE r13).
+    val df = (Seq.fill(50)(Option.empty[Long]) ++ Seq.fill(20)(Some(7L)) ++
+      (1L to 5L).map(Some(_))).toDF("k")
+    val got = Frequency.heavyHittersVerified(df, "k", k = 3)
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == Seq(7L, 1L, 2L), s"null group must not appear: $got")
+    assert(got.head._2 == 20L)
+    assert(got.forall(_._3))
+  }
 }

@@ -99,4 +99,20 @@ class TimeSeriesSpec extends SparkSpec {
       (d("2024-01-01"), 2, 1L, 2L), // user 1 returns on day 2
       (d("2024-01-03"), 0, 1L, 1L))) // user 3's two same-day events collapse
   }
+
+  test("gapFillForwardFill rejects input columns colliding with generated names") {
+    // Same fail-fast discipline as mergeInto/snapshotDiff (ADVICE r13):
+    // a keyCol or valueCol named like a stage-internal/output column
+    // would otherwise fail late with an ambiguous reference.
+    val ev = Seq((1L, Date.valueOf("2024-01-01"), 5L))
+      .toDF("day_value", "day", "v")
+    val e = intercept[IllegalArgumentException] {
+      TimeSeries.gapFillForwardFill(ev, Seq("day_value"), "day", "v")
+    }
+    assert(e.getMessage.contains("day_value"))
+    val ev2 = Seq((1L, Date.valueOf("2024-01-01"), 5L)).toDF("k", "day", "filled_value")
+    intercept[IllegalArgumentException] {
+      TimeSeries.gapFillForwardFill(ev2, Seq("k"), "day", "filled_value")
+    }
+  }
 }

