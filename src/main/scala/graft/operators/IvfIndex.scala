@@ -68,15 +68,58 @@ final class IvfIndex private (val centroids: Array[(Int, Array[Double])],
 
 object IvfIndex {
 
+  /** Sentinel for [[build]]'s `nLists`: derive the list count from the
+    * corpus size via [[defaultNLists]]. */
+  val AutoNLists: Int = -1
+
+  /** Size-derived list count: the standard √N-lists IVF heuristic
+    * (build cost and per-probe scan balance at √N), clamped to
+    * [4, 65536] and to the corpus size (KMeans needs k <= N). The
+    * round-14 probe (NOTES.md, `Test/runMain Round14IvfProbe`) measured
+    * the shape on the sf1 corpus (20k vectors x 64 dims, near-random):
+    * at a FIXED probed fraction recall@5 RISES with nLists (frac 1/4:
+    * 0.55 → 0.57 → 0.85 across 16/64/256 lists — finer partitions
+    * target the probe's neighborhood better) while per-search scanned
+    * rows fall ∝ 1/nLists and build time stays flat. More lists are
+    * strictly better up to the occupancy floor, so √N maximizes
+    * pruning with no recall cliff — provided nProbe scales WITH nLists
+    * as a fraction ([[defaultNProbe]]), never as an absolute count.
+    */
+  def defaultNLists(corpusSize: Long): Int = {
+    require(corpusSize > 0, "cannot size an IVF index for an empty corpus")
+    val root = math.round(math.sqrt(corpusSize.toDouble))
+    // range clamp first, corpus cap LAST: a tiny corpus must win over
+    // the floor of 4 (KMeans cannot fit more centers than points)
+    math.min(corpusSize, math.max(4L, math.min(65536L, root))).toInt
+  }
+
+  /** Probe width for a target probed FRACTION of the lists (the
+    * round-14 probe's headline: on weakly-clustered embeddings recall
+    * tracks the probed fraction, so a fixed absolute nProbe silently
+    * degrades recall as nLists grows). The default fraction 0.5 cleared
+    * recall@5 >= 0.8 at EVERY probed nLists on the sf1 corpus
+    * (0.80 / 0.88 / 0.97 at 16/64/256) — and near-random synthetic
+    * embeddings are the worst case: clustered real-world embeddings
+    * reach the same recall at far smaller fractions. */
+  def defaultNProbe(nLists: Int, fraction: Double = 0.5): Int = {
+    require(fraction > 0 && fraction <= 1, s"fraction must be in (0,1], got $fraction")
+    math.max(1, math.ceil(nLists * fraction).toInt)
+  }
+
   /** One KMeans fit (seeded, deterministic) + one assignment pass over
-    * the corpus. `emb` needs (vec_id, embedding array<float|double>). */
-  def build(emb: DataFrame, nLists: Int = 16, seed: Long = 42L): IvfIndex = {
+    * the corpus. `emb` needs (vec_id, embedding array<float|double>).
+    * The default `nLists` is size-derived (√N — [[defaultNLists]]);
+    * pass an explicit count to pin a layout (the oracle entries pin 16
+    * so the recall band is reproducible at every scale factor). */
+  def build(emb: DataFrame, nLists: Int = AutoNLists, seed: Long = 42L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
 
     val withVec = emb.select(col("vec_id"), col("embedding"))
       .withColumn("features", array_to_vector(col("embedding").cast("array<double>")))
-    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features").fit(withVec)
+    val k = if (nLists == AutoNLists) defaultNLists(withVec.count()) else nLists
+    require(k > 0, s"nLists must be positive (or AutoNLists), got $nLists")
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(withVec)
     val corpus = model.transform(withVec)
       .select(col("vec_id"), col("embedding"), col("prediction").as("list_id"))
     val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }

@@ -69,6 +69,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(df.count() == 5)
   }
 
+  test("size-derived defaults: sqrt-N lists clamped to corpus, fraction-based probes") {
+    // The round-14 probe's conclusions, encoded (VERDICT r13 #6):
+    // nLists defaults to sqrt(N); nProbe is a FRACTION of nLists (on
+    // weakly-clustered embeddings recall tracks the probed fraction,
+    // so an absolute nProbe silently degrades as nLists grows).
+    assert(IvfIndex.defaultNLists(16) == 4)        // clamp floor
+    assert(IvfIndex.defaultNLists(2) == 2)          // KMeans needs k <= N
+    assert(IvfIndex.defaultNLists(20000) == 141)    // sqrt(20000) ~ 141.4
+    assert(IvfIndex.defaultNLists(100000000L) == 10000)
+    intercept[IllegalArgumentException](IvfIndex.defaultNLists(0))
+    assert(IvfIndex.defaultNProbe(141) == 71)       // ceil(141/2)
+    assert(IvfIndex.defaultNProbe(16, fraction = 1.0) == 16)
+    intercept[IllegalArgumentException](IvfIndex.defaultNProbe(16, fraction = 0.0))
+    // auto build on the testdata corpus: k = sqrt(N), full probe still
+    // equals brute force (correctness is probe-count-independent)
+    val e = tables.embeddings
+    val idx = IvfIndex.build(e) // AutoNLists
+    val n = e.count()
+    assert(idx.centroids.length == IvfIndex.defaultNLists(n))
+    val got = idx.searchById(probeId = 3L, k = 5, nProbe = idx.centroids.length)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteForceTopK(e, probeId = 3L, k = 5)
+      .select("vec_id", "score").as[(Long, Double)].collect().toSeq
+    assert(got == want)
+  }
+
   test("the build is not re-paid per search: loaded index searches without a KMeans fit") {
     val e = tables.embeddings
     val path = tmpDir("ivf-reuse")

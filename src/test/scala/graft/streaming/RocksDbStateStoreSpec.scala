@@ -63,6 +63,31 @@ class RocksDbStateStoreSpec extends SparkSpec {
     } finally spark.conf.set(Provider, prev)
   }
 
+  test("st02/st03 interval-join replays are identical under the RocksDB state store") {
+    // The interval joins are the most state-heavy st* entries
+    // (dual-watermark join state on BOTH streams), yet their state
+    // lives in the stream-stream join codec path — distinct from the
+    // flatMapGroupsWithState codecs the other gates pin (VERDICT r13
+    // #7). Inner + leftOuter cover both eviction disciplines.
+    val events = tables.events.select("user_id", "event_id", "ts").limit(400)
+    def sortedRows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    for (joinType <- Seq("inner", "leftOuter")) {
+      val defaultRows = sortedRows(
+        StreamReplay.intervalJoinReplay(spark, events, joinType = joinType))
+      assert(defaultRows.nonEmpty, s"$joinType replay must produce rows")
+      val prev = spark.conf.get(Provider)
+      spark.conf.set(Provider, RocksDb)
+      try {
+        val rocksRows = sortedRows(
+          StreamReplay.intervalJoinReplay(spark, events, joinType = joinType))
+        assert(rocksRows == defaultRows,
+          s"RocksDB $joinType interval-join replay diverged: " +
+            s"${rocksRows.size} vs ${defaultRows.size} rows")
+      } finally spark.conf.set(Provider, prev)
+    }
+  }
+
   test("st08 funnel replay output is identical under the RocksDB state store") {
     // The funnel carries the richest state shape of the st* family
     // (per-user times + candidate frontiers, a nested Seq[Seq[Long]]
