@@ -371,4 +371,39 @@ object TextAnalysis {
           round4(-col("s").cast("double") / 1e6 / col("n_pairs")).as("avg_nll"))
     }
   }
+
+  /** Fixed-size overlapping word chunks — the RAG / context-window
+    * splitting primitive: every document becomes ceil(len/stride)
+    * chunks of up to `chunkSize` [[tokens]], consecutive chunks
+    * overlapping by `chunkSize - stride` words. Output
+    * (doc_id, chunk_id, n_words, chunk_hash) — the md5 of the
+    * space-joined chunk keeps the verifiable output small while pinning
+    * the exact chunk text; a production sink would keep the text
+    * column instead.
+    *
+    * Pure per-row projection + explode (ZERO shuffles): chunking a
+    * 100 TB corpus is one scan, embarrassingly parallel, output
+    * ~len/stride rows per document. Empty docs produce no chunks (same
+    * dropped-doc semantics as the shingle pipeline).
+    */
+  def chunkDocuments(docs: DataFrame, chunkSize: Int = 50,
+                     stride: Int = 40): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride must be in [1, chunkSize], got $stride (chunkSize $chunkSize)")
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("__w"))
+      .withColumn("__len", size(col("__w")))
+      .filter(col("__len") > 0)
+      .select(col("doc_id"), col("__w"), col("__len"),
+        explode(sequence(lit(0L),
+          ceil(col("__len") / lit(stride.toDouble)).cast("long") - 1)).as("chunk_id"))
+      .select(
+        col("doc_id"), col("chunk_id"),
+        least(lit(chunkSize), col("__len") - col("chunk_id") * stride)
+          .cast("int").as("n_words"),
+        md5(concat_ws(" ",
+          slice(col("__w"), (col("chunk_id") * stride + 1).cast("int"), lit(chunkSize))))
+          .as("chunk_hash"))
+  }
 }

@@ -72,6 +72,38 @@ object TimeSeries {
     }
   }
 
+  /** OHLC downsampling: per key per time bucket, the open (value at the
+    * earliest (ts, id)), high, low, close (value at the latest (ts, id))
+    * and event count — the bar-chart primitive behind metric rollups and
+    * market-data pipelines.
+    *
+    * ONE hash aggregation: open/close are `min_by`/`max_by` over the
+    * composite (ts, id) order (codegen'd, map-side combinable partial
+    * aggregates — no per-key window sort), so the operator is a single
+    * shuffle on (key, bucket) and the output is |keys x buckets|
+    * whatever the raw event volume. `idCol` breaks ts ties so the
+    * selection is deterministic under any partitioning.
+    *
+    * @return (keyCol, bucket, open_v, high_v, low_v, close_v, n_events)
+    */
+  def downsampleOhlc(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      valueCol: String,
+      bucket: String = "hour"): DataFrame = {
+    val ord = struct(col(tsCol), col(idCol))
+    events
+      .groupBy(col(keyCol), date_trunc(bucket, col(tsCol)).as("bucket"))
+      .agg(
+        min_by(col(valueCol), ord).as("open_v"),
+        max(col(valueCol)).as("high_v"),
+        min(col(valueCol)).as("low_v"),
+        max_by(col(valueCol), ord).as("close_v"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Cohort retention matrix: users grouped by their first-activity day,
     * counted on each subsequent active day.
     *

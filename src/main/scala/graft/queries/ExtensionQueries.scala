@@ -471,6 +471,34 @@ object ExtensionQueries {
         stages = Seq("view", "click", "purchase"))),
 
     GraftQuery(
+      // Streaming funnel under event-time TTL (st10): the PRODUCTION
+      // form of st08 — StatefulOps.funnelStreamTtl evicts per-user
+      // state past an abandonment horizon (EventTimeTimeout), the
+      // round-14 answer to unbounded keyed state at 100 TB key
+      // cardinality. The replay derives horizon + watermark delay from
+      // the feed's own span so every event is inside the horizon:
+      // the TTL operator must then converge to the SAME strictly-after
+      // batch oracle as st08 (eviction itself is spec-gated with an
+      // observed numRowsTotal drop — StatefulTtlSpec — because a
+      // shrinking-state run cannot equal any batch oracle).
+      "st10_stream_funnel_ttl",
+      Some(FunnelCte +
+        """
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+        |            WHEN s2.user_id IS NOT NULL THEN 2
+        |            WHEN s1.user_id IS NOT NULL THEN 1
+        |            ELSE 0 END AS INTEGER) AS stage
+        |FROM (SELECT DISTINCT user_id FROM events) u
+        |LEFT JOIN s1 ON u.user_id = s1.user_id
+        |LEFT JOIN s2 ON u.user_id = s2.user_id
+        |LEFT JOIN s3 ON u.user_id = s3.user_id
+        |ORDER BY u.user_id""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.funnelTtlReplay(
+        s, t(s, d).events.select("user_id", "ts", "event_type", "event_id"),
+        stages = Seq("view", "click", "purchase"))),
+
+    GraftQuery(
       "q29_sliding_window",
       Some("""SELECT w, COUNT(*) AS n FROM (
         |  SELECT unnest([time_bucket(INTERVAL 5 MINUTE, ts),
@@ -872,6 +900,32 @@ object ExtensionQueries {
             floor(col("value") * 100 + 0.5).cast("long").as("cents")),
           keyCols = Seq("user_id", "event_type"), dayCol = "day", valueCol = "cents")
         .orderBy("user_id", "event_type", "day")),
+
+    GraftQuery(
+      // OHLC downsampling (operators/TimeSeries.downsampleOhlc): per
+      // user per hour, open/high/low/close/count in ONE hash
+      // aggregation — open/close via min_by/max_by over the composite
+      // (ts, event_id) order (map-side combinable; no per-key window
+      // sort), so the operator is a single shuffle and the output is
+      // |keys x buckets| whatever the event volume. Values are
+      // selections (never sums), so doubles compare exactly. The oracle
+      // computes the same bars with first/last window functions.
+      "ts02_downsample_ohlc",
+      Some("""WITH b AS (SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+        |  FROM events),
+        |w AS (SELECT user_id, bucket, value,
+        |    FIRST_VALUE(value) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id) AS open_v,
+        |    LAST_VALUE(value) OVER (PARTITION BY user_id, bucket ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+        |  FROM b)
+        |SELECT user_id, bucket, open_v, MAX(value) AS high_v, MIN(value) AS low_v,
+        |  close_v, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM w GROUP BY user_id, bucket, open_v, close_v
+        |ORDER BY user_id, bucket""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.downsampleOhlc(
+          t(s, d).events.select("user_id", "ts", "event_id", "value"),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id", valueCol = "value")
+        .orderBy("user_id", "bucket")),
 
     GraftQuery(
       // Cohort retention matrix (operators/TimeSeries): users bucketed
@@ -1709,6 +1763,108 @@ object ExtensionQueries {
           .select(col("idx"), col("frame_idx"), col("width"), col("height"),
             round4(col("mean_luma")).as("luma"))
           .orderBy("idx", "frame_idx")
+      }),
+
+    GraftQuery(
+      // RAG document chunking (TextAnalysis.chunkDocuments): fixed-size
+      // overlapping word windows (50 words, stride 40) — pure
+      // projection + explode, ZERO shuffles; chunking a 100 TB corpus
+      // is one embarrassingly-parallel scan. chunk_hash pins the exact
+      // chunk text through md5 so the oracle verifies content, not just
+      // counts.
+      "ch01_chunking",
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n FROM toks WHERE len(w) > 0),
+        |x AS (SELECT doc_id, n, w,
+        |    unnest(range(CAST(ceil(n / 40.0) AS BIGINT))) AS chunk_id FROM c)
+        |SELECT doc_id, chunk_id,
+        |  CAST(least(50, n - chunk_id * 40) AS INTEGER) AS n_words,
+        |  md5(array_to_string(list_slice(w, CAST(chunk_id * 40 + 1 AS BIGINT),
+        |    CAST(least(chunk_id * 40 + 50, n) AS BIGINT)), ' ')) AS chunk_hash
+        |FROM x ORDER BY doc_id, chunk_id""".stripMargin),
+      (s, d) => graft.operators.TextAnalysis.chunkDocuments(t(s, d).documents)
+        .orderBy("doc_id", "chunk_id")),
+
+    GraftQuery(
+      // Column profiler (operators/Profile): per-column row/null/exact
+      // distinct counts + min/max — ONE pass (multi-distinct Expand, no
+      // joins, one shuffle), unpivoted without a collect. Doubles are
+      // profiled through a BIGINT cast upstream so the min/max STRING
+      // rendering is engine-independent.
+      "pr01_profile",
+      Some("""SELECT 'l_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_distinct,
+        |    CAST(MIN(l_orderkey) AS VARCHAR) AS min_s, CAST(MAX(l_orderkey) AS VARCHAR) AS max_s
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_returnflag) AS BIGINT),
+        |    CAST(MIN(l_returnflag) AS VARCHAR), CAST(MAX(l_returnflag) AS VARCHAR)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT l_shipdate) AS BIGINT),
+        |    CAST(MIN(l_shipdate) AS VARCHAR), CAST(MAX(l_shipdate) AS VARCHAR)
+        |  FROM lineitem
+        |UNION ALL
+        |SELECT 'qty_units', CAST(COUNT(*) AS BIGINT),
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(COUNT(DISTINCT CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT),
+        |    CAST(MIN(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS VARCHAR),
+        |    CAST(MAX(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS VARCHAR)
+        |  FROM lineitem
+        |ORDER BY column_name""".stripMargin),
+      (s, d) => graft.operators.Profile.profile(
+          t(s, d).lineitem.withColumn("qty_units",
+            floor(col("l_quantity") * 100 + 0.5).cast("long")),
+          Seq("l_orderkey", "l_returnflag", "l_shipdate", "qty_units"))
+        .orderBy("column_name")),
+
+    GraftQuery(
+      // Fixed-iteration PageRank (operators/PageRank) over the
+      // symmetric customer↔supplier trade graph (supplier nodes offset
+      // by 1e7 into a disjoint id space). INTEGER micro-unit arithmetic
+      // (contributions via integer division) makes every iteration
+      // bitwise deterministic under any partitioning — the oracle
+      // unrolls the same three iterations in SQL with DuckDB's floor
+      // division. Per iteration: one src-keyed equi-join + one
+      // dst-keyed aggregation, rounds materialized (dd08 discipline).
+      "pg01_pagerank",
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0),
+        |nodes AS (SELECT DISTINCT src AS node FROM e),
+        |deg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, SUM((p.r * 85) // (100 * d.outdeg)) AS inflow
+        |  FROM e JOIN r0 p ON e.src = p.node JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(150000 + COALESCE(c1.inflow, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.dst AS node, SUM((p.r * 85) // (100 * d.outdeg)) AS inflow
+        |  FROM e JOIN r1 p ON e.src = p.node JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(150000 + COALESCE(c2.inflow, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c2 ON c2.node = n.node),
+        |c3 AS (SELECT e.dst AS node, SUM((p.r * 85) // (100 * d.outdeg)) AS inflow
+        |  FROM e JOIN r2 p ON e.src = p.node JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, CAST(150000 + COALESCE(c3.inflow, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN c3 ON c3.node = n.node)
+        |SELECT node, r AS rank_u FROM r3 ORDER BY node""".stripMargin),
+      (s, d) => {
+        val li = t(s, d).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val e0 = li.join(t(s, d).orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("s"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+        graft.operators.PageRank.pagerankMicro(edges, iterations = 3)
+          .select(col("node"), col("rank_u"))
+          .orderBy("node")
       })
   )
 }

@@ -658,7 +658,55 @@ object StreamReplay {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
     val ms = MemoryStream[(Long, Long, Int)]
     val staged = StatefulOps.funnelStream(ms.toDS(), stages.length)
+    runFunnelCapture(spark, staged,
+      fed.filter(_.nonEmpty).map(b => () => { ms.addData(b); () }))
+  }
 
+  /** [[funnelReplay]] through the event-time-TTL operator
+    * ([[StatefulOps.funnelStreamTtl]]) — the st10 driver gate. The
+    * horizon and watermark delay are derived from the feed's own event
+    * span (2x span + 1 h), so every event falls INSIDE the horizon and
+    * the TTL form must converge to the SAME batch strictly-after oracle
+    * as st08: the entry proves the production (state-evicting) operator
+    * is semantics-identical to the untimed one when nothing ages out —
+    * eviction behavior itself is spec-gated (StatefulTtlSpec), since a
+    * shrinking-state run necessarily diverges from any batch oracle.
+    */
+  def funnelTtlReplay(spark: SparkSession, events: DataFrame,
+                      stages: Seq[String], nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    val idx = stages.zipWithIndex.toMap
+    val rows = events.select(col("user_id").cast("long"),
+        unix_micros(col("ts").cast("timestamp")).as("tsu"),
+        col("event_type").cast("string"), col("event_id").cast("long"))
+      .as[(Long, Long, String, Long)].collect().sortBy(r => (r._2, r._4))
+
+    val fed = displaced(chunked(rows, nChunks))(_._4)
+      .map(_.map(r => (r._1, r._2, idx.getOrElse(r._3, -1),
+        new Timestamp(r._2 / 1000))))
+
+    val spanMs = (rows.last._2 - rows.head._2) / 1000
+    val horizonMs = 2 * spanMs + 3600000L
+    val delayHours = math.max(1L, 2 * spanMs / 3600000L + 1)
+
+    val replay = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Long, Int, Timestamp)]
+    val staged = StatefulOps.funnelStreamTtl(ms.toDS(), stages.length,
+      delayThreshold = s"$delayHours hours", horizonMs = horizonMs)
+    runFunnelCapture(spark, staged,
+      fed.filter(_.nonEmpty).map(b => () => { ms.addData(b); () }))
+  }
+
+  /** Shared funnel-replay capture: run `staged` against the batch feed
+    * thunks, assert per-user stage monotonicity across micro-batches
+    * (information only accumulates), and return the final stage per
+    * user. One harness for [[funnelReplay]] and [[funnelTtlReplay]] so
+    * the protocol cannot drift. */
+  private def runFunnelCapture(spark: SparkSession,
+                               staged: Dataset[(Long, Int)],
+                               batches: Seq[() => Unit]): DataFrame = {
+    import spark.implicits._
     val captured = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Int)])]
     val cp = java.nio.file.Files.createTempDirectory("st_fnreplay-cp").toString
     try {
@@ -671,9 +719,7 @@ object StreamReplay {
         }
         .start()
       try {
-        fed.foreach { batch =>
-          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
-        }
+        batches.foreach { add => add(); q.processAllAvailable() }
       } finally q.stop()
 
       val byUser = captured.sortBy(_._1).flatMap { case (bid, rs) => rs.map(bid -> _) }

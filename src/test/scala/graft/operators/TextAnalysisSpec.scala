@@ -254,4 +254,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(worst <= 3)
     assert(got.count() > 0)
   }
+
+  test("chunkDocuments: overlapping windows cover every word, last chunk short") {
+    import org.apache.spark.sql.functions._
+    // 95 words -> ceil(95/40) = 3 chunks: [1..50], [41..90], [81..95]
+    val text = (1 to 95).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, text), (2L, text), (3L, "just three words"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.chunkDocuments(docs)
+      .orderBy("doc_id", "chunk_id")
+      .as[(Long, Long, Int, String)].collect().toSeq
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.map(c => (c._2, c._3)) == Seq((0L, 50), (1L, 50), (2L, 15)))
+    // identical docs chunk identically (hash pins content)
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._3, c._4)) ==
+      doc1.map(c => (c._2, c._3, c._4)))
+    // a doc shorter than the stride is one whole chunk; empty docs drop
+    assert(got.filter(_._1 == 3L).map(c => (c._2, c._3)) == Seq((0L, 3)))
+    assert(!got.exists(_._1 == 4L))
+    // overlap: chunk 1 starts at word 41 — its hash must equal the md5
+    // of exactly words 41..90
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((41 to 90).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(doc1(1)._4 == expect)
+  }
+
+  test("chunkDocuments plans with zero shuffles (pure scan + explode)") {
+    import org.apache.spark.sql.functions._
+    val df = TextAnalysis.chunkDocuments(tables.documents)
+    df.collect()
+    val plan = graft.PlanSig.finalPlanText(df)
+    assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n${plan.take(1000)}")
+  }
+
+  test("chunkDocuments validates chunkSize/stride") {
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocuments(tables.documents, chunkSize = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkDocuments(tables.documents, chunkSize = 10, stride = 11))
+  }
 }

@@ -100,6 +100,40 @@ class TimeSeriesSpec extends SparkSpec {
       (d("2024-01-03"), 0, 1L, 1L))) // user 3's two same-day events collapse
   }
 
+  test("downsampleOhlc: one bar per key-hour with deterministic open/close") {
+    val ev = Seq(
+      // user 1, hour 10: open=5.0 (earliest), close=2.0 (latest), high=9.0, low=2.0
+      (1L, "2024-01-01 10:05:00", 100L, 5.0),
+      (1L, "2024-01-01 10:20:00", 101L, 9.0),
+      (1L, "2024-01-01 10:50:00", 102L, 2.0),
+      // user 1, hour 11: single event -> all four values equal
+      (1L, "2024-01-01 11:30:00", 103L, 7.5),
+      // user 2, hour 10: same-ts tie broken by id (open=id 200, close=id 201)
+      (2L, "2024-01-01 10:00:00", 200L, 1.0),
+      (2L, "2024-01-01 10:00:00", 201L, 3.0))
+      .toDF("user_id", "s", "event_id", "value")
+      .select(col("user_id"), col("s").cast("timestamp").as("ts"), col("event_id"), col("value"))
+    val got = TimeSeries.downsampleOhlc(ev, "user_id", "ts", "event_id", "value")
+      .select(col("user_id"), hour(col("bucket")).as("h"),
+        col("open_v"), col("high_v"), col("low_v"), col("close_v"), col("n_events"))
+      .as[(Long, Int, Double, Double, Double, Double, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 10, 5.0, 9.0, 2.0, 2.0, 3L),
+      (1L, 11, 7.5, 7.5, 7.5, 7.5, 1L),
+      (2L, 10, 1.0, 3.0, 1.0, 3.0, 2L)))
+  }
+
+  test("downsampleOhlc plans as one hash aggregation, no window sort") {
+    val df = TimeSeries.downsampleOhlc(
+      tables.events.select("user_id", "ts", "event_id", "value"),
+      "user_id", "ts", "event_id", "value")
+    df.collect()
+    val plan = graft.PlanSig.finalPlanText(df)
+    assert(!plan.contains("Window"), s"OHLC must not window-sort:\n${plan.take(1200)}")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"one shuffle on (key, bucket) expected:\n${plan.take(1200)}")
+  }
+
   test("gapFillForwardFill rejects input columns colliding with generated names") {
     // Same fail-fast discipline as mergeInto/snapshotDiff (ADVICE r13):
     // a keyCol or valueCol named like a stage-internal/output column
