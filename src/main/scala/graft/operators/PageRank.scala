@@ -40,7 +40,11 @@ object PageRank {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(dampNum > 0 && dampDen > dampNum,
       s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
-    val e = edges.select(col("src"), col("dst"))
+    // The edge list feeds every iteration's join (plus the node and
+    // degree builds): materialize it ONCE — an edge derivation that is
+    // itself a join (e.g. the pg01 entry's lineitem x orders distinct)
+    // must not be re-evaluated per round.
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)

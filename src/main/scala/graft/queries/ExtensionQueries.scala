@@ -1788,10 +1788,12 @@ object ExtensionQueries {
 
     GraftQuery(
       // Column profiler (operators/Profile): per-column row/null/exact
-      // distinct counts + min/max — ONE pass (multi-distinct Expand, no
-      // joins, one shuffle), unpivoted without a collect. Doubles are
-      // profiled through a BIGINT cast upstream so the min/max STRING
-      // rendering is engine-independent.
+      // distinct counts + min/max as one hash-agg branch per column
+      // unioned together — columnar pruning reads each column's bytes
+      // exactly once, and the branch form avoids the wide multi-distinct
+      // Expand + SortAggregate fallback (measured 5x slower). Doubles
+      // are profiled through a BIGINT cast upstream so the min/max
+      // STRING rendering is engine-independent.
       "pr01_profile",
       Some("""SELECT 'l_orderkey' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,

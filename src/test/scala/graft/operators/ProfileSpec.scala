@@ -20,13 +20,24 @@ class ProfileSpec extends SparkSpec {
       ("s", 4L, 1L, 2L, "a", "b")))
   }
 
-  test("profile is one pass: no joins, multi-distinct rides one Expand") {
+  test("profile plans as per-column hash-agg branches: no joins, no Expand fallback") {
+    // The wide single-agg form plans K exact DISTINCTs as an
+    // Expand x(K+1) whose rewrite falls back to SortAggregate (measured
+    // 5x slower); the union-of-branches form must keep plain two-phase
+    // hash aggregates, one single-column scan branch each.
     val df = Profile.profile(tables.lineitem,
       Seq("l_orderkey", "l_returnflag", "l_shipdate"))
     df.collect()
     val plan = graft.PlanSig.finalPlanText(df)
-    assert(plan.contains("Expand"), s"multi-distinct must plan as Expand:\n${plan.take(1000)}")
     assert(!plan.contains("Join"), s"profile must not join:\n${plan.take(1000)}")
+    assert(!plan.contains("Expand"), s"no Expand row multiplication:\n${plan.take(1000)}")
+    assert(plan.contains("Union"), s"one branch per column:\n${plan.take(1000)}")
+    // numeric/date branches must hash-aggregate; string branches are
+    // allowed to sort-aggregate (string min/max has no fixed-size hash
+    // buffer) — so assert the orderkey branch specifically
+    assert("HashAggregate\\(keys=\\[\\], functions=\\[count\\(1\\), [^\\n]*l_orderkey".r
+      .findFirstIn(plan).isDefined,
+      s"numeric branch must hash-aggregate:\n${plan.take(1500)}")
   }
 
   test("profile rejects unknown columns loudly") {
