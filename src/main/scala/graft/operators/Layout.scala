@@ -94,4 +94,109 @@ object Layout {
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__partial"))
       .groupBy(col(key)).agg(sum("__partial").as("n"))
   }
+
+  // ------------------------------------------------------------------
+  // Bucketed PATH tables: the [[writeBucketed]] contract for indexes
+  // that must live as PORTABLE DIRECTORIES rather than metastore
+  // tables — a persisted index (LSH band index, inverted text index)
+  // is written once, then read by other JVMs, after fixture renames,
+  // with no shared metastore. Files are written through a TRANSIENT
+  // external-table registration (dropped immediately — external drops
+  // keep files) and re-registered at read time purely from the
+  // directory plus a sidecar metadata file carrying the schema DDL and
+  // bucket spec. Readers get a genuine bucketed catalog table, so
+  // bucket-key equi-joins skip the index-side exchange and IN/equality
+  // predicates on the bucket column prune buckets at the scan.
+
+  /** Underscore prefix: parquet directory listings treat the file as
+    * hidden metadata, so it never pollutes a scan of the dir. */
+  private val PathTableMetaFile = "_graft_path_table.properties"
+
+  // One lock for all catalog registrations: concurrent loads of the
+  // same path must not race a check-then-create.
+  private val catalogLock = new Object
+
+  private def pathTableName(path: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(path).getAbsolutePath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"graft_path_tbl_$digest"
+  }
+
+  /** The sidecar properties of a path table, or None if `path` is not
+    * one (no metadata file). Extra application properties appear under
+    * their original keys; the reserved keys are `schemaDdl`,
+    * `bucketCol`, `nBuckets`. */
+  def pathTableProps(path: String): Option[Map[String, String]] = {
+    val f = java.nio.file.Paths.get(path, PathTableMetaFile)
+    if (!java.nio.file.Files.exists(f)) None
+    else {
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      import scala.jdk.CollectionConverters._
+      Some(p.asScala.toMap)
+    }
+  }
+
+  /** Write `df` to `path` bucketed+sorted by `bucketCol`, with the
+    * schema/bucket spec (plus caller `extraProps`, e.g. fingerprint
+    * parameters) persisted alongside for [[loadBucketedPath]]. The one
+    * shuffle is the bucketed write itself — paid once, amortized over
+    * every subsequent exchange-free join against the table. */
+  def saveBucketedPath(df: DataFrame, path: String, bucketCol: String,
+                       nBuckets: Int,
+                       extraProps: Map[String, String] = Map.empty): Unit =
+    catalogLock.synchronized {
+      require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+      require(df.columns.contains(bucketCol), s"no '$bucketCol' column in input")
+      val reserved = Set("schemaDdl", "bucketCol", "nBuckets")
+      val clash = extraProps.keySet.intersect(reserved)
+      require(clash.isEmpty, s"extraProps may not use reserved key(s): ${clash.mkString(", ")}")
+      val spark = df.sparkSession
+      val table = pathTableName(path)
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      df.write.mode("overwrite")
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .option("path", new java.io.File(path).getAbsolutePath)
+        .saveAsTable(table)
+      // the registration was only scaffolding for the bucketed writer
+      // (the dir may be atomically renamed by a fixture publisher right
+      // after this call); external drop keeps the files
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val p = new java.util.Properties()
+      p.setProperty("schemaDdl", df.schema.toDDL)
+      p.setProperty("bucketCol", bucketCol)
+      p.setProperty("nBuckets", nBuckets.toString)
+      extraProps.foreach { case (k, v) => p.setProperty(k, v) }
+      val f = java.nio.file.Paths.get(path, PathTableMetaFile)
+      val out = java.nio.file.Files.newOutputStream(f)
+      try p.store(out, "graft bucketed path table") finally out.close()
+    }
+
+  /** Open a [[saveBucketedPath]] directory as the bucketed catalog
+    * table it was written as, re-registered idempotently from the
+    * directory alone (table name derives from the absolute path).
+    * Returns the table plus the caller's extraProps. Fails LOUDLY on a
+    * directory without metadata instead of silently reading it as
+    * unbucketed parquet. */
+  def loadBucketedPath(spark: org.apache.spark.sql.SparkSession,
+                       path: String): (DataFrame, Map[String, String]) =
+    catalogLock.synchronized {
+      val props = pathTableProps(path).getOrElse(sys.error(
+        s"$path has no $PathTableMetaFile — not a graft bucketed path table; " +
+          "rebuild with Layout.saveBucketedPath"))
+      val table = pathTableName(path)
+      if (!spark.catalog.tableExists(table)) {
+        val loc = new java.io.File(path).getAbsolutePath
+        spark.sql(
+          s"""CREATE TABLE $table (${props("schemaDdl")})
+             |USING PARQUET
+             |CLUSTERED BY (${props("bucketCol")}) SORTED BY (${props("bucketCol")})
+             |INTO ${props("nBuckets")} BUCKETS
+             |LOCATION '$loc'""".stripMargin)
+      }
+      val reserved = Set("schemaDdl", "bucketCol", "nBuckets")
+      (spark.table(table), props.filterNot { case (k, _) => reserved(k) })
+    }
 }

@@ -216,48 +216,20 @@ object TextDedup {
     */
   final case class BandIndexMeta(numHashes: Int, rowsPerBand: Int, nBuckets: Int)
 
-  // Underscore prefix: parquet/Spark directory listings treat the file
-  // as hidden metadata, so it never pollutes a scan of the index dir.
-  private val BandIndexMetaFile = "_graft_band_index.properties"
-
-  private def writeBandIndexMeta(path: String, meta: BandIndexMeta): Unit = {
-    val p = new java.util.Properties()
-    p.setProperty("numHashes", meta.numHashes.toString)
-    p.setProperty("rowsPerBand", meta.rowsPerBand.toString)
-    p.setProperty("nBuckets", meta.nBuckets.toString)
-    val f = java.nio.file.Paths.get(path, BandIndexMetaFile)
-    val out = java.nio.file.Files.newOutputStream(f)
-    try p.store(out, "graft band index format") finally out.close()
-  }
-
   /** Read the persisted fingerprint parameters; fails LOUDLY on a
     * pre-metadata or foreign directory instead of silently joining with
     * mismatched band keys. */
   def readBandIndexMeta(path: String): BandIndexMeta = {
-    val f = java.nio.file.Paths.get(path, BandIndexMetaFile)
-    require(java.nio.file.Files.exists(f),
-      s"$path has no $BandIndexMetaFile — not a graft band index " +
+    val propsOpt = Layout.pathTableProps(path)
+    require(propsOpt.isDefined,
+      s"$path has no path-table metadata — not a graft band index " +
         "(or written by a pre-metadata version); rebuild with saveBandIndex")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
+    val props = propsOpt.get
     def get(k: String): Int = {
-      val v = p.getProperty(k)
-      require(v != null, s"band index metadata at $path is missing '$k'")
-      v.toInt
+      require(props.contains(k), s"band index metadata at $path is missing '$k'")
+      props(k).toInt
     }
     BandIndexMeta(get("numHashes"), get("rowsPerBand"), get("nBuckets"))
-  }
-
-  // Catalog registrations are per-path-deterministic and guarded by one
-  // lock: concurrent loads of the same index must not race a
-  // check-then-create.
-  private val catalogLock = new Object
-  private def bandIndexTable(path: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(path).getAbsolutePath.getBytes("UTF-8"))
-      .take(6).map("%02x".format(_)).mkString
-    s"graft_band_idx_$digest"
   }
 
   /** Persist the LSH band index of a corpus: the (band_id, band_key,
@@ -273,51 +245,27 @@ object TextDedup {
     * band_key-only bucketing cannot co-partition with a two-column
     * join and reshuffles both sides), so every [[incrementalCandidatePairs]]
     * run reads the index side exchange-free (plan-gated in DedupSpec).
-    * Files are written via a transient external-table registration and
-    * re-registered at read time from the directory alone
-    * ([[loadBandIndex]]), so the index stays a portable directory: it
-    * survives fixture renames, fresh sessions, and metastore loss.
-    * Fingerprint parameters ride along in [[BandIndexMetaFile]].
+    * Persistence rides [[Layout.saveBucketedPath]] (portable directory:
+    * survives fixture renames, fresh sessions, metastore loss) with the
+    * fingerprint parameters in the sidecar metadata.
     */
   def saveBandIndex(docs: DataFrame, path: String,
                     numHashes: Int = 16, rowsPerBand: Int = 4,
-                    nBuckets: Int = 8): Unit = catalogLock.synchronized {
-    val spark = docs.sparkSession
+                    nBuckets: Int = 8): Unit = {
     val bands = bandRows(minhashSignaturesNoShuffle(docs, numHashes = numHashes), rowsPerBand)
       .withColumn("bucket", concat_ws("#", col("band_id"), col("band_key")))
-    val table = bandIndexTable(path)
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    bands.write.mode("overwrite")
-      .bucketBy(nBuckets, "bucket").sortBy("bucket")
-      .option("path", new java.io.File(path).getAbsolutePath)
-      .saveAsTable(table)
-    // External-table drop keeps the files; the registration was only
-    // scaffolding for the bucketed writer (the dir may be atomically
-    // renamed by the fixture publisher right after this call).
-    spark.sql(s"DROP TABLE IF EXISTS $table")
-    writeBandIndexMeta(path, BandIndexMeta(numHashes, rowsPerBand, nBuckets))
+    Layout.saveBucketedPath(bands, path, "bucket", nBuckets,
+      extraProps = Map(
+        "numHashes" -> numHashes.toString,
+        "rowsPerBand" -> rowsPerBand.toString))
   }
 
   /** Open a [[saveBandIndex]] directory as the bucketed catalog table
-    * the candidate join consumes. Registration is idempotent per path
-    * (the table name is derived from the absolute path) and
-    * reconstructed purely from the directory + its metadata file, so a
-    * fresh session can read an index written by another JVM.
-    */
-  def loadBandIndex(spark: SparkSession, path: String): DataFrame =
-    catalogLock.synchronized {
-      val meta = readBandIndexMeta(path)
-      val table = bandIndexTable(path)
-      if (!spark.catalog.tableExists(table)) {
-        val loc = new java.io.File(path).getAbsolutePath
-        spark.sql(
-          s"""CREATE TABLE $table (doc_id BIGINT, band_id INT, band_key STRING, bucket STRING)
-             |USING PARQUET
-             |CLUSTERED BY (bucket) SORTED BY (bucket) INTO ${meta.nBuckets} BUCKETS
-             |LOCATION '$loc'""".stripMargin)
-      }
-      spark.table(table)
-    }
+    * the candidate join consumes ([[Layout.loadBucketedPath]]). */
+  def loadBandIndex(spark: SparkSession, path: String): DataFrame = {
+    readBandIndexMeta(path) // band-specific loud failure on foreign dirs
+    Layout.loadBucketedPath(spark, path)._1
+  }
 
   /** Candidate pairs INVOLVING a new batch of documents, against a
     * persisted [[saveBandIndex]] corpus: (indexed x new) bucket

@@ -67,11 +67,19 @@ object ExtensionQueries {
     graft.Fixtures.ensure(name, ver)(generate)
   }
 
+  /** Persisted term-bucketed inverted index for ir02, via the shared
+    * [[corpusFixture]] discipline. */
+  private def invIndexLoaded(s: SparkSession, d: String): String =
+    corpusFixture(d, "documents", "invidx") { tmp =>
+      graft.operators.InvertedIndex.saveIndex(
+        t(s, d).documents.select("doc_id", "text"), tmp.toString)
+    }
+
   /** Persisted LSH band index over the "historical" corpus slice
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
   private def bandIndexLoaded(s: SparkSession, d: String): String =
-    corpusFixture(d, "documents", "bandidx", formatVer = "b") { tmp =>
+    corpusFixture(d, "documents", "bandidx", formatVer = "c") { tmp =>
       TextDedup.saveBandIndex(
         t(s, d).documents.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
         tmp.toString)
@@ -1867,6 +1875,52 @@ object ExtensionQueries {
         graft.operators.PageRank.pagerankMicro(edges, iterations = 3)
           .select(col("node"), col("rank_u"))
           .orderBy("node")
-      })
+      }),
+
+    GraftQuery(
+      // Sorted-neighborhood fuzzy join (operators/FuzzyJoin): the
+      // entity-resolution blocking that turns all-pairs edit distance
+      // into O(N·window) — global rank via the two-phase GlobalRank,
+      // neighbor join via the RangeJoin bucket trick (2 buckets/row,
+      // plain equi-join), levenshtein verify as a post-filter. No
+      // all-pairs stage at any scale.
+      "fz01_fuzzy_join",
+      Some("""WITH r AS (SELECT p_partkey, p_name,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS s_a, b.p_name AS s_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => graft.operators.FuzzyJoin.sortedNeighborhood(
+          t(s, d).part, "p_partkey", "p_name", window = 3, maxDistance = 2)
+        .select(col("id_a").as("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
+        .orderBy("id_a", "id_b")),
+
+    GraftQuery(
+      // Persisted inverted index + conjunctive search (operators/
+      // InvertedIndex): the corpus is tokenized and aggregated into
+      // (term, doc, tf) postings ONCE (fixture-cached, dd11/ivf_loaded
+      // discipline), written PARTITIONED BY a crc32 term bucket; the
+      // query's bucket IN list prunes partition DIRECTORIES at the
+      // storage layer (plan-gated in InvertedIndexSpec — the IvfIndex
+      // discipline, immune to the planner disabling bucketed scans)
+      // and the doc-keyed intersection is the only shuffle, sized by
+      // matched postings, never the corpus. Oracle recomputes the
+      // postings + intersection in SQL.
+      "ir02_inverted_search",
+      Some("""WITH p AS (
+        |  SELECT doc_id, t AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS t
+        |        FROM documents) q
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+        |FROM p WHERE term IN ('join', 'scan')
+        |GROUP BY doc_id HAVING COUNT(*) = 2
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.InvertedIndex.searchIndexed(
+          s, invIndexLoaded(s, d), Seq("join", "scan"))
+        .orderBy("doc_id"))
   )
 }

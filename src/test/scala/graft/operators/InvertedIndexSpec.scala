@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class InvertedIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick fox jumps over the lazy dog"),
+    (2L, "quick quick fox"),
+    (3L, "lazy dog sleeps"),
+    (4L, "")).toDF("doc_id", "text")
+
+  test("postings carry exact per-doc term frequencies") {
+    val p = InvertedIndex.buildPostings(docs)
+      .as[(String, Long, Int)].collect().toSet
+    assert(p.contains(("quick", 2L, 2)))
+    assert(p.contains(("the", 1L, 2)))
+    assert(!p.exists(_._2 == 4L), "empty doc has no postings")
+  }
+
+  test("searchAll returns exactly the docs containing EVERY term, tf-scored") {
+    val p = InvertedIndex.buildPostings(docs)
+    val got = InvertedIndex.searchAll(p, Seq("quick", "fox"))
+      .as[(Long, Long)].collect().toSet
+    // doc 1: quick(1)+fox(1)=2; doc 2: quick(2)+fox(1)=3; doc 3 lacks both
+    assert(got == Set((1L, 2L), (2L, 3L)))
+    val single = InvertedIndex.searchAll(p, Seq("lazy"))
+      .as[(Long, Long)].collect().toSet
+    assert(single == Set((1L, 1L), (3L, 1L)))
+    intercept[IllegalArgumentException](InvertedIndex.searchAll(p, Seq.empty))
+    intercept[IllegalArgumentException](InvertedIndex.searchAll(p, Seq("a", "a")))
+  }
+
+  test("driver-side and column-side bucket functions agree") {
+    // The pruning contract rests on this equality: the write side
+    // buckets with the Spark crc32 column, the query side with
+    // java.util.zip.CRC32.
+    val terms = Seq("join", "scan", "the", "αβ", "x")
+    val sparkSide = terms.toDF("t")
+      .select(col("t"), pmod(crc32(col("t").cast("binary")), lit(16L)).as("b"))
+      .as[(String, Long)].collect().toMap
+    terms.foreach { t =>
+      assert(sparkSide(t) == InvertedIndex.termBucketLocal(t, 16),
+        s"bucket mismatch for '$t'")
+    }
+  }
+
+  test("save/load round-trip; the query prunes partition directories") {
+    val path = tmpDir("invidx-spec")
+    InvertedIndex.saveIndex(tables.documents.select("doc_id", "text"), path)
+    val q = InvertedIndex.searchIndexed(spark, path, Seq("join", "scan"))
+    val rows = q.collect()
+    assert(rows.nonEmpty, "expected docs containing both common terms")
+    // equality vs the unindexed computation
+    val want = InvertedIndex.searchAll(
+      InvertedIndex.buildPostings(tables.documents.select("doc_id", "text")),
+      Seq("join", "scan")).collect().map(_.toString).sorted.toSeq
+    assert(rows.map(_.toString).sorted.toSeq == want)
+    // storage-layer pruning: the listing under the plan's partition
+    // filters must touch at most |distinct buckets| of the 16 dirs
+    // (the IvfIndex gate pattern — planner-independent)
+    val scan = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "expected partition filters on term_bucket")
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(parts.length <= 2, s"expected <=2 bucket dirs read, got ${parts.length}")
+  }
+
+  test("a foreign directory is rejected loudly") {
+    val bogus = tmpDir("invidx-bogus")
+    docs.write.mode("overwrite").parquet(bogus)
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.searchIndexed(spark, bogus, Seq("x")))
+    assert(e.getMessage.contains("not a graft inverted index"))
+  }
+}
