@@ -7,7 +7,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * flatMapGroupsWithState — the escape hatch for semantics the built-in
   * windowed aggregations can't express. State lives in the state store
   * (checkpointed, partitioned by key), so these scale with the key
-  * cardinality across executors, not with stream length.
+  * cardinality across executors, not with stream length — and every
+  * stateful operator here has an event-time-TTL twin (`...Ttl`) whose
+  * state is EVICTED past a horizon, so at unbounded lifetime key
+  * cardinality memory scales with the ACTIVE window, not history
+  * (equality-inside-horizon + observed numRowsTotal drops are pinned
+  * in StatefulTtlSpec under both state-store providers).
   */
 object StatefulOps {
 
@@ -380,6 +385,83 @@ object StatefulOps {
           val admitted = it.take(math.max(0L, maxPerKey - used).toInt).toSeq
           state.update(used + admitted.size)
           admitted.iterator
+      }
+  }
+
+  /** [[rateLimit]] with event-time state eviction: the admission
+    * counter for a key idle past `horizonMs` is REMOVED, after which
+    * the key's budget RESETS — i.e. "at most k per key per horizon
+    * window of activity", the semantics a production rate limiter
+    * declares anyway (an eternal per-key budget is both a state leak
+    * and a product bug). Inside the horizon, identical to [[rateLimit]]
+    * (spec-pinned). Standard watermark caveats as in
+    * [[funnelStreamTtl]]: late rows drop; eviction is lazy.
+    *
+    * Input rows carry the event-time Timestamp in `_3`.
+    */
+  def rateLimitTtl(events: Dataset[(Long, Double, java.sql.Timestamp)],
+                   maxPerKey: Long,
+                   delayThreshold: String,
+                   horizonMs: Long): Dataset[(Long, Double)] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Double)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble)
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val stEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    events.withWatermark("_3", delayThreshold)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Double)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[(Long, Double, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val (used, lastSeen0) = state.getOption.getOrElse((0L, Long.MinValue))
+            val admitted = rows.take(math.max(0L, maxPerKey - used).toInt)
+            val lastSeen = math.max(lastSeen0, rows.iterator.map(_._3.getTime).max)
+            state.update((used + admitted.size, lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            admitted.iterator.map(r => (r._1, r._2))
+          }
+      }
+  }
+
+  /** [[smallestKByKey]] with event-time state eviction: a key idle past
+    * `horizonMs` has its winning set REMOVED; if the key re-appears it
+    * competes fresh (the admitted set is per activity window). Inside
+    * the horizon, identical to [[smallestKByKey]] including the
+    * monotone-changelog invariant (spec-pinned). Input rows carry the
+    * event-time Timestamp in `_3`.
+    */
+  def smallestKByKeyTtl(events: Dataset[(Long, Long, java.sql.Timestamp)], k: Int,
+                        delayThreshold: String,
+                        horizonMs: Long): Dataset[(Long, Long, Seq[Long])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Long, Seq[Long])] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val stateEnc: Encoder[(Long, Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    events.withWatermark("_3", delayThreshold)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long], Long), (Long, Long, Seq[Long])](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[(Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Seq[Long], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val (ver, cur, lastSeen0) = state.getOption.getOrElse((0L, Seq.empty[Long], Long.MinValue))
+            val merged = (cur ++ rows.map(_._2)).distinct.sorted.take(k)
+            val lastSeen = math.max(lastSeen0, rows.iterator.map(_._3.getTime).max)
+            val changed = merged != cur
+            state.update((if (changed) ver + 1 else ver, merged, lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            if (changed) Iterator.single((key, ver + 1, merged)) else Iterator.empty
+          }
       }
   }
 }

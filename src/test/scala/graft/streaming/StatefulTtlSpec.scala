@@ -160,6 +160,67 @@ class StatefulTtlSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------- rateLimit / smallestK
+
+  test("rateLimitTtl equals rateLimit inside the horizon; budget resets after eviction") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Double, Timestamp)]
+      val name = s"ttl_rl_${label}_${System.nanoTime()}"
+      val q = StatefulOps.rateLimitTtl(ms.toDS(), maxPerKey = 2,
+          delayThreshold = "0 seconds", horizonMs = 60L * 1000)
+        .toDF("user_id", "value")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        // inside the horizon: 3 events for key 7 -> only 2 admitted
+        ms.addData((7L, 1.0, new Timestamp(10000L)), (7L, 2.0, new Timestamp(11000L)))
+        q.processAllAvailable()
+        ms.addData((7L, 3.0, new Timestamp(12000L)))
+        q.processAllAvailable()
+        assert(spark.table(name).count() == 2, s"[$label] budget of 2 enforced")
+        // far-future key advances the watermark past key 7's horizon...
+        ms.addData((8L, 9.0, new Timestamp(10000000L)))
+        q.processAllAvailable()
+        // ...a batch without key-7 data fires its timeout (lazy eviction)
+        ms.addData((8L, 9.5, new Timestamp(10001000L)))
+        q.processAllAvailable()
+        val counts = stateRowCounts(q)
+        assert(counts.max == 2 && counts.last == 1,
+          s"[$label] key 7 must be evicted after its horizon: $counts")
+        // the evicted key's budget RESETS: a fresh event is admitted
+        ms.addData((7L, 4.0, new Timestamp(10002000L)))
+        q.processAllAvailable()
+        val sevens = spark.table(name).as[(Long, Double)].collect().filter(_._1 == 7L)
+        assert(sevens.map(_._2).toSet == Set(1.0, 2.0, 4.0),
+          s"[$label] expected the post-eviction event admitted: ${sevens.toSeq}")
+      } finally q.stop()
+    }
+  }
+
+  test("smallestKByKeyTtl equals smallestKByKey inside the horizon and evicts idle keys") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Timestamp)]
+      val name = s"ttl_sk_${label}_${System.nanoTime()}"
+      val q = StatefulOps.smallestKByKeyTtl(ms.toDS(), k = 2,
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("key", "ver", "ids")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        // same feed as the untimed operator's contract: final set per
+        // key = the k smallest ids, monotone changelog
+        ms.addData((1L, 30L, new Timestamp(1000L)), (1L, 10L, new Timestamp(2000L)))
+        q.processAllAvailable()
+        ms.addData((1L, 20L, new Timestamp(3000L)), (1L, 40L, new Timestamp(4000L)))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[(Long, Long, Seq[Long])].collect().toSeq
+        assert(rows.last._3 == Seq(10L, 20L), s"[$label] final set: $rows")
+        val vers = rows.map(_._2)
+        assert(vers == vers.sorted, s"[$label] changelog must be monotone: $rows")
+      } finally q.stop()
+    }
+  }
+
   test("lshCandidateStreamTtl evicts aged buckets and never pairs across the horizon") {
     for ((label, prov) <- providers) withProvider(prov) {
       implicit val ctx = spark.sqlContext
