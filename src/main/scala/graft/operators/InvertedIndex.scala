@@ -61,6 +61,31 @@ object InvertedIndex {
     try p.store(out, "graft inverted index") finally out.close()
   }
 
+  /** INCREMENTAL index maintenance — the [[TextDedup.saveBandIndex]] /
+    * dd11 pattern for text retrieval: only the NEW batch is tokenized
+    * and aggregated; its postings are APPENDED into the existing
+    * term-bucket directories (parquet append writes new files, touches
+    * nothing existing), so a nightly ingest costs the batch, never a
+    * corpus re-index. Contract: batches carry doc_ids the index has
+    * not seen (re-ingesting a doc would duplicate its (term, doc)
+    * postings and over-count intersections — dedup upstream, exactly
+    * as the ingest pipeline's effectively-once sink guarantees).
+    */
+  def appendToIndex(newDocs: DataFrame, path: String): Unit = {
+    val nBuckets = {
+      val f = java.nio.file.Paths.get(path, MetaFile)
+      require(java.nio.file.Files.exists(f),
+        s"$path has no $MetaFile — not a graft inverted index; build with saveIndex first")
+      val p = new java.util.Properties()
+      val in = java.nio.file.Files.newInputStream(f)
+      try p.load(in) finally in.close()
+      p.getProperty("nBuckets").toInt
+    }
+    buildPostings(newDocs)
+      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
+      .write.mode("append").partitionBy("term_bucket").parquet(path)
+  }
+
   /** Open a [[saveIndex]] directory: the partitioned posting table plus
     * its bucket count. Fails LOUDLY on a foreign directory. */
   def loadIndex(spark: SparkSession, path: String): (DataFrame, Int) = {

@@ -75,6 +75,18 @@ object ExtensionQueries {
         t(s, d).documents.select("doc_id", "text"), tmp.toString)
     }
 
+  /** INCREMENTALLY-built inverted index for ir03: base index from the
+    * "historical" slice (doc_id % 10 != 0), then the "nightly" slice
+    * appended — only the new batch is ever tokenized. */
+  private def invIndexIncremental(s: SparkSession, d: String): String =
+    corpusFixture(d, "documents", "invidxinc") { tmp =>
+      val docs = t(s, d).documents.select("doc_id", "text")
+      graft.operators.InvertedIndex.saveIndex(
+        docs.filter(col("doc_id") % 10 =!= 0), tmp.toString)
+      graft.operators.InvertedIndex.appendToIndex(
+        docs.filter(col("doc_id") % 10 === 0), tmp.toString)
+    }
+
   /** Persisted LSH band index over the "historical" corpus slice
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
@@ -1921,6 +1933,29 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.InvertedIndex.searchIndexed(
           s, invIndexLoaded(s, d), Seq("join", "scan"))
+        .orderBy("doc_id")),
+
+    GraftQuery(
+      // Incremental inverted-index maintenance (ir03): the dd11
+      // pattern for retrieval — the index is built from the historical
+      // slice (doc_id % 10 != 0) and the nightly slice is APPENDED
+      // (InvertedIndex.appendToIndex: only the new batch tokenized,
+      // parquet append into the same term-bucket dirs). The search
+      // through the incrementally-built index must hash-match the
+      // oracle computed over the FULL corpus — a lost posting, a
+      // double-counted doc, or a bucket mismatch all break it.
+      "ir03_incremental_index",
+      Some("""WITH p AS (
+        |  SELECT doc_id, t AS term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(list_filter(string_split(lower(text),' '), x -> x <> '')) AS t
+        |        FROM documents) q
+        |  GROUP BY doc_id, t)
+        |SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS score
+        |FROM p WHERE term IN ('hash', 'row')
+        |GROUP BY doc_id HAVING COUNT(*) = 2
+        |ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.InvertedIndex.searchIndexed(
+          s, invIndexIncremental(s, d), Seq("hash", "row"))
         .orderBy("doc_id"))
   )
 }

@@ -69,6 +69,33 @@ class InvertedIndexSpec extends SparkSpec {
     assert(parts.length <= 2, s"expected <=2 bucket dirs read, got ${parts.length}")
   }
 
+  test("appendToIndex: incremental build equals a full rebuild, search included") {
+    val full = tables.documents.select("doc_id", "text")
+    val old = full.filter(col("doc_id") % 10 =!= 0)
+    val fresh = full.filter(col("doc_id") % 10 === 0)
+    val inc = tmpDir("invidx-inc")
+    InvertedIndex.saveIndex(old, inc)
+    InvertedIndex.appendToIndex(fresh, inc)
+    val ref = tmpDir("invidx-ref")
+    InvertedIndex.saveIndex(full, ref)
+    // posting-set equality (order-free)
+    def postings(p: String) = InvertedIndex.loadIndex(spark, p)._1
+      .select("term", "doc_id", "tf").collect().map(_.toString).sorted.toSeq
+    assert(postings(inc) == postings(ref))
+    // and the search result is identical through the incremental index
+    def res(p: String) = InvertedIndex.searchIndexed(spark, p, Seq("join", "scan"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = res(inc)
+    assert(got.nonEmpty && got == res(ref))
+  }
+
+  test("appendToIndex refuses a directory that is not an index") {
+    val bogus = tmpDir("invidx-append-bogus")
+    val e = intercept[IllegalArgumentException](
+      InvertedIndex.appendToIndex(docs, bogus))
+    assert(e.getMessage.contains("build with saveIndex first"))
+  }
+
   test("a foreign directory is rejected loudly") {
     val bogus = tmpDir("invidx-bogus")
     docs.write.mode("overwrite").parquet(bogus)
