@@ -118,6 +118,41 @@ object IngestGate {
   /** Fixed scratch root for ig03 (content oracle, own wiped dir). */
   val OnceRoot = s"${sys.props("user.dir")}/fixtures/igate/once"
 
+  /** Fixed scratch root for sc01 (content oracle, own wiped dir). */
+  val DriftRoot = s"${sys.props("user.dir")}/fixtures/igate/drift"
+
+  /** sc01: schema evolution across ingest batches. Batch 0 writes the
+    * pre-evolution schema (o_orderkey, cents); batch 1 writes the
+    * evolved one (+ priority). [[graft.ingest.SchemaDrift.readMerged]]
+    * must surface ONE unified frame where pre-evolution rows carry NULL
+    * priority — verified against an oracle that recomputes the unified
+    * view straight from `orders` (the ig02 content-oracle discipline:
+    * the oracle never reads the engine's own files, so a wrong merge
+    * cannot agree with itself).
+    */
+  private def schemaDriftReadBack(spark: SparkSession, sfDir: String,
+                                  root: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.Fixtures.deleteRecursively(new java.io.File(root))
+    val base = graft.Tables(spark, sfDir).orders.select(col("o_orderkey"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+      col("o_orderpriority"))
+    base.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "cents")
+      .write.mode("overwrite").parquet(s"$root/batch0")
+    base.filter(col("o_orderkey") % 2 === 1)
+      .select(col("o_orderkey"), col("cents"), col("o_orderpriority").as("priority"))
+      .write.mode("overwrite").parquet(s"$root/batch1")
+    graft.ingest.SchemaDrift.readMerged(spark, root)
+      .select("o_orderkey", "cents", "priority")
+      .orderBy("o_orderkey")
+  }
+
+  private val schemaDriftOracle =
+    """SELECT o_orderkey, CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |  CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS priority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Deterministic JSON envelopes for the fed subset (driver-side,
     * bounded — see class doc). */
   /** `every` sets the feed density (1-in-`every` orders): the oracle
@@ -318,6 +353,8 @@ object IngestGate {
     // in the final rows — that invisibility IS the effectively-once
     // claim, and any loss or duplicate breaks the hash.
     GraftQuery("ig03_ingest_effectively_once", Some(contentOracle),
-      (s, d) => ingestWithCrashReplay(s, d, OnceRoot))
+      (s, d) => ingestWithCrashReplay(s, d, OnceRoot)),
+    GraftQuery("sc01_schema_drift", Some(schemaDriftOracle),
+      (s, d) => schemaDriftReadBack(s, d, DriftRoot))
   )
 }
