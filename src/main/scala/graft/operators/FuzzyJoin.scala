@@ -20,10 +20,17 @@ import org.apache.spark.sql.functions._
   * bucket key.
   *
   * Like all sorted-neighborhood blocking this trades recall for
-  * scale: only near-neighbors IN SORT ORDER are compared (a typo in
-  * the first character defeats it — multi-pass with different sort
-  * keys is the standard production mitigation; one pass is the
-  * verifiable unit here).
+  * scale: only near-neighbors IN SORT ORDER are compared. Measured on
+  * the sf0.01 part names (round 14, NOTES.md): the full all-pairs
+  * truth at distance <= 2 holds 53,011 pairs, the window-3 single pass
+  * finds 5,616 (10.6 %) and a reverse-key second pass adds only 96 —
+  * on a domain where edit-similar strings are NOT prefix-similar,
+  * no small number of sort keys recovers sort-distant pairs. The
+  * operator's verifiable contract is therefore exactly "pairs within
+  * `window` sort positions" (what the oracle checks); corpora whose
+  * similarity is not sort-local belong on the q-gram/LSH blocking
+  * family instead ([[TextDedup]] dd02/dd03 — shared-token equi-joins
+  * whose candidates don't depend on a global order).
   */
 object FuzzyJoin {
 
