@@ -34,6 +34,79 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** EXACT fuzzy self-join via count-filtered q-gram prefix blocking —
+    * the COMPLETE-recall counterpart of [[sortedNeighborhood]] (the
+    * SSJoin/PPJoin family, public literature): every pair with edit
+    * distance <= `maxDistance` IS in the output, yet no all-pairs
+    * stage exists.
+    *
+    * Why it is exact: one edit destroys at most `q` of a string's
+    * positional q-grams, so ED(a,b) <= d implies the gram MULTISETS
+    * share >= max(|Ga|,|Gb|) - q*d tokens; under any fixed total token
+    * order, such a pair must then share a token among each side's
+    * (q*d + 1) smallest tokens — so joining only those PREFIX tokens
+    * (on (gram, occurrence) so repeats can't inflate set overlap)
+    * loses nothing. Tokens are ordered rarest-document-frequency-first,
+    * which is also the performance lever: hot grams ("th", "in") sit
+    * outside most prefixes, so the candidate join never explodes on
+    * them. A cheap |length| difference filter and the levenshtein
+    * verify run post-join.
+    *
+    * Cost: |prefix| = q*d + 1 tokens per string into one equi-join on
+    * (gram, occ) + one distinct + the verify — shuffle-parallel, sized
+    * by true near-pair density, never N². Precondition (loud): every
+    * string needs > q*d grams (length >= q*d + q), else the count
+    * bound is vacuous for that string and NO prefix filter is sound.
+    *
+    * @return (id_a, id_b, dist), id_a < id_b, exact and complete
+    */
+  def qgramJoin(df: DataFrame, idCol: String, strCol: String,
+                q: Int = 2, maxDistance: Int = 2): DataFrame = {
+    require(q >= 1, s"q must be >= 1, got $q")
+    require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    val prefixLen = q * maxDistance + 1
+    val minLen = q * maxDistance + q
+    val strs = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
+    // Loud precondition: a string with <= q*d grams could reach any
+    // other string within d edits without sharing a prefix token.
+    val shortest = strs.agg(min(length(col("__s")))).head().getInt(0)
+    require(shortest >= minLen,
+      s"qgramJoin(q=$q, maxDistance=$maxDistance) needs every string of " +
+        s"length >= $minLen; shortest present is $shortest")
+    TextDedup.withWorkingSet(strs) { s =>
+      // (id, gram, occ): multiset tokens — occ numbers repeats so two
+      // strings share min(count_a, count_b) join rows per gram
+      val toks = s
+        .select(col("__id"), col("__s"),
+          explode(sequence(lit(1), length(col("__s")) - (q - 1))).as("__i"))
+        .select(col("__id"), col("__s"), expr(s"substring(__s, __i, $q)").as("gram"))
+        .groupBy("__id", "__s", "gram").agg(count(lit(1)).cast("int").as("__cnt"))
+        .select(col("__id"), col("__s"), col("gram"),
+          explode(sequence(lit(1), col("__cnt"))).as("occ"))
+      TextDedup.withWorkingSet(toks) { tk =>
+        val dfreq = tk.groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__id").orderBy(col("__df"), col("gram"), col("occ"))
+        val prefix = tk.join(dfreq, "gram")
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= prefixLen)
+          .select(col("__id"), col("__s"), col("gram"), col("occ"))
+        val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
+            col("gram"), col("occ"))
+          .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),
+            col("gram"), col("occ")), Seq("gram", "occ"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "s_a", "s_b")
+          .distinct()
+        cand
+          .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDistance)
+          .filter(levenshtein(col("s_a"), col("s_b")) <= maxDistance)
+          .select(col("id_a"), col("id_b"),
+            levenshtein(col("s_a"), col("s_b")).as("dist"))
+      }
+    }
+  }
+
   /** @return (id_a, id_b, s_a, s_b, dist) for pairs within `window`
     *         sort positions and edit distance <= maxDistance;
     *         id_a sorts strictly before id_b in (str, id) order */

@@ -1911,6 +1911,40 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")),
 
     GraftQuery(
+      // EXACT q-gram fuzzy join (FuzzyJoin.qgramJoin): count-filtered
+      // prefix blocking (SSJoin family) — COMPLETE recall, no all-pairs
+      // stage; multiset (gram, occurrence) tokens ordered
+      // rarest-df-first, prefix = q*d+1 tokens, levenshtein verify
+      // post-join. Exactness is spec-gated against brute force
+      // (FuzzyJoinSpec); this entry pins cross-engine determinism on a
+      // %20 key slice — the synthetic part vocabulary is so small that
+      // the TRUE full-table answer grows quasi-quadratically (5.5M
+      // pairs at sf0.1), which would measure output volume, not the
+      // operator.
+      "fz02_qgram_join",
+      Some("""WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey % 20 = 0),
+        |g AS (SELECT id, s, substr(s, CAST(i AS INTEGER), 2) AS gram
+        |      FROM p, unnest(range(1, length(s))) AS t(i)),
+        |gc AS (SELECT id, s, gram, COUNT(*) AS cnt FROM g GROUP BY 1, 2, 3),
+        |tok AS (SELECT id, s, gram, CAST(unnest(range(1, cnt + 1)) AS INTEGER) AS occ FROM gc),
+        |dfreq AS (SELECT gram, COUNT(DISTINCT id) AS df FROM tok GROUP BY 1),
+        |ranked AS (SELECT t.id, t.s, t.gram, t.occ,
+        |    row_number() OVER (PARTITION BY t.id ORDER BY d.df, t.gram, t.occ) AS rk
+        |  FROM tok t JOIN dfreq d ON d.gram = t.gram),
+        |pre AS (SELECT * FROM ranked WHERE rk <= 5),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM pre a JOIN pre b ON a.gram = b.gram AND a.occ = b.occ AND a.id < b.id)
+        |SELECT c.id_a, c.id_b, CAST(levenshtein(pa.s, pb.s) AS INTEGER) AS dist
+        |FROM cand c JOIN p pa ON pa.id = c.id_a JOIN p pb ON pb.id = c.id_b
+        |WHERE abs(length(pa.s) - length(pb.s)) <= 2 AND levenshtein(pa.s, pb.s) <= 2
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => graft.operators.FuzzyJoin.qgramJoin(
+          t(s, d).part.filter(col("p_partkey") % 20 === 0)
+            .select("p_partkey", "p_name"),
+          "p_partkey", "p_name", q = 2, maxDistance = 2)
+        .orderBy("id_a", "id_b")),
+
+    GraftQuery(
       // Persisted inverted index + conjunctive search (operators/
       // InvertedIndex): the corpus is tokenized and aggregated into
       // (term, doc, tf) postings ONCE (fixture-cached, dd11/ivf_loaded

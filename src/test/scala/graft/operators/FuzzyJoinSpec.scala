@@ -47,6 +47,43 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(plan.contains("Join"), s"expected a real join in the lazy plan:\n${plan.take(600)}")
   }
 
+  test("qgramJoin is EXACT: equals the all-pairs truth on part names") {
+    // The completeness claim is the whole point — gate it against a
+    // brute-force all-pairs computation (fine at spec scale).
+    val part = tables.part.select("p_partkey", "p_name")
+    val a = part.select(col("p_partkey").as("id_a"), col("p_name").as("s_a"))
+    val b = part.select(col("p_partkey").as("id_b"), col("p_name").as("s_b"))
+    val want = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(levenshtein(col("s_a"), col("s_b")) <= 2)
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      .as[(Long, Long, Int)].collect().toSet
+    val got = FuzzyJoin.qgramJoin(part, "p_partkey", "p_name")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(want.nonEmpty, "expected near pairs in testdata part names")
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)} " +
+        s"sizes got=${got.size} want=${want.size}")
+  }
+
+  test("qgramJoin matches repeats via multiset occurrences, not gram sets") {
+    // "ababab" vs "ababab" share gram SET {ab, ba} but six positional
+    // grams; occurrence-numbered matching must find the identical pair
+    // (d=0) and the single-edit pair, and exclude the far one.
+    val df = Seq((1L, "abababx"), (2L, "abababx"), (3L, "abababy"),
+      (4L, "zzqqzzqq")).toDF("id", "s")
+    val got = FuzzyJoin.qgramJoin(df, "id", "s", maxDistance = 1)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
+
+  test("qgramJoin rejects strings too short for a sound prefix filter") {
+    val df = Seq((1L, "abcd"), (2L, "abcdefgh")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException](
+      FuzzyJoin.qgramJoin(df, "id", "s", q = 2, maxDistance = 2))
+    assert(e.getMessage.contains("length >= 6"))
+  }
+
   test("guards: window and maxDistance validated") {
     val df = Seq((1L, "a")).toDF("id", "name")
     intercept[IllegalArgumentException](
