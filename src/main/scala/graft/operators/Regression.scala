@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.roundFp
+
+/** Distributed least-squares fitting by sufficient statistics — the
+  * "aggregate the moments, solve the tiny system on the driver" pattern
+  * that turns regression over a 100 TB fact table into ONE hash
+  * aggregation. No gradient iterations, no per-row driver traffic: the
+  * scan computes exact integer moment sums (map-side combinable), the
+  * closed form runs on the aggregated row(s).
+  */
+object Regression {
+
+  /** Per-group simple linear regression y = slope·x + intercept via the
+    * classic closed form over exact integer moment sums.
+    *
+    * Inputs are integer-unit columns (the caller quantizes — the house
+    * FP discipline), so (n, Σx, Σy, Σxx, Σxy, Σyy) are EXACT longs and
+    * every engine computes them identically; the closed form then runs
+    * in double on those exact sums (bigint→double conversion is
+    * correctly rounded everywhere), so slope/intercept/r² are
+    * cross-engine deterministic up to the final rounding.
+    *
+    * Overflow bound (documented, not checked per row): Σ(x·y) must stay
+    * under 2^63 — with x ≤ 10^4 and y ≤ 10^8 units that allows ~10^10
+    * rows per group; re-quantize coarser for bigger groups.
+    *
+    * One shuffle (the groupBy); output is |groups| rows.
+    *
+    * @return (groupCols*, n, slope, intercept, r2) — r2 is null when x
+    *         or y has zero variance (degenerate fit), slope/intercept
+    *         null when x is constant; all three rounded to `scale`
+    *         decimals.
+    */
+  def fitPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      xUnitsCol: String,
+      yUnitsCol: String,
+      scale: Int = 6): DataFrame = {
+    val x = col(xUnitsCol).cast("long")
+    val y = col(yUnitsCol).cast("long")
+    val moments = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+    val nD = col("n").cast("double")
+    def d(c: String) = col(c).cast("double")
+    // covXY/varX/varY are n²-scaled (co)variances — the shared
+    // subexpressions of slope, intercept and r². Keeping the formula in
+    // this exact shape (and mirroring it in oracle SQL) is what makes
+    // the doubles reproducible cross-engine.
+    val covXY = nD * d("sxy") - d("sx") * d("sy")
+    val varX = nD * d("sxx") - d("sx") * d("sx")
+    val varY = nD * d("syy") - d("sy") * d("sy")
+    val slope = when(varX =!= 0.0, covXY / varX)
+    val intercept = when(varX =!= 0.0, (d("sy") - covXY / varX * d("sx")) / nD)
+    val r2 = when(varX =!= 0.0 && varY =!= 0.0, covXY * covXY / (varX * varY))
+    moments.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        roundFp(slope, scale).as("slope"),
+        roundFp(intercept, scale).as("intercept"),
+        roundFp(r2, scale).as("r2")): _*)
+  }
+
+  /** Multi-feature OLS: fit y = β·x over k features by aggregating the
+    * Gram matrix X'X and moment vector X'y in ONE pass
+    * (`treeAggregate`-shaped: a single hash aggregate over the k(k+1)/2 +
+    * k summed products), then solving the k×k normal equations on the
+    * driver by Gaussian elimination with partial pivoting. k is tiny
+    * (feature count), the data is arbitrary — the driver work is O(k³)
+    * on ONE row of sums.
+    *
+    * Features arrive as double columns; an intercept column of 1.0 is
+    * appended automatically. Returns the coefficient vector (intercept
+    * last). Throws on a singular Gram matrix (collinear features).
+    */
+  def fitOls(df: DataFrame, featureCols: Seq[String], yCol: String): Array[Double] = {
+    require(featureCols.nonEmpty, "need at least one feature")
+    val k = featureCols.size + 1 // + intercept
+    val feats = featureCols.map(c => col(c).cast("double")) :+ lit(1.0)
+    val gramAggs =
+      (for (i <- 0 until k; j <- i until k)
+        yield sum(feats(i) * feats(j)).as(s"g_${i}_$j")) ++
+        (0 until k).map(i => sum(feats(i) * col(yCol).cast("double")).as(s"b_$i"))
+    val row = df.agg(gramAggs.head, gramAggs.tail: _*).head()
+    val a = Array.ofDim[Double](k, k + 1)
+    for (i <- 0 until k; j <- i until k) {
+      val v = row.getAs[Double](s"g_${i}_$j")
+      a(i)(j) = v; a(j)(i) = v
+    }
+    for (i <- 0 until k) a(i)(k) = row.getAs[Double](s"b_$i")
+    // Gaussian elimination with partial pivoting on the k x (k+1) system.
+    for (p <- 0 until k) {
+      val piv = (p until k).maxBy(r => math.abs(a(r)(p)))
+      require(math.abs(a(piv)(p)) > 1e-12,
+        "singular Gram matrix — collinear features (drop or combine them)")
+      val tmp = a(p); a(p) = a(piv); a(piv) = tmp
+      for (r <- p + 1 until k) {
+        val f = a(r)(p) / a(p)(p)
+        for (c2 <- p to k) a(r)(c2) -= f * a(p)(c2)
+      }
+    }
+    val beta = new Array[Double](k)
+    for (i <- (k - 1) to 0 by -1) {
+      var s = a(i)(k)
+      for (j <- i + 1 until k) s -= a(i)(j) * beta(j)
+      beta(i) = s / a(i)(i)
+    }
+    beta
+  }
+}

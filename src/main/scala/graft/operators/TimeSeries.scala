@@ -104,6 +104,69 @@ object TimeSeries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Time-decayed aggregate: each (key, day)'s total integer-unit value
+    * is halved once per `halfLifeDays` of age (whole half-lives — STEP
+    * decay applied to the DAILY TOTAL; that granularity is the
+    * definition, not an approximation, and it is what lets the raw
+    * volume pre-reduce) and summed per key, giving a recency-weighted
+    * score ("decayed popularity") as of the newest day in the data.
+    *
+    * The decay is an arithmetic right shift on the integer units, so —
+    * unlike an exp()/pow() weighting — every engine computes the
+    * identical result under any partitioning and summation order: there
+    * is no floating point anywhere. The cost is granularity (weights are
+    * exact powers of two at whole-half-life boundaries), which is the
+    * right trade for a deterministic pipeline score; callers needing
+    * smooth decay divide `halfLifeDays` down.
+    *
+    * Shape: ONE hash aggregation on the key after a broadcast of the
+    * 1-row global max-day; output is |keys|. Ages ≥ 63 half-lives decay
+    * to exactly 0 (the shift cap — also the int64 bound).
+    *
+    * @param events input with `keyCol`, a timestamp `tsCol` and a
+    *               NON-NEGATIVE integer-unit `unitsCol` (negative units
+    *               would floor toward -inf in the shift, diverging from
+    *               truncating engines; guarded via raise_error on the
+    *               daily total, which a negative input drives negative
+    *               whenever it matters)
+    * @return (keyCol, n_events, raw_units, decayed_units)
+    */
+  def decayedSum(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      unitsCol: String,
+      halfLifeDays: Int): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    // Decay depends only on the event's DAY, so the raw volume reduces
+    // to a per-(key, day) aggregate before any decay math: ONE raw scan,
+    // and the materialized working set (the gapFill discipline) is
+    // |keys × active days| — orders of magnitude under event volume.
+    val daily = events
+      .select(col(keyCol), to_date(col(tsCol)).as("__day"),
+        col(unitsCol).cast("long").as("__u"))
+      .groupBy(col(keyCol), col("__day"))
+      .agg(count(lit(1)).as("__n"), sum("__u").as("__u"))
+    TextDedup.withWorkingSet(daily) { ev =>
+      val ref = ev.agg(max("__day").as("__ref"))
+      // DIV (integer) age, raise_error guard riding the value column
+      // (the mergeInto discipline — stays inside codegen, costs nothing
+      // when clean), arithmetic right shift = exact power-of-two decay.
+      val decayed = expr(
+        s"""CASE
+           |  WHEN __u < 0 THEN raise_error(
+           |    concat('decayedSum requires non-negative units, got ', __u))
+           |  WHEN datediff(__ref, __day) DIV $halfLifeDays >= 63 THEN 0L
+           |  ELSE shiftright(__u, cast(datediff(__ref, __day) DIV $halfLifeDays AS INT))
+           |END""".stripMargin)
+      ev.crossJoin(broadcast(ref))
+        .groupBy(col(keyCol))
+        .agg(sum(col("__n")).as("n_events"),
+          sum(col("__u")).as("raw_units"),
+          sum(decayed).as("decayed_units"))
+    }
+  }
+
   /** Cohort retention matrix: users grouped by their first-activity day,
     * counted on each subsequent active day.
     *

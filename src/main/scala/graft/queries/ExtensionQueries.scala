@@ -1990,6 +1990,176 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.InvertedIndex.searchIndexed(
           s, invIndexIncremental(s, d), Seq("hash", "row"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    GraftQuery(
+      // Gap-based sessionization (operators/Sessions): lag + cumulative
+      // sum over ONE user-keyed window (single Exchange, both window
+      // functions in one Window operator), then a per-session hash
+      // aggregate — output |sessions|. 6 h gap; value summed in exact
+      // integer milli-units (house FP discipline).
+      "se01_sessionize",
+      Some("""WITH o AS (
+        |  SELECT user_id, event_id, ts, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vu,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 21600000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts, vu,
+        |    SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o)
+        |SELECT user_id, CAST(sid AS BIGINT) AS session_id, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end, COUNT(*) AS n_events, CAST(SUM(vu) AS BIGINT) AS sum_units
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d).events.withColumn("vu",
+          floor(col("value") * 1000 + 0.5).cast("long"))
+        graft.operators.Sessions.sessionStats(
+          graft.operators.Sessions.assignSessions(
+            ev, "user_id", "ts", "event_id", gapSeconds = 21600L),
+          "user_id", "ts", "vu")
+          .orderBy("user_id", "session_id")
+      }),
+
+    GraftQuery(
+      // First-order Markov transition matrix (operators/Sessions): one
+      // user-keyed lead window + one hash aggregate on the type pair;
+      // output bounded by |event types|² whatever the event volume.
+      // Probability = exact-long ratio, round4.
+      "nx01_transitions",
+      Some("""WITH pr AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, COUNT(*) AS n
+        |      FROM pr WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  ROUND(CAST(n AS DOUBLE) / CAST(SUM(n) OVER (PARTITION BY from_type) AS DOUBLE) * 10000) / 10000 + 0 AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin),
+      (s, d) => graft.operators.Sessions.transitions(
+          t(s, d).events, "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_type", "to_type")),
+
+    GraftQuery(
+      // Step-decayed recency score (operators/TimeSeries.decayedSum):
+      // per-(key, day) totals decay by arithmetic right shift per whole
+      // 7-day half-life — NO floating point anywhere, bitwise identical
+      // under any partitioning (the pg01 integer discipline). One raw
+      // scan into a |keys × days| working set, one keyed aggregate.
+      "ts03_decayed_sum",
+      Some("""WITH daily AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS u
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT MAX(day) AS ref FROM daily)
+        |SELECT user_id, CAST(SUM(n) AS BIGINT) AS n_events,
+        |  CAST(SUM(u) AS BIGINT) AS raw_units,
+        |  CAST(SUM(CASE WHEN date_diff('day', day, ref) // 7 >= 63 THEN 0
+        |    ELSE u // (CAST(1 AS BIGINT) << (date_diff('day', day, ref) // 7)) END) AS BIGINT) AS decayed_units
+        |FROM daily, r GROUP BY 1 ORDER BY user_id""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.decayedSum(
+          t(s, d).events.withColumn("vu",
+            floor(col("value") * 1000 + 0.5).cast("long")),
+          "user_id", "ts", "vu", halfLifeDays = 7)
+        .orderBy("user_id")),
+
+    GraftQuery(
+      // Declarative data-quality expectations (operators/Quality): all
+      // row-level rules over a table fuse into ONE conditional-sum scan;
+      // uniqueness is one keyed agg, referential integrity one
+      // (broadcast-able) anti join. Report = |rules| rows. The rule set
+      // mixes passing and failing rules so both report paths are
+      // exercised.
+      "dq01_expectations",
+      Some("""WITH u AS (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey),
+        |uc AS (SELECT COUNT(*) AS n FROM orders GROUP BY o_custkey),
+        |t1 AS (
+        |SELECT 'o_custkey_not_null' AS rule,
+        |  CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  COUNT(*) AS total FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice_range',
+        |  CAST(SUM(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 450000)
+        |            OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus_accepted',
+        |  CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F', 'O')
+        |            OR o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey_unique',
+        |  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM u),
+        |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM u)
+        |UNION ALL
+        |SELECT 'o_custkey_unique',
+        |  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM uc),
+        |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM uc)
+        |UNION ALL
+        |SELECT 'l_discount_range',
+        |  CAST(SUM(CASE WHEN NOT (l_discount >= 0 AND l_discount <= 0.1)
+        |            OR l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity_positive',
+        |  CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk',
+        |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |     ON l.l_orderkey = o.o_orderkey
+        |   WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL),
+        |  (SELECT COUNT(*) FROM lineitem)
+        |)
+        |SELECT rule, violations, total, CAST(violations = 0 AS BOOLEAN) AS pass
+        |FROM t1 ORDER BY rule""".stripMargin),
+      (s, d) => {
+        import graft.operators.Quality._
+        val orders = t(s, d).orders
+        val li = t(s, d).lineitem
+        val ordersReport = expectations(orders, Seq(
+          NotNull("o_custkey_not_null", "o_custkey"),
+          InRange("o_totalprice_range", "o_totalprice", 0, 450000),
+          AcceptedValues("o_orderstatus_accepted", "o_orderstatus", Seq("F", "O")),
+          Unique("o_orderkey_unique", Seq("o_orderkey")),
+          Unique("o_custkey_unique", Seq("o_custkey"))))
+        val liReport = expectations(li, Seq(
+          InRange("l_discount_range", "l_discount", 0, 0.1),
+          Check("l_quantity_positive", col("l_quantity") >= 1),
+          ForeignKey("lineitem_orders_fk", "l_orderkey", orders, "o_orderkey")))
+        ordersReport.unionAll(liReport).orderBy("rule")
+      }),
+
+    GraftQuery(
+      // Distributed OLS by sufficient statistics (operators/Regression):
+      // exact integer moment sums in ONE hash aggregate (map-side
+      // combinable), closed form on the |groups| result rows — the
+      // "aggregate the moments, solve tiny" pattern that fits a
+      // regression over 100 TB in a single pass. Fit: extendedprice
+      // cents ~ quantity units per returnflag.
+      "ml01_linear_fit",
+      Some("""WITH q AS (SELECT l_returnflag AS grp,
+        |    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS xu,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS yu FROM lineitem),
+        |m AS (SELECT grp, COUNT(*) AS n, CAST(SUM(xu) AS BIGINT) AS sx,
+        |    CAST(SUM(yu) AS BIGINT) AS sy, CAST(SUM(xu * xu) AS BIGINT) AS sxx,
+        |    CAST(SUM(xu * yu) AS BIGINT) AS sxy, CAST(SUM(yu * yu) AS BIGINT) AS syy
+        |  FROM q GROUP BY 1),
+        |f AS (SELECT grp, n,
+        |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+        |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy,
+        |    CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd
+        |  FROM m)
+        |SELECT grp, n,
+        |  ROUND((cov / vx) * 1000000) / 1000000 + 0 AS slope,
+        |  ROUND(((syd - cov / vx * sxd) / CAST(n AS DOUBLE)) * 1000000) / 1000000 + 0 AS intercept,
+        |  ROUND((cov * cov / (vx * vy)) * 1000000) / 1000000 + 0 AS r2
+        |FROM f ORDER BY grp""".stripMargin),
+      (s, d) => graft.operators.Regression.fitPerGroup(
+          t(s, d).lineitem.select(col("l_returnflag").as("grp"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("xu"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("yu")),
+          Seq("grp"), "xu", "yu")
+        .orderBy("grp"))
   )
 }

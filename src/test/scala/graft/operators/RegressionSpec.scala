@@ -1,0 +1,85 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fitPerGroup recovers an exact linear relation (slope 2, intercept 3, r2 1)") {
+    val df = (1L to 100L).map(x => ("g", x, 2 * x + 3)).toDF("grp", "x", "y")
+    val got = Regression.fitPerGroup(df, Seq("grp"), "x", "y")
+      .as[(String, Long, Double, Double, Double)].head()
+    assert(got == (("g", 100L, 2.0, 3.0, 1.0)))
+  }
+
+  test("fitPerGroup matches the closed form on noisy integer data, per group") {
+    // Deterministic pseudo-noise; verify against a driver-side reference.
+    val rows = for (g <- Seq("a", "b"); i <- 1 to 500) yield {
+      val x = i.toLong
+      val noise = ((i * 2654435761L) % 41) - 20 // [-20, 20]
+      val y = (if (g == "a") 5 * x else -3 * x + 1000) + noise
+      (g, x, y)
+    }
+    val got = Regression.fitPerGroup(rows.toDF("grp", "x", "y"), Seq("grp"), "x", "y")
+      .orderBy("grp")
+      .as[(String, Long, Double, Double, Double)].collect()
+
+    def reference(pts: Seq[(Long, Long)]): (Double, Double, Double) = {
+      val n = pts.size.toDouble
+      val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+      val syy = pts.map(p => p._2 * p._2).sum.toDouble
+      val cov = n * sxy - sx * sy; val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+      def r6(v: Double) = math.round(v * 1e6) / 1e6 + 0.0
+      (r6(cov / vx), r6((sy - cov / vx * sx) / n), r6(cov * cov / (vx * vy)))
+    }
+    for ((g, n, slope, intercept, r2) <- got) {
+      val ref = reference(rows.filter(_._1 == g).map(r => (r._2, r._3)))
+      assert(n == 500L)
+      assert((slope, intercept, r2) == ref, s"group $g diverged from closed form")
+    }
+    // slopes carry the per-group sign
+    assert(got.find(_._1 == "a").get._3 > 0 && got.find(_._1 == "b").get._3 < 0)
+  }
+
+  test("fitPerGroup yields null slope/intercept/r2 for constant x") {
+    val df = Seq(("g", 5L, 1L), ("g", 5L, 2L), ("g", 5L, 3L)).toDF("grp", "x", "y")
+    val row = Regression.fitPerGroup(df, Seq("grp"), "x", "y").head()
+    assert(row.isNullAt(row.fieldIndex("slope")))
+    assert(row.isNullAt(row.fieldIndex("intercept")))
+    assert(row.isNullAt(row.fieldIndex("r2")))
+  }
+
+  test("fitPerGroup is ONE hash aggregate pass (no extra shuffles)") {
+    val li = tables.lineitem.select(col("l_returnflag").as("grp"),
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("x"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+    val plan = Regression.fitPerGroup(li, Seq("grp"), "x", "y")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one shuffle (the groupBy), got:\n$plan")
+  }
+
+  test("fitOls solves multi-feature normal equations (exact planted coefficients)") {
+    // y = 2*x1 - 4*x2 + 7 exactly; Gram solve must recover the plant.
+    val df = (1 to 200).map { i =>
+      val x1 = (i % 17).toDouble; val x2 = (i % 5).toDouble
+      (x1, x2, 2 * x1 - 4 * x2 + 7)
+    }.toDF("x1", "x2", "y")
+    val beta = Regression.fitOls(df, Seq("x1", "x2"), "y")
+    assert(beta.length == 3)
+    assert(math.abs(beta(0) - 2.0) < 1e-9)
+    assert(math.abs(beta(1) + 4.0) < 1e-9)
+    assert(math.abs(beta(2) - 7.0) < 1e-9) // intercept last
+  }
+
+  test("fitOls rejects collinear features") {
+    val df = (1 to 50).map { i => (i.toDouble, 2.0 * i, 3.0 * i) }.toDF("x1", "x2", "y")
+    val e = intercept[IllegalArgumentException] {
+      Regression.fitOls(df, Seq("x1", "x2"), "y")
+    }
+    assert(e.getMessage.contains("singular"))
+  }
+}

@@ -149,4 +149,52 @@ class TimeSeriesSpec extends SparkSpec {
       TimeSeries.gapFillForwardFill(ev2, Seq("k"), "day", "filled_value")
     }
   }
+
+  test("decayedSum halves the DAILY total once per whole half-life (step decay)") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-15 10:00:00"), 100L), // age 0 half-lives → 100
+      (1L, ts("2024-01-15 23:00:00"), 11L),  // same day: daily total 111 → 111
+      (1L, ts("2024-01-08 10:00:00"), 100L), // age exactly 7d = 1 half-life → 50
+      (1L, ts("2024-01-01 10:00:00"), 101L), // age 14d = 2 half-lives → 25 (101>>2)
+      (2L, ts("2024-01-10 00:00:00"), 7L))   // age 5d → 0 whole half-lives → 7
+      .toDF("user_id", "ts", "vu")
+    val got = TimeSeries.decayedSum(ev, "user_id", "ts", "vu", halfLifeDays = 7)
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4L, 312L, 111L + 50L + 25L),
+      (2L, 1L, 7L, 7L)))
+  }
+
+  test("decayedSum shift saturates to zero at >= 63 half-lives") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), Long.MaxValue / 4),
+      (1L, ts("2026-01-01 00:00:00"), 10L)) // 731 days later; halfLife 1d → age 731 ≥ 63
+      .toDF("user_id", "ts", "vu")
+    val got = TimeSeries.decayedSum(ev, "user_id", "ts", "vu", halfLifeDays = 1)
+      .select("decayed_units").as[Long].head()
+    assert(got == 10L) // the old event contributes exactly 0, no shift wraparound
+  }
+
+  test("decayedSum raises on negative units instead of flooring toward -inf") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), -5L))
+      .toDF("user_id", "ts", "vu")
+    val e = intercept[Exception] {
+      TimeSeries.decayedSum(ev, "user_id", "ts", "vu", 7).collect()
+    }
+    assert(e.getMessage.contains("non-negative"))
+  }
+
+  test("decayedSum pre-reduces to the daily working set — one raw scan") {
+    val ev = tables.events.select(col("user_id"), col("ts"),
+      floor(col("value") * 1000 + 0.5).cast("long").as("vu"))
+    val got = TimeSeries.decayedSum(ev, "user_id", "ts", "vu", 7)
+    val plan = got.queryExecution.executedPlan.toString
+    // The returned plan bottoms out at the checkpointed daily aggregate:
+    // no parquet scan may appear downstream of the working set.
+    assert(!plan.contains("FileScan parquet"),
+      s"decay math must run over the materialized daily working set:\n${plan.take(1200)}")
+  }
 }
