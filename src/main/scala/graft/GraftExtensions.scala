@@ -11,9 +11,10 @@ import graft.functions.{BpeCount, BpeTokens, CosineSimilarity, RollingHash}
   * `builder.withExtensions(new GraftExtensions)`) so every session —
   * including ones created by spark-submit before any graft code runs —
   * has ALL of them: cosine_similarity, rolling_hash, bpe_tokens,
-  * bpe_count. `functions.registerAll` remains the per-session fallback
-  * for externally-built sessions (same four functions — the two lists
-  * must stay in sync, gated by GraftExtensionsSpec).
+  * bpe_count, jaro_winkler. `functions.registerAll` remains the
+  * per-session fallback for externally-built sessions (same five
+  * functions — the two lists must stay in sync, gated by
+  * GraftExtensionsSpec).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def inject(e: SparkSessionExtensions, name: String, arity: Int,
@@ -35,6 +36,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => BpeTokens(args.head, args(1)), classOf[BpeTokens])
     inject(e, "bpe_count", 2,
       args => BpeCount(args.head, args(1)), classOf[BpeCount])
+    inject(e, "jaro_winkler", 2,
+      args => JaroWinkler(args.head, args(1)), classOf[JaroWinkler])
     e.injectOptimizerRule(_ => FoldConstantCosine)
   }
 }

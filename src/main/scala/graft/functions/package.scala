@@ -21,6 +21,12 @@ package object functions {
   def rolling_hash(text: Column): Column =
     F.call_function("rolling_hash", text)
 
+  /** Jaro–Winkler similarity in [0, 1] between two string columns
+    * (native, codegen'd — see [[JaroWinkler]] for the pinned
+    * semantics). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    F.call_function("jaro_winkler", a, b)
+
   /** Subword tokens / token count under a BPE vocabulary (native,
     * codegen'd — see [[BpeVocab]]). The vocab travels as a foldable
     * literal in [[BpeVocab.encode]] wire form, parsed once per operator.
@@ -163,6 +169,12 @@ package object functions {
       reg.createOrReplaceTempFunction(
         "bpe_count",
         es => BpeCount(es.head, es(1)),
+        "built-in")
+    }
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("jaro_winkler"))) {
+      reg.createOrReplaceTempFunction(
+        "jaro_winkler",
+        es => JaroWinkler(es.head, es(1)),
         "built-in")
     }
   }

@@ -107,13 +107,17 @@ object FuzzyJoin {
     }
   }
 
-  /** @return (id_a, id_b, s_a, s_b, dist) for pairs within `window`
-    *         sort positions and edit distance <= maxDistance;
-    *         id_a sorts strictly before id_b in (str, id) order */
-  def sortedNeighborhood(df: DataFrame, idCol: String, strCol: String,
-                         window: Int = 3, maxDistance: Int = 2): DataFrame = {
+  /** Sorted-neighborhood CANDIDATE pairs — the blocking stage alone,
+    * independent of how pairs are scored: (id_a, id_b, s_a, s_b) for
+    * every pair within `window` global sort positions of each other,
+    * id_a strictly before id_b in (str, id) order. [[sortedNeighborhood]]
+    * scores these with levenshtein; jw-scored variants (fz03) apply
+    * their own metric — the blocking cost and the recall bound are
+    * identical either way (O(N·window) candidates, sort-local recall).
+    */
+  def neighborhoodCandidates(df: DataFrame, idCol: String, strCol: String,
+                             window: Int = 3): DataFrame = {
     require(window >= 1, s"window must be >= 1, got $window")
-    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
     // The ranked frame feeds both join sides; materialize it once (the
     // two-phase rank involves a driver offset collect — paying it twice
     // would double the dominant cost).
@@ -131,9 +135,19 @@ object FuzzyJoin {
       a.join(b, "__g")
         .filter(col("__rn_b") > col("__rn_a") &&
           col("__rn_b") <= col("__rn_a") + window)
-        .filter(levenshtein(col("s_a"), col("s_b")) <= maxDistance)
-        .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
-          levenshtein(col("s_a"), col("s_b")).as("dist"))
+        .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"))
     }
+  }
+
+  /** @return (id_a, id_b, s_a, s_b, dist) for pairs within `window`
+    *         sort positions and edit distance <= maxDistance;
+    *         id_a sorts strictly before id_b in (str, id) order */
+  def sortedNeighborhood(df: DataFrame, idCol: String, strCol: String,
+                         window: Int = 3, maxDistance: Int = 2): DataFrame = {
+    require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
+    neighborhoodCandidates(df, idCol, strCol, window)
+      .filter(levenshtein(col("s_a"), col("s_b")) <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+        levenshtein(col("s_a"), col("s_b")).as("dist"))
   }
 }

@@ -1993,6 +1993,35 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     GraftQuery(
+      // Native Jaro–Winkler scoring (functions/JaroWinkler — a codegen'd
+      // Catalyst expression; Spark has no JW built-in and a UDF would
+      // break whole-stage codegen) over the sorted-neighborhood blocking
+      // (FuzzyJoin.neighborhoodCandidates). Exact-equal names are
+      // excluded so the entry exercises the actual similarity surface —
+      // the algorithm is pinned bit-exact to DuckDB's
+      // jaro_winkler_similarity (JaroWinklerSpec fuzz), making the
+      // threshold comparison and the round6 output cross-engine stable.
+      "fz03_jaro_winkler",
+      Some("""WITH r AS (SELECT p_partkey, p_name,
+        |    row_number() OVER (ORDER BY p_name, p_partkey) AS rn FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS s_a, b.p_name AS s_b,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name) * 1000000) / 1000000 + 0 AS jw
+        |FROM r a JOIN r b ON b.rn > a.rn AND b.rn <= a.rn + 3
+        |WHERE a.p_name <> b.p_name
+        |  AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => {
+        val jw = graft.functions.jaro_winkler(col("s_a"), col("s_b"))
+        graft.operators.FuzzyJoin.neighborhoodCandidates(
+            t(s, d).part, "p_partkey", "p_name", window = 3)
+          .filter(col("s_a") =!= col("s_b") && jw >= 0.8)
+          .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+            graft.functions.roundFp(jw, 6).as("jw"))
+          .orderBy("id_a", "id_b")
+      }),
+
+    GraftQuery(
       // Gap-based sessionization (operators/Sessions): lag + cumulative
       // sum over ONE user-keyed window (single Exchange, both window
       // functions in one Window operator), then a per-session hash

@@ -11,7 +11,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     * suite sharing one SparkContext cannot exercise the conf string
     * end-to-end (the context predates the conf). What CAN be proven
     * in-JVM, and together covers that path:
-    *   1. the class applied to a session exposes ALL FOUR natives in
+    *   1. the class applied to a session exposes ALL FIVE natives in
     *      SQL (the `withExtensions` test below — same apply() Spark's
     *      conf path calls);
     *   2. the class is instantiable by reflection with a no-arg
@@ -24,7 +24,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(inst.isInstanceOf[org.apache.spark.sql.SparkSessionExtensions => Unit])
   }
 
-  test("withExtensions exposes all four native functions in SQL, no registerAll") {
+  test("withExtensions exposes all five native functions in SQL, no registerAll") {
     // getOrCreate returns any live session untouched — which in the
     // shared-context suite would be the GraftSession whose registerAll
     // already exposed these names, making the test vacuous. Clear the
@@ -63,6 +63,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT bpe_count('low lower', '${vocab.encoded.replace("\n", "\\n")}') AS n")
         .head().getInt(0)
       assert(n == 4)
+
+      val jw = spark.sql("SELECT jaro_winkler('MARTHA', 'MARHTA') AS j")
+        .head().getDouble(0)
+      assert(jw == 0.9611111111111111) // the textbook value, bit-exact
     } finally {
       // shared context: do not stop; restore the suite's session handles
       SparkSession.clearActiveSession()
