@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{BpeCount, BpeTokens, CosineSimilarity, RollingHash}
+import graft.functions.{BpeCount, BpeTokens, CosineSimilarity, JaroWinkler, RollingHash}
 
 /** Library packaging for graft's native expressions: inject via
   * `spark.sql.extensions=graft.GraftExtensions` (or

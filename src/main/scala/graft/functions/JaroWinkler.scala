@@ -12,8 +12,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * from inside whole-stage codegen, no interpreted expression tree.
   *
   * Semantics are pinned to the common C implementations (DuckDB's
-  * `jaro_winkler_similarity` verified bit-exact over a 3000-pair fuzz,
-  * see JaroWinklerSpec):
+  * `jaro_winkler_similarity`), gated two ways: a 3000-pair bit-exact
+  * fuzz against an independent in-repo reimplementation
+  * (JaroWinklerSpec, runs in `sbt test`) and the fz03 DuckDB oracle
+  * (driver-run at sf0.01). The pinned choices:
   *   - either side empty → 0.0 (including both empty — NOT 1.0);
   *   - match window = max(0, max(len)/2 - 1), so equal 1-char strings
   *     still match (the window clamp, not an equality shortcut);

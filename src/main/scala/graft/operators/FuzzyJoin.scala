@@ -66,13 +66,25 @@ object FuzzyJoin {
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
     val prefixLen = q * maxDistance + 1
     val minLen = q * maxDistance + q
-    val strs = df.select(col(idCol).as("__id"), col(strCol).as("__s"))
-    // Loud precondition: a string with <= q*d grams could reach any
-    // other string within d edits without sharing a prefix token.
-    val shortest = strs.agg(min(length(col("__s")))).head().getInt(0)
-    require(shortest >= minLen,
-      s"qgramJoin(q=$q, maxDistance=$maxDistance) needs every string of " +
-        s"length >= $minLen; shortest present is $shortest")
+    // Loud preconditions — the complete-recall contract is only sound
+    // when every row participates, so both are enforced PER ROW, riding
+    // the working-set materialization job itself (no separate pre-scan
+    // pass over the input — the decayedSum discipline):
+    //   - null strings have no grams and would silently vanish from the
+    //     join (and slip past any min(length) aggregate — min ignores
+    //     nulls): raise_error instead;
+    //   - a string with <= q*d grams could reach another string within
+    //     d edits without sharing a prefix token, so the count bound is
+    //     vacuous for it: raise_error names the offender.
+    // An EMPTY input yields an empty (correct, complete) result.
+    val strs = df.select(col(idCol).as("__id"),
+      when(col(strCol).isNull, raise_error(lit(
+        s"qgramJoin: null string present; nulls have no grams and would " +
+          "be silently dropped — filter or fill first")))
+        .when(length(col(strCol)) < minLen, raise_error(concat(
+          lit(s"qgramJoin(q=$q, maxDistance=$maxDistance) needs every string " +
+            s"of length >= $minLen; got '"), col(strCol), lit("'"))))
+        .otherwise(col(strCol)).as("__s"))
     TextDedup.withWorkingSet(strs) { s =>
       // (id, gram, occ): multiset tokens — occ numbers repeats so two
       // strings share min(count_a, count_b) join rows per gram

@@ -12,7 +12,7 @@ import graft.functions.tokens
   * at build time; every query touches only the partitions holding its
   * terms.
   *
-  * Postings are (term, doc_id, tf) rows written PARTITIONED BY a
+  * Postings are (term, doc_id, tf, dl) rows written PARTITIONED BY a
   * crc32-derived `term_bucket` — the [[IvfIndex]] discipline: "a query
   * reads only its terms' buckets" is enforced by parquet DIRECTORY
   * partition pruning at the storage layer (`PartitionFilters` in the
@@ -23,6 +23,16 @@ import graft.functions.tokens
   * computed driver-side with the same CRC so the filter is a literal
   * IN list; the doc-keyed intersection aggregate is the only shuffle,
   * sized by the matched postings, never the corpus.
+  *
+  * `dl` (document token length) is DENORMALIZED into every posting row
+  * — the space-for-locality trade that makes ranked retrieval
+  * index-local: BM25 ([[searchIndexedBm25]]) needs each matched doc's
+  * length, and carrying it on the posting costs one int column in the
+  * index where a separate doc-length table would cost a corpus-sized
+  * join on every query. The remaining corpus-level stats BM25 needs
+  * (doc count, total token count) are 2 numbers, persisted in the
+  * index metadata at build time and maintained incrementally on
+  * append — a query never scans beyond its term buckets.
   */
 object InvertedIndex {
 
@@ -41,24 +51,59 @@ object InvertedIndex {
     c.getValue % nBuckets
   }
 
-  /** (term, doc_id, tf) posting rows over the shared [[tokens]]
-    * convention — one corpus scan + one (term, doc) aggregation. */
+  /** Index-wide metadata persisted next to the postings: bucket count
+    * plus the 2 corpus stats ranked retrieval needs ([[searchIndexedBm25]]).
+    * `docCount`/`totalTokens` count docs WITH at least one token — the
+    * same universe the postings (and any tokenize-side oracle) see. */
+  final case class IndexMeta(nBuckets: Int, docCount: Long, totalTokens: Long)
+
+  /** (term, doc_id, tf, dl) posting rows over the shared [[tokens]]
+    * convention — one corpus scan + one (term, doc) aggregation; `dl`
+    * rides a doc-keyed window over the aggregated postings (posting
+    * rows, never raw tokens, cross that second exchange). */
   def buildPostings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("dl", sum("tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")).cast("int"))
+      .select("term", "doc_id", "tf", "dl")
 
-  /** Build + persist the index, partitioned by term bucket. */
+  private def writeMeta(path: String, meta: IndexMeta): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("nBuckets", meta.nBuckets.toString)
+    p.setProperty("docCount", meta.docCount.toString)
+    p.setProperty("totalTokens", meta.totalTokens.toString)
+    val f = java.nio.file.Paths.get(path, MetaFile)
+    val out = java.nio.file.Files.newOutputStream(f)
+    try p.store(out, "graft inverted index") finally out.close()
+  }
+
+  private def readMeta(path: String, hint: String): IndexMeta = {
+    val f = java.nio.file.Paths.get(path, MetaFile)
+    require(java.nio.file.Files.exists(f),
+      s"$path has no $MetaFile — not a graft inverted index; $hint")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    IndexMeta(p.getProperty("nBuckets").toInt,
+      p.getProperty("docCount").toLong, p.getProperty("totalTokens").toLong)
+  }
+
+  /** Build + persist the index, partitioned by term bucket. Corpus
+    * stats are aggregated from a read-back of the just-written postings
+    * (a column-pruned scan of the compact index — cheaper than
+    * persisting the full posting build just to aggregate it twice). */
   def saveIndex(docs: DataFrame, path: String, nBuckets: Int = 16): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     buildPostings(docs)
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
-    val p = new java.util.Properties()
-    p.setProperty("nBuckets", nBuckets.toString)
-    val f = java.nio.file.Paths.get(path, MetaFile)
-    val out = java.nio.file.Files.newOutputStream(f)
-    try p.store(out, "graft inverted index") finally out.close()
+    val spark = docs.sparkSession
+    val st = spark.read.parquet(path).agg(
+      count_distinct(col("doc_id")).as("n"),
+      coalesce(sum(col("tf")), lit(0L)).as("sumdl")).head()
+    writeMeta(path, IndexMeta(nBuckets, st.getLong(0), st.getLong(1)))
   }
 
   /** INCREMENTAL index maintenance — the [[TextDedup.saveBandIndex]] /
@@ -72,40 +117,109 @@ object InvertedIndex {
     * as the ingest pipeline's effectively-once sink guarantees).
     */
   def appendToIndex(newDocs: DataFrame, path: String): Unit = {
-    val nBuckets = {
-      val f = java.nio.file.Paths.get(path, MetaFile)
-      require(java.nio.file.Files.exists(f),
-        s"$path has no $MetaFile — not a graft inverted index; build with saveIndex first")
-      val p = new java.util.Properties()
-      val in = java.nio.file.Files.newInputStream(f)
-      try p.load(in) finally in.close()
-      p.getProperty("nBuckets").toInt
-    }
-    buildPostings(newDocs)
-      .withColumn("term_bucket", termBucket(col("term"), nBuckets))
-      .write.mode("append").partitionBy("term_bucket").parquet(path)
+    val meta = readMeta(path, "build with saveIndex first")
+    // Persist the (nightly-sized) batch postings: they feed both the
+    // append write and the stats delta — corpus stats stay maintained
+    // incrementally, never recomputed over the whole index.
+    val batch = buildPostings(newDocs)
+      .withColumn("term_bucket", termBucket(col("term"), meta.nBuckets))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      batch.write.mode("append").partitionBy("term_bucket").parquet(path)
+      val st = batch.agg(
+        count_distinct(col("doc_id")).as("n"),
+        coalesce(sum(col("tf")), lit(0L)).as("sumdl")).head()
+      writeMeta(path, meta.copy(docCount = meta.docCount + st.getLong(0),
+        totalTokens = meta.totalTokens + st.getLong(1)))
+    } finally batch.unpersist()
   }
 
   /** Open a [[saveIndex]] directory: the partitioned posting table plus
-    * its bucket count. Fails LOUDLY on a foreign directory. */
-  def loadIndex(spark: SparkSession, path: String): (DataFrame, Int) = {
-    val f = java.nio.file.Paths.get(path, MetaFile)
-    require(java.nio.file.Files.exists(f),
-      s"$path has no $MetaFile — not a graft inverted index; rebuild with saveIndex")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
-    (spark.read.parquet(path), p.getProperty("nBuckets").toInt)
+    * its metadata. Fails LOUDLY on a foreign directory. */
+  def loadIndex(spark: SparkSession, path: String): (DataFrame, IndexMeta) = {
+    val meta = readMeta(path, "rebuild with saveIndex")
+    (spark.read.parquet(path), meta)
   }
 
-  /** Conjunctive (AND) search against a LOADED index: the bucket IN
-    * list prunes partition directories before any row is read, then
-    * [[searchAll]] intersects. */
+  /** The bucket-pruned postings for a query's terms: the bucket IN
+    * list prunes partition DIRECTORIES before any row is read, the
+    * term IN list prunes rows within them. */
+  private def matchedPostings(spark: SparkSession, path: String,
+                              terms: Seq[String]): (DataFrame, IndexMeta) = {
+    val (postings, meta) = loadIndex(spark, path)
+    val buckets = terms.map(termBucketLocal(_, meta.nBuckets)).distinct
+    (postings.filter(col("term_bucket").isin(buckets: _*))
+      .filter(col("term").isin(terms: _*)), meta)
+  }
+
+  /** Conjunctive (AND) search against a LOADED index. */
   def searchIndexed(spark: SparkSession, path: String,
                     terms: Seq[String]): DataFrame = {
-    val (postings, nBuckets) = loadIndex(spark, path)
-    val buckets = terms.map(termBucketLocal(_, nBuckets)).distinct
+    val (postings, meta) = loadIndex(spark, path)
+    val buckets = terms.map(termBucketLocal(_, meta.nBuckets)).distinct
     searchAll(postings.filter(col("term_bucket").isin(buckets: _*)), terms)
+  }
+
+  /** Ranked (BM25) retrieval against a LOADED index — the composition
+    * of [[TextAnalysis.bm25]]'s scoring arithmetic with the persisted
+    * index's locality: tf and dl come from the bucket-pruned postings,
+    * df for each query term from those same matched rows (exact — a
+    * term's postings are complete within its bucket), and the two
+    * corpus-level numbers (N, Σdl) from [[IndexMeta]] as literals. A
+    * query therefore reads ONLY its terms' bucket directories, however
+    * large the corpus; the doc-keyed pivot is the only shuffle, sized
+    * by matched postings.
+    *
+    * Scoring is arithmetic-identical to [[TextAnalysis.bm25]] (same
+    * micro-unit idf floor, same operation order, same fixed query-order
+    * combination — the oracle-parity discipline), so the same DuckDB
+    * oracle form gates both.
+    */
+  def searchIndexedBm25(spark: SparkSession, path: String, terms: Seq[String],
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 16,
+      s"${terms.size} query terms — bm25 builds a fixed-order score column per term")
+    require(terms.distinct == terms, s"duplicate query terms in $terms")
+    terms.foreach { t =>
+      require(t.nonEmpty && t == t.toLowerCase && !t.exists(_.isWhitespace),
+        s"query term '$t' must be a non-empty lowercase single token " +
+          "(match the tokenizer: lowercased, whitespace-split)")
+    }
+    val (matched, meta) = matchedPostings(spark, path, terms)
+    // Per-doc fixed-order tf pivot; dl rides the group key (constant
+    // within a doc by construction).
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf").cast("long")).otherwise(0L)).as(s"__tf$i")
+    }
+    val perDoc = matched.groupBy(col("doc_id"), col("dl"))
+      .agg(tfCols.head, tfCols.tail: _*)
+    // 1-row per-term df frame from the same matched postings (one row
+    // per (term, doc) ⇒ a conditional count IS the df), broadcast to
+    // every doc — the TextAnalysis.bm25 corpus-frame shape.
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, 1L).otherwise(0L)).as(s"__df$i")
+    }
+    val dfs = matched.agg(dfCols.head, dfCols.tail: _*)
+    val n = lit(meta.docCount)
+    val sumdl = lit(meta.totalTokens)
+    def termScore(i: Int): Column = {
+      val tf = col(s"__tf$i"); val df = col(s"__df$i")
+      val idfMicro = floor(log((n - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+        * 1000000 + 0.5).cast("long")
+      when(tf > 0,
+        (idfMicro / lit(1000000.0)) * (tf * (lit(k1) + lit(1.0))) /
+          (tf + lit(k1) * ((lit(1.0) - lit(b)) +
+            lit(b) * col("dl") / (sumdl.cast("double") / n))))
+        .otherwise(lit(0.0))
+    }
+    val combined = terms.indices.map(termScore).reduce(_ + _)
+    val matchedCount = terms.indices
+      .map(i => when(col(s"__tf$i") > 0, 1L).otherwise(0L))
+      .reduce(_ + _)
+    perDoc.crossJoin(broadcast(dfs))
+      .select(col("doc_id"), matchedCount.as("n_terms_matched"),
+        graft.functions.round4(combined).as("score"))
+      .filter(col("n_terms_matched") > 0)
   }
 
   /** Conjunctive (AND) search: documents containing EVERY query term,

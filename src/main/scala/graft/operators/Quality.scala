@@ -93,9 +93,12 @@ object Quality {
           coalesce(sum(col("__n")), lit(0L)).as("total"))
           .select(lit(n).as("rule"), col("violations"), col("total"))
       case ForeignKey(n, childCol, parent, parentCol) =>
+        // Rename the parent key before joining: in the common FK case the
+        // child and parent columns share a name (both `order_id`), and
+        // `col(name) === col(name)` would be ambiguous on both sides.
         val orphans = df.filter(col(childCol).isNotNull)
-          .join(parent.select(col(parentCol)).distinct(),
-            col(childCol) === col(parentCol), "left_anti")
+          .join(parent.select(col(parentCol).as("__parent_key")).distinct(),
+            col(childCol) === col("__parent_key"), "left_anti")
           .agg(count(lit(1)).as("violations"))
         orphans.crossJoin(df.agg(count(lit(1)).as("total")))
           .select(lit(n).as("rule"), col("violations"), col("total"))

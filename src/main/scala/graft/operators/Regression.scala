@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.roundFp
@@ -65,6 +65,74 @@ object Regression {
         roundFp(slope, scale).as("slope"),
         roundFp(intercept, scale).as("intercept"),
         roundFp(r2, scale).as("r2")): _*)
+  }
+
+  /** Per-group TWO-feature OLS (y = β1·x1 + β2·x2 + β0) with an EXACTLY
+    * cross-engine-reproducible solve — the oracle-gateable instance of
+    * the normal-equations family ([[fitOls]] is the general-k float
+    * twin, spec-pinned against this one).
+    *
+    * Why it is exact: inputs are integer units (caller quantizes), so
+    * the 9 moment sums are EXACT longs; the 3×3 normal system is then
+    * solved by CRAMER'S RULE with the four determinants computed in
+    * decimal(38,0) — exact integer arithmetic, where ANY operation
+    * order yields the same value (no FP-order discipline needed at
+    * all, unlike every double-path formula in this repo). The only FP
+    * steps are the final det ratio (one conversion + one divide, both
+    * correctly rounded) and the output rounding.
+    *
+    * Overflow bound (documented, not checked per row): each determinant
+    * is ≤ 6·max|entry|³ and must stay under 10^38 — with x1 ≤ 10^2,
+    * x2 ≤ 10^2, y ≤ 10^8 units that allows ~10^9 rows per group
+    * (entries ≤ 10^13, dets ≤ 10^35); re-quantize coarser beyond that.
+    *
+    * Fully distributed: ONE hash aggregation (map-side combinable),
+    * the Cramer projection runs per aggregated row — no driver
+    * collect, output is |groups| rows.
+    *
+    * @return (groupCols*, n, beta1, beta2, beta0) — null betas when the
+    *         Gram matrix is singular (collinear/constant features).
+    */
+  def fitOlsExactPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x1UnitsCol: String,
+      x2UnitsCol: String,
+      yUnitsCol: String,
+      scale: Int = 6): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val x1 = col(x1UnitsCol).cast("long")
+    val x2 = col(x2UnitsCol).cast("long")
+    val y = col(yUnitsCol).cast("long")
+    val moments = df.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+      sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+      sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"))
+    def D(c: String) = col(c).cast(dec)
+    // |[r1; r2; r3]| by cofactor expansion along the first row — exact
+    // decimal arithmetic, so the expansion choice is arbitrary.
+    def det3(a: Column, b: Column, c: Column,
+             d: Column, e: Column, f: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val (g11, g12, g1) = (D("s11"), D("s12"), D("s1"))
+    val (g22, g2, nn) = (D("s22"), D("s2"), col("n").cast(dec))
+    val (b1, b2, b0) = (D("s1y"), D("s2y"), D("sy"))
+    // A = [[g11,g12,g1],[g12,g22,g2],[g1,g2,n]], b = [b1,b2,b0];
+    // detJ = |A with column J replaced by b|
+    val det = det3(g11, g12, g1, g12, g22, g2, g1, g2, nn)
+    val det1 = det3(b1, g12, g1, b2, g22, g2, b0, g2, nn)
+    val det2 = det3(g11, b1, g1, g12, b2, g2, g1, b0, nn)
+    val det0 = det3(g11, g12, b1, g12, g22, b2, g1, g2, b0)
+    def beta(dj: Column): Column =
+      when(det =!= 0, dj.cast("double") / det.cast("double"))
+    moments.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        roundFp(beta(det1), scale).as("beta1"),
+        roundFp(beta(det2), scale).as("beta2"),
+        roundFp(beta(det0), scale).as("beta0")): _*)
   }
 
   /** Multi-feature OLS: fit y = β·x over k features by aggregating the

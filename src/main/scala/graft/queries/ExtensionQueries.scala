@@ -70,7 +70,9 @@ object ExtensionQueries {
   /** Persisted term-bucketed inverted index for ir02, via the shared
     * [[corpusFixture]] discipline. */
   private def invIndexLoaded(s: SparkSession, d: String): String =
-    corpusFixture(d, "documents", "invidx") { tmp =>
+    // formatVer b: postings gained the denormalized dl column + the
+    // persisted corpus stats (ir04 ranked retrieval)
+    corpusFixture(d, "documents", "invidx", formatVer = "b") { tmp =>
       graft.operators.InvertedIndex.saveIndex(
         t(s, d).documents.select("doc_id", "text"), tmp.toString)
     }
@@ -79,7 +81,7 @@ object ExtensionQueries {
     * "historical" slice (doc_id % 10 != 0), then the "nightly" slice
     * appended — only the new batch is ever tokenized. */
   private def invIndexIncremental(s: SparkSession, d: String): String =
-    corpusFixture(d, "documents", "invidxinc") { tmp =>
+    corpusFixture(d, "documents", "invidxinc", formatVer = "b") { tmp =>
       val docs = t(s, d).documents.select("doc_id", "text")
       graft.operators.InvertedIndex.saveIndex(
         docs.filter(col("doc_id") % 10 =!= 0), tmp.toString)
@@ -1990,6 +1992,39 @@ object ExtensionQueries {
         |ORDER BY doc_id""".stripMargin),
       (s, d) => graft.operators.InvertedIndex.searchIndexed(
           s, invIndexIncremental(s, d), Seq("hash", "row"))
+        .orderBy("doc_id")),
+
+    GraftQuery(
+      // Ranked (BM25) retrieval over the PERSISTED index (ir04):
+      // ir01's scoring arithmetic composed with ir02's storage
+      // locality — tf/dl from the bucket-pruned postings (dl is
+      // denormalized into every posting row at build time), per-term
+      // df counted from those same matched rows, and the two
+      // corpus-level stats (N, Σdl) from the index metadata persisted
+      // at build time. The oracle recomputes full-corpus BM25 in SQL
+      // (the ir01 form, different terms) — a stale stat, lost posting,
+      // or drifted dl all hash-mismatch. Terms span the df spectrum
+      // (dup df≈5%, merge/window ≈78%) so idf weighting is exercised.
+      "ir04_indexed_bm25",
+      Some("""WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+        |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE w IN ('merge', 'dup', 'window') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    (CAST(FLOOR(ln((corpus.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT)
+        |      / 1000000.0) * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (CAST(corpus.sumdl AS DOUBLE) / corpus.n))) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+        |  ROUND((COALESCE(SUM(CASE WHEN term = 'merge' THEN s END), 0)
+        |       + COALESCE(SUM(CASE WHEN term = 'dup' THEN s END), 0)
+        |       + COALESCE(SUM(CASE WHEN term = 'window' THEN s END), 0)) * 10000) / 10000 + 0 AS score
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.InvertedIndex.searchIndexedBm25(
+          s, invIndexLoaded(s, d), Seq("merge", "dup", "window"))
         .orderBy("doc_id")),
 
     GraftQuery(

@@ -12,11 +12,13 @@ class InvertedIndexSpec extends SparkSpec {
     (3L, "lazy dog sleeps"),
     (4L, "")).toDF("doc_id", "text")
 
-  test("postings carry exact per-doc term frequencies") {
+  test("postings carry exact per-doc term frequencies and doc lengths") {
     val p = InvertedIndex.buildPostings(docs)
-      .as[(String, Long, Int)].collect().toSet
-    assert(p.contains(("quick", 2L, 2)))
-    assert(p.contains(("the", 1L, 2)))
+      .as[(String, Long, Int, Int)].collect().toSet
+    assert(p.contains(("quick", 2L, 2, 3)))
+    assert(p.contains(("the", 1L, 2, 8)))
+    // dl is constant across a doc's postings (denormalized, not derived)
+    assert(p.filter(_._2 == 1L).map(_._4) == Set(8))
     assert(!p.exists(_._2 == 4L), "empty doc has no postings")
   }
 
@@ -87,6 +89,46 @@ class InvertedIndexSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     val got = res(inc)
     assert(got.nonEmpty && got == res(ref))
+  }
+
+  test("searchIndexedBm25 equals the on-the-fly bm25 over the same corpus") {
+    val corpus = tables.documents.select("doc_id", "text")
+    val path = tmpDir("invidx-bm25")
+    InvertedIndex.saveIndex(corpus, path)
+    val terms = Seq("merge", "dup", "window")
+    val viaIndex = InvertedIndex.searchIndexedBm25(spark, path, terms)
+      .collect().map(_.toString).sorted.toSeq
+    val onTheFly = TextAnalysis.bm25(corpus, terms)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaIndex.nonEmpty && viaIndex == onTheFly)
+    // and the ranked query still prunes bucket directories at the
+    // storage layer, exactly like the conjunctive path
+    val q = InvertedIndex.searchIndexedBm25(spark, path, terms)
+    val scan = q.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.partitionFilters.nonEmpty, "expected partition filters on term_bucket")
+    val parts = scan.relation.location.listFiles(scan.partitionFilters, scan.dataFilters)
+    assert(parts.length <= 3, s"expected <=3 bucket dirs read, got ${parts.length}")
+  }
+
+  test("corpus stats persist at build and stay exact across appends") {
+    val full = tables.documents.select("doc_id", "text")
+    val inc = tmpDir("invidx-meta-inc")
+    InvertedIndex.saveIndex(full.filter(col("doc_id") % 10 =!= 0), inc)
+    InvertedIndex.appendToIndex(full.filter(col("doc_id") % 10 === 0), inc)
+    val ref = tmpDir("invidx-meta-ref")
+    InvertedIndex.saveIndex(full, ref)
+    val metaInc = InvertedIndex.loadIndex(spark, inc)._2
+    val metaRef = InvertedIndex.loadIndex(spark, ref)._2
+    assert(metaInc == metaRef, s"incremental stats drifted: $metaInc vs $metaRef")
+    assert(metaRef.docCount > 0 && metaRef.totalTokens > metaRef.docCount)
+    // ranked retrieval through the incrementally-built index is
+    // identical too (stats + postings both maintained)
+    def bm(p: String) = InvertedIndex.searchIndexedBm25(spark, p, Seq("merge", "dup"))
+      .collect().map(_.toString).sorted.toSeq
+    val got = bm(inc)
+    assert(got.nonEmpty && got == bm(ref))
   }
 
   test("appendToIndex refuses a directory that is not an index") {

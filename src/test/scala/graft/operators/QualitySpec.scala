@@ -57,6 +57,17 @@ class QualitySpec extends SparkSpec {
     assert(got == (("fk", 1L, 3L, false)))
   }
 
+  test("ForeignKey works when child and parent key columns share a name") {
+    // The common FK shape: both sides call the key `order_id`. The rule
+    // must rename the parent side internally or the join condition is
+    // ambiguous on both references.
+    val parent = Seq(1L, 2L).toDF("order_id")
+    val child = Seq(1L, 2L, 7L).toDF("order_id")
+    val got = expectations(child, Seq(ForeignKey("fk", "order_id", parent, "order_id")))
+      .as[(String, Long, Long, Boolean)].head()
+    assert(got == (("fk", 1L, 3L, false)))
+  }
+
   test("rule names must be unique") {
     val e = intercept[IllegalArgumentException] {
       expectations(df, Seq(NotNull("x", "name"), Check("x", col("id") > 0)))
