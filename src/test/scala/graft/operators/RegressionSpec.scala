@@ -75,6 +75,55 @@ class RegressionSpec extends SparkSpec {
     assert(math.abs(beta(2) - 7.0) < 1e-9) // intercept last
   }
 
+  test("fitOlsExactPerGroup recovers planted coefficients per group") {
+    // group a: y = 3*x1 + 5*x2 + 11; group b: y = -2*x1 + x2 + 40
+    val df = (1 to 300).flatMap { i =>
+      val x1 = (i % 13).toLong; val x2 = (i % 7).toLong
+      Seq(("a", x1, x2, 3 * x1 + 5 * x2 + 11),
+        ("b", x1, x2, -2 * x1 + x2 + 40))
+    }.toDF("grp", "x1", "x2", "y")
+    val got = Regression.fitOlsExactPerGroup(df, Seq("grp"), "x1", "x2", "y")
+      .as[(String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got("a") == ((3.0, 5.0, 11.0)))
+    assert(got("b") == ((-2.0, 1.0, 40.0)))
+  }
+
+  test("fitOlsExactPerGroup yields null betas on a singular Gram matrix") {
+    // x2 = 2*x1 exactly → collinear → det = 0 → nulls, not garbage
+    val df = (1 to 50).map(i => ("g", i.toLong, 2L * i, 3L * i)).toDF("grp", "x1", "x2", "y")
+    val row = Regression.fitOlsExactPerGroup(df, Seq("grp"), "x1", "x2", "y").collect().head
+    assert(row.isNullAt(2) && row.isNullAt(3) && row.isNullAt(4))
+  }
+
+  test("fitOlsExactPerGroup agrees with the float fitOls path on real data") {
+    // The exact Cramer solve and the double Gaussian elimination are
+    // the same normal equations — they must agree to ~1e-9 relative on
+    // a well-conditioned real fit (this is the link that lets ml02's
+    // driver oracle stand in for the general-k float path too).
+    val li = tables.lineitem.select(
+      floor(col("l_quantity") * 100 + 0.5).cast("long").as("x1"),
+      floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
+      floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y"))
+      .withColumn("grp", lit("all"))
+    val exact = Regression.fitOlsExactPerGroup(li, Seq("grp"), "x1", "x2", "y", scale = 9)
+      .as[(String, Long, Double, Double, Double)].collect().head
+    val float = Regression.fitOls(
+      li.select(col("x1").cast("double"), col("x2").cast("double"), col("y")),
+      Seq("x1", "x2"), "y")
+    assert(math.abs(float(0) - exact._3) <= 1e-6 * math.max(1.0, math.abs(exact._3)))
+    assert(math.abs(float(1) - exact._4) <= 1e-6 * math.max(1.0, math.abs(exact._4)))
+    assert(math.abs(float(2) - exact._5) <= 1e-6 * math.max(1.0, math.abs(exact._5)))
+  }
+
+  test("fitOlsExactPerGroup is ONE hash aggregate pass (no extra shuffles)") {
+    val df = (1 to 40).map(i => ("g", i.toLong, (i % 5).toLong, 3L * i)).toDF("grp", "x1", "x2", "y")
+    val plan = Regression.fitOlsExactPerGroup(df, Seq("grp"), "x1", "x2", "y")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected exactly one shuffle (the groupBy), got:\n$plan")
+  }
+
   test("fitOls rejects collinear features") {
     val df = (1 to 50).map { i => (i.toDouble, 2.0 * i, 3.0 * i) }.toDF("x1", "x2", "y")
     val e = intercept[IllegalArgumentException] {
