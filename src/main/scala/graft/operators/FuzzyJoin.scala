@@ -119,6 +119,102 @@ object FuzzyJoin {
     }
   }
 
+  /** EXACT Jaro–Winkler-threshold self-join via character-overlap
+    * prefix blocking — the jw-bound sibling of [[qgramJoin]] (the
+    * PPJoin prefix-filter idea applied to the Jaro bound): every pair
+    * with jw(a,b) >= `threshold` IS in the output, no all-pairs stage.
+    *
+    * Why it is exact. Winkler's boost is bounded (prefix <= 4,
+    * factor 0.1), so jw >= θ forces jaro >= θj := (θ - 0.4)/0.6.
+    * Jaro's matched-character count m obeys
+    * jaro <= (m/l1 + m/l2 + 1)/3 and m never exceeds the CHARACTER
+    * MULTISET overlap, hence a qualifying pair shares
+    * K >= (3·θj - 1)·l1·l2/(l1 + l2) characters (with multiplicity);
+    * m <= min(l1,l2) additionally forces the partner length into
+    * [l1·(3θj - 2), l1/(3θj - 2)]. Evaluating K at each string's
+    * SMALLEST admissible partner length gives a per-string overlap
+    * floor, and the standard pigeonhole then says a qualifying pair
+    * must share a token among each side's (len - K + 1) smallest
+    * (char, occurrence) tokens under any fixed total order. Join only
+    * those prefix tokens (rarest-document-frequency-first — the
+    * [[qgramJoin]] lever), verify with the exact [[graft.functions.jaro_winkler]]
+    * expression post-join. All conservative roundings round TOWARD
+    * more candidates (floor on l2min, ceil(x - 1e-9) on K), so FP
+    * noise can only add candidates, never lose a pair.
+    *
+    * θ >= 0.81 is required: it keeps θj > 2/3, where the length window
+    * and overlap floor are non-vacuous (K >= 1). Empty strings score
+    * jw = 0 with everything (pinned semantics) and are correctly
+    * absent; null strings fail loudly per row ([[qgramJoin]] contract).
+    *
+    * Scale shape: |prefix| tokens per string into one (char, occ)
+    * equi-join + distinct + the codegen'd jw verify — shuffle-parallel,
+    * sized by true near-pair density. Honest caveat vs [[qgramJoin]]:
+    * 1-char tokens over a small alphabet block less sharply than
+    * 2-grams; the rarest-first prefix order is what keeps hot letters
+    * out of most prefixes.
+    *
+    * @return (id_a, id_b, s_a, s_b, jw), id_a < id_b, jw rounded to 6
+    */
+  def jaroWinklerJoin(df: DataFrame, idCol: String, strCol: String,
+                      threshold: Double): DataFrame = {
+    require(threshold >= 0.81 && threshold < 1.0,
+      s"threshold must be in [0.81, 1.0) — below 0.81 the Jaro bound " +
+        s"(θj = (θ-0.4)/0.6) drops to 2/3 where no prefix filter is sound; got $threshold")
+    val thetaJ = (threshold - 0.4) / 0.6
+    val ratio = 3.0 * thetaJ - 2.0   // admissible-length factor, > 0
+    val overlap = 3.0 * thetaJ - 1.0 // shared-character factor, > 1
+    val strs = df.select(col(idCol).as("__id"),
+      when(col(strCol).isNull, raise_error(lit(
+        "jaroWinklerJoin: null string present; jw(null, ·) is null and the " +
+          "pair would be silently dropped — filter or fill first")))
+        .otherwise(col(strCol)).as("__s"))
+      .withColumn("__len", length(col("__s")))
+      .filter(col("__len") > 0) // jw(empty, ·) = 0 < θ: exact to drop
+      // smallest admissible partner length (floor → sound) and the
+      // per-string overlap floor K (ceil with slack → sound)
+      .withColumn("__l2min", greatest(lit(1L), floor(col("__len") * ratio)))
+      .withColumn("__k", ceil(
+        col("__len") * col("__l2min") * overlap /
+          (col("__len") + col("__l2min")) - lit(1e-9)).cast("long"))
+    TextDedup.withWorkingSet(strs) { s =>
+      val toks = s
+        .select(col("__id"), col("__s"), col("__len"), col("__k"),
+          explode(sequence(lit(1), col("__len"))).as("__i"))
+        .select(col("__id"), col("__s"), col("__len"), col("__k"),
+          expr("substring(__s, __i, 1)").as("gram"))
+        .groupBy("__id", "__s", "__len", "__k", "gram")
+        .agg(count(lit(1)).cast("int").as("__cnt"))
+        .select(col("__id"), col("__s"), col("__len"), col("__k"), col("gram"),
+          explode(sequence(lit(1), col("__cnt"))).as("occ"))
+      TextDedup.withWorkingSet(toks) { tk =>
+        val dfreq = tk.groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("__id").orderBy(col("__df"), col("gram"), col("occ"))
+        val prefix = tk.join(dfreq, "gram")
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= col("__len") - col("__k") + 1)
+          .select(col("__id"), col("__s"), col("gram"), col("occ"))
+        val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
+            col("gram"), col("occ"))
+          .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),
+            col("gram"), col("occ")), Seq("gram", "occ"))
+          .filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b", "s_a", "s_b")
+          .distinct()
+        val jw = graft.functions.jaro_winkler(col("s_a"), col("s_b"))
+        cand
+          // admissible-length window first (cheap; 1e-9 slack keeps it
+          // conservative), then the exact verify decides
+          .filter(greatest(length(col("s_a")), length(col("s_b"))) * ratio <=
+            least(length(col("s_a")), length(col("s_b"))) + lit(1e-9))
+          .filter(jw >= threshold)
+          .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+            graft.functions.roundFp(jw, 6).as("jw"))
+      }
+    }
+  }
+
   /** Sorted-neighborhood CANDIDATE pairs — the blocking stage alone,
     * independent of how pairs are scored: (id_a, id_b, s_a, s_b) for
     * every pair within `window` global sort positions of each other,

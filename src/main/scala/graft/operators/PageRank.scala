@@ -71,4 +71,94 @@ object PageRank {
     }
     ranks
   }
+
+  /** WEIGHTED, PERSONALIZED PageRank (random walk with restart) — the
+    * recommendation/trust-propagation variant of [[pagerankMicro]]:
+    * edges carry a positive integer weight (interaction count, spend
+    * units), and the (1−d) restart mass returns to a RESTART SET with
+    * integer personalization weights instead of spreading uniformly.
+    * Same integer micro-unit discipline, so bitwise deterministic
+    * under any partitioning and exactly oracle-reproducible.
+    *
+    * Per iteration, with W(u) = Σ_v w(u,v) and P = Σ p, S = restart set:
+    *
+    *   contrib(u→v) = (r_k(u) * dampNum * w(u,v)) div (dampDen * W(u))
+    *   r_{k+1}(v)   = base(v) + Σ_{u→v} contrib(u→v)
+    *   base(v)      = (|S| * unit * (dampDen-dampNum) * p_v) div (dampDen * P)
+    *                  for v ∈ S, else 0
+    *   r_0(v)       = (|S| * unit * p_v) div P for v ∈ S, else 0
+    *
+    * (total mass ≈ |S|·unit, so uniform p degenerates to exactly
+    * [[pagerankMicro]]'s base/r0 per restart node — spec-pinned).
+    * Dangling and non-restart leakage is the standard no-redistribution
+    * variant, as in [[pagerankMicro]].
+    *
+    * Overflow bounds (documented, not checked per row):
+    * r·dampNum·w < 2^63 (w ≤ 10^4 allows r up to ~10^13 micro-units)
+    * and |S|·unit·dampDiff·p < 2^63 (p ≤ 10^2 allows |S| up to ~10^9);
+    * re-scale weights coarser beyond that.
+    *
+    * Scale shape: identical to [[pagerankMicro]] — one src-keyed
+    * equi-join + one dst-keyed aggregation per iteration, per-round
+    * localCheckpoint, no driver participation (the restart total is a
+    * 1-row broadcast, never collected).
+    *
+    * @param edges   (src, dst, w) rows, w > 0 (fails loudly per row)
+    * @param restart (node, p) rows, p > 0 (fails loudly per row);
+    *                duplicate nodes have their weights summed
+    * @return (node, rank_u) over src ∪ dst ∪ restart nodes
+    */
+  def personalizedPagerankMicro(edges: DataFrame, restart: DataFrame,
+                                iterations: Int,
+                                dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampNum > 0 && dampDen > dampNum,
+      s"damping must satisfy 0 < dampNum < dampDen, got $dampNum/$dampDen")
+    val e = edges.select(col("src"), col("dst"),
+      when(col("w") <= 0 || col("w").isNull,
+        raise_error(concat(lit("personalizedPagerankMicro: non-positive edge weight "),
+          col("w").cast("string")))).otherwise(col("w").cast("long")).as("w"))
+      .localCheckpoint(true)
+    val rs = restart.select(col("node"),
+      when(col("p") <= 0 || col("p").isNull,
+        raise_error(concat(lit("personalizedPagerankMicro: non-positive personalization "),
+          col("p").cast("string")))).otherwise(col("p").cast("long")).as("p"))
+      .groupBy("node").agg(sum("p").as("p"))
+      .localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(rs.select(col("node"))).distinct()
+      .localCheckpoint(true)
+    val wdeg = e.groupBy("src").agg(sum("w").as("wdeg"))
+      .localCheckpoint(true)
+    // 1-row (|S|, ΣP) broadcast — the Quality/TimeSeries totals pattern
+    val tot = rs.agg(count(lit(1)).as("ns"), sum("p").as("pp"))
+    val dampDiff = dampDen - dampNum
+    val baseDf = rs.crossJoin(broadcast(tot))
+      .select(col("node"),
+        expr(s"(ns * $Unit6 * $dampDiff * p) DIV ($dampDen * pp)").as("base_u"))
+      .localCheckpoint(true)
+    var ranks = nodes
+      .join(rs.crossJoin(broadcast(tot)), Seq("node"), "left")
+      .select(col("node"),
+        coalesce(expr(s"(ns * $Unit6 * p) DIV pp"), lit(0L)).as("rank_u"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      val inflow = e
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(wdeg, "src")
+        .select(col("dst").as("node"),
+          expr(s"(rank_u * $dampNum * w) DIV ($dampDen * wdeg)").as("c"))
+        .groupBy("node")
+        .agg(sum("c").as("inflow"))
+      ranks = nodes
+        .join(baseDf, Seq("node"), "left")
+        .join(inflow, Seq("node"), "left")
+        .select(col("node"),
+          (coalesce(col("base_u"), lit(0L)) +
+            coalesce(col("inflow"), lit(0L))).as("rank_u"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -1892,6 +1892,52 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Weighted PERSONALIZED PageRank / random walk with restart
+      // (pg02): the recommendation variant of pg01 — edges weighted by
+      // customer×supplier interaction count (the multiplicity pg01
+      // distinct'ed away), restart mass returning only to nation-1
+      // customers. Same integer micro-unit discipline (bitwise
+      // deterministic under any partitioning; the restart total is a
+      // 1-row broadcast, never collected); the oracle unrolls both
+      // iterations with the identical integer DIV arithmetic.
+      "pg02_personalized_pagerank",
+      Some("""WITH e0 AS (
+        |  SELECT o_custkey AS c, l_suppkey + 10000000 AS s, CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |e AS (SELECT c AS src, s AS dst, w FROM e0 UNION ALL SELECT s, c, w FROM e0),
+        |rs AS (SELECT c_custkey AS node, CAST(1 AS BIGINT) AS p FROM customer WHERE c_nationkey = 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns, CAST(SUM(p) AS BIGINT) AS pp FROM rs),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT node FROM rs),
+        |deg AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wdeg FROM e GROUP BY 1),
+        |base AS (SELECT rs.node, (tot.ns * 1000000 * 15 * rs.p) // (100 * tot.pp) AS b
+        |  FROM rs CROSS JOIN tot),
+        |r0 AS (SELECT n.node, CAST(COALESCE((tot.ns * 1000000 * rs.p) // tot.pp, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN rs ON rs.node = n.node CROSS JOIN tot),
+        |c1 AS (SELECT e.dst AS node, SUM((p.r * 85 * e.w) // (100 * d.wdeg)) AS inflow
+        |  FROM e JOIN r0 p ON e.src = p.node JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, CAST(COALESCE(b.b, 0) + COALESCE(c1.inflow, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN base b ON b.node = n.node LEFT JOIN c1 ON c1.node = n.node),
+        |c2 AS (SELECT e.dst AS node, SUM((p.r * 85 * e.w) // (100 * d.wdeg)) AS inflow
+        |  FROM e JOIN r1 p ON e.src = p.node JOIN deg d ON d.src = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, CAST(COALESCE(b.b, 0) + COALESCE(c2.inflow, 0) AS BIGINT) AS r
+        |  FROM nodes n LEFT JOIN base b ON b.node = n.node LEFT JOIN c2 ON c2.node = n.node)
+        |SELECT node, r AS rank_u FROM r2 ORDER BY node""".stripMargin),
+      (s, d) => {
+        val li = t(s, d).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val e0 = li.join(t(s, d).orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("s"))
+          .agg(count(lit(1)).as("w"))
+        val edges = e0.select(col("c").as("src"), col("s").as("dst"), col("w"))
+          .unionAll(e0.select(col("s").as("src"), col("c").as("dst"), col("w")))
+        val restart = t(s, d).customer.filter(col("c_nationkey") === 1)
+          .select(col("c_custkey").as("node"), lit(1L).as("p"))
+        graft.operators.PageRank.personalizedPagerankMicro(edges, restart, iterations = 2)
+          .select(col("node"), col("rank_u"))
+          .orderBy("node")
+      }),
+
+    GraftQuery(
       // Sorted-neighborhood fuzzy join (operators/FuzzyJoin): the
       // entity-resolution blocking that turns all-pairs edit distance
       // into O(N·window) — global rank via the two-phase GlobalRank,
@@ -2055,6 +2101,29 @@ object ExtensionQueries {
             graft.functions.roundFp(jw, 6).as("jw"))
           .orderBy("id_a", "id_b")
       }),
+
+    GraftQuery(
+      // EXACT Jaro–Winkler-threshold join (fz04): the jw-bound sibling
+      // of fz02 — character-overlap prefix blocking derived from the
+      // Jaro definition (jw >= 0.9 forces jaro >= (0.9-0.4)/0.6, which
+      // bounds shared characters and partner length), candidates from
+      // a rarest-char-first prefix equi-join, the codegen'd
+      // jaro_winkler expression as the exact verify. Complete recall
+      // is spec-gated against all-pairs truth (FuzzyJoinSpec); the
+      // oracle brute-forces the %20 slice (measuring the operator, not
+      // output volume — the fz02 discipline).
+      "fz04_jw_threshold_join",
+      Some("""WITH p AS (SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey % 20 = 0)
+        |SELECT a.id AS id_a, b.id AS id_b, a.s AS s_a, b.s AS s_b,
+        |  ROUND(jaro_winkler_similarity(a.s, b.s) * 1000000) / 1000000 + 0 AS jw
+        |FROM p a JOIN p b ON a.id < b.id
+        |WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9
+        |ORDER BY id_a, id_b""".stripMargin),
+      (s, d) => graft.operators.FuzzyJoin.jaroWinklerJoin(
+          t(s, d).part.filter(col("p_partkey") % 20 === 0)
+            .select("p_partkey", "p_name"),
+          "p_partkey", "p_name", threshold = 0.9)
+        .orderBy("id_a", "id_b")),
 
     GraftQuery(
       // Gap-based sessionization (operators/Sessions): lag + cumulative

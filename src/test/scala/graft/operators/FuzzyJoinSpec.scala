@@ -119,6 +119,43 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(jobs <= 17, s"qgramJoin ran $jobs jobs (measured 17)")
   }
 
+  test("jaroWinklerJoin is EXACT: equals the all-pairs truth on part names") {
+    import graft.functions.jaro_winkler
+    val parts = tables.part.select(col("p_partkey").as("id"), col("p_name").as("s"))
+    val got = FuzzyJoin.jaroWinklerJoin(parts, "id", "s", threshold = 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val truth = parts.select(col("id").as("id_a"), col("s").as("s_a"))
+      .crossJoin(parts.select(col("id").as("id_b"), col("s").as("s_b")))
+      .filter(col("id_a") < col("id_b") &&
+        jaro_winkler(col("s_a"), col("s_b")) >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "expected some jw>=0.9 pairs in the test corpus")
+    assert(got == truth,
+      s"missed ${(truth -- got).size}, extra ${(got -- truth).size}")
+  }
+
+  test("jaroWinklerJoin includes identical strings and excludes empties") {
+    val df = Seq((1L, "martha"), (2L, "martha"), (3L, ""), (4L, ""),
+      (5L, "marhta")).toDF("id", "s")
+    val got = FuzzyJoin.jaroWinklerJoin(df, "id", "s", threshold = 0.9)
+      .select("id_a", "id_b", "jw").as[(Long, Long, Double)].collect().toSet
+    // martha~martha jw=1; martha~marhta jw=0.961111; empties never match
+    assert(got.map(r => (r._1, r._2)) == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+    assert(got.forall(_._3 >= 0.9))
+  }
+
+  test("jaroWinklerJoin guards: threshold range and null strings") {
+    val df = Seq((1L, "abc")).toDF("id", "s")
+    intercept[IllegalArgumentException](
+      FuzzyJoin.jaroWinklerJoin(df, "id", "s", threshold = 0.8))
+    intercept[IllegalArgumentException](
+      FuzzyJoin.jaroWinklerJoin(df, "id", "s", threshold = 1.0))
+    val withNull = Seq((1L, "abcdef"), (2L, null)).toDF("id", "s")
+    val e = intercept[Exception](
+      FuzzyJoin.jaroWinklerJoin(withNull, "id", "s", threshold = 0.9))
+    assert(messagesOf(e).contains("null string"), messagesOf(e))
+  }
+
   test("guards: window and maxDistance validated") {
     val df = Seq((1L, "a")).toDF("id", "name")
     intercept[IllegalArgumentException](

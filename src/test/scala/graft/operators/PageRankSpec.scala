@@ -51,4 +51,70 @@ class PageRankSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       PageRank.pagerankMicro(tinyGraph, 1, dampNum = 100, dampDen = 100))
   }
+
+  test("uniform personalization over all nodes degenerates to pagerankMicro EXACTLY") {
+    // The docstring's degeneracy claim: restart = every node with p=1
+    // and w=1 edges must reproduce the unweighted uniform ranks
+    // bit-for-bit (base and r0 reduce to the same integers).
+    val weighted = tinyGraph.withColumn("w", lit(1L))
+    val allNodes = tinyGraph.select(col("src").as("node"))
+      .union(tinyGraph.select(col("dst").as("node"))).distinct()
+      .withColumn("p", lit(1L))
+    val ppr = PageRank.personalizedPagerankMicro(weighted, allNodes, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    val pr = PageRank.pagerankMicro(tinyGraph, iterations = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(ppr == pr)
+  }
+
+  test("personalizedPagerankMicro matches hand-computed weighted iterations") {
+    // a -(3)-> b, a -(1)-> c, b -(1)-> a; restart {a}, p=1.
+    // |S|=1, P=1: base(a) = (1*1M*15*1)//(100*1) = 150_000; base(b,c)=0.
+    // r0: a=1M, b=0, c=0.
+    // iter1: W(a)=4: a->b (1M*85*3)//(100*4) = 637_500,
+    //        a->c (1M*85*1)//400 = 212_500; b,c rank 0 contribute 0.
+    //   r1: a = 150_000, b = 637_500, c = 212_500
+    // iter2: a contributes (150_000*85*3)//400 = 95_625 to b,
+    //        (150_000*85)//400 = 31_875 to c;
+    //        b -> a: (637_500*85*1)//(100*1) = 541_875; c dangling.
+    //   r2: a = 150_000 + 541_875 = 691_875, b = 95_625, c = 31_875
+    val e = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 1L)).toDF("src", "dst", "w")
+    val rs = Seq((1L, 1L)).toDF("node", "p")
+    val r1 = PageRank.personalizedPagerankMicro(e, rs, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 150000L, 2L -> 637500L, 3L -> 212500L))
+    val r2 = PageRank.personalizedPagerankMicro(e, rs, iterations = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> 691875L, 2L -> 95625L, 3L -> 31875L))
+  }
+
+  test("restart nodes outside the edge set still hold rank; duplicates sum") {
+    // node 9 has no edges but is in S: it keeps exactly base+0 forever.
+    // restart rows for node 1 appear twice (p = 1 + 2 = 3).
+    val e = Seq((1L, 2L, 1L)).toDF("src", "dst", "w")
+    val rs = Seq((1L, 1L), (1L, 2L), (9L, 1L)).toDF("node", "p")
+    // |S|=2, P=4: base(1) = (2*1M*15*3)//(100*4) = 225_000,
+    //             base(9) = (2*1M*15*1)//400 = 75_000
+    // r0: 1 -> (2*1M*3)//4 = 1_500_000; 9 -> 500_000; 2 -> 0
+    // iter1: 1->2: (1_500_000*85*1)//(100*1) = 1_275_000
+    //   r1: 1 = 225_000, 2 = 1_275_000, 9 = 75_000
+    val r1 = PageRank.personalizedPagerankMicro(e, rs, iterations = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 225000L, 2L -> 1275000L, 9L -> 75000L))
+  }
+
+  test("non-positive weights and personalizations fail loudly per row") {
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val badW = Seq((1L, 2L, 0L)).toDF("src", "dst", "w")
+    val rs = Seq((1L, 1L)).toDF("node", "p")
+    val e1 = intercept[Exception](
+      PageRank.personalizedPagerankMicro(badW, rs, iterations = 1))
+    assert(msgs(e1).contains("non-positive edge weight"), msgs(e1))
+    val e2 = intercept[Exception](PageRank.personalizedPagerankMicro(
+      Seq((1L, 2L, 1L)).toDF("src", "dst", "w"),
+      Seq((1L, -1L)).toDF("node", "p"), iterations = 1))
+    assert(msgs(e2).contains("non-positive personalization"), msgs(e2))
+  }
 }
