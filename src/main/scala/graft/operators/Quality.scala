@@ -104,6 +104,11 @@ object Quality {
           .select(lit(n).as("rule"), col("violations"), col("total"))
     }
 
+    require(rowLevel.size + keyed.size == rules.size,
+      "expectations handles NotNull/InRange/AcceptedValues/Check/Unique/ForeignKey; " +
+        "suite-scoped rules (ForeignKeyRef, CountRatio) need Quality.suite to resolve " +
+        "their table references — passing them here would silently drop them")
+
     (fused.toSeq ++ keyed)
       .reduce(_ unionAll _)
       .withColumn("pass", col("violations") === 0L)
@@ -129,5 +134,81 @@ object Quality {
       "tagViolations accepts row-level rules only (NotNull/InRange/AcceptedValues/Check); " +
         "Unique/ForeignKey need their own pass — run expectations for those")
     df.withColumn("__violated", preds.reduce(_ || _))
+  }
+
+  /** [[ForeignKey]] with the parent resolved BY SUITE TABLE NAME — the
+    * declarative form a multi-table [[suite]] spec wants (no DataFrame
+    * handles inside the rule list). */
+  final case class ForeignKeyRef(name: String, childColumn: String,
+      parentTable: String, parentColumn: String) extends Rule
+
+  /** Cross-table row-count reconciliation: this table must hold at
+    * least `minRatio` × |otherTable| rows (ingest-completeness checks —
+    * "every order produced at least N lineitems on average", "today's
+    * batch is not mysteriously half-empty vs the dimension").
+    * Violations = rows short of the floor: max(0, ⌈minRatio·|other|⌉ − |this|). */
+  final case class CountRatio(name: String, otherTable: String, minRatio: Double)
+      extends Rule
+
+  /** Rules for one table of a [[suite]] spec. */
+  final case class TableRules(table: String, rules: Seq[Rule])
+
+  /** Compile a MULTI-TABLE expectation suite into one fused report —
+    * the dq02 surface: (table, rule, violations, total, pass), one row
+    * per rule across every table.
+    *
+    * The compile step is where the scale shape is enforced, per table:
+    * all row-level rules still fuse into ONE conditional-sum scan
+    * ([[expectations]]); [[ForeignKeyRef]] resolves its parent from the
+    * suite's table map (anti join, broadcast-able); [[CountRatio]]
+    * rides 1-row count aggregates computed ONCE per referenced table
+    * however many ratio rules touch it (parquet count(*) is a
+    * metadata-only scan), combined by 1-row cross joins. Nothing
+    * collects; the report is Σ|rules| rows.
+    */
+  def suite(tables: Map[String, DataFrame], spec: Seq[TableRules]): DataFrame = {
+    require(spec.nonEmpty, "suite needs at least one table's rules")
+    require(spec.map(_.table).distinct.size == spec.size,
+      s"duplicate table entries in suite: ${spec.map(_.table).mkString(", ")}")
+    spec.foreach(tr => require(tables.contains(tr.table),
+      s"suite references unknown table '${tr.table}' — known: ${tables.keys.mkString(", ")}"))
+    val allNames = spec.flatMap(_.rules.map(_.name))
+    require(allNames.distinct.size == allNames.size,
+      s"rule names must be unique across the whole suite, got ${allNames.mkString(", ")}")
+    // 1-row count frames, one per table any CountRatio touches
+    val countedTables = spec.flatMap { tr =>
+      tr.rules.collect { case CountRatio(_, other, _) => other } ++
+        (if (tr.rules.exists(_.isInstanceOf[CountRatio])) Seq(tr.table) else Nil)
+    }.distinct
+    countedTables.foreach(t => require(tables.contains(t),
+      s"CountRatio references unknown table '$t' — known: ${tables.keys.mkString(", ")}"))
+    val counts: Map[String, DataFrame] =
+      countedTables.map(t => t -> tables(t).agg(count(lit(1)).as("__cnt"))).toMap
+    val reports: Seq[DataFrame] = spec.map { tr =>
+      val (ratios, direct) = tr.rules.partition(_.isInstanceOf[CountRatio])
+      val resolved = direct.map {
+        case ForeignKeyRef(n, c, pt, pc) =>
+          require(tables.contains(pt),
+            s"ForeignKeyRef '$n' references unknown parent table '$pt'")
+          ForeignKey(n, c, tables(pt), pc)
+        case r => r
+      }
+      val base = if (resolved.isEmpty) Nil
+        else Seq(expectations(tables(tr.table), resolved))
+      val ratioReports = ratios.collect { case CountRatio(n, other, minRatio) =>
+        require(minRatio > 0, s"CountRatio '$n' needs minRatio > 0, got $minRatio")
+        counts(tr.table).select(col("__cnt").as("__cnt_this"))
+          .crossJoin(counts(other).select(col("__cnt").as("__cnt_other")))
+          .select(lit(n).as("rule"),
+            greatest(lit(0L), ceil(lit(minRatio) * col("__cnt_other")).cast("long")
+              - col("__cnt_this")).as("violations"),
+            col("__cnt_this").as("total"))
+          .withColumn("pass", col("violations") === 0L)
+      }
+      (base ++ ratioReports).map(_.select(lit(tr.table).as("table"),
+        col("rule"), col("violations"), col("total"), col("pass")))
+        .reduce(_ unionAll _)
+    }
+    reports.reduce(_ unionAll _)
   }
 }

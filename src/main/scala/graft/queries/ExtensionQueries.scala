@@ -2263,6 +2263,68 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Multi-table expectation suite (dq02): Quality.suite compiles a
+      // declarative spec spanning customer/orders/lineitem into ONE
+      // report — per table the row-level rules still fuse into one
+      // conditional-sum scan (plan-gated in QualitySpec), ForeignKeyRef
+      // resolves its parent by suite table name, and CountRatio
+      // reconciles row counts across tables via 1-row count aggregates
+      // (lineitem must hold >= 3.5× orders rows).
+      "dq02_suite",
+      Some("""WITH u AS (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey),
+        |oc AS (SELECT COUNT(*) AS c FROM orders),
+        |lc AS (SELECT COUNT(*) AS c FROM lineitem),
+        |t1 AS (
+        |SELECT 'customer' AS tbl, 'c_acctbal_range' AS rule,
+        |  CAST(SUM(CASE WHEN NOT (c_acctbal >= -1000 AND c_acctbal <= 10000)
+        |            OR c_acctbal IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |  COUNT(*) AS total FROM customer
+        |UNION ALL
+        |SELECT 'orders', 'o_totalprice_range',
+        |  CAST(SUM(CASE WHEN NOT (o_totalprice >= 0 AND o_totalprice <= 300000)
+        |            OR o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM orders
+        |UNION ALL
+        |SELECT 'orders', 'o_orderkey_unique',
+        |  (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM u),
+        |  (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM u)
+        |UNION ALL
+        |SELECT 'lineitem', 'li_quantity_pos',
+        |  CAST(SUM(CASE WHEN NOT COALESCE(l_quantity >= 1, FALSE) THEN 1 ELSE 0 END) AS BIGINT),
+        |  COUNT(*) FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem', 'li_orders_fk',
+        |  (SELECT COUNT(*) FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |     ON l.l_orderkey = o.o_orderkey
+        |   WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL),
+        |  (SELECT c FROM lc)
+        |UNION ALL
+        |SELECT 'lineitem', 'li_volume',
+        |  GREATEST(0, CAST(CEIL(3.5 * (SELECT c FROM oc)) AS BIGINT) - (SELECT c FROM lc)),
+        |  (SELECT c FROM lc)
+        |)
+        |SELECT tbl AS "table", rule, violations, total,
+        |  CAST(violations = 0 AS BOOLEAN) AS pass
+        |FROM t1 ORDER BY "table", rule""".stripMargin),
+      (s, d) => {
+        import graft.operators.Quality._
+        suite(
+          Map("customer" -> t(s, d).customer, "orders" -> t(s, d).orders,
+            "lineitem" -> t(s, d).lineitem),
+          Seq(
+            TableRules("customer", Seq(
+              InRange("c_acctbal_range", "c_acctbal", -1000, 10000))),
+            TableRules("orders", Seq(
+              InRange("o_totalprice_range", "o_totalprice", 0, 300000),
+              Unique("o_orderkey_unique", Seq("o_orderkey")))),
+            TableRules("lineitem", Seq(
+              Check("li_quantity_pos", col("l_quantity") >= 1),
+              ForeignKeyRef("li_orders_fk", "l_orderkey", "orders", "o_orderkey"),
+              CountRatio("li_volume", "orders", minRatio = 3.5)))))
+          .orderBy("table", "rule")
+      }),
+
+    GraftQuery(
       // Distributed OLS by sufficient statistics (operators/Regression):
       // exact integer moment sums in ONE hash aggregate (map-side
       // combinable), closed form on the |groups| result rows — the

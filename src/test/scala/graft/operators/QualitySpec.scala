@@ -84,6 +84,61 @@ class QualitySpec extends SparkSpec {
       (1L, 10.0, false), (2L, 20.0, false), (2L, 500.0, true), (3L, -1.0, true)))
   }
 
+  test("suite compiles a multi-table spec into one fused report") {
+    val parent = Seq((1L, "F"), (2L, "O"), (2L, "O")).toDF("pid", "status")
+    val child = Seq((1L, 5.0), (1L, -2.0), (9L, 3.0)).toDF("pid", "v")
+    val report = suite(
+      Map("parent" -> parent, "child" -> child),
+      Seq(
+        TableRules("parent", Seq(
+          AcceptedValues("status_ok", "status", Seq("F", "O")),
+          Unique("pid_uniq", Seq("pid")))),
+        TableRules("child", Seq(
+          InRange("v_rng", "v", 0, 100),
+          ForeignKeyRef("child_fk", "pid", "parent", "pid"),
+          CountRatio("child_vol", "parent", minRatio = 2.0)))))
+      .orderBy("table", "rule")
+      .as[(String, String, Long, Long, Boolean)].collect().toSeq
+    assert(report == Seq(
+      // child: v=-2 out of range; pid=9 orphan; 3 rows < 2.0*3=6 → 3 short
+      ("child", "child_fk", 1L, 3L, false),
+      ("child", "child_vol", 3L, 3L, false),
+      ("child", "v_rng", 1L, 3L, false),
+      ("parent", "pid_uniq", 1L, 3L, false),
+      ("parent", "status_ok", 0L, 3L, true)))
+  }
+
+  test("suite validates names and references loudly") {
+    val d = Seq((1L, 1.0)).toDF("k", "v")
+    val m = Map("t" -> d)
+    intercept[IllegalArgumentException](suite(m, Seq.empty))
+    intercept[IllegalArgumentException](suite(m,
+      Seq(TableRules("nope", Seq(NotNull("a", "k"))))))
+    intercept[IllegalArgumentException](suite(m, Seq(
+      TableRules("t", Seq(NotNull("same", "k"), Check("same", col("k") > 0))))))
+    intercept[IllegalArgumentException](suite(m, Seq(
+      TableRules("t", Seq(ForeignKeyRef("fk", "k", "missing", "k"))))))
+    intercept[IllegalArgumentException](suite(m, Seq(
+      TableRules("t", Seq(CountRatio("cr", "missing", 1.0))))))
+    // and expectations refuses suite-scoped rules instead of dropping them
+    val e = intercept[IllegalArgumentException](
+      expectations(d, Seq(ForeignKeyRef("fk", "k", "t", "k"))))
+    assert(e.getMessage.contains("Quality.suite"))
+  }
+
+  test("suite row-level rules still cost ONE scan per table") {
+    val report = suite(
+      Map("orders" -> tables.orders, "lineitem" -> tables.lineitem),
+      Seq(
+        TableRules("orders", Seq(
+          NotNull("a", "o_custkey"), InRange("b", "o_totalprice", 0, 1e9))),
+        TableRules("lineitem", Seq(
+          Check("c", col("l_quantity") >= 1), NotNull("d", "l_orderkey")))))
+    val plan = report.queryExecution.executedPlan.toString
+    val scans = plan.split("FileScan parquet").length - 1
+    assert(scans == 2, s"expected 2 scans (one per table) for 4 row rules, got $scans:\n$plan")
+  }
+
   test("tagViolations rejects keyed rules") {
     val e = intercept[IllegalArgumentException] {
       tagViolations(df, Seq(Unique("u", Seq("id"))))
