@@ -2397,6 +2397,39 @@ object ExtensionQueries {
             floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
             floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y")),
           Seq("grp"), "x1", "x2", "y")
-        .orderBy("grp"))
+        .orderBy("grp")),
+
+    GraftQuery(
+      // Deterministic Lloyd k-means over the embedding corpus (km01):
+      // KMeansExact — the PageRank integer discipline applied to
+      // clustering. Components quantize to micro-units, distances and
+      // centroid updates are exact integers (sum DIV count truncates
+      // identically in Spark DIV and DuckDB //, probed), argmin ties
+      // break on cluster id — so assignments are bitwise deterministic
+      // under any partitioning, unlike MLlib's float k-means
+      // (IvfIndex's build). k=4, 2 iterations, init = vectors of the 4
+      // smallest ids; the oracle unrolls both iterations.
+      "km01_kmeans_assign",
+      Some("""WITH v AS (SELECT vec_id AS id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+        |c0 AS (SELECT CAST(id AS INTEGER) AS cl, i, x AS c FROM v WHERE id < 4),
+        |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+        |s1 AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+        |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
+        |s2 AS (SELECT id, cl, dist FROM (SELECT id, cl, dist,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1)
+        |SELECT id, cl AS cluster, dist AS dist_u FROM s2 ORDER BY id""".stripMargin),
+      (s, d) => graft.operators.KMeansExact.assignMicro(
+          t(s, d).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
+          d = 64, k = 4, iterations = 2)
+        .orderBy("id"))
   )
 }

@@ -308,6 +308,42 @@ object PartsuppQueries {
       // in both engines.
       "q54_tpch22_shape",
       Some(q54Sql),
-      (s, d) => { t(s, d).registerViews(); s.sql(q54Sql) })
+      (s, d) => { t(s, d).registerViews(); s.sql(q54Sql) }),
+
+    GraftQuery(
+      // Exact triangle counting + global clustering coefficient (tc01)
+      // over the shared-supplier part graph (parts are adjacent when a
+      // low-stock supplier carries both — ps_availqty < 100 keeps the
+      // co-supply cliques small). operators/Triangles: degree-ordered
+      // orientation makes the work O(m^1.5) whatever the skew and
+      // counts each triangle exactly once; the oracle recomputes via
+      // the canonical a<b<c three-way join (a different but equivalent
+      // formulation — agreement is algorithm-independent evidence) and
+      // Σ C(deg,2) wedges.
+      "tc01_triangles",
+      Some(psCte + """,
+        |ps AS (SELECT ps_suppkey AS sk, ps_partkey AS pk FROM partsupp WHERE ps_availqty < 100),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM ps a JOIN ps b ON a.sk = b.sk AND a.pk < b.pk),
+        |deg AS (SELECT n, COUNT(*) AS deg FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) q GROUP BY 1),
+        |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS t
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |st AS (SELECT
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_nodes,
+        |    (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+        |    (SELECT CAST(COALESCE(SUM((deg * (deg - 1)) // 2), 0) AS BIGINT) FROM deg) AS n_wedges,
+        |    (SELECT t FROM tri) AS n_triangles)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CASE WHEN n_wedges > 0 THEN
+        |    ROUND((CAST(n_triangles * 3 AS DOUBLE) / CAST(n_wedges AS DOUBLE)) * 1000000) / 1000000 + 0
+        |  END AS gcc
+        |FROM st""".stripMargin),
+      (s, d) => {
+        val ps = t(s, d).partsupp.filter(col("ps_availqty") < 100)
+          .select(col("ps_suppkey").as("sk"), col("ps_partkey").as("pk"))
+        val e = ps.as("x").join(ps.as("y"),
+            col("x.sk") === col("y.sk") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        graft.operators.Triangles.triangleStats(e)
+      })
   )
 }
