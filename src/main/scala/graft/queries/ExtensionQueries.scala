@@ -2074,6 +2074,62 @@ object ExtensionQueries {
         .orderBy("doc_id")),
 
     GraftQuery(
+      // Reciprocal-rank fusion hybrid search (rr01): the RAG-stack
+      // combiner — a lexical BM25 ranking (ir01 arithmetic) fused with
+      // a vector cosine ranking (q26 arithmetic) by rank alone,
+      // rrf = Σ 1/(60 + rank_i), fixed list order, absent → 0
+      // (operators/Retrieval.rrfFuse). Ranks come from the two-phase
+      // GlobalRank, not a single-partition window; both input scores
+      // are the engine's bit-reproducible rounded forms, so ranks and
+      // fusion hash-match the oracle. At sf0.1 the vector list covers
+      // 2/5 of the corpus — the full-outer fusion semantics (docs in
+      // any subset of lists) are load-bearing, not decorative.
+      "rr01_rrf_hybrid",
+      Some("""WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS w FROM documents),
+        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks GROUP BY 1),
+        |corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(dl) AS BIGINT) AS sumdl FROM dl),
+        |tf AS (SELECT doc_id, w AS term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks
+        |  WHERE w IN ('merge', 'vector') GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term,
+        |    (CAST(FLOOR(ln((corpus.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0) * 1000000 + 0.5) AS BIGINT)
+        |      / 1000000.0) * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) /
+        |      (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / (CAST(corpus.sumdl AS DOUBLE) / corpus.n))) AS s
+        |  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus),
+        |bm AS (SELECT doc_id,
+        |    ROUND((COALESCE(SUM(CASE WHEN term = 'merge' THEN s END), 0)
+        |         + COALESCE(SUM(CASE WHEN term = 'vector' THEN s END), 0)) * 10000) / 10000 + 0 AS score
+        |  FROM sc GROUP BY doc_id),
+        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+        |cos AS (SELECT e.vec_id AS doc_id,
+        |    ROUND((list_dot_product(CAST(e.embedding AS DOUBLE[]), p.pe) /
+        |      (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       sqrt(list_dot_product(p.pe, p.pe)))) * 10000) / 10000 + 0 AS score
+        |  FROM embeddings e CROSS JOIN probe p WHERE e.vec_id <> 0),
+        |r0 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_0 FROM bm),
+        |r1 AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_1 FROM cos),
+        |f AS (SELECT COALESCE(r0.doc_id, r1.doc_id) AS doc_id, r0.rank_0, r1.rank_1
+        |  FROM r0 FULL JOIN r1 ON r1.doc_id = r0.doc_id)
+        |SELECT doc_id, rank_0, rank_1,
+        |  ROUND((COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_0), 0) +
+        |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + rank_1), 0)) * 1000000) / 1000000 + 0 AS rrf
+        |FROM f ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import graft.functions.{cosine_similarity, roundFp}
+        val bm = TextAnalysis.bm25(t(s, d).documents, Seq("merge", "vector"))
+          .select(col("doc_id"), col("score"))
+        val probe = t(s, d).embeddings.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>").as("pe"))
+        val cos = t(s, d).embeddings.filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(probe))
+          .select(col("vec_id").as("doc_id"),
+            roundFp(cosine_similarity(col("embedding").cast("array<double>"), col("pe")), 4)
+              .as("score"))
+        graft.operators.Retrieval.rrfFuse(Seq(bm, cos)).orderBy("doc_id")
+      }),
+
+    GraftQuery(
       // Native Jaro–Winkler scoring (functions/JaroWinkler — a codegen'd
       // Catalyst expression; Spark has no JW built-in and a UDF would
       // break whole-stage codegen) over the sorted-neighborhood blocking
