@@ -167,6 +167,70 @@ object TimeSeries {
     }
   }
 
+  /** Rolling z-score anomaly detection over per-key event streams —
+    * the monitoring primitive of the time-series family: flag events
+    * whose value deviates from their own trailing baseline by more
+    * than `threshold` standard deviations.
+    *
+    * ENTIRELY integer arithmetic (the PageRank/ml01 discipline), which
+    * is unusual for a z-score: with exact trailing moments
+    * n, s = Σv, ss = Σv² over the baseline frame,
+    *
+    *   |z| > T  ⇔  (v·n − s)² > T²·(n·ss − s²)
+    *
+    * — the variance denominators cancel, so the threshold test needs
+    * NO division, no sqrt, no doubles, and is bitwise deterministic
+    * and exactly oracle-reproducible. The reported magnitude is
+    * z² in centi-units ((v·n−s)²·100 DIV (n·ss−s²), exact integer
+    * division). The baseline frame EXCLUDES the current row (ROWS
+    * w PRECEDING TO 1 PRECEDING — an anomaly must not dilute its own
+    * baseline) and an event only qualifies with a full-enough baseline
+    * (n ≥ minBaseline) of nonzero variance.
+    *
+    * One shuffle: all three moment windows share one (key, ts, id)
+    * Window operator; the flag predicate is a codegen'd projection.
+    * Overflow bound (documented): (v·n − s)²·100 < 2^63 — units up to
+    * 10^6 with windows up to ~90 rows are safe; re-quantize coarser
+    * beyond.
+    *
+    * @param events   (keyCol, tsCol, idCol, unitsCol) rows; idCol makes
+    *                 the within-ts order deterministic
+    * @return anomalous events only: (key, id, units, base_n, zsq_centi)
+    */
+  def rollingZscore(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      unitsCol: String,
+      window: Int = 30,
+      minBaseline: Int = 10,
+      threshold: Int = 3): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minBaseline >= 2 && minBaseline <= window,
+      s"minBaseline must be in [2, window], got $minBaseline")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(idCol))
+      .rowsBetween(-window.toLong, -1L)
+    val v = col(unitsCol).cast("long")
+    val moments = events.select(
+      col(keyCol), col(idCol), v.as("__v"),
+      count(lit(1)).over(w).as("__n"),
+      sum(v).over(w).as("__s"),
+      sum(v * v).over(w).as("__ss"))
+    val dev = col("__v") * col("__n") - col("__s")             // n·(v − mean)
+    val nvar = col("__n") * col("__ss") - col("__s") * col("__s") // n²·var
+    moments
+      .filter(col("__n") >= minBaseline && nvar > 0 &&
+        dev * dev > lit(threshold.toLong * threshold) * nvar)
+      .select(col(keyCol), col(idCol), col("__v").as("units"),
+        col("__n").as("base_n"),
+        expr("((__v * __n - __s) * (__v * __n - __s) * 100) DIV (__n * __ss - __s * __s)")
+          .as("zsq_centi"))
+  }
+
   /** Cohort retention matrix: users grouped by their first-activity day,
     * counted on each subsequent active day.
     *

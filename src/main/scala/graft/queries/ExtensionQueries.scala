@@ -2252,6 +2252,36 @@ object ExtensionQueries {
         .orderBy("user_id")),
 
     GraftQuery(
+      // Rolling z-score anomaly detection (ts04, operators/TimeSeries):
+      // flag events > 3σ from their own 30-event trailing baseline —
+      // with EXACT integer moments the test is division- and
+      // sqrt-free ((v·n−s)² > T²·(n·ss−s²); denominators cancel), so
+      // an inherently-FP statistic becomes bitwise deterministic. All
+      // three moment windows share one user-keyed Window operator
+      // (plan-gated); the baseline excludes the current row.
+      "ts04_rolling_zscore",
+      Some("""WITH ev AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v FROM events),
+        |m AS (SELECT user_id, event_id, v,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(v) OVER w AS BIGINT) AS s,
+        |    CAST(SUM(v * v) OVER w AS BIGINT) AS ss
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, v AS units, n AS base_n,
+        |  ((v * n - s) * (v * n - s) * 100) // (n * ss - s * s) AS zsq_centi
+        |FROM m
+        |WHERE n >= 10 AND (n * ss - s * s) > 0
+        |  AND (v * n - s) * (v * n - s) > 9 * (n * ss - s * s)
+        |ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.rollingZscore(
+          t(s, d).events.select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
+          "user_id", "ts", "event_id", "vu",
+          window = 30, minBaseline = 10, threshold = 3)
+        .orderBy("user_id", "event_id")),
+
+    GraftQuery(
       // Declarative data-quality expectations (operators/Quality): all
       // row-level rules over a table fuse into ONE conditional-sum scan;
       // uniqueness is one keyed agg, referential integrity one

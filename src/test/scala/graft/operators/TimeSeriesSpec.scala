@@ -197,4 +197,53 @@ class TimeSeriesSpec extends SparkSpec {
     assert(!plan.contains("FileScan parquet"),
       s"decay math must run over the materialized daily working set:\n${plan.take(1200)}")
   }
+
+  test("rollingZscore flags a hand-computed spike, baseline excludes it") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // values 10,12,10,12 then a 30-spike: baseline of the spike is the
+    // 4 prior rows only (n=4, s=44, ss=488): dev = 30·4−44 = 76,
+    // n²var = 4·488−44² = 16; 76² = 5776 > 2²·16 → flagged,
+    // zsq_centi = 5776·100 DIV 16 = 36100. Earlier rows: tiny dev or
+    // n < minBaseline → unflagged.
+    val ev = Seq(10L, 12L, 10L, 12L, 30L).zipWithIndex.map { case (v, i) =>
+      (1L, ts(f"2024-01-01 00:0$i:00"), i.toLong, v)
+    }.toDF("user_id", "ts", "event_id", "vu")
+    val got = TimeSeries.rollingZscore(ev, "user_id", "ts", "event_id", "vu",
+      window = 4, minBaseline = 2, threshold = 2)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 30L, 4L, 36100L)))
+  }
+
+  test("rollingZscore: zero-variance baselines never flag (no div-by-zero)") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val ev = (0 to 5).map(i => (1L, ts(f"2024-01-01 00:0$i:00"), i.toLong,
+      if (i == 5) 1000L else 7L)).toDF("user_id", "ts", "event_id", "vu")
+    // constant baseline → n²·var = 0 → excluded by contract, despite
+    // the enormous deviation
+    val got = TimeSeries.rollingZscore(ev, "user_id", "ts", "event_id", "vu",
+      window = 4, minBaseline = 2, threshold = 2).count()
+    assert(got == 0L)
+  }
+
+  test("rollingZscore: all three moment windows share ONE Window operator") {
+    val ev = tables.events.select(col("user_id"), col("ts"), col("event_id"),
+      floor(col("value") * 1000 + 0.5).cast("long").as("vu"))
+    val plan = TimeSeries.rollingZscore(ev, "user_id", "ts", "event_id", "vu")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("\\bWindow\\b").length - 1 == 1,
+      s"expected one Window operator:\n${plan.take(1500)}")
+    assert(plan.split("Exchange").length - 1 == 1,
+      s"expected one shuffle (the key partition):\n${plan.take(1500)}")
+  }
+
+  test("rollingZscore guards: window, minBaseline, threshold validated") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1L))
+      .toDF("user_id", "ts", "event_id", "vu")
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingZscore(ev, "user_id", "ts", "event_id", "vu", window = 1))
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingZscore(ev, "user_id", "ts", "event_id", "vu", minBaseline = 40))
+    intercept[IllegalArgumentException](
+      TimeSeries.rollingZscore(ev, "user_id", "ts", "event_id", "vu", threshold = 0))
+  }
 }
