@@ -2282,6 +2282,35 @@ object ExtensionQueries {
         .orderBy("user_id", "event_id")),
 
     GraftQuery(
+      // Streaming rolling z-score on ingest (st11): the stream twin of
+      // ts04 through StatefulOps.rollingZscoreStreamTtl — per-key ring
+      // state (≤ window longs), exact integer test, built TTL-FIRST
+      // (EventTimeTimeout; eviction spec-gated in StatefulTtlSpec).
+      // The replay feeds (ts, event_id)-ordered chunks — a positional
+      // window is order-sensitive, so in-order-equals-batch IS the
+      // contract (see zscoreReplay) — and must hash-match the same
+      // DuckDB oracle as ts04.
+      "st11_stream_zscore",
+      Some("""WITH ev AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v FROM events),
+        |m AS (SELECT user_id, event_id, v,
+        |    CAST(COUNT(*) OVER w AS BIGINT) AS n,
+        |    CAST(SUM(v) OVER w AS BIGINT) AS s,
+        |    CAST(SUM(v * v) OVER w AS BIGINT) AS ss
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING))
+        |SELECT user_id, event_id, v AS units, n AS base_n,
+        |  ((v * n - s) * (v * n - s) * 100) // (n * ss - s * s) AS zsq_centi
+        |FROM m
+        |WHERE n >= 10 AND (n * ss - s * s) > 0
+        |  AND (v * n - s) * (v * n - s) > 9 * (n * ss - s * s)
+        |ORDER BY user_id, event_id""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.zscoreReplay(
+          s, t(s, d).events.select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
+          window = 30, minBaseline = 10, threshold = 3)),
+
+    GraftQuery(
       // Declarative data-quality expectations (operators/Quality): all
       // row-level rules over a table fuse into ONE conditional-sum scan;
       // uniqueness is one keyed agg, referential integrity one

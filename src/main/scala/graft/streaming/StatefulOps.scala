@@ -264,6 +264,84 @@ object StatefulOps {
       }
   }
 
+  /** Streaming rolling z-score anomaly detection — the stream twin of
+    * [[graft.operators.TimeSeries.rollingZscore]] (ts04), flagging on
+    * ingest, built TTL-FIRST (EventTimeTimeout from day one — the r14
+    * lesson: no new stateful operator ships with unbounded keyed
+    * state).
+    *
+    * Same exact-integer test as the batch form: with trailing moments
+    * n, s, ss over the per-key ring of the last `window` values,
+    * |z| > T ⇔ (v·n − s)² > T²·(n·ss − s²) — no FP anywhere, so the
+    * streamed flags are bitwise identical to the batch operator's
+    * WHEN the per-key apply order matches. Order contract (documented,
+    * weaker than the funnel family's): a positional rolling window is
+    * inherently ORDER-SENSITIVE, so rows apply in (ts, event_id) order
+    * WITHIN each micro-batch (sorted here — groupByKey iterators
+    * carry no order) and in arrival order across batches; an
+    * out-of-order arrival across batches legitimately yields a
+    * different trailing baseline than the batch sort. The replay gate
+    * feeds in order and must equal the ts04 oracle exactly; a
+    * production deployment tolerating cross-batch disorder would
+    * buffer-and-sort behind the watermark first.
+    *
+    * State per key = the ring (≤ `window` longs) + the activity lease:
+    * bounded per key by construction, bounded across keys by the
+    * event-time timeout (idle keys evict once the watermark passes
+    * last activity + horizon — observed in StatefulTtlSpec, not
+    * claimed).
+    *
+    * @param events (key, event_id, units, ts)
+    * @return flagged rows (key, event_id, units, base_n, zsq_centi)
+    */
+  def rollingZscoreStreamTtl(
+      events: Dataset[(Long, Long, Long, java.sql.Timestamp)],
+      window: Int, minBaseline: Int, threshold: Int,
+      delayThreshold: String, horizonMs: Long): Dataset[(Long, Long, Long, Long, Long)] = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(minBaseline >= 2 && minBaseline <= window,
+      s"minBaseline must be in [2, window], got $minBaseline")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Long, Long, Long, Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val stateEnc: Encoder[(Seq[Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val t2 = threshold.toLong * threshold
+    events.withWatermark("_4", delayThreshold)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[Long], Long), (Long, Long, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Seq[Long], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq.sortBy(r => (r._4.getTime, r._2))
+            var (ring, lastSeen) =
+              state.getOption.getOrElse((Seq.empty[Long], Long.MinValue))
+            val out = Seq.newBuilder[(Long, Long, Long, Long, Long)]
+            rows.foreach { case (_, id, v, ts) =>
+              val n = ring.size.toLong
+              if (n >= minBaseline) {
+                var s = 0L; var ss = 0L
+                ring.foreach { x => s += x; ss += x * x }
+                val dev = v * n - s
+                val nvar = n * ss - s * s
+                if (nvar > 0 && dev * dev > t2 * nvar)
+                  out += ((key, id, v, n, dev * dev * 100 / nvar))
+              }
+              ring = (ring :+ v).takeRight(window)
+              lastSeen = math.max(lastSeen, ts.getTime)
+            }
+            state.update((ring, lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming LSH candidate emission — near-dup detection ON INGEST.
     *
     * Input: (band_id, band_key, doc_id) rows

@@ -698,6 +698,68 @@ object StreamReplay {
       fed.filter(_.nonEmpty).map(b => () => { ms.addData(b); () }))
   }
 
+  /** Replays `events` through [[StatefulOps.rollingZscoreStreamTtl]]
+    * (st11): anomaly flagging on ingest must equal the batch
+    * [[graft.operators.TimeSeries.rollingZscore]] oracle (ts04's SQL)
+    * row for row. Protocol difference from the other replays,
+    * deliberate and documented: the feed is (ts, event_id)-ordered
+    * WITHOUT the late-displacement twist — a positional rolling window
+    * is order-sensitive by definition, so the contract under test is
+    * "in-order streaming equals the batch sort" (the operator's
+    * docstring spells the cross-batch disorder caveat). Horizon and
+    * watermark delay derive from the feed's own span (funnelTtlReplay
+    * discipline) so no key ages out mid-run; eviction itself is
+    * spec-gated in StatefulTtlSpec. The harness THROWS if any event is
+    * flagged twice (each event is processed exactly once).
+    */
+  def zscoreReplay(spark: SparkSession, events: DataFrame,
+                   window: Int, minBaseline: Int, threshold: Int,
+                   nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("vu").cast("long"), unix_micros(col("ts").cast("timestamp")).as("tsu"))
+      .as[(Long, Long, Long, Long)].collect().sortBy(r => (r._4, r._2))
+    val fed = chunked(rows, nChunks)
+      .map(_.toSeq.map(r => (r._1, r._2, r._3, new Timestamp(r._4 / 1000))))
+    val spanMs = (rows.last._4 - rows.head._4) / 1000
+    val horizonMs = 2 * spanMs + 3600000L
+    val delayHours = math.max(1L, 2 * spanMs / 3600000L + 1)
+
+    val replay = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+    val flagged = StatefulOps.rollingZscoreStreamTtl(ms.toDS(),
+      window, minBaseline, threshold,
+      delayThreshold = s"$delayHours hours", horizonMs = horizonMs)
+
+    val name = s"st_zsreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = flagged.writeStream.outputMode("update")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        fed.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      val out = replay.table(name)
+        .toDF("user_id", "event_id", "units", "base_n", "zsq_centi")
+      val n = out.count()
+      val distinctIds = out.select("event_id").distinct().count()
+      require(n == distinctIds,
+        s"an event was flagged more than once: $n rows, $distinctIds distinct event ids")
+      val ordered = out.orderBy("user_id", "event_id")
+      val schema = ordered.schema
+      val resultRows = ordered.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Shared funnel-replay capture: run `staged` against the batch feed
     * thunks, assert per-user stage monotonicity across micro-batches
     * (information only accumulates), and return the final stage per

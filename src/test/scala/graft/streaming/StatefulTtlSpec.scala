@@ -254,4 +254,56 @@ class StatefulTtlSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  // ----------------------------------------------------------- zscore
+
+  test("rollingZscoreStreamTtl matches the batch hand case across split batches") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+      val name = s"ttl_zs_${label}_${System.nanoTime()}"
+      val q = StatefulOps.rollingZscoreStreamTtl(ms.toDS(),
+          window = 4, minBaseline = 2, threshold = 2,
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("key", "event_id", "units", "base_n", "zsq_centi")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        // the TimeSeriesSpec hand case 10,12,10,12,30 split mid-stream:
+        // the ring must carry across batches; only the 30-spike flags
+        // (dev=76, n²var=16 → zsq_centi = 36100)
+        ms.addData((1L, 0L, 10L, new Timestamp(1000L)), (1L, 1L, 12L, new Timestamp(2000L)))
+        q.processAllAvailable()
+        ms.addData((1L, 2L, 10L, new Timestamp(3000L)), (1L, 3L, 12L, new Timestamp(4000L)),
+          (1L, 4L, 30L, new Timestamp(5000L)))
+        q.processAllAvailable()
+        val rows = spark.table(name).as[(Long, Long, Long, Long, Long)].collect().toSeq
+        assert(rows == Seq((1L, 4L, 30L, 4L, 36100L)), s"[$label] got: $rows")
+      } finally q.stop()
+    }
+  }
+
+  test("rollingZscoreStreamTtl evicts idle keys after the horizon: numRowsTotal falls") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, Timestamp)]
+      val name = s"ttl_zs_ev_${label}_${System.nanoTime()}"
+      val q = StatefulOps.rollingZscoreStreamTtl(ms.toDS(),
+          window = 4, minBaseline = 2, threshold = 2,
+          delayThreshold = "0 seconds", horizonMs = 60L * 1000)
+        .toDF("key", "event_id", "units", "base_n", "zsq_centi")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        ms.addData((1L, 0L, 10L, new Timestamp(10000L)))
+        q.processAllAvailable()
+        ms.addData((2L, 1L, 10L, new Timestamp(10000000L)))
+        q.processAllAvailable()
+        ms.addData((2L, 2L, 11L, new Timestamp(10001000L)))
+        q.processAllAvailable()
+        val counts = stateRowCounts(q)
+        assert(counts.max == 2, s"[$label] expected both keys in state at peak: $counts")
+        assert(counts.last == 1,
+          s"[$label] expected key 1 evicted after horizon (1 row left): $counts")
+      } finally q.stop()
+    }
+  }
 }
