@@ -2515,6 +2515,49 @@ object ExtensionQueries {
         .orderBy("grp")),
 
     GraftQuery(
+      // Two-proportion pooled z-test per experiment (ab01,
+      // operators/Experiments): A/B conversion analysis with the z²
+      // statistic as a RATIO OF EXACT INTEGERS (decimal(38,0) /
+      // HUGEINT — the ml02 discipline; the only FP is the final
+      // conversion + divide), so significance decisions are bitwise
+      // cross-engine. Experiments/variants derive deterministically
+      // from user_id; conversion = any 'purchase' event. No p-value on
+      // purpose: erf differs across engines in ulps, z² against the
+      // χ²₁ critical value does not.
+      "ab01_ab_test",
+      Some("""WITH pu AS (SELECT user_id % 5 AS experiment, (user_id // 5) % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT experiment,
+        |    CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control,
+        |    CAST(SUM(CASE WHEN variant = 0 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_control,
+        |    CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_treatment,
+        |    CAST(SUM(CASE WHEN variant = 1 AND conv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_treatment
+        |  FROM pu GROUP BY 1),
+        |z AS (SELECT *,
+        |    CAST(x_control AS HUGEINT) * n_treatment - CAST(x_treatment AS HUGEINT) * n_control AS diff,
+        |    CAST(n_control AS HUGEINT) + n_treatment AS n,
+        |    CAST(x_control AS HUGEINT) + x_treatment AS x
+        |  FROM a),
+        |zz AS (SELECT experiment, n_control, x_control, n_treatment, x_treatment,
+        |    CASE WHEN CAST(n_control AS HUGEINT) * n_treatment * x * (n - x) > 0 THEN
+        |      ROUND((CAST(diff * diff * n AS DOUBLE) /
+        |             CAST(CAST(n_control AS HUGEINT) * n_treatment * x * (n - x) AS DOUBLE)) * 1000000) / 1000000 + 0
+        |    END AS zsq
+        |  FROM z)
+        |SELECT experiment, n_control, x_control, n_treatment, x_treatment, zsq,
+        |  CASE WHEN zsq IS NOT NULL THEN zsq > 3.841459 END AS significant
+        |FROM zz ORDER BY experiment""".stripMargin),
+      (s, d) => graft.operators.Experiments.twoProportionZ(
+          t(s, d).events
+            .groupBy(col("user_id"))
+            .agg(max(when(col("event_type") === "purchase", true).otherwise(false))
+              .as("converted"))
+            .select((col("user_id") % 5).as("experiment"),
+              expr("(user_id DIV 5) % 2").as("variant"), col("converted")))
+        .orderBy("experiment")),
+
+    GraftQuery(
       // Deterministic Lloyd k-means over the embedding corpus (km01):
       // KMeansExact — the PageRank integer discipline applied to
       // clustering. Components quantize to micro-units, distances and
