@@ -2447,9 +2447,14 @@ object ExtensionQueries {
       // regression over 100 TB in a single pass. Fit: extendedprice
       // cents ~ quantity units per returnflag.
       "ml01_linear_fit",
+      // yu is WHOLE currency units, not cents (round-15 change): the
+      // r² path squares yu, and Σyu² at cent quantization overflows
+      // long at sf1 (measured: SparkArithmeticException in Sf1BenchAll)
+      // — exactly the operator's documented "re-quantize coarser for
+      // bigger groups" contract. Whole units hold to ~sf100.
       Some("""WITH q AS (SELECT l_returnflag AS grp,
         |    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS xu,
-        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS yu FROM lineitem),
+        |    CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT) AS yu FROM lineitem),
         |m AS (SELECT grp, COUNT(*) AS n, CAST(SUM(xu) AS BIGINT) AS sx,
         |    CAST(SUM(yu) AS BIGINT) AS sy, CAST(SUM(xu * xu) AS BIGINT) AS sxx,
         |    CAST(SUM(xu * yu) AS BIGINT) AS sxy, CAST(SUM(yu * yu) AS BIGINT) AS syy
@@ -2468,7 +2473,7 @@ object ExtensionQueries {
       (s, d) => graft.operators.Regression.fitPerGroup(
           t(s, d).lineitem.select(col("l_returnflag").as("grp"),
             floor(col("l_quantity") * 100 + 0.5).cast("long").as("xu"),
-            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("yu")),
+            floor(col("l_extendedprice") + 0.5).cast("long").as("yu")),
           Seq("grp"), "xu", "yu")
         .orderBy("grp")),
 
@@ -2513,6 +2518,41 @@ object ExtensionQueries {
             floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y")),
           Seq("grp"), "x1", "x2", "y")
         .orderBy("grp")),
+
+    GraftQuery(
+      // Grid-bucketed spatial radius join (sp01, operators/Spatial):
+      // the geospatial member of the blocked-join family. Coordinates
+      // are key-hashed integer micro-degrees (no geo columns in the
+      // testdata; the hash spreads keys over the full globe) and the
+      // metric is planar squared euclidean in micro-degrees — exact
+      // long arithmetic end to end, deliberately NOT haversine
+      // (cross-engine sin/cos ulps could flip a threshold compare).
+      // The left side fans out to its 3x3 neighbor cells, the right
+      // keys by its exact cell, one equi-join + exact verify; floor
+      // division is spelled explicitly so negative coordinates tile
+      // identically in both engines.
+      "sp01_radius_join",
+      Some("""WITH c AS (SELECT c_custkey AS left_id,
+        |    (c_custkey * 2654435761 % 180000000) - 90000000 AS lat,
+        |    (c_custkey * 2246822519 % 360000000) - 180000000 AS lon FROM customer),
+        |s AS (SELECT s_suppkey AS right_id,
+        |    (s_suppkey * 2654435761 % 180000000) - 90000000 AS lat,
+        |    (s_suppkey * 2246822519 % 360000000) - 180000000 AS lon FROM supplier)
+        |SELECT c.left_id, s.right_id,
+        |  CAST((c.lat - s.lat) * (c.lat - s.lat) +
+        |       (c.lon - s.lon) * (c.lon - s.lon) AS BIGINT) AS dist_sq_u
+        |FROM c JOIN s ON (c.lat - s.lat) * (c.lat - s.lat) +
+        |  (c.lon - s.lon) * (c.lon - s.lon) <= CAST(2000000 AS BIGINT) * 2000000
+        |ORDER BY left_id, right_id""".stripMargin),
+      (s, d) => graft.operators.Spatial.radiusJoin(
+          t(s, d).customer.select(col("c_custkey").as("left_id"),
+            (col("c_custkey") * 2654435761L % 180000000L - 90000000L).as("lat_u"),
+            (col("c_custkey") * 2246822519L % 360000000L - 180000000L).as("lon_u")),
+          t(s, d).supplier.select(col("s_suppkey").as("right_id"),
+            (col("s_suppkey") * 2654435761L % 180000000L - 90000000L).as("lat_u"),
+            (col("s_suppkey") * 2246822519L % 360000000L - 180000000L).as("lon_u")),
+          radiusMicro = 2000000L, cellMicro = 2000000L)
+        .orderBy("left_id", "right_id")),
 
     GraftQuery(
       // Two-proportion pooled z-test per experiment (ab01,
