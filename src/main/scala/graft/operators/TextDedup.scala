@@ -462,6 +462,56 @@ object TextDedup {
         x => x("para")), sep).as("text"))
   }
 
+  /** Cross-corpus duplicated-SPAN statistics — the token-window
+    * granularity of the exact-substring-dedup idea from the LLM
+    * training-data literature (suffix-array dedup's measurable half):
+    * for each document, how many of its `n`-token windows also occur
+    * elsewhere in the corpus (any doc including itself — a repeated
+    * span is a repeated span). Finer than [[paragraphDedup]] (spans
+    * cross sentence/paragraph structure), coarser than a suffix
+    * array (fixed window, no maximal-match extension — the documented
+    * trade; windows overlap, so a duplicated run of length L marks
+    * ~L−n+1 windows).
+    *
+    * Window identity is md5 of the space-joined window (house
+    * invariant #3: the oracle replicates bit-for-bit). Pipeline: one
+    * token pass + window explode (O(len·n) per doc), one hash-keyed
+    * count aggregate, one join back on the same key (co-partitioned
+    * after the aggregate), one doc-keyed reduction; the doc universe
+    * rides a left join so zero-window (short) docs still report.
+    *
+    * @return (doc_id, n_windows, n_dup_windows, dup_frac) per doc —
+    *         dup_frac rounded to 6, null when the doc has no windows
+    */
+  def duplicatedSpanStats(docs: DataFrame, n: Int = 8): DataFrame = {
+    require(n >= 2, s"span window must be >= 2 tokens, got $n")
+    val toks = docs.select(col("doc_id"),
+      graft.functions.tokens(col("text")).as("__t"))
+    withWorkingSet(toks) { tk =>
+      // sequence(1, size-n+1) would run DESCENDING for short docs
+      // (Spark generates [1, 0]); gate on size >= n instead.
+      val w = tk.select(col("doc_id"),
+          explode(when(size(col("__t")) >= n,
+            sequence(lit(1), size(col("__t")) - (n - 1)))
+            .otherwise(array().cast("array<int>"))).as("__i"),
+          col("__t"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("__t"), col("__i"), lit(n)))).as("h"))
+      val counts = w.groupBy("h").agg(count(lit(1)).as("__c"))
+      val perDoc = w.join(counts, "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_windows"))
+      tk.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          graft.functions.roundFp(when(col("n_windows") > 0,
+            col("n_dup_windows").cast("double") / col("n_windows")), 6)
+            .as("dup_frac"))
+    }
+  }
+
   /** SimHash fingerprints (doc_id, fp): `bits`-bit simhash over the
     * shingle set. Bit k of a shingle = bit (k%4) of hex digit (k/4) of
     * md5(shingle); fp bit k = sign of the ±1 vote sum.

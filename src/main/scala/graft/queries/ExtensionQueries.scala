@@ -2520,6 +2520,34 @@ object ExtensionQueries {
         .orderBy("grp")),
 
     GraftQuery(
+      // Cross-corpus duplicated-span statistics (dd12,
+      // TextDedup.duplicatedSpanStats): the measurable half of
+      // exact-substring dedup — per doc, the fraction of its 8-token
+      // windows occurring anywhere else in the corpus (including
+      // within-doc repeats). Window identity is md5 of the joined
+      // window (invariant #3); one hash-keyed count + a co-partitioned
+      // join back + one doc-keyed reduction; short docs report zero
+      // windows via the doc-universe left join.
+      "dd12_duplicated_spans",
+      Some("""WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(lower(text),' '), x -> x <> '') AS t FROM documents),
+        |w AS (SELECT doc_id, md5(array_to_string(t[CAST(i AS INTEGER):CAST(i + 7 AS INTEGER)], ' ')) AS h
+        |  FROM toks, unnest(range(1, greatest(len(t) - 6, 1))) AS r(i)),
+        |c AS (SELECT h, COUNT(*) AS cnt FROM w GROUP BY 1),
+        |d AS (SELECT w.doc_id, CAST(COUNT(*) AS BIGINT) AS n_windows,
+        |    CAST(SUM(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+        |  FROM w JOIN c USING (h) GROUP BY 1)
+        |SELECT toks.doc_id, COALESCE(d.n_windows, 0) AS n_windows,
+        |  COALESCE(d.n_dup, 0) AS n_dup_windows,
+        |  CASE WHEN d.n_windows > 0 THEN
+        |    ROUND((CAST(d.n_dup AS DOUBLE) / d.n_windows) * 1000000) / 1000000 + 0
+        |  END AS dup_frac
+        |FROM toks LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin),
+      (s, d) => TextDedup.duplicatedSpanStats(
+          t(s, d).documents.select("doc_id", "text"), n = 8)
+        .orderBy("doc_id")),
+
+    GraftQuery(
       // Grid-bucketed spatial radius join (sp01, operators/Spatial):
       // the geospatial member of the blocked-join family. Coordinates
       // are key-hashed integer micro-degrees (no geo columns in the

@@ -498,4 +498,31 @@ class DedupSpec extends SparkSpec {
       assert(ms.head._3 == best, s"component $c survivor ${ms.head._3} != argmax $best")
     }
   }
+
+  test("duplicatedSpanStats counts overlapping shared windows by hand") {
+    // n=3 windows; docs 1 and 2 share the 4-token run "a b c d"
+    // → 2 shared 3-windows each ("a b c", "b c d"); doc 1 has 3
+    // windows total ("c d x" unique), doc 2 exactly 2; doc 3 disjoint;
+    // doc 4 too short for any window.
+    val docs = Seq(
+      (1L, "a b c d x"),
+      (2L, "a b c d"),
+      (3L, "p q r s"),
+      (4L, "t u")).toDF("doc_id", "text")
+    val got = TextDedup.duplicatedSpanStats(docs, n = 3)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((3L, 2L, Some(0.666667))))
+    assert(got(2L) == ((2L, 2L, Some(1.0))))
+    assert(got(3L) == ((2L, 0L, Some(0.0))))
+    assert(got(4L) == ((0L, 0L, None)))
+  }
+
+  test("duplicatedSpanStats counts WITHIN-doc repeats too") {
+    // the same 3-token span twice in one doc: both windows duplicated
+    val docs = Seq((1L, "a b c z z a b c")).toDF("doc_id", "text")
+    val row = TextDedup.duplicatedSpanStats(docs, n = 3)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(row._2 == 6L && row._3 == 2L)
+  }
 }
