@@ -231,6 +231,53 @@ object TimeSeries {
           .as("zsq_centi"))
   }
 
+  /** Per-key exponentially-weighted moving average (EWMA) with a
+    * RATIONAL smoothing factor α = alphaNum/alphaDen, folded in exact
+    * integer milli-units:
+    *
+    *   s₁ = v₁·1000;  sₜ = (alphaNum·vₜ·1000 + (alphaDen−alphaNum)·sₜ₋₁) DIV alphaDen
+    *
+    * — the smoothing/forecast primitive (level estimate) of the
+    * time-series family, bitwise deterministic because every step is
+    * integer arithmetic on an explicitly ordered sequence.
+    *
+    * EWMA is a NON-ASSOCIATIVE recursion, so it cannot ride a window
+    * aggregate; the standard exact formulation is an ordered per-key
+    * array + a left fold (`aggregate` HOF here, `list_reduce` in the
+    * oracle). That means one collected array per key in executor
+    * memory — bounded by per-key event cardinality, the documented
+    * memory axis (a key with 10^8 events needs pre-aggregation to a
+    * coarser grain first, e.g. the [[decayedSum]] daily reduction).
+    * One shuffle (the groupBy); the fold is a codegen'd projection.
+    *
+    * @return (key, n_events, ewma_milli) — the final level per key in
+    *         milli-units of the input units column
+    */
+  def ewmaMilli(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      idCol: String,
+      unitsCol: String,
+      alphaNum: Long,
+      alphaDen: Long): DataFrame = {
+    require(alphaNum > 0 && alphaDen > alphaNum,
+      s"smoothing must satisfy 0 < alphaNum < alphaDen, got $alphaNum/$alphaDen")
+    val ordered = events
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_sort(collect_list(struct(col(tsCol).as("t"), col(idCol).as("i"),
+          col(unitsCol).cast("long").as("v")))).as("__seq"))
+      .withColumn("__vs", expr("transform(__seq, x -> x.v)"))
+    ordered.select(col(keyCol), col("n_events"),
+      expr(
+        s"""aggregate(
+           |  slice(__vs, 2, greatest(size(__vs) - 1, 0)),
+           |  element_at(__vs, 1) * 1000L,
+           |  (acc, x) -> ($alphaNum * x * 1000 + ${alphaDen - alphaNum} * acc) DIV $alphaDen)
+           |""".stripMargin).as("ewma_milli"))
+  }
+
   /** Cohort retention matrix: users grouped by their first-activity day,
     * counted on each subsequent active day.
     *

@@ -2282,6 +2282,29 @@ object ExtensionQueries {
         .orderBy("user_id", "event_id")),
 
     GraftQuery(
+      // Per-key integer EWMA (ts05, TimeSeries.ewmaMilli): the
+      // smoothing/level-estimate primitive. EWMA is a non-associative
+      // recursion, so the exact form is an explicitly ordered per-key
+      // array + a left fold — `aggregate` HOF in Spark, `list_reduce`
+      // in DuckDB, both running the identical integer milli-unit
+      // recursion (α = 2/10). Per-key array memory is the documented
+      // axis; one shuffle.
+      "ts05_ewma",
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS v FROM events),
+        |a AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    list(v ORDER BY ts, event_id) AS vs FROM e GROUP BY 1)
+        |SELECT user_id, n_events,
+        |  CAST(list_reduce(list_prepend(vs[1] * 1000, vs[2:len(vs)]),
+        |    (acc, x) -> (2 * x * 1000 + 8 * acc) // 10) AS BIGINT) AS ewma_milli
+        |FROM a ORDER BY user_id""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.ewmaMilli(
+          t(s, d).events.select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
+          "user_id", "ts", "event_id", "vu", alphaNum = 2, alphaDen = 10)
+        .orderBy("user_id")),
+
+    GraftQuery(
       // Streaming rolling z-score on ingest (st11): the stream twin of
       // ts04 through StatefulOps.rollingZscoreStreamTtl — per-key ring
       // state (≤ window longs), exact integer test, built TTL-FIRST
@@ -2518,6 +2541,28 @@ object ExtensionQueries {
             floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y")),
           Seq("grp"), "x1", "x2", "y")
         .orderBy("grp")),
+
+    GraftQuery(
+      // Frequent co-occurrence pairs (fp01, operators/Baskets): the
+      // 2-itemset Apriori level over order baskets — items below the
+      // support floor are dropped BEFORE the within-basket self-join
+      // (monotonicity: a pair's support can't exceed either item's),
+      // which is the prune that bounds the pairing at scale. Exact
+      // integer counting, set semantics per basket; basket width (≤13
+      // parts/order here) bounds the per-basket C(k,2).
+      "fp01_frequent_pairs",
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |fi AS (SELECT it FROM b GROUP BY it HAVING COUNT(*) >= 2),
+        |k AS (SELECT bk, it FROM b WHERE it IN (SELECT it FROM fi))
+        |SELECT a.it AS item_a, c.it AS item_b, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM k a JOIN k c ON a.bk = c.bk AND a.it < c.it
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY item_a, item_b""".stripMargin),
+      (s, d) => graft.operators.Baskets.frequentPairs(
+          t(s, d).lineitem.select(col("l_orderkey").as("basket_id"),
+            col("l_partkey").as("item")),
+          minSupport = 2)
+        .orderBy("item_a", "item_b")),
 
     GraftQuery(
       // Cross-corpus duplicated-span statistics (dd12,

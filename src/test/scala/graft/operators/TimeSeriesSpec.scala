@@ -236,6 +236,48 @@ class TimeSeriesSpec extends SparkSpec {
       s"expected one shuffle (the key partition):\n${plan.take(1500)}")
   }
 
+  test("ewmaMilli folds the hand-computed integer recursion in (ts, id) order") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // α = 2/10, values 100, 200, 50:
+    // s1 = 100_000
+    // s2 = (2·200·1000 + 8·100_000) DIV 10 = (400_000 + 800_000)/10 = 120_000
+    // s3 = (2·50·1000 + 8·120_000) DIV 10 = (100_000 + 960_000)/10 = 106_000
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 0L, 100L),
+      (1L, ts("2024-01-01 00:01:00"), 1L, 200L),
+      (1L, ts("2024-01-01 00:02:00"), 2L, 50L),
+      (2L, ts("2024-01-01 00:00:00"), 3L, 7L)) // single event: s = v·1000
+      .toDF("user_id", "ts", "event_id", "vu")
+    val got = TimeSeries.ewmaMilli(ev, "user_id", "ts", "event_id", "vu", 2, 10)
+      .as[(Long, Long, Long)].collect().toMap2
+    assert(got(1L) == ((3L, 106000L)))
+    assert(got(2L) == ((1L, 7000L)))
+  }
+
+  test("ewmaMilli is partitioning-invariant (ordered fold, not arrival order)") {
+    val ev = tables.events.select(col("user_id"), col("ts"), col("event_id"),
+      floor(col("value") * 1000 + 0.5).cast("long").as("vu"))
+    val a = TimeSeries.ewmaMilli(ev.repartition(1), "user_id", "ts", "event_id", "vu", 2, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = TimeSeries.ewmaMilli(ev.repartition(16), "user_id", "ts", "event_id", "vu", 2, 10)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("ewmaMilli guards: smoothing factor validated") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1L))
+      .toDF("user_id", "ts", "event_id", "vu")
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaMilli(ev, "user_id", "ts", "event_id", "vu", 0, 10))
+    intercept[IllegalArgumentException](
+      TimeSeries.ewmaMilli(ev, "user_id", "ts", "event_id", "vu", 10, 10))
+  }
+
+  private implicit class ToMap2(rows: Array[(Long, Long, Long)]) {
+    def toMap2: Map[Long, (Long, Long)] =
+      rows.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
+
   test("rollingZscore guards: window, minBaseline, threshold validated") {
     val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, 1L))
       .toDF("user_id", "ts", "event_id", "vu")
