@@ -2282,6 +2282,24 @@ object ExtensionQueries {
         .orderBy("user_id", "event_id")),
 
     GraftQuery(
+      // Stream-static broadcast enrichment (st12): the one STATELESS
+      // replay — facts on the stream, the customer dimension broadcast
+      // on the batch side, the most common production streaming shape.
+      // No state, no watermark: every event must be enriched exactly
+      // as the batch left join would, under the standard
+      // late-displacement chunking (arrival order must not matter);
+      // the harness additionally asserts no row is dropped or
+      // duplicated.
+      "st12_stream_enrich",
+      Some("""SELECT e.event_id, e.user_id, CAST(c.c_nationkey AS BIGINT) AS nation
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |ORDER BY event_id""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.enrichReplay(
+          s, t(s, d).events.select("user_id", "event_id"),
+          t(s, d).customer.select(col("c_custkey").as("user_id"),
+            col("c_nationkey").as("nation")))),
+
+    GraftQuery(
       // Per-key integer EWMA (ts05, TimeSeries.ewmaMilli): the
       // smoothing/level-estimate primitive. EWMA is a non-associative
       // recursion, so the exact form is an explicitly ordered per-key

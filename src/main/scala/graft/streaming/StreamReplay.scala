@@ -698,6 +698,74 @@ object StreamReplay {
       fed.filter(_.nonEmpty).map(b => () => { ms.addData(b); () }))
   }
 
+  /** Replays `events` through a STREAM-STATIC broadcast enrichment
+    * join (st12) — the most common production streaming shape (facts
+    * on the stream, a dimension on the batch side) and the one
+    * STATELESS member of the replay family: no keyed state, no
+    * watermark semantics, so the contract is simply "every event is
+    * enriched exactly as the batch join would, whatever the chunking"
+    * — which is why this replay DOES use the standard late-displacement
+    * twist (arrival order must not matter). The dimension is
+    * broadcast; a streaming micro-batch join against an unbroadcast
+    * growing dimension would re-scan it per batch, which is the
+    * documented production caveat (snapshot the dim, or use
+    * latestByKeyStream for slowly-changing keys).
+    *
+    * The dimension frame is re-created inside the private replay
+    * session (datasets must not cross sessions).
+    *
+    * @param dim static (user_id, nation) rows
+    * @return (event_id, user_id, nation) for every event, left-join
+    *         semantics for users missing from the dimension
+    */
+  def enrichReplay(spark: SparkSession, events: DataFrame, dim: DataFrame,
+                   nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    val rows = events.select(col("user_id").cast("long"), col("event_id").cast("long"))
+      .as[(Long, Long)].collect().sortBy(_._2)
+    val fed = displaced(chunked(rows, nChunks))(_._2)
+
+    val replay = replaySession(spark)
+    val dimRows = dim.select(col("user_id").cast("long"), col("nation").cast("long"))
+      .collect()
+    val dimLocal = replay.createDataFrame(
+      java.util.Arrays.asList(dimRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("nation",
+          org.apache.spark.sql.types.LongType))))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Long)]
+    val enriched = ms.toDF.toDF("user_id", "event_id")
+      .join(broadcast(dimLocal), Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("nation"))
+
+    val name = s"st_enreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = enriched.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        fed.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      val out = replay.table(name).orderBy("event_id")
+      require(out.count() == rows.length,
+        s"stream-static enrich dropped or duplicated rows: ${out.count()} vs ${rows.length}")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Replays `events` through [[StatefulOps.rollingZscoreStreamTtl]]
     * (st11): anomaly flagging on ingest must equal the batch
     * [[graft.operators.TimeSeries.rollingZscore]] oracle (ts04's SQL)
