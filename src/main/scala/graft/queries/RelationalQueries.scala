@@ -254,6 +254,44 @@ object RelationalQueries {
       }),
 
     GraftQuery(
+      // Sketch ALGEBRA (hl02): intersection estimate by
+      // inclusion-exclusion over mergeable HLL sketches —
+      // |A∩B| ≈ est(A) + est(B) − est(A∪B) — the query pattern that
+      // lets 100 TB deployments answer arbitrary audience-overlap
+      // questions from stored per-segment sketches without touching
+      // raw data. Errors compound across three estimates, so the
+      // acceptance band is 10% (vs hl01's 5% single-estimate band);
+      // the oracle carries the exact intersection and the band verdict
+      // rides the Spark side, the q12/hl01 discipline.
+      "hl02_sketch_intersect",
+      Some("SELECT COUNT(DISTINCT v.user_id) AS n_exact, " +
+        "CAST(1 AS BOOLEAN) AS within_10pct " +
+        "FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'view') v " +
+        "JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase') p " +
+        "ON v.user_id = p.user_id"),
+      (s, d) => {
+        val ev = t(s, d).events
+        val skA = ev.filter(col("event_type") === "view")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val skB = ev.filter(col("event_type") === "purchase")
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val est = skA.unionAll(skB)
+          .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_union"))
+          .crossJoin(skA.select(hll_sketch_estimate(col("sk")).as("est_a")))
+          .crossJoin(skB.select(hll_sketch_estimate(col("sk")).as("est_b")))
+          .select((col("est_a") + col("est_b") - col("est_union")).as("approx"))
+        val exact = ev.filter(col("event_type") === "view")
+          .select("user_id").distinct()
+          .join(ev.filter(col("event_type") === "purchase")
+            .select("user_id").distinct(), "user_id")
+          .agg(count(lit(1)).as("n_exact"))
+        exact.crossJoin(est)
+          .select(col("n_exact"),
+            (abs(col("approx") - col("n_exact")) / col("n_exact") <= 0.10)
+              .as("within_10pct"))
+      }),
+
+    GraftQuery(
       "q13_rollup",
       Some("SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem " +
         "GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
