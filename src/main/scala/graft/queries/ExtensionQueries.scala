@@ -2182,6 +2182,44 @@ object ExtensionQueries {
         .orderBy("id_a", "id_b")),
 
     GraftQuery(
+      // End-to-end entity resolution (er01): the capstone composition
+      // of the similarity stack — EXACT Jaro-Winkler blocking+verify
+      // (fz04's jaroWinklerJoin, complete recall), transitive closure
+      // via the log-round connected components (dd08), min-id
+      // survivorship — one canonical-id mapping for EVERY entity,
+      // singletons mapping to themselves. Every stage is an existing
+      // scale-shaped operator; the entry proves they compose. Oracle:
+      // brute-force pair truth + a recursive-CTE closure (the dd08
+      // pattern) — an algorithm-independent cross-check of the whole
+      // pipeline.
+      "er01_entity_resolution",
+      Some("""WITH RECURSIVE p AS (SELECT p_partkey AS id, p_name AS s FROM part WHERE p_partkey % 20 = 0),
+        |pr AS (SELECT a.id AS ia, b.id AS ib FROM p a JOIN p b ON a.id < b.id
+        |  WHERE jaro_winkler_similarity(a.s, b.s) >= 0.9),
+        |edges AS (SELECT ia AS s, ib AS d FROM pr UNION SELECT ib, ia FROM pr),
+        |reach AS (SELECT s, d FROM edges
+        |  UNION SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+        |SELECT p.id AS entity_id,
+        |  CAST(COALESCE(LEAST(p.id, m.mn), p.id) AS BIGINT) AS canonical_id
+        |FROM p LEFT JOIN (SELECT s AS id, MIN(d) AS mn FROM reach GROUP BY 1) m
+        |  ON m.id = p.id
+        |ORDER BY entity_id""".stripMargin),
+      (s, d) => {
+        val slice = t(s, d).part.filter(col("p_partkey") % 20 === 0)
+          .select("p_partkey", "p_name")
+        val pairs = graft.operators.FuzzyJoin.jaroWinklerJoin(
+            slice, "p_partkey", "p_name", threshold = 0.9)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+        val comps = TextDedup.connectedComponents(pairs)
+          .withColumnRenamed("doc_id", "entity_id")
+        slice.select(col("p_partkey").as("entity_id"))
+          .join(comps, Seq("entity_id"), "left")
+          .select(col("entity_id"),
+            coalesce(col("component"), col("entity_id")).as("canonical_id"))
+          .orderBy("entity_id")
+      }),
+
+    GraftQuery(
       // Gap-based sessionization (operators/Sessions): lag + cumulative
       // sum over ONE user-keyed window (single Exchange, both window
       // functions in one Window operator), then a per-session hash
