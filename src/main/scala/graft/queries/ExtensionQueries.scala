@@ -2320,6 +2320,39 @@ object ExtensionQueries {
         .orderBy("user_id", "event_id")),
 
     GraftQuery(
+      // Streaming SCD2 dimension maintenance (st13,
+      // StatefulOps.scd2StreamTtl): the stream twin of up02, TTL-first.
+      // State holds each key's RAW change history (bounded by change
+      // count — the SCD2 regime) because a LATE mid-timeline change
+      // both creates a version and can re-suppress a later one;
+      // each touched key re-derives and emits its full timeline, the
+      // replay keeps the last emission per key, and the result must
+      // hash-match the batch scd2 oracle under the standard
+      // late-displacement chunking.
+      "st13_stream_scd2",
+      Some("""WITH h AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS d,
+        |    o_orderpriority,
+        |    LAG(o_orderpriority) OVER (
+        |      PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev,
+        |    LAG(CAST(o_orderdate AS DATE)) OVER (
+        |      PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS prev_d
+        |  FROM orders),
+        |c AS (SELECT * FROM h WHERE prev_d IS NULL OR prev IS DISTINCT FROM o_orderpriority)
+        |SELECT o_custkey AS custkey, o_orderkey AS change_id, o_orderpriority AS priority,
+        |  d AS valid_from_days,
+        |  LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) AS valid_to_days,
+        |  LEAD(d) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey) IS NULL AS is_current
+        |FROM c ORDER BY custkey, valid_from_days, change_id""".stripMargin),
+      (s, d) => graft.streaming.StreamReplay.scd2Replay(
+          s, t(s, d).orders.select(
+            col("o_custkey").as("key"), col("o_orderkey").as("change_id"),
+            datediff(col("o_orderdate").cast("date"),
+              lit("1970-01-01").cast("date")).cast("long").as("ts_days"),
+            col("o_orderpriority").as("attr")))),
+
+    GraftQuery(
       // Stream-static broadcast enrichment (st12): the one STATELESS
       // replay — facts on the stream, the customer dimension broadcast
       // on the batch side, the most common production streaming shape.

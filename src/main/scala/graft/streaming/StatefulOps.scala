@@ -342,6 +342,71 @@ object StatefulOps {
       }
   }
 
+  /** Streaming SCD-Type-2 dimension maintenance — the stream twin of
+    * [[graft.operators.Upsert.scd2]] (up02), TTL-first like st11: as
+    * change rows arrive (in any order, across any batch split), each
+    * touched key re-derives its FULL version timeline and emits it;
+    * the last emission per key must equal the batch scd2 history.
+    *
+    * Why state holds the RAW change history, not the derived timeline:
+    * suppression ("drop a change whose attr equals its immediate
+    * predecessor's") is defined against the raw (ts, id) sequence, so
+    * a LATE row landing mid-timeline can both create a version AND
+    * re-suppress a later row that previously survived — a derived
+    * timeline cannot be patched locally; it must be re-derived from
+    * the raw rows. Per-key state is therefore bounded by the key's
+    * change COUNT (dimension keys change rarely — the SCD2 use case),
+    * with the event-time timeout evicting keys idle past the horizon.
+    *
+    * Contracts (the batch operator's, restated): ts + id tie-free per
+    * key; attr non-null; change ids unique per key.
+    *
+    * @param changes (key, change_id, ts_days, attr, event_time)
+    * @return per touched key per batch, the full re-derived timeline:
+    *         (key, change_id, valid_from_days, attr, valid_to_days
+    *         [-1 = open], is_current)
+    */
+  def scd2StreamTtl(
+      changes: Dataset[(Long, Long, Long, String, java.sql.Timestamp)],
+      delayThreshold: String, horizonMs: Long)
+      : Dataset[(Long, Long, Long, String, Long, Boolean)] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Long, Long, String, Long, Boolean)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val stateEnc: Encoder[(Seq[(Long, Long, String)], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    changes.withWatermark("_5", delayThreshold)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Seq[(Long, Long, String)], Long),
+        (Long, Long, Long, String, Long, Boolean)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, it: Iterator[(Long, Long, Long, String, java.sql.Timestamp)],
+         state: GroupState[(Seq[(Long, Long, String)], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val (prior, lease0) =
+              state.getOption.getOrElse((Seq.empty[(Long, Long, String)], Long.MinValue))
+            val raw = (prior ++ rows.map(r => (r._3, r._2, r._4)))
+              .sortBy(r => (r._1, r._2))
+            // suppression against the immediate RAW predecessor
+            val kept = raw.zipWithIndex.filter { case ((_, _, attr), i) =>
+              i == 0 || raw(i - 1)._3 != attr
+            }.map(_._1)
+            val lease = math.max(lease0, rows.iterator.map(_._5.getTime).max)
+            state.update((raw, lease))
+            state.setTimeoutTimestamp(
+              math.max(lease + horizonMs, state.getCurrentWatermarkMs() + 1))
+            // interval-ize: valid_to = next kept version's ts, -1 = open
+            kept.zipWithIndex.iterator.map { case ((ts, id, attr), i) =>
+              val validTo = if (i + 1 < kept.length) kept(i + 1)._1 else -1L
+              (key, id, ts, attr, validTo, validTo == -1L)
+            }
+          }
+      }
+  }
+
   /** Streaming LSH candidate emission — near-dup detection ON INGEST.
     *
     * Input: (band_id, band_key, doc_id) rows

@@ -698,6 +698,78 @@ object StreamReplay {
       fed.filter(_.nonEmpty).map(b => () => { ms.addData(b); () }))
   }
 
+  /** Replays a change log through [[StatefulOps.scd2StreamTtl]] (st13):
+    * streaming SCD2 maintenance must converge to the batch
+    * [[graft.operators.Upsert.scd2]] history. The standard
+    * late-displacement chunking applies and is THE point here: a late
+    * change landing mid-timeline must create its version AND
+    * re-suppress any later version whose attr now matches its
+    * predecessor — the operator re-derives each touched key's full
+    * timeline per batch, and the harness keeps only each key's LAST
+    * emission (Update semantics) for the compare. Horizon/delay derive
+    * from the feed's own span; eviction is spec-gated in
+    * StatefulTtlSpec.
+    *
+    * @param changes (key, change_id, ts_days, attr)
+    * @return (custkey, change_id, priority, valid_from_days,
+    *         valid_to_days [null = open], is_current)
+    */
+  def scd2Replay(spark: SparkSession, changes: DataFrame,
+                 nChunks: Int = 6): DataFrame = {
+    import spark.implicits._
+    val rows = changes.select(col("key").cast("long"), col("change_id").cast("long"),
+        col("ts_days").cast("long"), col("attr").cast("string"))
+      .as[(Long, Long, Long, String)].collect().sortBy(r => (r._3, r._2))
+    val fed = displaced(chunked(rows, nChunks))(_._2)
+      .map(_.map(r => (r._1, r._2, r._3, r._4, new Timestamp(r._3 * 86400000L))))
+    val spanMs = (rows.last._3 - rows.head._3) * 86400000L
+    val horizonMs = 2 * spanMs + 3600000L
+    val delayHours = math.max(1L, 2 * spanMs / 3600000L + 1)
+
+    val replay = replaySession(spark)
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Long, Long, String, Timestamp)]
+    val timeline = StatefulOps.scd2StreamTtl(ms.toDS(),
+      delayThreshold = s"$delayHours hours", horizonMs = horizonMs)
+
+    val captured =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, Long, Long, String, Long, Boolean)])]
+    val cp = java.nio.file.Files.createTempDirectory("st_scd2replay-cp").toString
+    try {
+      val q = timeline.writeStream.outputMode("update")
+        .option("checkpointLocation", cp)
+        .foreachBatch {
+          (batch: Dataset[(Long, Long, Long, String, Long, Boolean)], batchId: Long) =>
+            val rs = batch.collect().toSeq
+            captured.synchronized { captured += ((batchId, rs)) }
+            ()
+        }
+        .start()
+      try {
+        fed.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      // last emission per key wins (each emission is the key's FULL timeline)
+      val lastBatchPerKey = captured.sortBy(_._1)
+        .flatMap { case (bid, rs) => rs.map(r => (r._1, bid)) }
+        .groupBy(_._1).map { case (k, bs) => k -> bs.map(_._2).max }
+      val finalRows = captured.flatMap { case (bid, rs) =>
+        rs.filter(r => lastBatchPerKey(r._1) == bid)
+      }.distinct
+      finalRows.toSeq
+        .toDF("custkey", "change_id", "valid_from_days", "priority", "__vt", "is_current")
+        .select(col("custkey"), col("change_id"), col("priority"),
+          col("valid_from_days"),
+          when(col("__vt") === -1L, lit(null).cast("long"))
+            .otherwise(col("__vt")).as("valid_to_days"),
+          col("is_current"))
+        .orderBy("custkey", "valid_from_days", "change_id")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Replays `events` through a STREAM-STATIC broadcast enrichment
     * join (st12) — the most common production streaming shape (facts
     * on the stream, a dimension on the batch side) and the one

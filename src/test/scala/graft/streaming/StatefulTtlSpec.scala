@@ -282,6 +282,61 @@ class StatefulTtlSpec extends SparkSpec {
     }
   }
 
+  test("scd2StreamTtl: a late mid-timeline change creates a version AND re-suppresses") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, String, Timestamp)]
+      val name = s"ttl_scd2_${label}_${System.nanoTime()}"
+      val q = StatefulOps.scd2StreamTtl(ms.toDS(),
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("key", "change_id", "valid_from", "attr", "valid_to", "is_current")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        // batch 1: day 10 = A, day 30 = B → timeline [A@10..30, B@30..open]
+        ms.addData((1L, 100L, 10L, "A", new Timestamp(1000L)),
+          (1L, 300L, 30L, "B", new Timestamp(2000L)))
+        q.processAllAvailable()
+        val t1 = spark.table(name).as[(Long, Long, Long, String, Long, Boolean)]
+          .collect().toSeq
+        assert(t1.toSet == Set((1L, 100L, 10L, "A", 30L, false),
+          (1L, 300L, 30L, "B", -1L, true)), s"[$label] $t1")
+        // batch 2: LATE day-20 change to B → B@20 version appears and
+        // the day-30 B row is RE-SUPPRESSED (its predecessor is now B)
+        ms.addData((1L, 200L, 20L, "B", new Timestamp(3000L)))
+        q.processAllAvailable()
+        val all = spark.table(name).as[(Long, Long, Long, String, Long, Boolean)]
+          .collect().toSeq
+        val last = all.drop(t1.length) // batch-2 emission = the re-derived timeline
+        assert(last.toSet == Set((1L, 100L, 10L, "A", 20L, false),
+          (1L, 200L, 20L, "B", -1L, true)), s"[$label] $last")
+      } finally q.stop()
+    }
+  }
+
+  test("scd2StreamTtl evicts idle keys after the horizon: numRowsTotal falls") {
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, Long, Long, String, Timestamp)]
+      val name = s"ttl_scd2_ev_${label}_${System.nanoTime()}"
+      val q = StatefulOps.scd2StreamTtl(ms.toDS(),
+          delayThreshold = "0 seconds", horizonMs = 60L * 1000)
+        .toDF("key", "change_id", "valid_from", "attr", "valid_to", "is_current")
+        .writeStream.outputMode("update").format("memory").queryName(name).start()
+      try {
+        ms.addData((1L, 1L, 10L, "A", new Timestamp(10000L)))
+        q.processAllAvailable()
+        ms.addData((2L, 2L, 10L, "A", new Timestamp(10000000L)))
+        q.processAllAvailable()
+        ms.addData((2L, 3L, 11L, "B", new Timestamp(10001000L)))
+        q.processAllAvailable()
+        val counts = stateRowCounts(q)
+        assert(counts.max == 2, s"[$label] expected both keys in state at peak: $counts")
+        assert(counts.last == 1,
+          s"[$label] expected key 1 evicted after horizon (1 row left): $counts")
+      } finally q.stop()
+    }
+  }
+
   test("rollingZscoreStreamTtl evicts idle keys after the horizon: numRowsTotal falls") {
     for ((label, prov) <- providers) withProvider(prov) {
       implicit val ctx = spark.sqlContext
