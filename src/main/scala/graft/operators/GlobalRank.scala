@@ -114,6 +114,51 @@ object GlobalRank {
     spark.createDataFrame(zipped, schema).drop("__v")
   }
 
+  /** `df` plus the EXCLUSIVE global prefix MAX of `valueCol` under
+    * `sortCols` (`outCol` = max of `valueCol` over all rows strictly
+    * before this one in the total order; `Long.MinValue` for the first
+    * row — the max-monoid identity). Same two-phase scheme as
+    * [[withGlobalCumSum]]: range shuffle + per-partition maxes (cheap
+    * local job) → broadcast prefix maxes → one local scan. This is the
+    * distributed prefix scan a `max().over(Window.orderBy(...))` would
+    * funnel through a single task.
+    *
+    * `valueCol` must be integral; nulls count as `Long.MinValue`
+    * (never the max unless the prefix is empty). `sortCols` must be
+    * tie-free for a deterministic result, same as the other scans.
+    */
+  def withGlobalCumMax(df: DataFrame, sortCols: Seq[Column], valueCol: Column,
+                       outCol: String = "max_before",
+                       numPartitions: Option[Int] = None): DataFrame = {
+    require(!df.columns.contains("__v") && !df.columns.contains(outCol),
+      s"input must not already have columns '__v' or '$outCol'")
+    val spark = df.sparkSession
+    val n = numPartitions.getOrElse(spark.sessionState.conf.numShufflePartitions)
+    val withV = df.withColumn("__v",
+      coalesce(valueCol.cast(LongType), lit(Long.MinValue)))
+    val parted = withV.repartitionByRange(n, sortCols: _*).sortWithinPartitions(sortCols: _*)
+
+    val rdd = parted.rdd
+    val vIdx = parted.schema.fieldIndex("__v")
+    val maxes = rdd.mapPartitionsWithIndex { (i, it) =>
+      var m = Long.MinValue; it.foreach(r => m = math.max(m, r.getLong(vIdx)))
+      Iterator((i, m))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = maxes.scanLeft(Long.MinValue)(math.max)
+
+    val bOffsets = spark.sparkContext.broadcast(offsets)
+    val schema = withV.schema.add(outCol, LongType, nullable = false)
+    val zipped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var run = bOffsets.value(i)
+      it.map { r =>
+        val out = Row.fromSeq(r.toSeq :+ run)
+        run = math.max(run, r.getLong(vIdx))
+        out
+      }
+    }
+    spark.createDataFrame(zipped, schema).drop("__v")
+  }
+
   /** Global percent_rank / cume_dist / ntile(k) in one pass, derived
     * from the two-phase row number:
     *   percent_rank = (rn-1)/(n-1)   (0.0 when n == 1)

@@ -2790,6 +2790,33 @@ object ExtensionQueries {
       (s, d) => graft.operators.KMeansExact.assignMicro(
           t(s, d).embeddings.select(col("vec_id").as("id"), col("embedding").as("vec")),
           d = 64, k = 4, iterations = 2)
-        .orderBy("id"))
+        .orderBy("id")),
+
+    GraftQuery(
+      // 2-D skyline / Pareto frontier (operators/Skyline): parts that
+      // are cheapest for their size class — no other part is both no
+      // pricier and no smaller with one strict. The oracle runs the
+      // textbook quadratic NOT-EXISTS dominance self-join; the Spark
+      // plan is the scale form: groupBy(min)→max collapse, two-phase
+      // distributed prefix max (GlobalRank.withGlobalCumMax — no
+      // single-partition window), one join back. Price quantized to
+      // cents (NOTES invariant 1).
+      "sk01_skyline",
+      Some("""WITH p AS (SELECT p_partkey, p_brand,
+        |    CAST(FLOOR(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents, p_size
+        |  FROM part)
+        |SELECT p_partkey, p_brand, price_cents, p_size FROM p
+        |WHERE NOT EXISTS (SELECT 1 FROM p q
+        |  WHERE (q.price_cents < p.price_cents AND q.p_size >= p.p_size)
+        |     OR (q.price_cents = p.price_cents AND q.p_size > p.p_size))
+        |ORDER BY price_cents, p_partkey""".stripMargin),
+      (s, d) => {
+        val p = t(s, d).part.select(col("p_partkey"), col("p_brand"),
+          floor(col("p_retailprice") * 100 + 0.5).cast("long").as("price_cents"),
+          col("p_size"))
+        graft.operators.Skyline.skyline2d(p, "price_cents", "p_size")
+          .select("p_partkey", "p_brand", "price_cents", "p_size")
+          .orderBy("price_cents", "p_partkey")
+      })
   )
 }
