@@ -2817,6 +2817,37 @@ object ExtensionQueries {
         graft.operators.Skyline.skyline2d(p, "price_cents", "p_size")
           .select("p_partkey", "p_brand", "price_cents", "p_size")
           .orderBy("price_cents", "p_partkey")
+      }),
+
+    GraftQuery(
+      // Sweep-line interval concurrency (operators/Intervals): peak
+      // simultaneously-open intervals per event_type, intervals being
+      // [ts, ts + (60 + floor(value)) s) — the capacity question over
+      // an event log. Boundary deltas are pre-aggregated per instant
+      // (map-side combine bounds the window input by distinct instants,
+      // not event volume) and the +1/−1 netting at equal instants IS
+      // the half-open semantics, so no sort tiebreak exists to get
+      // wrong. peak_at = earliest peak instant, epoch micros.
+      "iv01_max_concurrency",
+      Some("""WITH e AS (SELECT event_type, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (60 + CAST(FLOOR(value) AS BIGINT)) * 1000000 AS e
+        |  FROM events),
+        |b AS (SELECT event_type, s AS t, 1 AS d FROM e
+        |  UNION ALL SELECT event_type, e AS t, -1 AS d FROM e),
+        |c AS (SELECT event_type, t, CAST(SUM(d) AS BIGINT) AS d FROM b GROUP BY 1, 2),
+        |r AS (SELECT event_type, t,
+        |    SUM(d) OVER (PARTITION BY event_type ORDER BY t) AS run FROM c),
+        |p AS (SELECT event_type, CAST(MAX(run) AS BIGINT) AS peak FROM r GROUP BY 1)
+        |SELECT r.event_type, p.peak, MIN(r.t) AS peak_at
+        |FROM r JOIN p ON r.event_type = p.event_type AND r.run = p.peak
+        |GROUP BY 1, 2 ORDER BY r.event_type""".stripMargin),
+      (s, d) => {
+        val iv = t(s, d).events.select(col("event_type"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) +
+            (lit(60L) + floor(col("value")).cast("long")) * 1000000L).as("e_us"))
+        graft.operators.Intervals.maxConcurrency(iv, "event_type", "s_us", "e_us")
+          .orderBy("event_type")
       })
   )
 }
