@@ -2848,6 +2848,45 @@ object ExtensionQueries {
             (lit(60L) + floor(col("value")).cast("long")) * 1000000L).as("e_us"))
         graft.operators.Intervals.maxConcurrency(iv, "event_type", "s_us", "e_us")
           .orderBy("event_type")
+      }),
+
+    GraftQuery(
+      // Multi-source bounded-hop BFS (operators/ShortestPath): hop
+      // distance from nation-1 customers over the same symmetric
+      // customer↔supplier trade graph as pg01 — "within k degrees"
+      // reachability. Frontier rounds (join + distinct + anti join,
+      // shrinking input) with exact integer hops; the oracle unrolls
+      // the three frontiers with NOT IN over the visited prefix.
+      "pg03_bfs_hops",
+      Some("""WITH e0 AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT c AS src, s AS dst FROM e0 UNION ALL SELECT s, c FROM e0),
+        |d0 AS (SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1),
+        |f1 AS (SELECT DISTINCT e.dst AS node FROM e JOIN d0 ON e.src = d0.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0)),
+        |f2 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f1 ON e.src = f1.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM f1)),
+        |f3 AS (SELECT DISTINCT e.dst AS node FROM e JOIN f2 ON e.src = f2.node
+        |  WHERE e.dst NOT IN (SELECT node FROM d0 UNION ALL SELECT node FROM f1
+        |                      UNION ALL SELECT node FROM f2))
+        |SELECT node, CAST(0 AS BIGINT) AS hop FROM d0
+        |UNION ALL SELECT node, 1 FROM f1
+        |UNION ALL SELECT node, 2 FROM f2
+        |UNION ALL SELECT node, 3 FROM f3
+        |ORDER BY node""".stripMargin),
+      (s, d) => {
+        val li = t(s, d).lineitem.select(col("l_orderkey"), col("l_suppkey"))
+        val e0 = li.join(t(s, d).orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("s"))
+          .distinct()
+        val edges = e0.select(col("c").as("src"), col("s").as("dst"))
+          .unionAll(e0.select(col("s").as("src"), col("c").as("dst")))
+        val sources = t(s, d).customer.filter(col("c_nationkey") === 1)
+          .select(col("c_custkey").as("node"))
+        graft.operators.ShortestPath.bfsHops(edges, sources, maxHops = 3)
+          .orderBy("node")
       })
   )
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** ShortestPath.bfsHops (pg03) — frontier BFS vs brute-force
+  * shortest-path distances on random directed graphs. */
+class ShortestPathSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute force: hop-bounded BFS by set expansion. */
+  private def brute(edges: Seq[(Long, Long)], sources: Set[Long],
+                    maxHops: Int): Map[Long, Long] = {
+    val adj = edges.groupBy(_._1).map { case (s, es) => s -> es.map(_._2).toSet }
+    var dist = sources.map(_ -> 0L).toMap
+    var frontier = sources
+    for (h <- 1 to maxHops) {
+      frontier = frontier.flatMap(n => adj.getOrElse(n, Set.empty)) -- dist.keySet
+      dist = dist ++ frontier.map(_ -> h.toLong)
+    }
+    dist
+  }
+
+  private def run(edges: Seq[(Long, Long)], sources: Set[Long],
+                  maxHops: Int): Map[Long, Long] =
+    ShortestPath.bfsHops(
+      edges.toDF("src", "dst").repartition(4),
+      sources.toSeq.toDF("node"), maxHops)
+      .as[(Long, Long)].collect().toMap
+
+  test("matches brute-force BFS on seeded random directed graphs") {
+    val rnd = new scala.util.Random(11)
+    for (trial <- 1 to 15) {
+      val n = 2 + rnd.nextInt(20)
+      val edges = (1 to n * 2).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val sources = Set(rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      val k = rnd.nextInt(4)
+      assert(run(edges, sources, k) == brute(edges, sources, k),
+        s"trial $trial: edges=$edges sources=$sources k=$k")
+    }
+  }
+
+  test("multi-source takes the minimum hop; unreached nodes are absent") {
+    // 1→2→3→4 and source 3: node 3 is hop 0 (not 2 via the chain).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 9L))
+    assert(run(edges, Set(1L, 3L), 2) ==
+      Map(1L -> 0L, 3L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
+  test("maxHops 0 returns exactly the deduplicated sources") {
+    assert(run(Seq((1L, 2L)), Set(1L), 0) == Map(1L -> 0L))
+  }
+
+  test("rounds past exhaustion are no-ops") {
+    assert(run(Seq((1L, 2L)), Set(1L), 5) == Map(1L -> 0L, 2L -> 1L))
+  }
+}
