@@ -245,4 +245,48 @@ object TrainingPipeline {
         sum(col("n_tokens")).as("total_tokens"),
         graft.functions.round4(avg(col("quality"))).as("avg_quality"))
       .orderBy("pred_lang")
+
+  /** Deterministic random negative sampling for contrastive training:
+    * for each anchor, k pseudo-random other corpus rows, reproducible
+    * bit-for-bit across runs, partitionings and engines (the md5
+    * discipline — NOTES invariant 3 — so the DuckDB oracle replays the
+    * identical draw).
+    *
+    * The naive draw is an anchors × corpus cross join ranked per
+    * anchor. Instead, every corpus row is hashed into one of `buckets`
+    * buckets, each anchor is hashed (domain-separated with an `a|`
+    * prefix, so an anchor's target bucket is independent of its own
+    * corpus bucket) to ONE target bucket, and candidates come from a
+    * bucket-keyed equi-join: per-anchor work is |corpus| / buckets, a
+    * knob that scales with the corpus, and the join co-partitions on
+    * the bucket key. Within the candidate set, rank = row_number over
+    * the pair hash md5(anchor|candidate) — i.e. a fresh deterministic
+    * permutation per anchor — take the k smallest.
+    *
+    * Bucketing trades the uniform-over-corpus draw for
+    * uniform-over-one-bucket (standard practice for in-batch/blocked
+    * negatives); anchors never draw themselves, and `buckets` must be
+    * sized so the expected bucket population comfortably exceeds k.
+    */
+  def negativeSample(df: DataFrame, idCol: String, anchors: DataFrame,
+                     k: Int, buckets: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val pool = df.select(col(idCol).as("neg_id")).withColumn("__b",
+      pmod(expr("CAST(conv(substring(md5(CAST(neg_id AS STRING)), 1, 12), 16, 10) AS BIGINT)"),
+        lit(buckets.toLong)))
+    val a = anchors.select(col(idCol).as("anchor_id")).withColumn("__b",
+      pmod(expr("CAST(conv(substring(md5(concat('a|', CAST(anchor_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"),
+        lit(buckets.toLong)))
+    val cand = a.join(pool, "__b")
+      .filter(col("anchor_id") =!= col("neg_id"))
+      .withColumn("__h", expr("CAST(conv(substring(md5(concat(" +
+        "CAST(anchor_id AS STRING), '|', CAST(neg_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+    cand
+      .withColumn("neg_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("anchor_id")
+          .orderBy(col("__h"), col("neg_id"))))
+      .filter(col("neg_rank") <= k)
+      .drop("__b", "__h")
+  }
 }

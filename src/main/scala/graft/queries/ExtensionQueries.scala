@@ -2887,6 +2887,36 @@ object ExtensionQueries {
           .select(col("c_custkey").as("node"))
         graft.operators.ShortestPath.bfsHops(edges, sources, maxHops = 3)
           .orderBy("node")
+      }),
+
+    GraftQuery(
+      // Deterministic negative sampling for contrastive training
+      // (TrainingPipeline.negativeSample): 3 pseudo-random negatives
+      // per anchor doc via bucket-blocked draws — corpus rows hash into
+      // 8 buckets, each anchor draws from ONE domain-separated target
+      // bucket, rank = md5(anchor|candidate) permutation. Per-anchor
+      // work is |corpus|/buckets (the scale knob), never a cross join;
+      // the oracle replays the identical md5 arithmetic.
+      "nm01_negative_sample",
+      Some("""WITH pool AS (SELECT doc_id AS neg_id,
+        |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS bk
+        |  FROM documents),
+        |a AS (SELECT doc_id AS anchor_id,
+        |    CAST(('0x' || substring(md5('a|' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) % 8 AS bk
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |c AS (SELECT anchor_id, neg_id,
+        |    CAST(('0x' || substring(md5(CAST(anchor_id AS VARCHAR) || '|' || CAST(neg_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |  FROM a JOIN pool USING (bk) WHERE anchor_id <> neg_id),
+        |r AS (SELECT anchor_id, neg_id, CAST(row_number() OVER (
+        |    PARTITION BY anchor_id ORDER BY h, neg_id) AS INTEGER) AS neg_rank FROM c)
+        |SELECT anchor_id, neg_id, neg_rank FROM r WHERE neg_rank <= 3
+        |ORDER BY anchor_id, neg_rank""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d).documents
+        graft.operators.TrainingPipeline.negativeSample(
+            docs, "doc_id", docs.filter(col("doc_id") % 50 === 0),
+            k = 3, buckets = 8)
+          .orderBy("anchor_id", "neg_rank")
       })
   )
 }

@@ -191,4 +191,28 @@ class TrainingPipelineSpec extends SparkSpec {
     // share 1.0 with only en targeted → the entire en stratum survives
     assert(got.count() == docs.filter(col("lang") === "en").count())
   }
+
+  test("negativeSample: k per anchor, no self-draws, partitioning-invariant") {
+    val corpus = (1L to 200L).toDF("doc_id")
+    val anchors = corpus.filter(col("doc_id") % 20 === 0)
+    def draw(parts: Int) = TrainingPipeline.negativeSample(
+        corpus.repartition(parts), "doc_id", anchors, k = 4, buckets = 4)
+      .select("anchor_id", "neg_id", "neg_rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val got = draw(7)
+    // 10 anchors × 4 negatives, a fresh rank 1..4 per anchor, never self.
+    assert(got.size == 40)
+    assert(got.groupBy(_._1).forall { case (_, s) => s.map(_._3).toSet == Set(1, 2, 3, 4) })
+    assert(got.forall { case (a, n, _) => a != n })
+    // Bit-identical under a different partitioning (md5 discipline).
+    assert(draw(2) == got)
+    // All draws come from the anchor's single target bucket.
+    val bucketOf = (id: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 12), 16) % 4
+    }
+    assert(got.groupBy(_._1).forall { case (_, s) =>
+      s.map(x => bucketOf(x._2)).size == 1 })
+  }
 }
