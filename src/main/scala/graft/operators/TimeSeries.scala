@@ -104,6 +104,48 @@ object TimeSeries {
         count(lit(1)).as("n_events"))
   }
 
+  /** Daily time-weighted average (TWAP-style): the value is a step
+    * function that holds from each event until the next event of the
+    * same key within the day; the average weights each value by how
+    * long it held, over the day's observed span [first event, last
+    * event). The honest summary for irregularly-sampled series — a
+    * plain AVG over-weights bursts of closely-spaced events.
+    *
+    * Exactness: with `milliCol` integer-quantized and timestamps in
+    * epoch micros, numerator Σ vᵢ·(tᵢ₊₁−tᵢ) and denominator
+    * (t_last − t_first) are exact int64 sums under any partitioning
+    * (a day bounds Σdt at 86.4e9 µs, so milli-values up to ~10⁸ fit);
+    * only the final division is FP, rounded on the round4 path. Days
+    * whose span is zero (a single event, or all events at one instant)
+    * have no defined average and yield NULL.
+    *
+    * Shape: one (key, day)-partitioned lead window + one hash
+    * aggregation — both parallel across (key, day); equal-instant
+    * events order by `idCol` (zero-width segments, so which value
+    * "holds" for 0 µs cannot affect the result, but the deterministic
+    * order keeps plans replayable).
+    *
+    * @return (keyCol, day, n_events, twa_milli) — twa in the same
+    *         milli-units as `milliCol`, round4, NULL on zero span */
+  def timeWeightedAvgDaily(events: DataFrame, keyCol: String, tsCol: String,
+                           idCol: String, milliCol: String): DataFrame = {
+    val ev = events
+      .withColumn("__day", to_date(col(tsCol)))
+      .withColumn("__tu", unix_micros(col(tsCol)))
+    val w = Window.partitionBy(col(keyCol), col("__day"))
+      .orderBy(col("__tu"), col(idCol))
+    ev.withColumn("__nt", lead(col("__tu"), 1).over(w))
+      .groupBy(col(keyCol), col("__day").as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("__nt").isNotNull,
+          col(milliCol) * (col("__nt") - col("__tu")))).as("__num"),
+        (max(col("__tu")) - min(col("__tu"))).as("__den"))
+      .withColumn("twa_milli", when(col("__den") > 0,
+        round4(col("__num").cast("double") / col("__den").cast("double"))))
+      .drop("__num", "__den")
+  }
+
   /** Time-decayed aggregate: each (key, day)'s total integer-unit value
     * is halved once per `halfLifeDays` of age (whole half-lives — STEP
     * decay applied to the DAILY TOTAL; that granularity is the

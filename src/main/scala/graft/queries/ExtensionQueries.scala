@@ -2917,6 +2917,34 @@ object ExtensionQueries {
             docs, "doc_id", docs.filter(col("doc_id") % 50 === 0),
             k = 3, buckets = 8)
           .orderBy("anchor_id", "neg_rank")
-      })
+      }),
+
+    GraftQuery(
+      // Daily time-weighted average (TimeSeries.timeWeightedAvgDaily):
+      // step-function TWAP per (user, day) — each value holds until
+      // the next event, weights are exact int64 µs×milli products, only
+      // the final division is FP (round4). One keyed lead window + one
+      // hash agg; zero-span days are NULL by definition.
+      "ts06_time_weighted_avg",
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day, epoch_us(ts) AS tu,
+        |    event_id, CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vu
+        |  FROM events),
+        |seg AS (SELECT user_id, day, tu, vu,
+        |    lead(tu) OVER (PARTITION BY user_id, day ORDER BY tu, event_id) AS nt
+        |  FROM ev),
+        |agg AS (SELECT user_id, day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CASE WHEN nt IS NOT NULL THEN vu * (nt - tu) END) AS BIGINT) AS num,
+        |    MAX(tu) - MIN(tu) AS den
+        |  FROM seg GROUP BY 1, 2)
+        |SELECT user_id, day, n_events,
+        |  CASE WHEN den > 0
+        |    THEN ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 10000) / 10000 + 0
+        |  END AS twa_milli
+        |FROM agg ORDER BY user_id, day""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.timeWeightedAvgDaily(
+          t(s, d).events.select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id", milliCol = "vu")
+        .orderBy("user_id", "day"))
   )
 }

@@ -288,4 +288,43 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TimeSeries.rollingZscore(ev, "user_id", "ts", "event_id", "vu", threshold = 0))
   }
+
+  test("timeWeightedAvgDaily: step-function weighting, by hand") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // user 1, one day: 10 holds 2s, 40 holds 6s, 100 closes (0 weight)
+      //   twa = (10*2e6 + 40*6e6) / 8e6 = 32.5
+      (1L, t("2024-01-01 00:00:00"), 1L, 10L),
+      (1L, t("2024-01-01 00:00:02"), 2L, 40L),
+      (1L, t("2024-01-01 00:00:08"), 3L, 100L),
+      // user 1, next day: single event -> zero span -> NULL
+      (1L, t("2024-01-02 09:00:00"), 4L, 7L),
+      // user 2: two events at the SAME instant -> zero span -> NULL
+      (2L, t("2024-01-01 05:00:00"), 5L, 1L),
+      (2L, t("2024-01-01 05:00:00"), 6L, 9L))
+      .toDF("user_id", "ts", "event_id", "vu")
+    val got = TimeSeries.timeWeightedAvgDaily(
+        ev.repartition(4), "user_id", "ts", "event_id", "vu")
+      .select("user_id", "day", "n_events", "twa_milli")
+      .as[(Long, Date, Long, Option[Double])].collect()
+      .map(r => (r._1, r._2.toString) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      (1L, "2024-01-01") -> ((3L, Some(32.5))),
+      (1L, "2024-01-02") -> ((1L, None)),
+      (2L, "2024-01-01") -> ((2L, None))))
+  }
+
+  test("timeWeightedAvgDaily equals plain avg for equally spaced events") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // Equal 5s gaps: twa over [t0, t3) = avg of the three HELD values.
+    val ev = Seq(
+      (1L, t("2024-03-05 10:00:00"), 1L, 3L),
+      (1L, t("2024-03-05 10:00:05"), 2L, 5L),
+      (1L, t("2024-03-05 10:00:10"), 3L, 13L),
+      (1L, t("2024-03-05 10:00:15"), 4L, 999L))
+      .toDF("user_id", "ts", "event_id", "vu")
+    val got = TimeSeries.timeWeightedAvgDaily(ev, "user_id", "ts", "event_id", "vu")
+      .select("twa_milli").as[Double].collect().toSeq
+    assert(got == Seq((3.0 + 5.0 + 13.0) / 3))
+  }
 }
