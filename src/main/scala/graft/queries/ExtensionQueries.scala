@@ -2945,6 +2945,58 @@ object ExtensionQueries {
           t(s, d).events.select(col("user_id"), col("ts"), col("event_id"),
             floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
           keyCol = "user_id", tsCol = "ts", idCol = "event_id", milliCol = "vu")
-        .orderBy("user_id", "day"))
+        .orderBy("user_id", "day")),
+
+    GraftQuery(
+      // Last-touch marketing attribution: each purchase credits the
+      // most recent preceding non-purchase event of the same user
+      // within a 7-day lookback, else the 'direct' bucket; revenue
+      // (milli-units) rolls up per attributed touch type. Composes
+      // AsOfJoin.backward (the single-shuffle union+window as-of) —
+      // touches are first deduped per (user, instant) by max event_id
+      // so the as-of pick is tie-free — against DuckDB's native
+      // ASOF LEFT JOIN as the oracle.
+      "at01_attribution",
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, ts, value FROM events),
+        |conv AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS rev
+        |  FROM ev WHERE event_type = 'purchase'),
+        |t0 AS (SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |tch AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
+        |  FROM t0 WHERE rn = 1),
+        |j AS (SELECT c.user_id, c.ts, c.rev, t.touch_ts, t.touch_type
+        |  FROM conv c ASOF LEFT JOIN tch t
+        |    ON t.user_id = c.user_id AND t.touch_ts <= c.ts),
+        |a AS (SELECT CASE WHEN touch_ts IS NOT NULL
+        |      AND epoch_us(ts) - epoch_us(touch_ts) <= 604800000000 THEN touch_type
+        |      ELSE 'direct' END AS attr_type, rev FROM j)
+        |SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(rev) AS BIGINT) AS rev_milli
+        |FROM a GROUP BY 1 ORDER BY attr_type""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d).events.select("user_id", "event_id", "event_type", "ts", "value")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("rev_milli"))
+        val tw = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("__rn", row_number().over(tw)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("ts").as("touch_ts"),
+            col("event_type").as("touch_type"))
+        graft.operators.AsOfJoin.backward(conv, touches,
+            key = "user_id", leftTs = "ts", rightTs = "touch_ts",
+            rightValCols = Seq("touch_type", "touch_ts"))
+          .withColumn("attr_type",
+            when(col("touch_ts").isNotNull &&
+              (unix_micros(col("ts")) - unix_micros(col("touch_ts")) <=
+                604800000000L), col("touch_type"))
+            .otherwise(lit("direct")))
+          .groupBy("attr_type")
+          .agg(count(lit(1)).as("n_conversions"), sum("rev_milli").as("rev_milli"))
+          .orderBy("attr_type")
+      })
   )
 }
