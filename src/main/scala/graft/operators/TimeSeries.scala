@@ -146,6 +146,42 @@ object TimeSeries {
       .drop("__num", "__den")
   }
 
+  /** One-sided (upper) CUSUM drift detection per key: the classic
+    * change-point statistic S_i = max(0, S_{i−1} + (x_i − ref)),
+    * whose PEAK over the series flags a sustained upward shift away
+    * from the reference level — the standard monitor for data drift
+    * a rolling z-score misses (many small same-signed deviations, each
+    * individually unremarkable).
+    *
+    * Not a sequential fold here: CUSUM has the closed form
+    * S_i = P_i − min(0, min_{j≤i} P_j) with P the prefix sum of
+    * (x − ref), so both the trajectory and its peak are two stock
+    * window functions over exact int64 arithmetic — identical in any
+    * engine, deterministic under any partitioning (ties ordered by
+    * `idCol`). The reference level is the global integer mean
+    * (Σx DIV n, exact truncating division on non-negative units),
+    * computed as a 1-row aggregate broadcast against the events — the
+    * decayedSum global-max-day pattern, nothing collected.
+    *
+    * Shape: one 1-row broadcast + one key-partitioned window pass +
+    * one hash aggregation. Output: (keyCol, n_events, ref_units,
+    * peak_cusum) — peak in the same units as `unitsCol`.
+    */
+  def cusumPeak(events: DataFrame, keyCol: String, tsCol: String,
+                idCol: String, unitsCol: String): DataFrame = {
+    val ref = events.agg(
+      expr(s"sum($unitsCol) DIV count(1)").as("ref_units"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.crossJoin(broadcast(ref))
+      .withColumn("__p", sum(col(unitsCol) - col("ref_units")).over(w))
+      .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        max(col("ref_units")).as("ref_units"),
+        max(col("__s")).as("peak_cusum"))
+  }
+
   /** Time-decayed aggregate: each (key, day)'s total integer-unit value
     * is halved once per `halfLifeDays` of age (whole half-lives — STEP
     * decay applied to the DAILY TOTAL; that granularity is the

@@ -2997,6 +2997,37 @@ object ExtensionQueries {
           .groupBy("attr_type")
           .agg(count(lit(1)).as("n_conversions"), sum("rev_milli").as("rev_milli"))
           .orderBy("attr_type")
-      })
+      }),
+
+    GraftQuery(
+      // One-sided CUSUM drift peak per user (TimeSeries.cusumPeak):
+      // change-point statistic via its prefix-sum closed form
+      // S_i = P_i − min(0, running-min P) — two stock window functions
+      // over exact int64s, no sequential fold; reference level is the
+      // global integer mean broadcast as one row. alarmed flags peaks
+      // ≥ 2e6 milli-units of accumulated upward drift.
+      "cp01_cusum_drift",
+      Some("""WITH e AS (SELECT user_id, ts, event_id,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS vu FROM events),
+        |r AS (SELECT CAST(SUM(vu) // COUNT(*) AS BIGINT) AS ref_units FROM e),
+        |p AS (SELECT user_id, ts, event_id, ref_units,
+        |    CAST(SUM(vu - ref_units) OVER w AS BIGINT) AS pp
+        |  FROM e CROSS JOIN r
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT user_id, ref_units,
+        |    pp - LEAST(0, CAST(MIN(pp) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)) AS sv
+        |  FROM p)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MAX(ref_units) AS ref_units, CAST(MAX(sv) AS BIGINT) AS peak_cusum,
+        |  CAST(MAX(sv) AS BIGINT) >= 2000000 AS alarmed
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.cusumPeak(
+          t(s, d).events.select(col("user_id"), col("ts"), col("event_id"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
+          keyCol = "user_id", tsCol = "ts", idCol = "event_id", unitsCol = "vu")
+        .withColumn("alarmed", col("peak_cusum") >= 2000000L)
+        .orderBy("user_id"))
   )
 }

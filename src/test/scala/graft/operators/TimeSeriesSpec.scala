@@ -314,6 +314,37 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, "2024-01-01") -> ((2L, None))))
   }
 
+  test("cusumPeak: closed form equals the recursive CUSUM definition") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 120).map { i =>
+      (s"u${i % 4}", t(f"2024-01-01 00:${i / 60}%02d:${i % 60}%02d"),
+        i.toLong, rnd.nextInt(100).toLong)
+    }
+    val df = rows.toDF("user_id", "ts", "event_id", "vu").repartition(6)
+    val ref = rows.map(_._4).sum / rows.size // exact: non-negative units
+    val expected = rows.groupBy(_._1).map { case (u, rs) =>
+      var s = 0L; var peak = 0L
+      rs.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+        s = math.max(0L, s + (r._4 - ref)); peak = math.max(peak, s)
+      }
+      u -> ((rs.size.toLong, ref, peak))
+    }
+    val got = TimeSeries.cusumPeak(df, "user_id", "ts", "event_id", "vu")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expected)
+  }
+
+  test("cusumPeak: flat series at the reference never leaves zero") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val df = (1 to 10).map(i => ("a", t(f"2024-01-01 00:00:$i%02d"), i.toLong, 5L))
+      .toDF("user_id", "ts", "event_id", "vu")
+    val got = TimeSeries.cusumPeak(df, "user_id", "ts", "event_id", "vu")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 10L, 5L, 0L)))
+  }
+
   test("timeWeightedAvgDaily equals plain avg for equally spaced events") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     // Equal 5s gaps: twa over [t0, t3) = avg of the three HELD values.
