@@ -79,4 +79,32 @@ object Frequency {
         StructField("n_exact", LongType),
         StructField("within_band", BooleanType))))
   }
+
+  /** EXACT per-group distinct count via roaring-style bitmaps — the
+    * high-cardinality alternative to `count_distinct`. A plain distinct
+    * agg shuffles one row per (group, key) PAIR; here each partition
+    * first folds its keys into fixed-size bitmaps (Spark's
+    * `bitmap_construct_agg` over `bitmap_bit_position`, one ≤4 KB
+    * bitmap per (group, 32768-key bucket)), so the shuffle moves
+    * `groups × occupied-buckets` bitmaps instead of every distinct
+    * key occurrence — at 100 TB with dense integer keys that is a
+    * ~32768:1 reduction in shuffled rows, with exact results (every
+    * key sets exactly one bit; `bitmap_count` sums set bits, and
+    * bucket counts add because buckets partition the key space).
+    *
+    * Key must be integral and non-null (the bitmap position is the
+    * key's residue; nulls would silently vanish from one path of any
+    * verification — filter first).
+    *
+    * @return (groupCols*, n_distinct) — exact int64, equal to
+    *         `count_distinct(keyCol)` per group */
+  def bitmapDistinct(df: DataFrame, groupCols: Seq[String],
+                     keyCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    df.filter(col(keyCol).isNotNull)
+      .groupBy(g :+ expr(s"bitmap_bucket_number($keyCol)").as("__bucket"): _*)
+      .agg(expr(s"bitmap_construct_agg(bitmap_bit_position($keyCol))").as("__bm"))
+      .groupBy(g: _*)
+      .agg(sum(expr("bitmap_count(__bm)")).as("n_distinct"))
+  }
 }

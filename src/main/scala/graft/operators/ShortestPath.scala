@@ -53,4 +53,57 @@ object ShortestPath {
     }
     visited
   }
+
+  /** WEIGHTED single/multi-source shortest paths with a bounded edge
+    * count — Bellman–Ford, the weighted sibling of [[bfsHops]]
+    * ("cheapest route within k links": logistics cost, min-latency
+    * routing, cheapest supply chains).
+    *
+    * Delta relaxation, all relational: round h joins only the FRONTIER
+    * (nodes whose tentative distance improved in round h−1) against
+    * the edges, unions the candidates into the label set, and takes the
+    * per-node min — so candidate volume per round is bounded by |edges|
+    * (each edge relaxes at most once per round), never by path count.
+    * That bound is the whole point at scale: the equivalent path
+    * ENUMERATION (what a recursive CTE does) grows multiplicatively
+    * with degree^hops, while relaxation stays linear in edges. Exact
+    * int64 weight sums ⇒ deterministic under any partitioning; rounds
+    * materialize via localCheckpoint (dd08/PageRank discipline) so the
+    * plan stays flat across iterations.
+    *
+    * `maxEdges` is part of the contract (paths of at most that many
+    * edges are considered), matching the oracle's bounded recursion —
+    * with maxEdges >= |V|−1 and non-negative weights this IS the full
+    * shortest-path fixpoint.
+    *
+    * @param edges   directed (src, dst, w) rows, int64 non-negative
+    *                weights; pass both directions for undirected graphs
+    * @param sources (node) rows, distance-0 seeds (deduplicated here)
+    * @return (node, dist) — min total weight over paths from any
+    *         source using <= maxEdges edges; unreachable nodes absent */
+  def weightedHops(edges: DataFrame, sources: DataFrame, maxEdges: Int): DataFrame = {
+    require(maxEdges >= 0, s"maxEdges must be >= 0, got $maxEdges")
+    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    var dist = sources.select(col("node")).distinct()
+      .withColumn("dist", lit(0L)).localCheckpoint(true)
+    var frontier = dist
+    for (_ <- 1 to maxEdges) {
+      val candidates = e
+        .join(frontier.select(col("node").as("src"), col("dist")), "src")
+        .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+      val merged = dist.unionAll(candidates)
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      // Next frontier = nodes whose label improved this round (new
+      // nodes, or a strictly smaller distance) — only they can improve
+      // a neighbor next round.
+      frontier = merged.join(
+          dist.select(col("node"), col("dist").as("__old")), Seq("node"), "left")
+        .filter(col("__old").isNull || col("dist") < col("__old"))
+        .select("node", "dist")
+        .localCheckpoint(true)
+      dist = merged
+    }
+    dist
+  }
 }

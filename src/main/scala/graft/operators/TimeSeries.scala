@@ -386,4 +386,41 @@ object TimeSeries {
       .withColumn("retention_pct",
         round4(col("n_users").cast("double") / col("cohort_size")))
   }
+
+  /** Daily activity with EXACT cumulative distinct users ("total users
+    * ever seen up to this day") — the growth dashboard metric that is
+    * NOT expressible as `count_distinct` over a running window without
+    * either quadratic recount (re-scanning history per day) or
+    * unbounded per-day state.
+    *
+    * The first-seen decomposition makes it two bounded shuffles: the
+    * cumulative distinct count up to day D equals the number of users
+    * whose FIRST day is <= D, so (1) a user-keyed hash agg finds each
+    * user's first day (map-side partial, |users| keys), (2) a day-keyed
+    * agg counts first-appearances and activity per day, (3) a running
+    * sum over the day axis produces the cumulative series. The final
+    * window is unpartitioned BY DESIGN: its input is one row per
+    * calendar day — bounded by the time range (365/year), never by
+    * event volume, so a single-task window over it is free at any SF.
+    *
+    * First-days are a subset of activity days by construction (a user's
+    * first day IS an active day), hence the left join loses nothing.
+    *
+    * @return (day, n_events, n_active, n_new, cum_users) — all exact
+    *         int64 counts */
+  def cumulativeDistinctDaily(events: DataFrame, userCol: String,
+                              tsCol: String): DataFrame = {
+    val ev = events.select(col(userCol).as("__u"), to_date(col(tsCol)).as("day"))
+    val newPerDay = ev.groupBy("__u").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("n_new"))
+    val actPerDay = ev.groupBy("day").agg(
+      count(lit(1)).as("n_events"),
+      count_distinct(col("__u")).as("n_active"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    actPerDay.join(newPerDay, Seq("day"), "left")
+      .select(col("day"), col("n_events"), col("n_active"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("cum_users", sum("n_new").over(w))
+  }
 }

@@ -3028,6 +3028,88 @@ object ExtensionQueries {
             floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
           keyCol = "user_id", tsCol = "ts", idCol = "event_id", unitsCol = "vu")
         .withColumn("alarmed", col("peak_cusum") >= 2000000L)
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+
+    GraftQuery(
+      // Exact cumulative distinct users per day
+      // (TimeSeries.cumulativeDistinctDaily): the growth metric that a
+      // naive count_distinct-over-running-window recomputes from
+      // history per day. First-seen decomposition: cum distinct up to
+      // day D == #users with first day <= D — a user-keyed min-agg,
+      // a day-keyed count, and a running sum over the per-day series
+      // (single-task window over calendar-day cardinality, bounded by
+      // the time range at any SF).
+      "cd01_cumulative_distinct",
+      Some("""WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |nw AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+        |  FROM (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1) GROUP BY 1),
+        |ac AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+        |  FROM ev GROUP BY 1)
+        |SELECT ac.day, n_events, n_active,
+        |  CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new,
+        |  CAST(SUM(COALESCE(n_new, 0)) OVER (ORDER BY ac.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM ac LEFT JOIN nw ON ac.day = nw.day
+        |ORDER BY ac.day""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.cumulativeDistinctDaily(
+          t(s, d).events, userCol = "user_id", tsCol = "ts")
+        .orderBy("day")),
+
+    GraftQuery(
+      // Exact distinct via roaring-style bitmaps
+      // (Frequency.bitmapDistinct): partitions pre-fold keys into
+      // ≤4 KB bitmaps per (group, 32768-key bucket) BEFORE the
+      // shuffle, so distinct-counting dense int keys moves
+      // groups×buckets bitmap rows instead of every (group, key)
+      // pair — exact (bitmaps partition the key space), vs the
+      // count_distinct oracle.
+      "bm01_bitmap_distinct",
+      Some("SELECT l_returnflag AS flag, CAST(COUNT(DISTINCT l_partkey) AS BIGINT)" +
+        " AS n_distinct FROM lineitem GROUP BY 1 ORDER BY flag"),
+      (s, d) => graft.operators.Frequency.bitmapDistinct(
+          t(s, d).lineitem.select(col("l_returnflag").as("flag"), col("l_partkey")),
+          groupCols = Seq("flag"), keyCol = "l_partkey")
+        .orderBy("flag")),
+
+    GraftQuery(
+      // Weighted shortest paths, bounded edge count
+      // (ShortestPath.weightedHops): Bellman–Ford delta relaxation over
+      // the pg01 trade graph with w = min lineitem quantity-cents per
+      // link — candidate volume per round is bounded by |edges| (each
+      // edge relaxes once per round), while the oracle's recursive-CTE
+      // path ENUMERATION grows with degree^hops; that asymmetry is why
+      // relaxation is the 100 TB shape. maxEdges=2 keeps the oracle's
+      // walk table ~1M rows at sf0.01.
+      "wd01_weighted_paths",
+      Some("""WITH RECURSIVE
+        |e0 AS (SELECT o_custkey AS c, l_suppkey + 10000000 AS s,
+        |    CAST(MIN(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |e AS (SELECT c AS src, s AS dst, w FROM e0 UNION ALL SELECT s, c, w FROM e0),
+        |srcs AS (SELECT DISTINCT c_custkey AS node FROM customer WHERE c_nationkey = 1),
+        |walk(node, dist, hops) AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist, 0 AS hops FROM srcs
+        |  UNION ALL
+        |  SELECT e.dst, walk.dist + e.w, walk.hops + 1
+        |  FROM walk JOIN e ON e.src = walk.node WHERE walk.hops < 2)
+        |SELECT node, CAST(MIN(dist) AS BIGINT) AS dist
+        |FROM walk GROUP BY node ORDER BY node""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val e0 = tb.lineitem
+          .select(col("l_orderkey"), col("l_suppkey"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("qc"))
+          .join(tb.orders.select("o_orderkey", "o_custkey"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("s"))
+          .agg(min("qc").as("w"))
+        val edges = e0.select(col("c").as("src"), col("s").as("dst"), col("w"))
+          .unionAll(e0.select(col("s").as("src"), col("c").as("dst"), col("w")))
+        val sources = tb.customer.filter(col("c_nationkey") === 1)
+          .select(col("c_custkey").as("node"))
+        graft.operators.ShortestPath.weightedHops(edges, sources, maxEdges = 2)
+          .orderBy("node")
+      })
   )
 }

@@ -1183,6 +1183,42 @@ object RelationalQueries {
         .orderBy(col("n_exact").desc, col("l_partkey"))),
 
     GraftQuery(
+      // FULL OUTER join — the one classic join type the q-series lacked
+      // (q05 left, q06 semi, q07 anti, q08 cross, q09 theta). Both
+      // inputs guarantee unmatched rows at every SF: customers without
+      // orders survive only on the right, order-holders with
+      // c_acctbal <= 5000 only on the left. The fact side is
+      // pre-aggregated to one row per custkey BEFORE the join, so the
+      // full-outer shuffle moves |customers| rows, not |orders| — at
+      // 100 TB the aggregate runs map-side-partial first and the join
+      // cost is bounded by key cardinality on both sides.
+      "q57_join_full",
+      Some("""SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+        |  n_orders, cents, c_mktsegment AS segment
+        |FROM (SELECT o_custkey, COUNT(*) AS n_orders,
+        |        CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |      FROM orders GROUP BY 1) o
+        |FULL OUTER JOIN
+        |     (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal > 5000) c
+        |ON o.o_custkey = c.c_custkey
+        |ORDER BY custkey""".stripMargin),
+      (s, d) => {
+        val tb = t(s, d)
+        val perCust = tb.orders
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents"))
+        val richCust = tb.customer
+          .filter(col("c_acctbal") > 5000)
+          .select(col("c_custkey"), col("c_mktsegment"))
+        perCust
+          .join(richCust, col("o_custkey") === col("c_custkey"), "full_outer")
+          .select(coalesce(col("o_custkey"), col("c_custkey")).as("custkey"),
+            col("n_orders"), col("cents"), col("c_mktsegment").as("segment"))
+          .orderBy("custkey")
+      }),
+
+    GraftQuery(
       // Streaming-unified tumbling window (same groupBy(window(...)) works
       // under readStream with a watermark); batch-checkable oracle.
       "q28_window_tumbling",

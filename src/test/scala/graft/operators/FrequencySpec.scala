@@ -42,4 +42,27 @@ class FrequencySpec extends SparkSpec {
     assert(got.head._2 == 20L)
     assert(got.forall(_._3))
   }
+
+  test("bitmapDistinct equals count_distinct per group, incl. cross-bucket keys") {
+    // Keys straddle several 32768-key bitmap buckets and repeat across
+    // groups; the bucketed bitmap counts must still add up exactly.
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 5000).map { _ =>
+      (s"g${rnd.nextInt(4)}", rnd.nextInt(200000).toLong)
+    }
+    val df = rows.toDF("g", "k")
+    val got = Frequency.bitmapDistinct(df, Seq("g"), "k")
+      .as[(String, Long)].collect().toMap
+    val want = rows.groupBy(_._1).map { case (g, rs) => g -> rs.map(_._2).distinct.size.toLong }
+    assert(got == want)
+  }
+
+  test("bitmapDistinct drops null keys (matching count_distinct semantics)") {
+    val df = Seq(("a", Some(1L)), ("a", None), ("a", Some(1L)), ("b", None))
+      .toDF("g", "k")
+    val got = Frequency.bitmapDistinct(df, Seq("g"), "k")
+      .as[(String, Long)].collect().toMap
+    // count_distinct ignores nulls: a→1; b has only nulls → no bitmap row.
+    assert(got == Map("a" -> 1L))
+  }
 }

@@ -54,4 +54,56 @@ class ShortestPathSpec extends SparkSpec {
   test("rounds past exhaustion are no-ops") {
     assert(run(Seq((1L, 2L)), Set(1L), 5) == Map(1L -> 0L, 2L -> 1L))
   }
+
+  // ---- weightedHops (wd01) ----
+
+  /** Brute force: bounded Bellman–Ford over the label table. */
+  private def bruteW(edges: Seq[(Long, Long, Long)], sources: Set[Long],
+                     maxEdges: Int): Map[Long, Long] = {
+    var dist = sources.map(_ -> 0L).toMap
+    for (_ <- 1 to maxEdges) {
+      val relaxed = edges.flatMap { case (s, d, w) =>
+        dist.get(s).map(ds => d -> (ds + w))
+      }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, ds) => n -> ds.map(_._2).min }
+    }
+    dist
+  }
+
+  private def runW(edges: Seq[(Long, Long, Long)], sources: Set[Long],
+                   maxEdges: Int): Map[Long, Long] =
+    ShortestPath.weightedHops(
+      edges.toDF("src", "dst", "w").repartition(4),
+      sources.toSeq.toDF("node"), maxEdges)
+      .as[(Long, Long)].collect().toMap
+
+  test("weightedHops matches brute Bellman–Ford on seeded random graphs") {
+    val rnd = new scala.util.Random(17)
+    for (trial <- 1 to 15) {
+      val n = 2 + rnd.nextInt(15)
+      val edges = (1 to n * 3).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong, rnd.nextInt(100).toLong))
+      val sources = Set(rnd.nextInt(n).toLong)
+      val k = rnd.nextInt(4)
+      assert(runW(edges, sources, k) == bruteW(edges, sources, k),
+        s"trial $trial: edges=$edges sources=$sources k=$k")
+    }
+  }
+
+  test("weightedHops prefers a longer-but-cheaper path within the edge bound") {
+    // 1→3 direct costs 10; 1→2→3 costs 2+3=5 but needs 2 edges.
+    val edges = Seq((1L, 3L, 10L), (1L, 2L, 2L), (2L, 3L, 3L))
+    assert(runW(edges, Set(1L), 1) == Map(1L -> 0L, 2L -> 2L, 3L -> 10L))
+    assert(runW(edges, Set(1L), 2) == Map(1L -> 0L, 2L -> 2L, 3L -> 5L))
+  }
+
+  test("weightedHops multi-source takes the overall minimum") {
+    val edges = Seq((1L, 2L, 5L), (3L, 2L, 1L))
+    assert(runW(edges, Set(1L, 3L), 2) == Map(1L -> 0L, 3L -> 0L, 2L -> 1L))
+  }
+
+  test("weightedHops with maxEdges 0 returns the deduplicated sources") {
+    assert(runW(Seq((1L, 2L, 1L)), Set(1L), 0) == Map(1L -> 0L))
+  }
 }

@@ -358,4 +358,34 @@ class TimeSeriesSpec extends SparkSpec {
       .select("twa_milli").as[Double].collect().toSeq
     assert(got == Seq((3.0 + 5.0 + 13.0) / 3))
   }
+
+  test("cumulativeDistinctDaily: first-seen decomposition equals brute recount") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 12:00:00")
+    // u1 on d1,d2,d4; u2 on d2 twice; u3 on d4. Day 3 has activity
+    // from u1? no — day 3 is absent entirely (no spine row expected).
+    val ev = Seq(
+      (1L, t("2024-01-01")), (1L, t("2024-01-02")), (2L, t("2024-01-02")),
+      (2L, t("2024-01-02")), (1L, t("2024-01-04")), (3L, t("2024-01-04")))
+      .toDF("user_id", "ts")
+    val got = TimeSeries.cumulativeDistinctDaily(ev, "user_id", "ts")
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long, Long, Long)].collect().toSeq
+      .map { case (d, a, b, c, e) => (d.toString, a, b, c, e) }
+    assert(got == Seq(
+      ("2024-01-01", 1L, 1L, 1L, 1L),
+      ("2024-01-02", 3L, 2L, 1L, 2L),
+      ("2024-01-04", 2L, 2L, 1L, 3L)))
+  }
+
+  test("cumulativeDistinctDaily on testdata: final cum equals global distinct") {
+    val ev = tables.events
+    val rows = TimeSeries.cumulativeDistinctDaily(ev, "user_id", "ts")
+      .orderBy("day").collect()
+    val globalDistinct = ev.select("user_id").distinct().count()
+    assert(rows.last.getAs[Long]("cum_users") == globalDistinct)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == globalDistinct)
+    // cum is the running sum of n_new and never decreases.
+    val cums = rows.map(_.getAs[Long]("cum_users")).toSeq
+    assert(cums == rows.map(_.getAs[Long]("n_new")).scanLeft(0L)(_ + _).drop(1).toSeq)
+  }
 }
