@@ -423,4 +423,32 @@ object TimeSeries {
         coalesce(col("n_new"), lit(0L)).as("n_new"))
       .withColumn("cum_users", sum("n_new").over(w))
   }
+
+  /** Day-over-day trending ranks: per calendar day, rank keys by count
+    * (ties broken by key asc — deterministic), then the rank delta vs
+    * the key's previous ACTIVE day (positive = climbing). The "what's
+    * trending today" primitive of a leaderboard/feed pipeline.
+    *
+    * Scale shape: the event-volume-sized work is ONE day+key hash
+    * aggregate with map-side partial combine; both windows (rank within
+    * day, lag within key) run over the aggregated series — days × keys
+    * rows, bounded by calendar × key cardinality, never by event count.
+    * Both are PARTITIONED windows (by day, by key): no single-task
+    * global sort anywhere.
+    *
+    * @return (day, keyCol, n, rnk, prev_rnk, delta) — prev_rnk/delta
+    *         null on a key's first active day */
+  def trendingRanks(events: DataFrame, keyCol: String,
+                    tsCol: String): DataFrame = {
+    val perDay = events
+      .groupBy(to_date(col(tsCol)).as("day"), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    val byDay = Window.partitionBy("day")
+      .orderBy(col("n").desc, col(keyCol))
+    val byKey = Window.partitionBy(keyCol).orderBy("day")
+    perDay
+      .withColumn("rnk", row_number().over(byDay).cast("long"))
+      .withColumn("prev_rnk", lag("rnk", 1).over(byKey))
+      .withColumn("delta", col("prev_rnk") - col("rnk"))
+  }
 }

@@ -3110,6 +3110,56 @@ object ExtensionQueries {
           .select(col("c_custkey").as("node"))
         graft.operators.ShortestPath.weightedHops(edges, sources, maxEdges = 2)
           .orderBy("node")
-      })
+      }),
+
+    GraftQuery(
+      // Vocabulary build + integer encoding (Vocabulary.build/encode):
+      // the word-level text→tensor step. Build is a term-keyed agg
+      // (bounded by observed vocabulary) + a k-row driver collect;
+      // encode is shuffle-free — the k-entry vocab rides as a
+      // broadcast map literal inside a higher-order transform, so the
+      // 100 TB encode pass is pure map-side codegen. k=24 < |vocab|=31
+      // so the OOV (id 0) path carries real traffic.
+      "vb01_vocab_encode",
+      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        |cnt AS (SELECT term, COUNT(*) AS c
+        |  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
+        |vl AS (SELECT list(term ORDER BY c DESC, term) AS v
+        |  FROM (SELECT term, c FROM cnt ORDER BY c DESC, term LIMIT 24)),
+        |enc AS (SELECT doc_id,
+        |    list_transform(ts, x -> COALESCE(list_position(v, x), 0)) AS ids
+        |  FROM toks, vl)
+        |SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_filter(ids, i -> i = 0)) AS BIGINT) AS n_oov,
+        |  array_to_string(ids, ',') AS encoded
+        |FROM enc ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = t(s, d).documents
+        val vocab = graft.operators.Vocabulary.build(docs, "text", k = 24)
+        graft.operators.Vocabulary.encode(docs, "doc_id", "text", vocab)
+          .orderBy("doc_id")
+      }),
+
+    GraftQuery(
+      // Day-over-day trending ranks (TimeSeries.trendingRanks): rank
+      // keys per day by activity, delta vs the previous active day.
+      // One event-volume agg (map-side partial), then two PARTITIONED
+      // windows over the days×keys aggregate — no global sort at any
+      // SF.
+      "tr01_trending_ranks",
+      Some("""WITH pd AS (SELECT CAST(ts AS DATE) AS day, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (SELECT day, event_type, n,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY day ORDER BY n DESC, event_type)
+        |      AS BIGINT) AS rnk
+        |  FROM pd)
+        |SELECT day, event_type, n, rnk,
+        |  LAG(rnk) OVER (PARTITION BY event_type ORDER BY day) AS prev_rnk,
+        |  LAG(rnk) OVER (PARTITION BY event_type ORDER BY day) - rnk AS delta
+        |FROM rk ORDER BY day, event_type""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.trendingRanks(
+          t(s, d).events, keyCol = "event_type", tsCol = "ts")
+        .orderBy("day", "event_type"))
   )
 }

@@ -388,4 +388,35 @@ class TimeSeriesSpec extends SparkSpec {
     val cums = rows.map(_.getAs[Long]("cum_users")).toSeq
     assert(cums == rows.map(_.getAs[Long]("n_new")).scanLeft(0L)(_ + _).drop(1).toSeq)
   }
+
+  test("trendingRanks: per-day ranks with deltas vs previous active day") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
+    // day1: a=2, b=1 → a rank1, b rank2. day2: b=3, a=1 → b rank1 (Δ+1), a rank2 (Δ-1).
+    // day3: only c (first appearance → null delta), rank1.
+    val ev = Seq(
+      ("a", ts("2024-01-01")), ("a", ts("2024-01-01")), ("b", ts("2024-01-01")),
+      ("b", ts("2024-01-02")), ("b", ts("2024-01-02")), ("b", ts("2024-01-02")),
+      ("a", ts("2024-01-02")), ("c", ts("2024-01-03")))
+      .toDF("k", "ts")
+    val got = TimeSeries.trendingRanks(ev, "k", "ts")
+      .orderBy("day", "k")
+      .as[(java.sql.Date, String, Long, Long, Option[Long], Option[Long])]
+      .collect().toSeq
+      .map { case (d, k, n, r, p, dl) => (d.toString, k, n, r, p, dl) }
+    assert(got == Seq(
+      ("2024-01-01", "a", 2L, 1L, None, None),
+      ("2024-01-01", "b", 1L, 2L, None, None),
+      ("2024-01-02", "a", 1L, 2L, Some(1L), Some(-1L)),
+      ("2024-01-02", "b", 3L, 1L, Some(2L), Some(1L)),
+      ("2024-01-03", "c", 1L, 1L, None, None)))
+  }
+
+  test("trendingRanks: tie on count breaks by key asc") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
+    val ev = Seq(("x", ts("2024-02-01")), ("y", ts("2024-02-01")))
+      .toDF("k", "ts")
+    val got = TimeSeries.trendingRanks(ev, "k", "ts")
+      .orderBy("rnk").select("k").as[String].collect().toSeq
+    assert(got == Seq("x", "y"))
+  }
 }
