@@ -42,4 +42,63 @@ object Profile {
           col("n_distinct"), col("min_s"), col("max_s"))
     }.reduce(_.unionAll(_))
   }
+
+  /** Pairwise Pearson correlation matrix (upper triangle) over numeric
+    * columns, in ONE aggregate pass: all k·(k-1)/2 `corr` aggregates
+    * ride a single two-phase agg (each keeps a constant-size moment
+    * buffer), so a 100 TB scan happens once regardless of k; the
+    * 1-row result is then unpivoted to (col_x, col_y, c) rows with
+    * `stack` — driver-free, shuffle-free after the agg's single
+    * reduce. Correlations are rounded to 4 dp (graft.functions.round4,
+    * the FP-path rounding the DuckDB oracle mirrors).
+    */
+  def correlationMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "correlationMatrix needs at least two columns")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      graft.functions.round4(corr(col(a), col(b))).as(s"${a}__$b") }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = pairs
+      .map { case (a, b) => s"'$a', '$b', `${a}__$b`" }.mkString(", ")
+    wide.selectExpr(s"stack(${pairs.size}, $stackArgs) AS (col_x, col_y, c)")
+  }
+
+  /** Robust outlier profile per group: median / MAD (median absolute
+    * deviation) and the count of rows beyond `k` MADs — the
+    * skew-immune alternative to mean±k·stddev (ts04's z-score path),
+    * since median and MAD have a 50 % breakdown point vs 0 % for
+    * moments.
+    *
+    * Exactness at scale: `valueCol` must be integral (fixed-point the
+    * data first — cents, micros); Spark's exact `percentile` then
+    * interpolates halves only, so med/MAD are exact binary doubles and
+    * the DuckDB comparison is bit-stable with NO rounding step. The
+    * percentile buffer is bounded by the group's DISTINCT-VALUE domain
+    * (price grids, not row counts) — the reason this stays exact where
+    * a row-sized sort would not. Two passes over the input (median,
+    * then deviations), one small med/MAD table joined back (AQE
+    * broadcasts it — group cardinality, not data-sized).
+    *
+    * @return (groupCol, med, mad, n_outliers, n) */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                  k: Double = 1.5): DataFrame = {
+    val vt = df.schema(valueCol).dataType
+    require(vt == org.apache.spark.sql.types.LongType ||
+        vt == org.apache.spark.sql.types.IntegerType,
+      s"$valueCol is $vt — fixed-point the value to an integer grid first " +
+        "(exactness contract; see scaladoc)")
+    val med = df.groupBy(groupCol)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
+    val withAd = df.join(med, Seq(groupCol))
+      .withColumn("__ad", abs(col(valueCol) - col("med")))
+    val mad = withAd.groupBy(groupCol)
+      .agg(expr("percentile(__ad, 0.5)").as("mad"))
+    withAd.join(mad, Seq(groupCol))
+      .groupBy(col(groupCol), col("med"), col("mad"))
+      .agg(
+        sum(when(col("__ad") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
 }

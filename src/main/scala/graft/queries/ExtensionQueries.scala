@@ -3160,6 +3160,50 @@ object ExtensionQueries {
         |FROM rk ORDER BY day, event_type""".stripMargin),
       (s, d) => graft.operators.TimeSeries.trendingRanks(
           t(s, d).events, keyCol = "event_type", tsCol = "ts")
-        .orderBy("day", "event_type"))
+        .orderBy("day", "event_type")),
+
+    GraftQuery(
+      // Pairwise correlation matrix (Profile.correlationMatrix): all 6
+      // pairs over 4 lineitem measures in ONE aggregate pass —
+      // constant-size moment buffers, single scan at any SF — then a
+      // stack unpivot. The oracle's 6 UNION branches are the
+      // every-pair-its-own-scan shape this operator exists to avoid.
+      "cr01_correlation_matrix",
+      Some(Seq(
+          ("l_quantity", "l_extendedprice"), ("l_quantity", "l_discount"),
+          ("l_quantity", "l_tax"), ("l_extendedprice", "l_discount"),
+          ("l_extendedprice", "l_tax"), ("l_discount", "l_tax"))
+        .map { case (a, b) =>
+          s"SELECT '$a' AS col_x, '$b' AS col_y, " +
+            s"ROUND(CORR($a, $b) * 10000) / 10000 + 0 AS c FROM lineitem" }
+        .mkString("", " UNION ALL ", " ORDER BY col_x, col_y")),
+      (s, d) => graft.operators.Profile.correlationMatrix(
+          t(s, d).lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+        .orderBy("col_x", "col_y")),
+
+    GraftQuery(
+      // Robust outliers via median/MAD (Profile.madOutliers) on exact
+      // integer cents: percentile buffers bounded by the value DOMAIN
+      // (price grid), interpolation lands on exact binary halves → no
+      // rounding step anywhere. k=1.5 flags ~25 % of a uniform
+      // distribution, so every group carries a real outlier count.
+      "rs01_mad_outliers",
+      Some("""WITH base AS (SELECT l_returnflag AS flag,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents FROM lineitem),
+        |med AS (SELECT flag, CAST(median(cents) AS DOUBLE) AS med FROM base GROUP BY 1),
+        |ad AS (SELECT b.flag, ABS(b.cents - m.med) AS ad, m.med
+        |  FROM base b JOIN med m USING (flag)),
+        |mad AS (SELECT flag, CAST(median(ad) AS DOUBLE) AS mad FROM ad GROUP BY 1)
+        |SELECT a.flag, a.med, d.mad,
+        |  CAST(SUM(CASE WHEN a.ad > 1.5 * d.mad THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_outliers,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM ad a JOIN mad d USING (flag) GROUP BY 1, 2, 3 ORDER BY flag""".stripMargin),
+      (s, d) => graft.operators.Profile.madOutliers(
+          t(s, d).lineitem.select(col("l_returnflag").as("flag"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents")),
+          groupCol = "flag", valueCol = "cents", k = 1.5)
+        .orderBy("flag"))
   )
 }

@@ -54,4 +54,44 @@ class ProfileSpec extends SparkSpec {
     assert(got.getLong(1) == 2L && got.getLong(2) == 2L && got.getLong(3) == 0L)
     assert(got.isNullAt(4) && got.isNullAt(5))
   }
+
+  test("correlationMatrix: hand-checked pairs, one aggregate node") {
+    val df = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, 1.0))
+      .toDF("a", "b", "c")
+    val got = Profile.correlationMatrix(df, Seq("a", "b", "c"))
+      .orderBy("col_x", "col_y").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSeq
+    // a,b perfectly linear → 1.0; a,c and b,c share the same corr.
+    assert(got.map(t => (t._1, t._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got.head._3 == 1.0)
+    assert(got(1)._3 == got(2)._3)
+    // all pairs ride ONE aggregate: exactly one scan of the input
+    val plan = Profile.correlationMatrix(tables.lineitem,
+      Seq("l_quantity", "l_discount", "l_tax"))
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Scan parquet").length == 2,
+      s"expected a single scan:\n${plan.take(1500)}")
+  }
+
+  test("madOutliers: hand-checked median/MAD and k-band counts") {
+    // group g: values 0,10,10,10,100 → med=10, ad=10,0,0,0,90 → mad=0
+    //   → any nonzero deviation is an outlier at every k: n_outliers=2
+    val df = Seq(("g", 0L), ("g", 10L), ("g", 10L), ("g", 10L), ("g", 100L),
+      ("h", 1L), ("h", 3L)) // med=2, ad=1,1 → mad=1; k=1.5 → none beyond 1.5
+      .toDF("grp", "v")
+    val got = Profile.madOutliers(df, "grp", "v", k = 1.5)
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(("g", 10.0, 0.0, 2L, 5L), ("h", 2.0, 1.0, 0L, 2L)))
+  }
+
+  test("madOutliers rejects non-integral values (exactness contract)") {
+    val df = Seq(("g", 1.5)).toDF("grp", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.madOutliers(df, "grp", "v")
+    }
+    assert(e.getMessage.contains("fixed-point"))
+  }
 }
