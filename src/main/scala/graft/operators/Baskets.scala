@@ -46,4 +46,57 @@ object Baskets {
         .filter(col("support") >= minSupport)
     }
   }
+
+  /** Association rules from the frequent pairs: both directions of
+    * every surviving pair, scored with the three standard measures —
+    * confidence = P(consequent | antecedent), lift =
+    * P(both) / (P(ant)·P(cons)) — plus the raw counts so thresholds
+    * stay re-derivable downstream.
+    *
+    * Scale shape: [[frequentPairs]]' pruning does the heavy lifting;
+    * the scoring adds two item-keyed joins against the item-support
+    * table (bounded by frequent-item cardinality — AQE broadcasts it)
+    * and a 1-row basket total that rides along as a literal. Both
+    * ratios are a SINGLE IEEE division over exact integer counts
+    * (products < 2^53 by the support bounds), then 6-dp fixed — the
+    * deterministic-double discipline of tc01's gcc.
+    *
+    * @return (antecedent, consequent, n_pair, n_ant, n_cons,
+    *         confidence, lift) for pairs at `minSupport`, both
+    *         directions */
+  def associationRules(baskets: DataFrame, minSupport: Long): DataFrame = {
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val b = baskets.select(col("basket_id"), col("item")).distinct()
+    TextDedup.withWorkingSet(b) { bs =>
+      val nBaskets = bs.select("basket_id").distinct().count() // 1 scalar
+      val itemSupp = bs.groupBy("item").agg(count(lit(1)).as("n_item"))
+      val kept = bs.join(
+        itemSupp.filter(col("n_item") >= minSupport).select("item"),
+        Seq("item"), "left_semi")
+      val pairSupp = kept.select(col("basket_id"), col("item").as("item_a"))
+        .join(kept.select(col("basket_id"), col("item").as("item_b")), "basket_id")
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= minSupport)
+      val rules = pairSupp
+        .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+          col("n_pair"))
+        .unionAll(pairSupp.select(col("item_b"), col("item_a"), col("n_pair")))
+      rules
+        .join(itemSupp.select(col("item").as("antecedent"),
+          col("n_item").as("n_ant")), Seq("antecedent"))
+        .join(itemSupp.select(col("item").as("consequent"),
+          col("n_item").as("n_cons")), Seq("consequent"))
+        .select(col("antecedent"), col("consequent"), col("n_pair"),
+          col("n_ant"), col("n_cons"),
+          graft.functions.roundFp(
+            col("n_pair").cast("double") / col("n_ant").cast("double"), 6)
+            .as("confidence"),
+          graft.functions.roundFp(
+            (col("n_pair") * lit(nBaskets)).cast("double") /
+              (col("n_ant") * col("n_cons")).cast("double"), 6)
+            .as("lift"))
+    }
+  }
 }

@@ -3204,6 +3204,39 @@ object ExtensionQueries {
           t(s, d).lineitem.select(col("l_returnflag").as("flag"),
             floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents")),
           groupCol = "flag", valueCol = "cents", k = 1.5)
-        .orderBy("flag"))
+        .orderBy("flag")),
+
+    GraftQuery(
+      // Association rules over fp01's frequent pairs
+      // (Baskets.associationRules): confidence and lift for both
+      // directions of every surviving pair. Apriori pruning bounds the
+      // pair stage; scoring adds two item-keyed joins (AQE broadcasts
+      // the item-support side) and a 1-row basket total riding as a
+      // literal. Ratios are single IEEE divisions over exact counts,
+      // 6-dp fixed (the tc01 gcc discipline).
+      "ar01_association_rules",
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n FROM b),
+        |s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+        |k AS (SELECT bk, it FROM b WHERE it IN (SELECT it FROM s WHERE n_item >= 2)),
+        |p AS (SELECT a.it AS ia, c.it AS ib, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM k a JOIN k c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |r AS (SELECT ia AS antecedent, ib AS consequent, n_pair FROM p
+        |  UNION ALL SELECT ib, ia, n_pair FROM p)
+        |SELECT r.antecedent, r.consequent, r.n_pair,
+        |  sa.n_item AS n_ant, sc.n_item AS n_cons,
+        |  ROUND(CAST(r.n_pair AS DOUBLE) / CAST(sa.n_item AS DOUBLE) * 1000000)
+        |    / 1000000 + 0 AS confidence,
+        |  ROUND(CAST(r.n_pair * nb.n AS DOUBLE)
+        |    / CAST(sa.n_item * sc.n_item AS DOUBLE) * 1000000) / 1000000 + 0 AS lift
+        |FROM r JOIN s sa ON sa.it = r.antecedent
+        |  JOIN s sc ON sc.it = r.consequent, nb
+        |ORDER BY antecedent, consequent""".stripMargin),
+      (s, d) => graft.operators.Baskets.associationRules(
+          t(s, d).lineitem.select(col("l_orderkey").as("basket_id"),
+            col("l_partkey").as("item")),
+          minSupport = 2)
+        .orderBy("antecedent", "consequent"))
   )
 }

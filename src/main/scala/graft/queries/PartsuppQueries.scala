@@ -344,6 +344,39 @@ object PartsuppQueries {
             col("x.sk") === col("y.sk") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("a"), col("y.pk").as("b"))
         graft.operators.Triangles.triangleStats(e)
+      }),
+
+    GraftQuery(
+      // Per-node triangle counts + local clustering coefficient (tc02,
+      // Triangles.localClustering) over tc01's shared-supplier part
+      // graph. Same degree-ordered orientation (each triangle
+      // materializes once, O(m^1.5) wedge work); attribution is one
+      // explode + node-keyed count. Oracle recomputes via the
+      // canonical a<b<c three-way join and attributes each triangle to
+      // its three corners — algorithm-independent agreement, as tc01.
+      "tc02_clustering_coeff",
+      Some(psCte + """,
+        |ps AS (SELECT ps_suppkey AS sk, ps_partkey AS pk FROM partsupp WHERE ps_availqty < 100),
+        |e AS (SELECT DISTINCT a.pk AS a, b.pk AS b FROM ps a JOIN ps b ON a.sk = b.sk AND a.pk < b.pk),
+        |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) q GROUP BY 1),
+        |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        |pn AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS n_tri
+        |  FROM (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri
+        |        UNION ALL SELECT z FROM tri) q GROUP BY 1)
+        |SELECT d.n AS node, d.deg, COALESCE(pn.n_tri, 0) AS n_tri,
+        |  ROUND(CAST(2 * COALESCE(pn.n_tri, 0) AS DOUBLE)
+        |    / CAST(d.deg * (d.deg - 1) AS DOUBLE) * 1000000) / 1000000 + 0 AS lcc
+        |FROM deg d LEFT JOIN pn ON d.n = pn.n
+        |WHERE d.deg >= 2 ORDER BY node""".stripMargin),
+      (s, d) => {
+        val ps = t(s, d).partsupp.filter(col("ps_availqty") < 100)
+          .select(col("ps_suppkey").as("sk"), col("ps_partkey").as("pk"))
+        val e = ps.as("x").join(ps.as("y"),
+            col("x.sk") === col("y.sk") && col("x.pk") < col("y.pk"))
+          .select(col("x.pk").as("a"), col("y.pk").as("b"))
+        graft.operators.Triangles.localClustering(e).orderBy("node")
       })
   )
 }

@@ -55,5 +55,36 @@ class BasketsSpec extends SparkSpec {
   test("guards: minSupport validated") {
     val b = Seq((1L, "a")).toDF("basket_id", "item")
     intercept[IllegalArgumentException](Baskets.frequentPairs(b, 0))
+    intercept[IllegalArgumentException](Baskets.associationRules(b, 0))
+  }
+
+  test("associationRules: hand-checked confidence and lift, both directions") {
+    // 4 baskets: {a,b}, {a,b}, {a}, {c} → pair (a,b): n_pair=2,
+    // n_a=3, n_b=2, n_baskets=4.
+    val b = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"), (4L, "c"))
+      .toDF("basket_id", "item")
+    val got = Baskets.associationRules(b, minSupport = 2)
+      .orderBy("antecedent")
+      .as[(String, String, Long, Long, Long, Double, Double)].collect().toSeq
+    // conf(a→b) = 2/3, conf(b→a) = 1.0; lift = 2*4/(3*2) = 4/3 both ways
+    assert(got == Seq(
+      ("a", "b", 2L, 3L, 2L, 0.666667, 1.333333),
+      ("b", "a", 2L, 2L, 3L, 1.0, 1.333333)))
+  }
+
+  test("associationRules: rule count is exactly 2x the frequent pairs") {
+    val baskets = tables.lineitem.select(
+      col("l_orderkey").as("basket_id"), col("l_partkey").as("item"))
+    val nPairs = Baskets.frequentPairs(baskets, minSupport = 2).count()
+    val rules = Baskets.associationRules(baskets, minSupport = 2)
+    assert(rules.count() == 2 * nPairs && nPairs > 0)
+    // lift is direction-symmetric; confidence generally is not
+    val sym = rules.filter(col("antecedent") < col("consequent"))
+      .select(col("antecedent"), col("consequent"), col("lift")).as[(Long, Long, Double)]
+      .collect().toSet
+    val rev = rules.filter(col("antecedent") > col("consequent"))
+      .select(col("consequent"), col("antecedent"), col("lift")).as[(Long, Long, Double)]
+      .collect().toSet
+    assert(sym == rev)
   }
 }

@@ -49,4 +49,33 @@ class TrianglesSpec extends SparkSpec {
       .count()
     assert(got._4 == brute && brute > 0)
   }
+
+  test("localClustering: hand-checked on a kite graph") {
+    // K4 minus one edge on {1,2,3,4} (missing 3-4), plus pendant 5-1:
+    // triangles: (1,2,3) and (1,2,4).
+    val kite = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (5L, 1L))
+    val got = Triangles.localClustering(kite.toDF("a", "b"))
+      .orderBy("node")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // node 1: deg 4, tri 2 → 2*2/12; node 2: deg 3, tri 2 → 4/6;
+    // nodes 3,4: deg 2, tri 1 → 1.0; node 5: deg 1 → excluded.
+    assert(got == Seq(
+      (1L, 4L, 2L, 0.333333),
+      (2L, 3L, 2L, 0.666667),
+      (3L, 2L, 1L, 1.0),
+      (4L, 2L, 1L, 1.0)))
+  }
+
+  test("localClustering totals reconcile with triangleStats") {
+    val ps = tables.partsupp.filter(col("ps_availqty") < 100)
+      .select(col("ps_suppkey").as("sk"), col("ps_partkey").as("pk"))
+    val e = ps.as("x").join(ps.as("y"), col("x.sk") === col("y.sk") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    val global = Triangles.triangleStats(e)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    val local = Triangles.localClustering(e)
+    // every triangle is attributed to exactly 3 corners
+    val triSum = local.agg(sum("n_tri")).as[Long].collect().head
+    assert(triSum == 3 * global._4 && global._4 > 0)
+  }
 }
