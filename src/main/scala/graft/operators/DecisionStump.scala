@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Decision-stump split evaluation over an integral feature — the
+  * inner loop of tree learning (XGBoost/LightGBM-style histogram
+  * split finding), exposed as a table: one row per candidate
+  * threshold t with the left/right class counts of the `x <= t`
+  * partition and the weighted-Gini split cost.
+  *
+  * Scale shape: ONE feature-keyed hash aggregate over the data
+  * (map-side partial combine, keys bounded by the feature's VALUE
+  * DOMAIN — the histogram trick: a 100 TB scan reduces to |domain|
+  * rows), then prefix sums over the domain-bounded histogram. The
+  * cumulative window is unpartitioned BY DESIGN: its input is one row
+  * per distinct feature value — bounded by the domain (50 for a
+  * quantity grid, ≤256 for a binned feature), never by row count —
+  * the cd01 adjudication class.
+  *
+  * Cost exactness across engines: cost(t) =
+  * posL·negL/nL + posR·negR/nR (minimizing this minimizes weighted
+  * Gini: it equals N/2 · Σ w_s·gini_s). The counts are exact int64,
+  * every product < 2^53, and both engines evaluate the SAME two IEEE
+  * divisions and one add — bit-identical doubles with no rounding
+  * step.
+  *
+  * @param df        input rows
+  * @param featureCol integral feature (bin/fixed-point upstream —
+  *                   the domain bound is the contract)
+  * @param labelCol  boolean label
+  * @return (threshold, n_left, pos_left, n_right, pos_right, cost)
+  *         for every split with non-empty sides, ascending threshold
+  */
+object DecisionStump {
+
+  def splitTable(df: DataFrame, featureCol: String, labelCol: String): DataFrame = {
+    val ft = df.schema(featureCol).dataType
+    require(ft == org.apache.spark.sql.types.LongType ||
+        ft == org.apache.spark.sql.types.IntegerType,
+      s"$featureCol is $ft — bin or fix-point the feature to an integer " +
+        "domain first (the histogram bound is the contract)")
+    val hist = df.groupBy(col(featureCol).as("threshold"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))
+    val cum = Window.orderBy("threshold")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // class totals as a 1-row broadcast (the Triangles stats pattern)
+    val totals = hist.agg(sum("n").as("__nt"), sum("np").as("__pt"))
+    hist
+      .select(col("threshold"),
+        sum("n").over(cum).as("n_left"),
+        sum("np").over(cum).as("pos_left"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_left") < col("__nt")) // empty right side: not a split
+      .select(col("threshold"), col("n_left"), col("pos_left"),
+        (col("__nt") - col("n_left")).as("n_right"),
+        (col("__pt") - col("pos_left")).as("pos_right"))
+      .withColumn("cost",
+        (col("pos_left") * (col("n_left") - col("pos_left"))).cast("double")
+          / col("n_left").cast("double")
+          + (col("pos_right") * (col("n_right") - col("pos_right"))).cast("double")
+          / col("n_right").cast("double"))
+  }
+}

@@ -451,4 +451,35 @@ object TimeSeries {
       .withColumn("prev_rnk", lag("rnk", 1).over(byKey))
       .withColumn("delta", col("prev_rnk") - col("rnk"))
   }
+
+  /** Day-of-week seasonal index — the ratio-to-overall-average
+    * decomposition step of classical seasonal analysis: index(dow) =
+    * (mean daily total on that weekday) / (mean daily total overall),
+    * >1 = that weekday runs hot. `unitsCol` must be integral
+    * (fixed-point upstream) so every intermediate sum is exact int64
+    * and the index is ONE IEEE division of exactly-represented
+    * integers (products stay < 2^53 through ~sf100 at cent
+    * quantization; re-quantize coarser beyond).
+    *
+    * Scale shape: the event-volume work is one day-keyed hash agg
+    * (map-side partial, |days| keys); the dow agg runs over ≤
+    * |days| rows and the overall total rides as a 1-row broadcast.
+    *
+    * @return (dow 1=Mon..7=Sun ISO, n_days, units, seasonal_index) */
+  def seasonalIndexDow(events: DataFrame, tsCol: String,
+                       unitsCol: String): DataFrame = {
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(col(unitsCol)).as("__units"))
+    val byDow = daily
+      .groupBy((weekday(col("day")) + 1).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_days"), sum("__units").as("units"))
+    val totals = daily.agg(
+      count(lit(1)).as("__days_tot"), sum("__units").as("__units_tot"))
+    byDow.crossJoin(broadcast(totals))
+      .select(col("dow"), col("n_days"), col("units"),
+        ((col("units") * col("__days_tot")).cast("double") /
+          (col("__units_tot") * col("n_days")).cast("double"))
+          .as("seasonal_index"))
+  }
 }

@@ -55,6 +55,31 @@ object TrainingPipeline {
         < pct)
   }
 
+  /** Leakage-safe train/val/test split BY GROUP: every row of a group
+    * (user, session, document family) lands in the same split, because
+    * the split is a pure function of md5(group key) — the property
+    * GroupShuffleSplit gives in scikit-learn, here with zero shuffles:
+    * no group table, no join, just a map-side bucket expression per
+    * row (identical rows of a group hash identically wherever they
+    * are, across runs, partitionings and engines — the
+    * [[deterministicSample]] discipline). Evaluation leakage (the same
+    * user's behavior in train AND test) is THE classic split bug this
+    * prevents at corpus scale.
+    *
+    * @return df plus a `split` column: bucket < pctTrain → "train",
+    *         < pctTrain+pctVal → "val", else "test" */
+  def groupSplit(df: DataFrame, groupCol: String,
+                 pctTrain: Int, pctVal: Int): DataFrame = {
+    require(pctTrain >= 0 && pctVal >= 0 && pctTrain + pctVal <= 100,
+      s"invalid split percentages: train=$pctTrain val=$pctVal")
+    val bucket =
+      expr(s"CAST(conv(substring(md5(CAST($groupCol AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100")
+    df.withColumn("split",
+      when(bucket < pctTrain, "train")
+        .when(bucket < pctTrain + pctVal, "val")
+        .otherwise("test"))
+  }
+
   /** Token-budget shard packing (sequence packing's shard-assignment
     * step): documents are laid out in `orderCol` order and cut into
     * shards of ~`budgetTokens` whitespace tokens — shard k spans the

@@ -3237,6 +3237,83 @@ object ExtensionQueries {
           t(s, d).lineitem.select(col("l_orderkey").as("basket_id"),
             col("l_partkey").as("item")),
           minSupport = 2)
-        .orderBy("antecedent", "consequent"))
+        .orderBy("antecedent", "consequent")),
+
+    GraftQuery(
+      // Decision-stump split table (DecisionStump.splitTable): the
+      // histogram-based split finding of tree learners. ONE
+      // feature-keyed agg reduces the corpus to |domain| rows (50
+      // quantity values); prefix sums + the weighted-Gini cost are
+      // windows over the bounded histogram (cd01 adjudication class).
+      // cost is two IEEE divisions over exact counts — bit-identical
+      // across engines, no rounding.
+      "dt01_split_table",
+      Some("""WITH base AS (SELECT CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS v,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS p FROM lineitem),
+        |pv AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(p) AS BIGINT) AS np FROM base GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(np) AS BIGINT) AS pt FROM pv),
+        |cum AS (SELECT v, CAST(SUM(n) OVER w AS BIGINT) AS nl,
+        |    CAST(SUM(np) OVER w AS BIGINT) AS pl
+        |  FROM pv WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT v AS threshold, nl AS n_left, pl AS pos_left,
+        |  nt - nl AS n_right, pt - pl AS pos_right,
+        |  CAST(pl * (nl - pl) AS DOUBLE) / CAST(nl AS DOUBLE)
+        |    + CAST((pt - pl) * ((nt - nl) - (pt - pl)) AS DOUBLE)
+        |      / CAST(nt - nl AS DOUBLE) AS cost
+        |FROM cum, tot WHERE nl < nt ORDER BY threshold""".stripMargin),
+      (s, d) => graft.operators.DecisionStump.splitTable(
+          t(s, d).lineitem.select(
+            floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+            (col("l_returnflag") === "R").as("returned")),
+          featureCol = "qty", labelCol = "returned")
+        .orderBy("threshold")),
+
+    GraftQuery(
+      // Day-of-week seasonal index (TimeSeries.seasonalIndexDow):
+      // ratio-to-overall-average decomposition on exact integer units.
+      // One day-keyed agg carries the event volume; everything after
+      // is |days|-bounded; the index is one IEEE division of exact
+      // integers (no rounding step).
+      "ts07_seasonal_index",
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS u
+        |  FROM events GROUP BY 1),
+        |dw AS (SELECT CAST(isodow(day) AS BIGINT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days, CAST(SUM(u) AS BIGINT) AS units
+        |  FROM daily GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS dt, CAST(SUM(u) AS BIGINT) AS ut
+        |  FROM daily)
+        |SELECT dow, n_days, units,
+        |  CAST(units * dt AS DOUBLE) / CAST(ut * n_days AS DOUBLE) AS seasonal_index
+        |FROM dw, tot ORDER BY dow""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.seasonalIndexDow(
+          t(s, d).events.withColumn("vu",
+            floor(col("value") * 100 + 0.5).cast("long")),
+          tsCol = "ts", unitsCol = "vu")
+        .orderBy("dow")),
+
+    GraftQuery(
+      // Leakage-safe group split (TrainingPipeline.groupSplit): every
+      // user's events land in ONE of train/val/test via an md5 bucket
+      // of the group key — zero shuffles for the assignment (pure
+      // map-side expression, no group table, no join); the only
+      // shuffle here is the verification aggregate.
+      "gs01_group_split",
+      Some("""WITH lab AS (SELECT user_id,
+        |  CASE WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS BIGINT) % 100 < 80 THEN 'train'
+        |    WHEN CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS BIGINT) % 100 < 90 THEN 'val'
+        |    ELSE 'test' END AS split FROM events)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM lab GROUP BY 1 ORDER BY split""".stripMargin),
+      (s, d) => graft.operators.TrainingPipeline.groupSplit(
+          t(s, d).events, groupCol = "user_id", pctTrain = 80, pctVal = 10)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_events"),
+          count_distinct(col("user_id")).as("n_users"))
+        .orderBy("split"))
   )
 }

@@ -419,4 +419,28 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("rnk").select("k").as[String].collect().toSeq
     assert(got == Seq("x", "y"))
   }
+
+  test("seasonalIndexDow: hand-checked ratio, ISO weekday numbering") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
+    // 2024-01-01 is a Monday. Mon: 30 units over 1 day; Tue: 10+20
+    // over 2 days (avg 15). Overall: 60 over 3 days (avg 20).
+    val ev = Seq(
+      (ts("2024-01-01"), 30L), (ts("2024-01-02"), 10L),
+      (ts("2024-01-09"), 14L), (ts("2024-01-09"), 6L))
+      .toDF("ts", "vu")
+    val got = TimeSeries.seasonalIndexDow(ev, "ts", "vu")
+      .orderBy("dow").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 1L, 30L, 1.5), (2L, 2L, 30L, 0.75)))
+  }
+
+  test("seasonalIndexDow on testdata: day-weighted mean of indexes is 1") {
+    val ev = tables.events.withColumn("vu",
+      floor(col("value") * 100 + 0.5).cast("long"))
+    val rows = TimeSeries.seasonalIndexDow(ev, "ts", "vu").collect()
+    assert(rows.map(_.getAs[Long]("dow")).toSet.subsetOf((1L to 7L).toSet))
+    val nDays = rows.map(_.getAs[Long]("n_days")).sum
+    val weighted = rows.map(r =>
+      r.getAs[Double]("seasonal_index") * r.getAs[Long]("n_days")).sum
+    assert(math.abs(weighted / nDays - 1.0) < 1e-9)
+  }
 }

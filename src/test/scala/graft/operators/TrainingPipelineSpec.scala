@@ -215,4 +215,40 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(got.groupBy(_._1).forall { case (_, s) =>
       s.map(x => bucketOf(x._2)).size == 1 })
   }
+
+  test("groupSplit: every group lands in exactly one split") {
+    val ev = tables.events
+    val labeled = TrainingPipeline.groupSplit(ev, "user_id", 80, 10)
+    // no user straddles splits
+    val perUser = labeled.select("user_id", "split").distinct()
+      .groupBy("user_id").count()
+    assert(perUser.filter(col("count") > 1).count() == 0)
+    // rows conserved; only valid labels; train populated (the sf0.01
+    // oracle entry gs01 covers the fully-populated 3-way case — at
+    // this spec's tiny SF the 10 %-wide val bucket can be empty)
+    val bySplit = labeled.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.contains("train"))
+    assert(bySplit.values.sum == ev.count())
+  }
+
+  test("groupSplit: assignment is a pure function of the key (no shuffle)") {
+    val ev = tables.events
+    val plan = TrainingPipeline.groupSplit(ev, "user_id", 80, 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"groupSplit must not shuffle:\n$plan")
+    // same key ⇒ same split under a different partitioning
+    val a = TrainingPipeline.groupSplit(ev, "user_id", 80, 10)
+      .select("user_id", "split").distinct().collect().toSet
+    val b = TrainingPipeline.groupSplit(ev.repartition(7), "user_id", 80, 10)
+      .select("user_id", "split").distinct().collect().toSet
+    assert(a == b)
+  }
+
+  test("groupSplit guards: percentage bounds") {
+    val df = Seq((1L, "x")).toDF("user_id", "v")
+    intercept[IllegalArgumentException](TrainingPipeline.groupSplit(df, "user_id", 90, 20))
+    intercept[IllegalArgumentException](TrainingPipeline.groupSplit(df, "user_id", -1, 5))
+  }
 }
