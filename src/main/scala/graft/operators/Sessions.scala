@@ -103,4 +103,64 @@ object Sessions {
     pairs.withColumn("p",
       round4(col("n").cast("double") / sum(col("n")).over(norm).cast("double")))
   }
+
+  /** Consecutive-day activity streaks (gaps-and-islands): per user,
+    * the number of distinct active-day runs, the longest run, and the
+    * active-day total — the retention/engagement primitive behind
+    * "7-day streak" features.
+    *
+    * The classic island id: within a user, day − row_number(day) is
+    * CONSTANT across a consecutive run and distinct between runs. One
+    * user-keyed shuffle total: the window, the island agg and the
+    * user agg all share the user-hash partitioning (the island key
+    * only refines it), so Catalyst plans a single Exchange; per-user
+    * work is bounded by that user's ACTIVE DAYS (≤ calendar), not
+    * event volume — the day dedup happens first.
+    *
+    * @return (userCol, n_active_days, n_streaks, max_streak) */
+  def activityStreaks(events: DataFrame, userCol: String,
+                      tsCol: String): DataFrame = {
+    val ud = events
+      .select(col(userCol), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val w = Window.partitionBy(userCol).orderBy("day")
+    ud.withColumn("__island", date_sub(col("day"), row_number().over(w)))
+      .groupBy(col(userCol), col("__island"))
+      .agg(count(lit(1)).as("__len"))
+      .groupBy(userCol)
+      .agg(sum("__len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"),
+        max("__len").as("max_streak"))
+  }
+
+  /** Rolling active-user series: per active day, DAU and the
+    * trailing-`windowDays` active-user count (WAU at 7), plus the
+    * DAU/WAU stickiness ratio. Distinct-over-sliding-window does not
+    * decompose, so the scale-safe exact form EXPLODES each (user, day)
+    * into the `windowDays` future days it keeps the user "active" for
+    * (a fixed ×window blowup of the user-DAY table — bounded by users
+    * × calendar, NOT event volume — then one day-keyed distinct agg).
+    * Days are restricted to the observed-day spine via a broadcast
+    * semi join. The ratio is one IEEE division over exact counts.
+    *
+    * @return (day, dau, wau, stickiness) for every active day */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1 && windowDays <= 366,
+      s"windowDays=$windowDays out of (0, 366] — the explode factor IS the window")
+    val ud = events
+      .select(col(userCol).as("__u"), to_date(col(tsCol)).as("day"))
+      .distinct()
+    val spine = ud.select("day").distinct()
+    val dau = ud.groupBy("day").agg(count_distinct(col("__u")).as("dau"))
+    val rolled = ud
+      .select(col("__u"), explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
+        col("day"))
+      .select(col("__u"), date_add(col("day"), col("__i")).as("day"))
+      .join(spine.hint("broadcast"), Seq("day"), "left_semi")
+      .groupBy("day").agg(count_distinct(col("__u")).as("wau"))
+    dau.join(rolled, Seq("day"))
+      .withColumn("stickiness",
+        col("dau").cast("double") / col("wau").cast("double"))
+  }
 }

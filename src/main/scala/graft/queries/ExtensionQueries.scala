@@ -3314,6 +3314,44 @@ object ExtensionQueries {
         .groupBy("split")
         .agg(count(lit(1)).as("n_events"),
           count_distinct(col("user_id")).as("n_users"))
-        .orderBy("split"))
+        .orderBy("split")),
+
+    GraftQuery(
+      // Consecutive-day activity streaks (Sessions.activityStreaks):
+      // gaps-and-islands via the day − row_number constant. One
+      // user-keyed shuffle; per-user work bounded by ACTIVE DAYS
+      // (calendar), not event volume — the day dedup runs first.
+      "gi01_activity_streaks",
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |isl AS (SELECT u, day - CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY day)
+        |    AS INTEGER) AS island FROM ud),
+        |st AS (SELECT u, island, CAST(COUNT(*) AS BIGINT) AS len FROM isl GROUP BY 1, 2)
+        |SELECT u AS user_id, CAST(SUM(len) AS BIGINT) AS n_active_days,
+        |  CAST(COUNT(*) AS BIGINT) AS n_streaks, CAST(MAX(len) AS BIGINT) AS max_streak
+        |FROM st GROUP BY 1 ORDER BY user_id""".stripMargin),
+      (s, d) => graft.operators.Sessions.activityStreaks(
+          t(s, d).events, userCol = "user_id", tsCol = "ts")
+        .orderBy("user_id")),
+
+    GraftQuery(
+      // Rolling active users (Sessions.rollingActive): DAU/WAU/
+      // stickiness. Sliding-window distinct doesn't decompose, so the
+      // exact scale form explodes user-DAYS (users × calendar — never
+      // event volume) by the fixed window factor, semi-joins the
+      // broadcast day spine, and runs one day-keyed distinct agg. The
+      // oracle's BETWEEN join is the same semantics declared
+      // relationally.
+      "wa01_rolling_active",
+      Some("""WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day FROM events),
+        |spine AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day, CAST(COUNT(DISTINCT u) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |ro AS (SELECT s.day, CAST(COUNT(DISTINCT ud.u) AS BIGINT) AS wau
+        |  FROM spine s JOIN ud ON ud.day BETWEEN s.day - 6 AND s.day GROUP BY 1)
+        |SELECT dau.day, dau.dau, ro.wau,
+        |  CAST(dau.dau AS DOUBLE) / CAST(ro.wau AS DOUBLE) AS stickiness
+        |FROM dau JOIN ro ON dau.day = ro.day ORDER BY dau.day""".stripMargin),
+      (s, d) => graft.operators.Sessions.rollingActive(
+          t(s, d).events, userCol = "user_id", tsCol = "ts", windowDays = 7)
+        .orderBy("day"))
   )
 }

@@ -82,4 +82,61 @@ class SessionsSpec extends SparkSpec {
     assert(sums.nonEmpty)
     sums.foreach(s => assert(math.abs(s - 1.0) < 0.001, s"p column sums to $s"))
   }
+
+  test("activityStreaks: hand-checked islands, multi-event days dedup") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // u1: days 1,2,3 then 5,6 (two events on day 2 — one active day);
+    // u2: single day.
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (1L, ts("2024-01-02")), (1L, ts("2024-01-02")),
+      (1L, ts("2024-01-03")), (1L, ts("2024-01-05")), (1L, ts("2024-01-06")),
+      (2L, ts("2024-03-01")))
+      .toDF("user_id", "ts")
+    val got = Sessions.activityStreaks(ev, "user_id", "ts")
+      .orderBy("user_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 5L, 2L, 3L), (2L, 1L, 1L, 1L)))
+  }
+
+  test("rollingActive: hand-checked WAU window and stickiness") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // u1 active d1, u2 active d1 and d8, u3 active d8.
+    // d1: dau 2, wau 2. d8: dau 2, wau (d2..d8 window) = {u2,u3} = 2;
+    // u1's d1 is 7 days before d8 — outside the trailing-7 window.
+    val ev = Seq(
+      (1L, ts("2024-01-01")), (2L, ts("2024-01-01")),
+      (2L, ts("2024-01-08")), (3L, ts("2024-01-08")))
+      .toDF("user_id", "ts")
+    val got = Sessions.rollingActive(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long, Double)].collect().toSeq
+      .map { case (d, a, w, s) => (d.toString, a, w, s) }
+    assert(got == Seq(
+      ("2024-01-01", 2L, 2L, 1.0),
+      ("2024-01-08", 2L, 2L, 1.0)))
+    // widen the window to 8 days: u1 now counts on d8 → wau 3
+    val wide = Sessions.rollingActive(ev, "user_id", "ts", windowDays = 8)
+      .orderBy("day").as[(java.sql.Date, Long, Long, Double)].collect()
+    assert(wide.last._3 == 3L && wide.last._4 == 2.0 / 3.0)
+  }
+
+  test("rollingActive guards: window bounds validated") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    intercept[IllegalArgumentException](Sessions.rollingActive(ev, "user_id", "ts", 0))
+    intercept[IllegalArgumentException](Sessions.rollingActive(ev, "user_id", "ts", 400))
+  }
+
+  test("rollingActive reconciles with a brute windowed recount on testdata") {
+    val got = Sessions.rollingActive(tables.events, "user_id", "ts", 7)
+    val ud = tables.events
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+    val brute = ud.select(col("day")).distinct().as("s")
+      .join(ud.as("x"),
+        col("x.day") >= date_sub(col("s.day"), 6) && col("x.day") <= col("s.day"))
+      .groupBy(col("s.day").as("day"))
+      .agg(count_distinct(col("x.user_id")).as("wau"))
+    val a = got.select("day", "wau").as[(java.sql.Date, Long)].collect().toSet
+    val b = brute.as[(java.sql.Date, Long)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
 }
