@@ -72,4 +72,37 @@ object Experiments {
       zsq.as("zsq"),
       when(zsq.isNotNull, zsq > CriticalZsq95).as("significant"))
   }
+
+  /** Chi-square independence test, emitted as the per-cell
+    * contingency table (observed, expected, cell contribution) — the
+    * r×c generalization of [[twoProportionZ]]'s 2×2. The global χ²
+    * statistic is the sum of `contrib`, left to the consumer: a
+    * cross-cell FP sum is accumulation-order-dependent, while every
+    * per-cell value here is engine-deterministic (exact int64 counts;
+    * expected = one IEEE division; contrib = x·x/rc/N with
+    * x = o·N − r·c exact — products stay < 2^53 through ~sf10 at this
+    * cell structure, re-bin coarser beyond).
+    *
+    * Scale shape: one cell-keyed hash agg over the data (map-side
+    * partial, |r×c| keys), then broadcast-joined marginals — the
+    * output and every join side is bounded by category cardinality,
+    * never row count.
+    *
+    * @return (rowCol, colCol, observed, expected, contrib) */
+  def chiSquareCells(df: DataFrame, rowCol: String, colCol: String): DataFrame = {
+    val cells = df.groupBy(rowCol, colCol).agg(count(lit(1)).as("observed"))
+    val rows = cells.groupBy(rowCol).agg(sum("observed").as("__r"))
+    val cols = cells.groupBy(colCol).agg(sum("observed").as("__c"))
+    val tot = cells.agg(sum("observed").as("__n"))
+    val x = (col("observed") * col("__n") - col("__r") * col("__c")).cast("double")
+    cells
+      .join(broadcast(rows), Seq(rowCol))
+      .join(broadcast(cols), Seq(colCol))
+      .crossJoin(broadcast(tot))
+      .select(col(rowCol), col(colCol), col("observed"),
+        ((col("__r") * col("__c")).cast("double") / col("__n").cast("double"))
+          .as("expected"),
+        (x * x / (col("__r") * col("__c")).cast("double") / col("__n").cast("double"))
+          .as("contrib"))
+  }
 }

@@ -104,6 +104,30 @@ object Sessions {
       round4(col("n").cast("double") / sum(col("n")).over(norm).cast("double")))
   }
 
+  /** Third-order path mining: counts of CONSECUTIVE event-type
+    * triples per user in (ts, id) order — one step up from
+    * [[transitions]]' first-order pairs, the "view → click → purchase"
+    * pattern table. Same plan shape: both `lead`s share ONE user-keyed
+    * window (one Exchange, one per-user sort), then a hash agg on the
+    * triple; output is bounded by |types|³ whatever the event volume.
+    *
+    * @return (t1, t2, t3, n) */
+  def pathTrigrams(
+      events: DataFrame,
+      userCol: String,
+      tsCol: String,
+      idCol: String,
+      typeCol: String): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(typeCol).as("t1"),
+        lead(col(typeCol), 1).over(w).as("t2"),
+        lead(col(typeCol), 2).over(w).as("t3"))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Consecutive-day activity streaks (gaps-and-islands): per user,
     * the number of distinct active-day runs, the longest run, and the
     * active-day total — the retention/engagement primitive behind

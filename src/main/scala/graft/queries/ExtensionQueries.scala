@@ -3352,6 +3352,49 @@ object ExtensionQueries {
         |FROM dau JOIN ro ON dau.day = ro.day ORDER BY dau.day""".stripMargin),
       (s, d) => graft.operators.Sessions.rollingActive(
           t(s, d).events, userCol = "user_id", tsCol = "ts", windowDays = 7)
-        .orderBy("day"))
+        .orderBy("day")),
+
+    GraftQuery(
+      // Chi-square independence cells (Experiments.chiSquareCells):
+      // event type × ISO weekday contingency. One cell-keyed agg over
+      // the data; marginals broadcast-join back; every per-cell value
+      // is engine-deterministic (exact counts, mirrored IEEE division
+      // chain) — the global χ² is the consumer's sum, kept out of the
+      // hash-compared output because cross-cell FP accumulation is
+      // order-dependent.
+      "ht01_chisq_cells",
+      Some("""WITH cells AS (SELECT event_type, CAST(isodow(CAST(ts AS DATE)) AS BIGINT) AS dow,
+        |    CAST(COUNT(*) AS BIGINT) AS observed FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, CAST(SUM(observed) AS BIGINT) AS rr FROM cells GROUP BY 1),
+        |c AS (SELECT dow, CAST(SUM(observed) AS BIGINT) AS cc FROM cells GROUP BY 1),
+        |n AS (SELECT CAST(SUM(observed) AS BIGINT) AS nn FROM cells)
+        |SELECT cells.event_type, cells.dow, cells.observed,
+        |  CAST(rr * cc AS DOUBLE) / CAST(nn AS DOUBLE) AS expected,
+        |  CAST(cells.observed * nn - rr * cc AS DOUBLE)
+        |    * CAST(cells.observed * nn - rr * cc AS DOUBLE)
+        |    / CAST(rr * cc AS DOUBLE) / CAST(nn AS DOUBLE) AS contrib
+        |FROM cells JOIN r USING (event_type) JOIN c USING (dow), n
+        |ORDER BY cells.event_type, cells.dow""".stripMargin),
+      (s, d) => graft.operators.Experiments.chiSquareCells(
+          t(s, d).events.select(col("event_type"),
+            (weekday(to_date(col("ts"))) + 1).cast("long").as("dow")),
+          rowCol = "event_type", colCol = "dow")
+        .orderBy("event_type", "dow")),
+
+    GraftQuery(
+      // Third-order path mining (Sessions.pathTrigrams): consecutive
+      // event-type triples per user. Both leads share ONE user-keyed
+      // window; output bounded by |types|³ at any volume.
+      "nx02_trigram_paths",
+      Some("""WITH seq AS (SELECT event_type AS t1,
+        |    LEAD(event_type, 1) OVER w AS t2, LEAD(event_type, 2) OVER w AS t3
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n FROM seq
+        |WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY t1, t2, t3""".stripMargin),
+      (s, d) => graft.operators.Sessions.pathTrigrams(
+          t(s, d).events, userCol = "user_id", tsCol = "ts",
+          idCol = "event_id", typeCol = "event_type")
+        .orderBy("t1", "t2", "t3"))
   )
 }

@@ -60,4 +60,37 @@ class ExperimentsSpec extends SparkSpec {
     assert(plan.split("Exchange").length - 1 == 1,
       s"expected one shuffle (the experiment groupBy), got:\n$plan")
   }
+
+  test("chiSquareCells: hand-checked 2x2 contingency") {
+    // | r\c | a  | b  |   rows: x=30, y=30; cols: a=30, b=30; N=60
+    // |  x  | 20 | 10 |   e(x,a) = 30*30/60 = 15, o-e = 5
+    // |  y  | 10 | 20 |   contrib = 25/15 per cell (symmetric)
+    import spark.implicits._
+    val rows =
+      Seq.fill(20)(("x", "a")) ++ Seq.fill(10)(("x", "b")) ++
+      Seq.fill(10)(("y", "a")) ++ Seq.fill(20)(("y", "b"))
+    val got = Experiments.chiSquareCells(rows.toDF("r", "c"), "r", "c")
+      .orderBy("r", "c")
+      .as[(String, String, Long, Double, Double)].collect().toSeq
+    assert(got.map(x => (x._1, x._2, x._3)) ==
+      Seq(("x", "a", 20L), ("x", "b", 10L), ("y", "a", 10L), ("y", "b", 20L)))
+    got.foreach { cell =>
+      assert(cell._4 == 15.0)
+      assert(cell._5 == 25.0 / 15.0)
+    }
+    // χ² = 4 · 25/15 = 20/3 (> 3.84: dependence detected, as built)
+    assert(math.abs(got.map(_._5).sum - 20.0 / 3.0) < 1e-12)
+  }
+
+  test("chiSquareCells: expected totals reconcile with observed totals") {
+    import spark.implicits._
+    val df = tables.events.select(col("event_type"),
+      (weekday(to_date(col("ts"))) + 1).cast("long").as("dow"))
+    val cells = Experiments.chiSquareCells(df, "event_type", "dow").collect()
+    val obs = cells.map(_.getAs[Long]("observed")).sum
+    val exp = cells.map(_.getAs[Double]("expected")).sum
+    assert(obs == df.count())
+    // Σ expected = N exactly in exact arithmetic; FP sum is near-exact
+    assert(math.abs(exp - obs) < 1e-6 * obs)
+  }
 }

@@ -83,6 +83,27 @@ class SessionsSpec extends SparkSpec {
     sums.foreach(s => assert(math.abs(s - 1.0) < 0.001, s"p column sums to $s"))
   }
 
+  test("pathTrigrams: hand-checked triples, user boundaries respected") {
+    def ts(m: Int) = new java.sql.Timestamp(1700000000000L + m * 60000L)
+    // u1: a b c d → (a,b,c), (b,c,d); u2: x y → no triple
+    val ev = Seq(
+      (1L, 1L, ts(1), "a"), (1L, 2L, ts(2), "b"),
+      (1L, 3L, ts(3), "c"), (1L, 4L, ts(4), "d"),
+      (2L, 5L, ts(1), "x"), (2L, 6L, ts(2), "y"))
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessions.pathTrigrams(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("t1").as[(String, String, String, Long)].collect().toSeq
+    assert(got == Seq(("a", "b", "c", 1L), ("b", "c", "d", 1L)))
+  }
+
+  test("pathTrigrams: both leads share one Window operator") {
+    val plan = Sessions.pathTrigrams(
+        tables.events, "user_id", "ts", "event_id", "event_type")
+      .queryExecution.executedPlan.toString
+    assert(plan.split("Window").length - 1 == 1,
+      s"expected ONE Window operator:\n$plan")
+  }
+
   test("activityStreaks: hand-checked islands, multi-event days dedup") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
     // u1: days 1,2,3 then 5,6 (two events on day 2 — one active day);
