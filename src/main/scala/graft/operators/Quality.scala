@@ -211,4 +211,25 @@ object Quality {
     }
     reports.reduce(_ unionAll _)
   }
+
+  /** k-anonymity audit: the quasi-identifier combinations shared by
+    * FEWER than `k` rows — the re-identification risk cells a privacy
+    * review needs before a dataset (or its aggregate release) ships.
+    * Continuous quasi-identifiers must be binned upstream (the
+    * generalization step of anonymization — passing raw uniques makes
+    * every row a violation, which this reports faithfully).
+    *
+    * Scale shape: ONE hash aggregate keyed on the quasi-identifier
+    * tuple (map-side partial combine), then the k filter — output
+    * bounded by the violating-cell count. Nothing collects.
+    *
+    * @return (quasiCols*, n) for cells with 0 < n < k */
+  def kAnonymityViolations(df: DataFrame, quasiCols: Seq[String],
+                           k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymityViolations needs quasi-identifier columns")
+    require(k >= 2, s"k=$k is not a meaningful anonymity threshold (k >= 2)")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") < k)
+  }
 }

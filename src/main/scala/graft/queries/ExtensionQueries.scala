@@ -3395,6 +3395,23 @@ object ExtensionQueries {
       (s, d) => graft.operators.Sessions.pathTrigrams(
           t(s, d).events, userCol = "user_id", tsCol = "ts",
           idCol = "event_id", typeCol = "event_type")
-        .orderBy("t1", "t2", "t3"))
+        .orderBy("t1", "t2", "t3")),
+
+    GraftQuery(
+      // k-anonymity audit (Quality.kAnonymityViolations): the
+      // quasi-identifier cells with < k members over (nation, segment,
+      // binned balance). ONE tuple-keyed hash agg + the k filter —
+      // output bounded by violating cells, nothing collects.
+      "pk01_k_anonymity",
+      Some("""SELECT c_nationkey, c_mktsegment,
+        |  CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 3
+        |ORDER BY c_nationkey, c_mktsegment, bal_bin""".stripMargin),
+      (s, d) => graft.operators.Quality.kAnonymityViolations(
+          t(s, d).customer.select(col("c_nationkey"), col("c_mktsegment"),
+            floor(col("c_acctbal") / 1000).cast("long").as("bal_bin")),
+          quasiCols = Seq("c_nationkey", "c_mktsegment", "bal_bin"), k = 3)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bin"))
   )
 }

@@ -344,9 +344,49 @@ object IngestGate {
       |FROM src WHERE status = 'F'
       |ORDER BY id, kind""".stripMargin
 
+  /** Fixed scratch root for fm01 (format parity, own wiped dir). */
+  val FormatRoot = s"${sys.props("user.dir")}/fixtures/igate/format"
+
+  /** fm01: CSV round-trip parity under the DRIVER gate. The engine
+    * writes `orders` through the text boundary (header CSV, the
+    * lossiest format it supports — dates, longs, free-text priorities
+    * all serialized) and aggregates the READ-BACK rows; the oracle
+    * aggregates the ORIGINAL parquet. Any encode/decode loss — type
+    * drift, quoting, date formatting — breaks the hash. (Spec-level
+    * coverage exists in IOFormatsSpec; this puts the boundary under
+    * the external DuckDB gate, the ig02 content-oracle discipline.)
+    */
+  private def csvParityReadBack(spark: SparkSession, sfDir: String,
+                                root: String): DataFrame = {
+    graft.Fixtures.deleteRecursively(new File(root))
+    val src = Tables(spark, sfDir).orders.select(
+      col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      col("o_orderdate").cast("date").as("d"),
+      floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+    src.write.option("header", "true").csv(root)
+    val back = spark.read.option("header", "true").schema(src.schema).csv(root)
+    back.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("cents").as("cents"),
+        min("d").as("first_d"), max("d").as("last_d"),
+        sum("o_orderkey").as("sum_okey"), sum("o_custkey").as("sum_ckey"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val csvParityOracle =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents,
+      |  MIN(CAST(o_orderdate AS DATE)) AS first_d,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_d,
+      |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_okey,
+      |  CAST(SUM(o_custkey) AS BIGINT) AS sum_ckey
+      |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
     GraftQuery("ig01_ingest_roundtrip", Some(roundtripOracle),
       (s, d) => ingestAndReadBack(s, d, RoundtripRoot)),
+    GraftQuery("fm01_csv_parity", Some(csvParityOracle),
+      (s, d) => csvParityReadBack(s, d, FormatRoot)),
     GraftQuery("ig02_ingest_content", Some(contentOracle),
       (s, d) => ingestAndReadBack(s, d, ContentRoot)),
     // Same content oracle as ig02: the crash/replay must be invisible

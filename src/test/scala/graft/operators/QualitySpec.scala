@@ -145,4 +145,28 @@ class QualitySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("row-level"))
   }
+
+  test("kAnonymityViolations: exactly the cells below k, counts intact") {
+    import spark.implicits._
+    // (x,1): 3 rows — safe at k=3; (x,2): 2 rows; (y,1): 1 row
+    val rows = Seq(("x", 1), ("x", 1), ("x", 1), ("x", 2), ("x", 2), ("y", 1))
+      .toDF("seg", "bin")
+    val got = Quality.kAnonymityViolations(rows, Seq("seg", "bin"), k = 3)
+      .orderBy("seg", "bin")
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got == Seq(("x", 2, 2L), ("y", 1, 1L)))
+    // k=2: only the singleton cell remains
+    val strict = Quality.kAnonymityViolations(rows, Seq("seg", "bin"), k = 2)
+      .as[(String, Int, Long)].collect().toSeq
+    assert(strict == Seq(("y", 1, 1L)))
+  }
+
+  test("kAnonymityViolations guards: columns and k validated") {
+    import spark.implicits._
+    val df2 = Seq(("a", 1)).toDF("seg", "bin")
+    intercept[IllegalArgumentException](
+      Quality.kAnonymityViolations(df2, Seq.empty, 3))
+    intercept[IllegalArgumentException](
+      Quality.kAnonymityViolations(df2, Seq("seg"), 1))
+  }
 }
