@@ -54,4 +54,39 @@ object Retrieval {
       (col("doc_id") +: rankings.indices.map(i => col(s"rank_$i"))) :+
         roundFp(contrib.reduce(_ + _), 6).as("rrf"): _*)
   }
+
+  /** Exact phrase search: documents containing the phrase terms at
+    * CONSECUTIVE token positions, with the occurrence count (counting
+    * overlapping matches — "a a a" contains "a a" twice). The
+    * positional-intersection algorithm of an IR phrase query, run as
+    * per-term position-list equi-joins.
+    *
+    * Scale shape: positions come from one tokenize pass (the
+    * [[graft.functions.tokens]] convention — same term universe as
+    * the inverted index family); each phrase term's position list is
+    * filtered out BEFORE its join (the n-1 joins are sized by posting
+    * lists, never the corpus), and every join is a (doc_id, pos)
+    * equi-join after shifting the k-th term's positions by −k — the
+    * standard consecutive-position alignment.
+    *
+    * @param phrase 2+ lowercase terms (the tokens() normal form)
+    * @return (doc_id, n_matches) for documents with >= 1 occurrence */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2,
+      "phrase needs >= 2 terms (a single term is a plain posting lookup)")
+    require(phrase.forall(t => t.nonEmpty && t == t.toLowerCase),
+      "phrase terms must be non-empty lowercase (the tokens() normal form)")
+    val pos = docs.select(col("doc_id"),
+      posexplode(graft.functions.tokens(col("text"))).as(Seq("pos", "term")))
+    val first = pos.filter(col("term") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    val aligned = phrase.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (t, i)) =>
+        acc.join(
+          pos.filter(col("term") === t)
+            .select(col("doc_id"), (col("pos") - (i + 1)).as("pos")),
+          Seq("doc_id", "pos"))
+    }
+    aligned.groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+  }
 }

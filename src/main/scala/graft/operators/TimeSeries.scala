@@ -452,6 +452,31 @@ object TimeSeries {
       .withColumn("delta", col("prev_rnk") - col("rnk"))
   }
 
+  /** Period-over-period (month) growth table: per calendar month, the
+    * row count and exact integer unit total, plus the previous month's
+    * total, the absolute delta and the growth ratio — the standard BI
+    * "MoM" series. `unitsCol` must be integral (fixed-point upstream)
+    * so delta is exact and the ratio is ONE IEEE division of
+    * exactly-represented integers.
+    *
+    * Scale shape: one month-keyed hash agg carries the volume
+    * (map-side partial); the lag window is unpartitioned BY DESIGN
+    * over the |months| series — bounded by the calendar (the cd01
+    * adjudication class).
+    *
+    * @return (month, n, units, prev_units, delta, ratio) — prev/delta/
+    *         ratio null on the first month */
+  def monthOverMonth(df: DataFrame, dateCol: String,
+                     unitsCol: String): DataFrame = {
+    val m = df.groupBy(trunc(col(dateCol), "month").as("month"))
+      .agg(count(lit(1)).as("n"), sum(col(unitsCol)).as("units"))
+    val w = Window.orderBy("month")
+    m.withColumn("prev_units", lag("units", 1).over(w))
+      .withColumn("delta", col("units") - col("prev_units"))
+      .withColumn("ratio",
+        col("units").cast("double") / col("prev_units").cast("double"))
+  }
+
   /** Day-of-week seasonal index — the ratio-to-overall-average
     * decomposition step of classical seasonal analysis: index(dow) =
     * (mean daily total on that weekday) / (mean daily total overall),

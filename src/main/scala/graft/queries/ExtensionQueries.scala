@@ -3412,6 +3412,47 @@ object ExtensionQueries {
           t(s, d).customer.select(col("c_nationkey"), col("c_mktsegment"),
             floor(col("c_acctbal") / 1000).cast("long").as("bal_bin")),
           quasiCols = Seq("c_nationkey", "c_mktsegment", "bal_bin"), k = 3)
-        .orderBy("c_nationkey", "c_mktsegment", "bal_bin"))
+        .orderBy("c_nationkey", "c_mktsegment", "bal_bin")),
+
+    GraftQuery(
+      // Exact phrase search (Retrieval.phraseSearch): consecutive-
+      // position intersection, overlap-counting. Each phrase term's
+      // position list is filtered before its (doc_id, pos) equi-join —
+      // join volume tracks posting lists, never the corpus. The oracle
+      // recounts per document with an index-shifted list scan (a
+      // different formulation — agreement is algorithm-independent).
+      "ir05_phrase_search",
+      Some("""WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), x -> x <> '') AS ts
+        |  FROM documents),
+        |m AS (SELECT doc_id, CAST(COALESCE(list_sum(list_transform(range(1, len(ts)),
+        |    i -> CASE WHEN ts[i] = 'value' AND ts[i+1] = 'table' THEN 1 ELSE 0 END)), 0)
+        |  AS BIGINT) AS n_matches FROM toks)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches > 0 ORDER BY doc_id""".stripMargin),
+      (s, d) => graft.operators.Retrieval.phraseSearch(
+          t(s, d).documents, phrase = Seq("value", "table"))
+        .orderBy("doc_id")),
+
+    GraftQuery(
+      // Month-over-month growth (TimeSeries.monthOverMonth) on exact
+      // order cents: one month-keyed agg carries the volume; the lag
+      // window runs over the calendar-bounded month series; ratio is
+      // one IEEE division of exact integers.
+      "pop01_month_over_month",
+      Some("""WITH m AS (SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS units
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(month AS DATE) AS month, n, units,
+        |  LAG(units) OVER (ORDER BY month) AS prev_units,
+        |  units - LAG(units) OVER (ORDER BY month) AS delta,
+        |  CAST(units AS DOUBLE) / CAST(LAG(units) OVER (ORDER BY month) AS DOUBLE)
+        |    AS ratio
+        |FROM m ORDER BY month""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.monthOverMonth(
+          t(s, d).orders.select(col("o_orderdate").cast("date").as("d"),
+            floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")),
+          dateCol = "d", unitsCol = "cents")
+        .orderBy("month"))
   )
 }

@@ -45,4 +45,33 @@ class RetrievalSpec extends SparkSpec {
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a)))
     intercept[IllegalArgumentException](Retrieval.rrfFuse(Seq(a, a), k = 0))
   }
+
+  test("phraseSearch: consecutive positions only, overlaps counted") {
+    val docs = Seq(
+      (1L, "the red fox and the red fox again"), // "red fox" twice
+      (2L, "red and fox"),                       // terms present, not adjacent
+      (3L, "a a a"),                             // overlapping "a a" twice
+      (4L, "RED FOX"))                           // tokens() lowercases
+      .toDF("doc_id", "text")
+    val rf = Retrieval.phraseSearch(docs, Seq("red", "fox"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    assert(rf == Seq((1L, 2L), (4L, 1L)))
+    val aa = Retrieval.phraseSearch(docs, Seq("a", "a"))
+      .as[(Long, Long)].collect().toSeq
+    assert(aa == Seq((3L, 2L)))
+  }
+
+  test("phraseSearch: 3-term phrase chains the position joins") {
+    val docs = Seq((1L, "x y z x y"), (2L, "x z y")).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(docs, Seq("x", "y", "z"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L)))
+  }
+
+  test("phraseSearch guards: arity and normal form") {
+    val docs = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](Retrieval.phraseSearch(docs, Seq("a")))
+    intercept[IllegalArgumentException](Retrieval.phraseSearch(docs, Seq("A", "b")))
+    intercept[IllegalArgumentException](Retrieval.phraseSearch(docs, Seq("", "b")))
+  }
 }

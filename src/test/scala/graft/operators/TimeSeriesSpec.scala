@@ -420,6 +420,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq("x", "y"))
   }
 
+  test("monthOverMonth: hand-checked deltas and ratios, null first month") {
+    val rows = Seq(
+      (d("2024-01-05"), 10L), (d("2024-01-20"), 20L),
+      (d("2024-02-10"), 45L),
+      (d("2024-04-01"), 90L)) // March absent: no spine row, April follows Feb
+      .toDF("d", "cents")
+    val got = TimeSeries.monthOverMonth(rows, "d", "cents")
+      .orderBy("month")
+      .as[(java.sql.Date, Long, Long, Option[Long], Option[Long], Option[Double])]
+      .collect().toSeq
+      .map { case (m, n, u, p, dl, r) => (m.toString, n, u, p, dl, r) }
+    assert(got == Seq(
+      ("2024-01-01", 2L, 30L, None, None, None),
+      ("2024-02-01", 1L, 45L, Some(30L), Some(15L), Some(1.5)),
+      ("2024-04-01", 1L, 90L, Some(45L), Some(45L), Some(2.0))))
+  }
+
   test("seasonalIndexDow: hand-checked ratio, ISO weekday numbering") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
     // 2024-01-01 is a Monday. Mon: 30 units over 1 day; Tue: 10+20
