@@ -41,9 +41,12 @@ object DecisionStump {
         ft == org.apache.spark.sql.types.IntegerType,
       s"$featureCol is $ft — bin or fix-point the feature to an integer " +
         "domain first (the histogram bound is the contract)")
-    val hist = df.groupBy(col(featureCol).as("threshold"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))
+    // the histogram feeds both the prefix sums and the totals —
+    // materialize the |domain|-row reduction so the data scan runs once
+    TextDedup.withWorkingSet(
+      df.groupBy(col(featureCol).as("threshold"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))) { hist =>
     val cum = Window.orderBy("threshold")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // class totals as a 1-row broadcast (the Triangles stats pattern)
@@ -62,5 +65,6 @@ object DecisionStump {
           / col("n_left").cast("double")
           + (col("pos_right") * (col("n_right") - col("pos_right"))).cast("double")
           / col("n_right").cast("double"))
+    }
   }
 }

@@ -172,19 +172,23 @@ object Sessions {
                     windowDays: Int = 7): DataFrame = {
     require(windowDays >= 1 && windowDays <= 366,
       s"windowDays=$windowDays out of (0, 366] — the explode factor IS the window")
-    val ud = events
+    // the user-day table feeds THREE consumers (spine, DAU, the
+    // rolled expansion) — materialize it once so the raw event scan
+    // and the dedup shuffle are paid once, not three times
+    TextDedup.withWorkingSet(events
       .select(col(userCol).as("__u"), to_date(col(tsCol)).as("day"))
-      .distinct()
-    val spine = ud.select("day").distinct()
-    val dau = ud.groupBy("day").agg(count_distinct(col("__u")).as("dau"))
-    val rolled = ud
-      .select(col("__u"), explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
-        col("day"))
-      .select(col("__u"), date_add(col("day"), col("__i")).as("day"))
-      .join(spine.hint("broadcast"), Seq("day"), "left_semi")
-      .groupBy("day").agg(count_distinct(col("__u")).as("wau"))
-    dau.join(rolled, Seq("day"))
-      .withColumn("stickiness",
-        col("dau").cast("double") / col("wau").cast("double"))
+      .distinct()) { ud =>
+      val spine = ud.select("day").distinct()
+      val dau = ud.groupBy("day").agg(count_distinct(col("__u")).as("dau"))
+      val rolled = ud
+        .select(col("__u"), explode(sequence(lit(0), lit(windowDays - 1))).as("__i"),
+          col("day"))
+        .select(col("__u"), date_add(col("day"), col("__i")).as("day"))
+        .join(spine.hint("broadcast"), Seq("day"), "left_semi")
+        .groupBy("day").agg(count_distinct(col("__u")).as("wau"))
+      dau.join(rolled, Seq("day"))
+        .withColumn("stickiness",
+          col("dau").cast("double") / col("wau").cast("double"))
+    }
   }
 }
