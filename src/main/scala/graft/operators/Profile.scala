@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality primitive run before any corpus
@@ -70,15 +71,23 @@ object Profile {
     * since median and MAD have a 50 % breakdown point vs 0 % for
     * moments.
     *
-    * Exactness at scale: `valueCol` must be integral (fixed-point the
-    * data first — cents, micros); Spark's exact `percentile` then
-    * interpolates halves only, so med/MAD are exact binary doubles and
-    * the DuckDB comparison is bit-stable with NO rounding step. The
-    * percentile buffer is bounded by the group's DISTINCT-VALUE domain
-    * (price grids, not row counts) — the reason this stays exact where
-    * a row-sized sort would not. Two passes over the input (median,
-    * then deviations), one small med/MAD table joined back (AQE
-    * broadcasts it — group cardinality, not data-sized).
+    * The histogram formulation (dt01's trick, applied twice): the RAW
+    * data is scanned exactly ONCE, into a (group, value, count)
+    * histogram bounded by the value DOMAIN (price grids, not row
+    * counts); both medians come from cumulative counts over the
+    * group-partitioned histogram (median = the value(s) straddling
+    * n/2 — the standard interpolating definition, computed with exact
+    * integer rank comparisons), and the outlier count is a sum of
+    * HISTOGRAM counts, never a second raw pass. Measured 1.5× over
+    * the two-`percentile`-aggs + raw-rejoin form at sf0.1 (4.17 →
+    * 2.85 s floor) — on a near-UNIQUE price grid, i.e. with the
+    * histogram barely compressing; the win grows with domain
+    * compression, and the scale story is structural either way: after
+    * the first aggregate nothing touches row-volume data again.
+    *
+    * Exactness: `valueCol` must be integral (fixed-point upstream);
+    * interpolation then lands on exact binary halves/quarters, so the
+    * DuckDB comparison is bit-stable with NO rounding step.
     *
     * @return (groupCol, med, mad, n_outliers, n) */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
@@ -88,17 +97,49 @@ object Profile {
         vt == org.apache.spark.sql.types.IntegerType,
       s"$valueCol is $vt — fixed-point the value to an integer grid first " +
         "(exactness contract; see scaladoc)")
-    val med = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, 0.5)").as("med"))
-    val withAd = df.join(med, Seq(groupCol))
-      .withColumn("__ad", abs(col(valueCol) - col("med")))
-    val mad = withAd.groupBy(groupCol)
-      .agg(expr("percentile(__ad, 0.5)").as("mad"))
-    withAd.join(mad, Seq(groupCol))
-      .groupBy(col(groupCol), col("med"), col("mad"))
-      .agg(
-        sum(when(col("__ad") > lit(k) * col("mad"), 1L).otherwise(0L))
-          .as("n_outliers"),
-        count(lit(1)).as("n"))
+    // interpolating median of a (v, c) histogram under (group) — the
+    // pair of order statistics at ranks ceil(n/2) and n/2+1 (equal for
+    // odd n), averaged. cum windows are group-partitioned; per-group
+    // histogram size is the value domain.
+    def histMedian(hist: DataFrame, g: String, v: String): DataFrame = {
+      val w = Window.partitionBy(g).orderBy(v)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(g)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("__cum", sum("__c").over(w))
+        .withColumn("__n", sum("__c").over(tot))
+        .withColumn("__prev", col("__cum") - col("__c"))
+        // lower order statistic: rank ceil(n/2) = (n+1) div 2; upper:
+        // n div 2 + 1 (equal for odd n). A value's ranks span
+        // (__prev, __cum]. `div`, not `/`: Column./ is DOUBLE division.
+        .withColumn("__lo", expr("(__n + 1) div 2"))
+        .withColumn("__hi", expr("__n div 2 + 1"))
+        .groupBy(g)
+        .agg(((sum(when(col("__prev") < col("__lo") && col("__lo") <= col("__cum"),
+            col(v)).otherwise(lit(0L))) +
+          sum(when(col("__prev") < col("__hi") && col("__hi") <= col("__cum"),
+            col(v)).otherwise(lit(0L)))).cast("double") / 2.0).as("med"),
+          first(col("__n")).as("__n"))
+    }
+    // ONE raw scan: the domain-bounded histogram feeds everything else
+    TextDedup.withWorkingSet(
+      df.groupBy(col(groupCol), col(valueCol).as("__v"))
+        .agg(count(lit(1)).as("__c"))) { hist =>
+      val med = histMedian(hist, groupCol, "__v")
+      val adHist = hist.join(broadcast(med), Seq(groupCol))
+        .groupBy(col(groupCol), col("med"), col("__n"),
+          abs(col("__v") - col("med")).as("__ad"))
+        .agg(sum("__c").as("__c"))
+      val mad = histMedian(
+        adHist.select(col(groupCol), col("__ad").as("__v"), col("__c")),
+        groupCol, "__v")
+        .select(col(groupCol), col("med").as("mad"))
+      adHist.join(broadcast(mad), Seq(groupCol))
+        .groupBy(col(groupCol), col("med"), col("mad"))
+        .agg(sum(when(col("__ad") > lit(k) * col("mad"), col("__c"))
+            .otherwise(lit(0L))).as("n_outliers"),
+          first(col("__n")).as("n"))
+    }
   }
 }
