@@ -452,6 +452,28 @@ object TimeSeries {
       .withColumn("delta", col("prev_rnk") - col("rnk"))
   }
 
+  /** Calendar (date) dimension generator — the warehouse date-spine
+    * table, derived from the fact table's own min/max date: one row
+    * per calendar day with the standard attributes (ISO weekday,
+    * quarter, day-of-year, month boundaries, weekend flag). The
+    * source scan reduces to a 1-row min/max aggregate; the spine is
+    * bounded by the DATE RANGE (365/year) whatever the fact volume.
+    *
+    * @return (day, y, m, dom, dow 1=Mon..7=Sun, q, doy, month_start,
+    *         month_end, weekend) */
+  def dateDimension(df: DataFrame, dateCol: String): DataFrame =
+    df.agg(min(col(dateCol)).as("lo"), max(col(dateCol)).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      .select(col("day"),
+        year(col("day")).as("y"), month(col("day")).as("m"),
+        dayofmonth(col("day")).as("dom"),
+        (weekday(col("day")) + 1).as("dow"),
+        quarter(col("day")).as("q"),
+        dayofyear(col("day")).as("doy"),
+        (col("day") === trunc(col("day"), "month")).as("month_start"),
+        (col("day") === last_day(col("day"))).as("month_end"),
+        (weekday(col("day")) >= 5).as("weekend"))
+
   /** Period-over-period (month) growth table: per calendar month, the
     * row count and exact integer unit total, plus the previous month's
     * total, the absolute delta and the growth ratio — the standard BI

@@ -3453,6 +3453,121 @@ object ExtensionQueries {
           t(s, d).orders.select(col("o_orderdate").cast("date").as("d"),
             floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents")),
           dateCol = "d", unitsCol = "cents")
-        .orderBy("month"))
+        .orderBy("month")),
+
+    GraftQuery(
+      // Multinomial Naive Bayes text classifier (NaiveBayes
+      // .trainAndClassify): Laplace-smoothed, every per-token log
+      // floored to integer micro-nats BEFORE summation (ta07's
+      // discipline) so scores are order-independent integer sums and
+      // the argmax is bit-reproducible. Training = two token-keyed
+      // aggs bounded by |V|·|classes|; scoring = tokens × |classes|
+      // with a broadcast count-table join.
+      "nb01_naive_bayes",
+      Some("""WITH tok AS (SELECT doc_id, lang,
+        |    unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+        |  FROM documents),
+        |ctc AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |ct AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n FROM tok GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM tok),
+        |nd AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS d FROM documents GROUP BY 1),
+        |ndt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents),
+        |langs AS (SELECT DISTINCT lang AS cls FROM documents),
+        |occ AS (SELECT t.doc_id, l.cls, t.term FROM tok t CROSS JOIN langs l),
+        |sc AS (SELECT o.doc_id, o.cls,
+        |    CAST(SUM(CAST(FLOOR(LN((COALESCE(ctc.c, 0) + 1.0) / (ct.n + v.v))
+        |      * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS s
+        |  FROM occ o JOIN ct ON ct.lang = o.cls
+        |    LEFT JOIN ctc ON ctc.lang = o.cls AND ctc.term = o.term, v
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT sc.doc_id, sc.cls,
+        |    sc.s + CAST(FLOOR(LN(CAST(nd.d AS DOUBLE) / ndt.t) * 1000000 + 0.5)
+        |      AS BIGINT) AS score
+        |  FROM sc JOIN nd ON nd.lang = sc.cls, ndt),
+        |best AS (SELECT doc_id, cls, score,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls) AS rk
+        |  FROM tot)
+        |SELECT b.doc_id, b.cls AS pred, b.score AS score_micro, d.lang AS actual,
+        |  b.cls = d.lang AS correct
+        |FROM best b JOIN documents d ON d.doc_id = b.doc_id
+        |WHERE rk = 1 ORDER BY b.doc_id""".stripMargin),
+      (s, d) => graft.operators.NaiveBayes.trainAndClassify(
+          t(s, d).documents, textCol = "text", classCol = "lang")
+        .orderBy("doc_id")),
+
+    GraftQuery(
+      // Linear multi-touch attribution (Attribution.linearTouch): the
+      // equal-split companion to at01's last-touch — exact integer
+      // milli-credits, remainder to the last touch, Σcredits = Σrev
+      // exactly (spec-gated). ONE user-keyed left join + two
+      // conversion-keyed windows.
+      "at02_linear_attribution",
+      Some("""WITH ev AS (SELECT user_id, event_id, event_type, ts, value FROM events),
+        |conv AS (SELECT user_id, event_id, ts,
+        |    CAST(FLOOR(value * 1000 + 0.5) AS BIGINT) AS rev
+        |  FROM ev WHERE event_type = 'purchase'),
+        |t0 AS (SELECT user_id, ts, event_type,
+        |    row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |  FROM ev WHERE event_type <> 'purchase'),
+        |tch AS (SELECT user_id, ts AS touch_ts, event_type AS touch_type
+        |  FROM t0 WHERE rn = 1),
+        |j AS (SELECT c.user_id, c.event_id, c.rev, t.touch_ts, t.touch_type,
+        |    CASE WHEN t.touch_ts IS NOT NULL AND t.touch_ts <= c.ts
+        |      AND epoch_us(c.ts) - epoch_us(t.touch_ts) <= 604800000000
+        |      THEN 1 ELSE 0 END AS iw
+        |  FROM conv c LEFT JOIN tch t ON t.user_id = c.user_id),
+        |w AS (SELECT *, SUM(iw) OVER (PARTITION BY user_id, event_id) AS n FROM j),
+        |cr AS (SELECT touch_type AS attr_type,
+        |    CASE WHEN ROW_NUMBER() OVER (PARTITION BY user_id, event_id
+        |        ORDER BY touch_ts DESC) = 1
+        |      THEN rev - (n - 1) * (rev // n) ELSE rev // n END AS credit
+        |  FROM (SELECT * FROM w WHERE iw = 1)),
+        |direct AS (SELECT 'direct' AS attr_type, ANY_VALUE(rev) AS credit
+        |  FROM w WHERE n = 0 GROUP BY user_id, event_id),
+        |a AS (SELECT * FROM cr UNION ALL SELECT * FROM direct)
+        |SELECT attr_type, CAST(COUNT(*) AS BIGINT) AS n_credits,
+        |  CAST(SUM(credit) AS BIGINT) AS rev_milli
+        |FROM a GROUP BY 1 ORDER BY attr_type""".stripMargin),
+      (s, d) => {
+        val ev = t(s, d).events
+          .select("user_id", "event_id", "event_type", "ts", "value")
+        val conv = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id"), col("ts"),
+            floor(col("value") * 1000 + 0.5).cast("long").as("rev_milli"))
+        val tw = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "ts").orderBy(col("event_id").desc)
+        val touches = ev.filter(col("event_type") =!= "purchase")
+          .withColumn("__rn", row_number().over(tw)).filter(col("__rn") === 1)
+          .select(col("user_id"), col("ts").as("touch_ts"),
+            col("event_type").as("touch_type"))
+        graft.operators.Attribution
+          .linearTouch(conv, touches, windowUs = 604800000000L)
+          .orderBy("attr_type")
+      }),
+
+    GraftQuery(
+      // Calendar dimension generator (TimeSeries.dateDimension): the
+      // warehouse date spine from the fact table's own range — source
+      // scan reduces to a 1-row min/max agg; spine bounded by the
+      // date range at any volume.
+      "cal01_date_dim",
+      Some("""WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo,
+        |    MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        |s AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+        |    AS day FROM b)
+        |SELECT day, CAST(EXTRACT(year FROM day) AS INTEGER) AS y,
+        |  CAST(EXTRACT(month FROM day) AS INTEGER) AS m,
+        |  CAST(EXTRACT(day FROM day) AS INTEGER) AS dom,
+        |  CAST(isodow(day) AS INTEGER) AS dow,
+        |  CAST(EXTRACT(quarter FROM day) AS INTEGER) AS q,
+        |  CAST(dayofyear(day) AS INTEGER) AS doy,
+        |  day = CAST(date_trunc('month', day) AS DATE) AS month_start,
+        |  day = last_day(day) AS month_end,
+        |  isodow(day) >= 6 AS weekend
+        |FROM s ORDER BY day""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.dateDimension(
+          t(s, d).orders.select(col("o_orderdate").cast("date").as("d")),
+          dateCol = "d")
+        .orderBy("day"))
   )
 }

@@ -420,6 +420,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq("x", "y"))
   }
 
+  test("dateDimension: continuous spine with correct attributes") {
+    val rows = Seq(d("2024-02-27"), d("2024-03-02")).toDF("d")
+    val got = TimeSeries.dateDimension(rows, "d").orderBy("day").collect()
+    assert(got.length == 5) // leap year: 27,28,29 Feb + 1,2 Mar
+    val feb29 = got(2)
+    assert(feb29.getDate(0).toString == "2024-02-29")
+    assert(feb29.getAs[Int]("doy") == 60 && feb29.getAs[Boolean]("month_end"))
+    val mar1 = got(3)
+    assert(mar1.getAs[Boolean]("month_start") && mar1.getAs[Int]("q") == 1)
+    // 2024-03-02 is a Saturday → dow 6, weekend
+    assert(got(4).getAs[Int]("dow") == 6 && got(4).getAs[Boolean]("weekend"))
+  }
+
   test("monthOverMonth: hand-checked deltas and ratios, null first month") {
     val rows = Seq(
       (d("2024-01-05"), 10L), (d("2024-01-20"), 20L),
