@@ -99,4 +99,52 @@ object Baskets {
             .as("lift"))
     }
   }
+
+  /** Item-item collaborative filtering ("customers who bought X also
+    * bought Y"): per item, the top-`k` most similar items by the
+    * cosine of their binary basket vectors,
+    * sim(a,b) = n_ab / √(n_a·n_b). Exactness across engines: the
+    * integer product is exact (< 2^53 by the support bounds), IEEE
+    * `sqrt` is CORRECTLY ROUNDED by the standard — unlike ln/exp it
+    * needs no micro-flooring — and the one division after it is too,
+    * so the similarity is bit-identical everywhere; 6-dp fixed for
+    * the house style, rank ties broken by neighbor id.
+    *
+    * Scale shape: [[frequentPairs]]' Apriori-pruned pair aggregate
+    * does the heavy lifting; top-k is a window PARTITIONED per item
+    * (rows per item bounded by that item's co-occurrence degree).
+    *
+    * @return (item, neighbor, n_pair, sim, rk) with rk <= k */
+  def itemNeighbors(baskets: DataFrame, minSupport: Long, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    val b = baskets.select(col("basket_id"), col("item")).distinct()
+    TextDedup.withWorkingSet(b) { bs =>
+      val itemSupp = bs.groupBy("item").agg(count(lit(1)).as("n_item"))
+      val kept = bs.join(
+        itemSupp.filter(col("n_item") >= minSupport).select("item"),
+        Seq("item"), "left_semi")
+      val pairSupp = kept.select(col("basket_id"), col("item").as("item_a"))
+        .join(kept.select(col("basket_id"), col("item").as("item_b")), "basket_id")
+        .filter(col("item_a") < col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= minSupport)
+      val directed = pairSupp
+        .select(col("item_a").as("item"), col("item_b").as("neighbor"), col("n_pair"))
+        .unionAll(pairSupp.select(col("item_b"), col("item_a"), col("n_pair")))
+      val scored = directed
+        .join(itemSupp.select(col("item"), col("n_item").as("n_a")), Seq("item"))
+        .join(itemSupp.select(col("item").as("neighbor"), col("n_item").as("n_b")),
+          Seq("neighbor"))
+        .select(col("item"), col("neighbor"), col("n_pair"),
+          graft.functions.roundFp(
+            col("n_pair").cast("double") / sqrt((col("n_a") * col("n_b")).cast("double")),
+            6).as("sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("item").orderBy(col("sim").desc, col("neighbor"))
+      scored.withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k)
+    }
+  }
 }

@@ -3568,6 +3568,35 @@ object ExtensionQueries {
       (s, d) => graft.operators.TimeSeries.dateDimension(
           t(s, d).orders.select(col("o_orderdate").cast("date").as("d")),
           dateCol = "d")
-        .orderBy("day"))
+        .orderBy("day")),
+
+    GraftQuery(
+      // Item-item collaborative filtering (Baskets.itemNeighbors):
+      // top-3 co-purchase neighbors by binary-cosine similarity.
+      // IEEE sqrt is correctly rounded (unlike ln — no micro-floor
+      // needed); Apriori pruning bounds the pair stage; top-k is a
+      // per-item partitioned window.
+      "rec01_item_neighbors",
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem),
+        |s AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n_item FROM b GROUP BY 1),
+        |k AS (SELECT bk, it FROM b WHERE it IN (SELECT it FROM s WHERE n_item >= 2)),
+        |p AS (SELECT a.it AS ia, c.it AS ib, CAST(COUNT(*) AS BIGINT) AS n_pair
+        |  FROM k a JOIN k c ON a.bk = c.bk AND a.it < c.it
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |dxy AS (SELECT ia AS item, ib AS neighbor, n_pair FROM p
+        |  UNION ALL SELECT ib, ia, n_pair FROM p),
+        |sc AS (SELECT d.item, d.neighbor, d.n_pair,
+        |    ROUND(CAST(d.n_pair AS DOUBLE) / sqrt(CAST(sa.n_item * sb.n_item AS DOUBLE))
+        |      * 1000000) / 1000000 + 0 AS sim
+        |  FROM dxy d JOIN s sa ON sa.it = d.item JOIN s sb ON sb.it = d.neighbor)
+        |SELECT item, neighbor, n_pair, sim,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY item ORDER BY sim DESC, neighbor)
+        |    AS BIGINT) AS rk
+        |FROM sc QUALIFY rk <= 3 ORDER BY item, rk""".stripMargin),
+      (s, d) => graft.operators.Baskets.itemNeighbors(
+          t(s, d).lineitem.select(col("l_orderkey").as("basket_id"),
+            col("l_partkey").as("item")),
+          minSupport = 2, k = 3)
+        .orderBy("item", "rk"))
   )
 }

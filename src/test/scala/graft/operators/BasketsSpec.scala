@@ -72,6 +72,27 @@ class BasketsSpec extends SparkSpec {
       ("b", "a", 2L, 2L, 3L, 1.0, 1.333333)))
   }
 
+  test("itemNeighbors: hand-checked cosine and top-k cut") {
+    // baskets: {a,b} x2, {a,c}, {a}: n_a=4, n_b=2, n_c=1 (c pruned at
+    // minSupport 2). pair (a,b): n_ab=2 → sim = 2/sqrt(8)
+    val b = Seq((1L, "a"), (1L, "b"), (2L, "a"), (2L, "b"), (3L, "a"),
+      (3L, "c"), (4L, "a")).toDF("basket_id", "item")
+    val got = Baskets.itemNeighbors(b, minSupport = 2, k = 3)
+      .orderBy("item", "rk")
+      .as[(String, String, Long, Double, Long)].collect().toSeq
+    val sim = math.floor(2.0 / math.sqrt(8.0) * 1e6 + 0.5) / 1e6
+    assert(got == Seq(("a", "b", 2L, sim, 1L), ("b", "a", 2L, sim, 1L)))
+  }
+
+  test("itemNeighbors: k caps the neighbor list per item") {
+    val baskets = tables.lineitem.select(
+      col("l_orderkey").as("basket_id"), col("l_partkey").as("item"))
+    val got = Baskets.itemNeighbors(baskets, minSupport = 2, k = 2)
+    assert(got.groupBy("item").count()
+      .filter(col("count") > 2).count() == 0)
+    assert(got.filter(col("rk") > 2).count() == 0 && got.count() > 0)
+  }
+
   test("associationRules: rule count is exactly 2x the frequent pairs") {
     val baskets = tables.lineitem.select(
       col("l_orderkey").as("basket_id"), col("l_partkey").as("item"))
