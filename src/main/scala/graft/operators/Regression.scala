@@ -99,7 +99,42 @@ object Regression {
       x1UnitsCol: String,
       x2UnitsCol: String,
       yUnitsCol: String,
+      scale: Int = 6): DataFrame =
+    solveNormalExact(df, groupCols, x1UnitsCol, x2UnitsCol, yUnitsCol,
+      lambda = 0L, scale)
+
+  /** Ridge (L2-regularized) variant of [[fitOlsExactPerGroup]]: the
+    * SAME exact decimal Cramer solve with `lambda` added to the
+    * feature diagonal of the Gram matrix (s11+λ, s22+λ; the intercept
+    * row is NOT regularized — the standard convention). λ is in the
+    * same SQUARED-unit scale as the Gram entries (caller quantizes),
+    * so the arithmetic stays exact-integer end to end and the
+    * exactness/overflow story of the OLS solve carries over verbatim.
+    * λ > 0 also guarantees the system is non-singular whenever the
+    * data is non-degenerate — the practical reason ridge exists.
+    */
+  def fitRidgeExactPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x1UnitsCol: String,
+      x2UnitsCol: String,
+      yUnitsCol: String,
+      lambda: Long,
       scale: Int = 6): DataFrame = {
+    require(lambda > 0, s"lambda must be positive (got $lambda); use " +
+      "fitOlsExactPerGroup for the unregularized fit")
+    solveNormalExact(df, groupCols, x1UnitsCol, x2UnitsCol, yUnitsCol,
+      lambda, scale)
+  }
+
+  private def solveNormalExact(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x1UnitsCol: String,
+      x2UnitsCol: String,
+      yUnitsCol: String,
+      lambda: Long,
+      scale: Int): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val x1 = col(x1UnitsCol).cast("long")
     val x2 = col(x2UnitsCol).cast("long")
@@ -116,8 +151,8 @@ object Regression {
              d: Column, e: Column, f: Column,
              g: Column, h: Column, i: Column): Column =
       a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
-    val (g11, g12, g1) = (D("s11"), D("s12"), D("s1"))
-    val (g22, g2, nn) = (D("s22"), D("s2"), col("n").cast(dec))
+    val (g11, g12, g1) = (D("s11") + lit(lambda).cast(dec), D("s12"), D("s1"))
+    val (g22, g2, nn) = (D("s22") + lit(lambda).cast(dec), D("s2"), col("n").cast(dec))
     val (b1, b2, b0) = (D("s1y"), D("s2y"), D("sy"))
     // A = [[g11,g12,g1],[g12,g22,g2],[g1,g2,n]], b = [b1,b2,b0];
     // detJ = |A with column J replaced by b|

@@ -3597,6 +3597,44 @@ object ExtensionQueries {
           t(s, d).lineitem.select(col("l_orderkey").as("basket_id"),
             col("l_partkey").as("item")),
           minSupport = 2, k = 3)
-        .orderBy("item", "rk"))
+        .orderBy("item", "rk")),
+
+    GraftQuery(
+      // Ridge regression (ml03, Regression.fitRidgeExactPerGroup):
+      // ml02's exact decimal Cramer solve with λ=1e12 added to the
+      // feature diagonal (intercept unregularized). Same
+      // one-hash-agg shape; exactness carries over verbatim — the
+      // oracle just shifts s11/s22 in the determinants.
+      "ml03_ridge",
+      Some("""WITH q AS (SELECT l_returnflag AS grp,
+        |    CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+        |    CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+        |    CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y FROM lineitem),
+        |m AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
+        |    CAST(SUM(y) AS HUGEINT) AS sy,
+        |    CAST(SUM(x1 * x1) AS HUGEINT) + 1000000000000 AS s11,
+        |    CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
+        |    CAST(SUM(x2 * x2) AS HUGEINT) + 1000000000000 AS s22,
+        |    CAST(SUM(x1 * y) AS HUGEINT) AS s1y, CAST(SUM(x2 * y) AS HUGEINT) AS s2y
+        |  FROM q GROUP BY 1),
+        |d AS (SELECT grp, n,
+        |    s11 * (s22 * n - s2 * s2) - s12 * (s12 * n - s2 * s1) + s1 * (s12 * s2 - s22 * s1) AS det,
+        |    s1y * (s22 * n - s2 * s2) - s12 * (s2y * n - s2 * sy) + s1 * (s2y * s2 - s22 * sy) AS det1,
+        |    s11 * (s2y * n - s2 * sy) - s1y * (s12 * n - s2 * s1) + s1 * (s12 * sy - s2y * s1) AS det2,
+        |    s11 * (s22 * sy - s2y * s2) - s12 * (s12 * sy - s2y * s1) + s1y * (s12 * s2 - s22 * s1) AS det0
+        |  FROM m)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  ROUND((CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE)) * 1000000) / 1000000 + 0 AS beta1,
+        |  ROUND((CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE)) * 1000000) / 1000000 + 0 AS beta2,
+        |  ROUND((CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE)) * 1000000) / 1000000 + 0 AS beta0
+        |FROM d ORDER BY grp""".stripMargin),
+      (s, d) => graft.operators.Regression.fitRidgeExactPerGroup(
+          t(s, d).lineitem.select(col("l_returnflag").as("grp"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("x1"),
+            floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
+            floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y")),
+          Seq("grp"), "x1", "x2", "y", lambda = 1000000000000L)
+        .orderBy("grp"))
   )
 }

@@ -131,4 +131,36 @@ class RegressionSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("singular"))
   }
+
+  test("fitRidgeExactPerGroup shrinks betas toward zero; λ→0 recovers OLS") {
+    val df = (1 to 60)
+      .map { i => ("g", i.toLong, (i % 7).toLong, 5L * i + 3 * (i % 7) + (i % 11)) }
+      .toDF("grp", "x1", "x2", "y")
+    val ols = Regression.fitOlsExactPerGroup(df, Seq("grp"), "x1", "x2", "y")
+      .collect().head
+    val mild = Regression.fitRidgeExactPerGroup(df, Seq("grp"), "x1", "x2", "y",
+      lambda = 1L).collect().head
+    val heavy = Regression.fitRidgeExactPerGroup(df, Seq("grp"), "x1", "x2", "y",
+      lambda = 100000000L).collect().head
+    // λ=1 on Gram entries in the 1e4+ range ≈ OLS at 6 dp
+    assert(math.abs(mild.getDouble(2) - ols.getDouble(2)) < 1e-3)
+    // heavy regularization shrinks the slope magnitudes
+    assert(math.abs(heavy.getDouble(2)) < math.abs(ols.getDouble(2)))
+    assert(math.abs(heavy.getDouble(3)) < math.abs(ols.getDouble(3)) + 1e-9)
+  }
+
+  test("fitRidgeExactPerGroup solves a singular system that OLS cannot") {
+    // x2 = 2·x1 exactly: OLS det = 0 → null betas; ridge is regular
+    val df = (1 to 40).map { i => ("g", i.toLong, 2L * i, 7L * i) }
+      .toDF("grp", "x1", "x2", "y")
+    val ols = Regression.fitOlsExactPerGroup(df, Seq("grp"), "x1", "x2", "y")
+      .collect().head
+    assert(ols.isNullAt(2))
+    val ridge = Regression.fitRidgeExactPerGroup(df, Seq("grp"), "x1", "x2", "y",
+      lambda = 1000L).collect().head
+    assert(!ridge.isNullAt(2) && ridge.getDouble(2) != 0.0)
+    intercept[IllegalArgumentException] {
+      Regression.fitRidgeExactPerGroup(df, Seq("grp"), "x1", "x2", "y", lambda = 0L)
+    }
+  }
 }
