@@ -452,6 +452,36 @@ object TimeSeries {
       .withColumn("delta", col("prev_rnk") - col("rnk"))
   }
 
+  /** Seasonal-relative anomaly flags: each day's total compared to its
+    * own WEEKDAY's mean — the deseasonalized counterpart of a plain
+    * daily-mean threshold, so a naturally-quiet Sunday isn't flagged
+    * low and a naturally-busy Monday isn't flagged high
+    * ([[seasonalIndexDow]] is the index view of the same
+    * decomposition). ratio = units_day · n_days(dow) / units(dow) —
+    * one IEEE division of exact integers; flags compare that
+    * deterministic double against the literal thresholds.
+    *
+    * Scale shape: the event-volume work is one day-keyed agg; the dow
+    * marginals are |days|-bounded and broadcast back onto the daily
+    * series.
+    *
+    * @return (day, dow, units, ratio, anomalous) */
+  def dayVsWeekdayMean(events: DataFrame, tsCol: String, unitsCol: String,
+                       hi: Double = 1.3, lo: Double = 0.7): DataFrame = {
+    require(lo < hi, s"thresholds inverted: lo=$lo hi=$hi")
+    val daily = events
+      .groupBy(to_date(col(tsCol)).as("day"))
+      .agg(sum(col(unitsCol)).as("units"))
+      .withColumn("dow", (weekday(col("day")) + 1).cast("long"))
+    val dw = daily.groupBy("dow")
+      .agg(count(lit(1)).as("__nd"), sum("units").as("__ud"))
+    daily.join(broadcast(dw), Seq("dow"))
+      .withColumn("ratio",
+        (col("units") * col("__nd")).cast("double") / col("__ud").cast("double"))
+      .select(col("day"), col("dow"), col("units"), col("ratio"),
+        (col("ratio") > hi || col("ratio") < lo).as("anomalous"))
+  }
+
   /** Calendar (date) dimension generator — the warehouse date-spine
     * table, derived from the fact table's own min/max date: one row
     * per calendar day with the standard attributes (ISO weekday,

@@ -3635,6 +3635,59 @@ object ExtensionQueries {
             floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
             floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y")),
           Seq("grp"), "x1", "x2", "y", lambda = 1000000000000L)
-        .orderBy("grp"))
+        .orderBy("grp")),
+
+    GraftQuery(
+      // Seasonal-relative anomalies (TimeSeries.dayVsWeekdayMean):
+      // each day vs its own weekday's mean — deseasonalized
+      // thresholding (ts07's decomposition, applied). One day-keyed
+      // agg; |days|-bounded marginals broadcast back.
+      "ts08_seasonal_anomaly",
+      Some("""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS units
+        |  FROM events GROUP BY 1),
+        |d2 AS (SELECT day, units, CAST(isodow(day) AS BIGINT) AS dow FROM daily),
+        |dw AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS nd,
+        |    CAST(SUM(units) AS BIGINT) AS ud FROM d2 GROUP BY 1)
+        |SELECT d2.day, d2.dow, d2.units,
+        |  CAST(d2.units * dw.nd AS DOUBLE) / CAST(dw.ud AS DOUBLE) AS ratio,
+        |  (CAST(d2.units * dw.nd AS DOUBLE) / CAST(dw.ud AS DOUBLE) > 1.05
+        |   OR CAST(d2.units * dw.nd AS DOUBLE) / CAST(dw.ud AS DOUBLE) < 0.95)
+        |    AS anomalous
+        |FROM d2 JOIN dw USING (dow) ORDER BY d2.day""".stripMargin),
+      (s, d) => graft.operators.TimeSeries.dayVsWeekdayMean(
+          t(s, d).events.withColumn("vu",
+            floor(col("value") * 100 + 0.5).cast("long")),
+          tsCol = "ts", unitsCol = "vu", hi = 1.05, lo = 0.95)
+        .orderBy("day")),
+
+    GraftQuery(
+      // arg_max/arg_min per group (q58): min_by/max_by with a
+      // DETERMINISTIC composite ranking key (cents·1e7 + custkey —
+      // exact integer, tie-free) so both engines pick the same row
+      // under balance ties. One hash agg, no window, no join — the
+      // cheapest "top row per group" plan Spark has.
+      "q58_argmax",
+      Some("""WITH c AS (SELECT c_nationkey, c_name,
+        |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000 + c_custkey AS rk
+        |  FROM customer)
+        |SELECT c_nationkey, arg_max(c_name, rk) AS richest,
+        |  CAST(MAX(cents) AS BIGINT) AS max_cents,
+        |  arg_min(c_name, rk) AS poorest,
+        |  CAST(MIN(cents) AS BIGINT) AS min_cents
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val c = t(s, d).customer.select(col("c_nationkey"), col("c_name"),
+          col("c_custkey"),
+          floor(col("c_acctbal") * 100 + 0.5).cast("long").as("cents"))
+          .withColumn("rk", col("cents") * 10000000L + col("c_custkey"))
+        c.groupBy("c_nationkey")
+          .agg(max_by(col("c_name"), col("rk")).as("richest"),
+            max("cents").as("max_cents"),
+            min_by(col("c_name"), col("rk")).as("poorest"),
+            min("cents").as("min_cents"))
+          .orderBy("c_nationkey")
+      })
   )
 }

@@ -463,6 +463,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq((1L, 1L, 30L, 1.5), (2L, 2L, 30L, 0.75)))
   }
 
+  test("dayVsWeekdayMean: flags only days off their own weekday's mean") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 09:00:00")
+    // Mondays: 10, 30 (mean 20) → ratios 0.5 (low) and 1.5 (high);
+    // Tuesday: single day → ratio exactly 1.0, never anomalous.
+    val ev = Seq(
+      (ts("2024-01-01"), 10L), (ts("2024-01-08"), 30L), (ts("2024-01-02"), 99L))
+      .toDF("ts", "vu")
+    val got = TimeSeries.dayVsWeekdayMean(ev, "ts", "vu", hi = 1.3, lo = 0.7)
+      .orderBy("day")
+      .as[(java.sql.Date, Long, Long, Double, Boolean)].collect().toSeq
+      .map { case (d, w, u, r, a) => (d.toString, w, u, r, a) }
+    assert(got == Seq(
+      ("2024-01-01", 1L, 10L, 0.5, true),
+      ("2024-01-02", 2L, 99L, 1.0, false),
+      ("2024-01-08", 1L, 30L, 1.5, true)))
+    intercept[IllegalArgumentException](
+      TimeSeries.dayVsWeekdayMean(ev, "ts", "vu", hi = 0.5, lo = 0.9))
+  }
+
   test("seasonalIndexDow on testdata: day-weighted mean of indexes is 1") {
     val ev = tables.events.withColumn("vu",
       floor(col("value") * 100 + 0.5).cast("long"))
