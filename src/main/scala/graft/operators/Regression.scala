@@ -109,7 +109,13 @@ object Regression {
     * row is NOT regularized — the standard convention). λ is in the
     * same SQUARED-unit scale as the Gram entries (caller quantizes),
     * so the arithmetic stays exact-integer end to end and the
-    * exactness/overflow story of the OLS solve carries over verbatim.
+    * exactness story of the OLS solve carries over verbatim. The
+    * OVERFLOW bound does NOT: λ inflates the Gram diagonal, so a λ
+    * far above a feature's natural Σx² scale inflates every
+    * determinant by the same factor (measured: λ=1e12 against an
+    * Σx²≈6e8 feature blew the decimal(38,0) cap at sf1 where the
+    * unregularized solve fit). Keep λ within ~10× the smallest
+    * feature's Σx² at the target scale.
     * λ > 0 also guarantees the system is non-singular whenever the
     * data is non-degenerate — the practical reason ridge exists.
     */

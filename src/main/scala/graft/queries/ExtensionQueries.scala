@@ -3601,7 +3601,7 @@ object ExtensionQueries {
 
     GraftQuery(
       // Ridge regression (ml03, Regression.fitRidgeExactPerGroup):
-      // ml02's exact decimal Cramer solve with λ=1e12 added to the
+      // ml02's exact decimal Cramer solve with λ=1e9 added to the
       // feature diagonal (intercept unregularized). Same
       // one-hash-agg shape; exactness carries over verbatim — the
       // oracle just shifts s11/s22 in the determinants.
@@ -3613,9 +3613,9 @@ object ExtensionQueries {
         |m AS (SELECT grp, CAST(COUNT(*) AS HUGEINT) AS n,
         |    CAST(SUM(x1) AS HUGEINT) AS s1, CAST(SUM(x2) AS HUGEINT) AS s2,
         |    CAST(SUM(y) AS HUGEINT) AS sy,
-        |    CAST(SUM(x1 * x1) AS HUGEINT) + 1000000000000 AS s11,
+        |    CAST(SUM(x1 * x1) AS HUGEINT) + 1000000000 AS s11,
         |    CAST(SUM(x1 * x2) AS HUGEINT) AS s12,
-        |    CAST(SUM(x2 * x2) AS HUGEINT) + 1000000000000 AS s22,
+        |    CAST(SUM(x2 * x2) AS HUGEINT) + 1000000000 AS s22,
         |    CAST(SUM(x1 * y) AS HUGEINT) AS s1y, CAST(SUM(x2 * y) AS HUGEINT) AS s2y
         |  FROM q GROUP BY 1),
         |d AS (SELECT grp, n,
@@ -3634,7 +3634,7 @@ object ExtensionQueries {
             floor(col("l_quantity") * 100 + 0.5).cast("long").as("x1"),
             floor(col("l_discount") * 100 + 0.5).cast("long").as("x2"),
             floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("y")),
-          Seq("grp"), "x1", "x2", "y", lambda = 1000000000000L)
+          Seq("grp"), "x1", "x2", "y", lambda = 1000000000L)
         .orderBy("grp")),
 
     GraftQuery(
