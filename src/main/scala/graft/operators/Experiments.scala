@@ -47,9 +47,16 @@ object Experiments {
     val variantGuard = when(col("variant").isNull || !col("variant").isin(0, 1),
       raise_error(concat(lit("twoProportionZ: variant must be 0 or 1, got "),
         col("variant").cast("string")))).otherwise(col("variant"))
+    // null converted is as loud as null variant: silently counting it
+    // as not-converted would bias the test — callers must encode
+    // non-conversion as an explicit false
+    val convertedGuard = when(col("converted").isNull,
+      raise_error(lit("twoProportionZ: converted is null — encode " +
+        "non-conversion as explicit false, nulls would silently bias the test")))
+      .otherwise(col("converted").cast("boolean"))
     val agg = perUser
       .select(col("experiment"), variantGuard.as("variant"),
-        col("converted").cast("boolean").as("converted"))
+        convertedGuard.as("converted"))
       .groupBy("experiment")
       .agg(
         sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_control"),

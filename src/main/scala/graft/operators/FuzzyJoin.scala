@@ -156,19 +156,36 @@ object FuzzyJoin {
     *
     * @return (id_a, id_b, s_a, s_b, jw), id_a < id_b, jw rounded to 6
     */
+  /** @param requireAscii opt-in loud guard for the pinned key domain:
+    *   [[graft.functions.jaro_winkler]] scores UTF-16 code units, so on
+    *   non-ASCII keys its values diverge from byte-based engines
+    *   (DuckDB) AND the prefix filter's completeness argument — which
+    *   reasons in Spark's code-point space — no longer provably covers
+    *   astral-plane (surrogate-pair) strings. `true` raise_errors on
+    *   the first non-ASCII key instead of silently scoring it
+    *   (JaroWinklerSpec pins the divergence as a tested fact). */
   def jaroWinklerJoin(df: DataFrame, idCol: String, strCol: String,
-                      threshold: Double): DataFrame = {
+                      threshold: Double,
+                      requireAscii: Boolean = false): DataFrame = {
     require(threshold >= 0.81 && threshold < 1.0,
       s"threshold must be in [0.81, 1.0) — below 0.81 the Jaro bound " +
         s"(θj = (θ-0.4)/0.6) drops to 2/3 where no prefix filter is sound; got $threshold")
     val thetaJ = (threshold - 0.4) / 0.6
     val ratio = 3.0 * thetaJ - 2.0   // admissible-length factor, > 0
     val overlap = 3.0 * thetaJ - 1.0 // shared-character factor, > 1
+    val asciiGuard =
+      if (!requireAscii) col(strCol)
+      else when(col(strCol).rlike("[^\\x00-\\x7F]"), raise_error(concat(
+        lit("jaroWinklerJoin(requireAscii=true): non-ASCII key '"),
+        col(strCol),
+        lit("' — jaro_winkler scores UTF-16 code units and diverges from " +
+          "byte-based engines outside ASCII; normalize upstream or drop " +
+          "the guard deliberately")))).otherwise(col(strCol))
     val strs = df.select(col(idCol).as("__id"),
       when(col(strCol).isNull, raise_error(lit(
         "jaroWinklerJoin: null string present; jw(null, ·) is null and the " +
           "pair would be silently dropped — filter or fill first")))
-        .otherwise(col(strCol)).as("__s"))
+        .otherwise(asciiGuard).as("__s"))
       .withColumn("__len", length(col("__s")))
       .filter(col("__len") > 0) // jw(empty, ·) = 0 < θ: exact to drop
       // smallest admissible partner length (floor → sound) and the

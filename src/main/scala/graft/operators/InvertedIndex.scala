@@ -54,8 +54,14 @@ object InvertedIndex {
   /** Index-wide metadata persisted next to the postings: bucket count
     * plus the 2 corpus stats ranked retrieval needs ([[searchIndexedBm25]]).
     * `docCount`/`totalTokens` count docs WITH at least one token — the
-    * same universe the postings (and any tokenize-side oracle) see. */
-  final case class IndexMeta(nBuckets: Int, docCount: Long, totalTokens: Long)
+    * same universe the postings (and any tokenize-side oracle) see.
+    * `postingRows` pins the exact posting row count the stats were
+    * computed over — the consistency witness that makes a stale meta
+    * (crash between a parquet append and the meta write) DETECTABLE
+    * instead of silently mis-scoring BM25: [[appendToIndex]] and
+    * [[verifyIndex]] compare it against the index and fail loudly. */
+  final case class IndexMeta(nBuckets: Int, docCount: Long, totalTokens: Long,
+                             postingRows: Long)
 
   /** (term, doc_id, tf, dl) posting rows over the shared [[tokens]]
     * convention — one corpus scan + one (term, doc) aggregation; `dl`
@@ -69,14 +75,24 @@ object InvertedIndex {
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")).cast("int"))
       .select("term", "doc_id", "tf", "dl")
 
+  /** Temp-file + atomic rename: a reader never observes a torn or
+    * half-written properties file — the meta either IS the previous
+    * consistent version or the new one. (The append→meta gap itself is
+    * covered by `postingRows`, checked in [[appendToIndex]] /
+    * [[verifyIndex]].) */
   private def writeMeta(path: String, meta: IndexMeta): Unit = {
     val p = new java.util.Properties()
     p.setProperty("nBuckets", meta.nBuckets.toString)
     p.setProperty("docCount", meta.docCount.toString)
     p.setProperty("totalTokens", meta.totalTokens.toString)
-    val f = java.nio.file.Paths.get(path, MetaFile)
-    val out = java.nio.file.Files.newOutputStream(f)
+    p.setProperty("postingRows", meta.postingRows.toString)
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(dir, "." + MetaFile, ".tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
     try p.store(out, "graft inverted index") finally out.close()
+    java.nio.file.Files.move(tmp, dir.resolve(MetaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   private def readMeta(path: String, hint: String): IndexMeta = {
@@ -86,8 +102,36 @@ object InvertedIndex {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
-    IndexMeta(p.getProperty("nBuckets").toInt,
-      p.getProperty("docCount").toLong, p.getProperty("totalTokens").toLong)
+    def prop(k: String): String = {
+      val v = p.getProperty(k)
+      require(v != null, s"$path/$MetaFile is missing '$k' — corrupt or " +
+        s"pre-postingRows meta; $hint")
+      v
+    }
+    IndexMeta(prop("nBuckets").toInt, prop("docCount").toLong,
+      prop("totalTokens").toLong, prop("postingRows").toLong)
+  }
+
+  /** Loud stats-consistency check: the meta's `postingRows` witness vs
+    * the index's actual row count (a no-column parquet count — footer
+    * metadata, not data pages). A mismatch means a crash landed between
+    * a parquet append and its meta write, so docCount/totalTokens are
+    * stale and BM25 would silently mis-score — rebuild or re-run the
+    * append. [[appendToIndex]] runs this automatically before every
+    * append (stale stats cannot compound); call it directly after any
+    * suspected interrupted append before trusting ranked retrieval. */
+  def verifyIndex(spark: SparkSession, path: String): IndexMeta =
+    verifyIndex(spark, path, "rebuild with saveIndex")
+
+  private def verifyIndex(spark: SparkSession, path: String,
+                          hint: String): IndexMeta = {
+    val meta = readMeta(path, hint)
+    val actual = spark.read.parquet(path).count()
+    require(actual == meta.postingRows,
+      s"$path: index has $actual posting rows but meta records " +
+        s"${meta.postingRows} — stale stats from an interrupted append; " +
+        "rebuild with saveIndex (or restore the pre-append state and re-append)")
+    meta
   }
 
   /** Build + persist the index, partitioned by term bucket. Corpus
@@ -102,8 +146,9 @@ object InvertedIndex {
     val spark = docs.sparkSession
     val st = spark.read.parquet(path).agg(
       count_distinct(col("doc_id")).as("n"),
-      coalesce(sum(col("tf")), lit(0L)).as("sumdl")).head()
-    writeMeta(path, IndexMeta(nBuckets, st.getLong(0), st.getLong(1)))
+      coalesce(sum(col("tf")), lit(0L)).as("sumdl"),
+      count(lit(1)).as("rows")).head()
+    writeMeta(path, IndexMeta(nBuckets, st.getLong(0), st.getLong(1), st.getLong(2)))
   }
 
   /** INCREMENTAL index maintenance — the [[TextDedup.saveBandIndex]] /
@@ -117,7 +162,11 @@ object InvertedIndex {
     * as the ingest pipeline's effectively-once sink guarantees).
     */
   def appendToIndex(newDocs: DataFrame, path: String): Unit = {
-    val meta = readMeta(path, "build with saveIndex first")
+    // Pre-append witness check: if a PREVIOUS append crashed between
+    // its parquet write and its meta write, the stats are stale — fail
+    // here, loudly, before compounding the drift (one footer-only count
+    // per nightly append; never rides the query path).
+    val meta = verifyIndex(newDocs.sparkSession, path, "build with saveIndex first")
     // Persist the (nightly-sized) batch postings: they feed both the
     // append write and the stats delta — corpus stats stay maintained
     // incrementally, never recomputed over the whole index.
@@ -128,9 +177,11 @@ object InvertedIndex {
       batch.write.mode("append").partitionBy("term_bucket").parquet(path)
       val st = batch.agg(
         count_distinct(col("doc_id")).as("n"),
-        coalesce(sum(col("tf")), lit(0L)).as("sumdl")).head()
+        coalesce(sum(col("tf")), lit(0L)).as("sumdl"),
+        count(lit(1)).as("rows")).head()
       writeMeta(path, meta.copy(docCount = meta.docCount + st.getLong(0),
-        totalTokens = meta.totalTokens + st.getLong(1)))
+        totalTokens = meta.totalTokens + st.getLong(1),
+        postingRows = meta.postingRows + st.getLong(2)))
     } finally batch.unpersist()
   }
 

@@ -20,7 +20,10 @@ import graft.functions.tokens
   *
   * Scale shape: training is two token-keyed aggregates (class-term
   * counts bounded by |V|·|classes|, class totals by |classes|); the
-  * driver-side scalar is |V| alone. Scoring explodes each document's
+  * driver-side materializations are the |V| scalar and the
+  * |classes|-row doc-count table (both bounded model artifacts — the
+  * priors derive from the latter as literals, saving two extra
+  * corpus-side actions). Scoring explodes each document's
   * tokens × |classes| (a fixed small multiplier), left-joins the
   * class-term count table (bounded by observed vocabulary — AQE
   * broadcasts it when small), one doc×class aggregate, and a 4-row
@@ -39,13 +42,27 @@ object NaiveBayes {
       val classTerm = tk.groupBy("__cls", "__term").agg(count(lit(1)).as("__c"))
       val classTot = tk.groupBy("__cls").agg(count(lit(1)).as("__ct"))
       val vocab = tk.select("__term").distinct().count() // 1 driver scalar
-      val classes = docs.select(col(classCol).as("__cls")).distinct()
-      val nDocs = docs.groupBy(col(classCol).as("__cls"))
+      // ONE |classes|-row collect replaces three separate docs-side
+      // actions (classes distinct, per-class counts, total count): the
+      // per-class doc counts are a bounded model artifact — classes,
+      // nTot, and the integer micro-nat priors all derive from it
+      // driver-side (Math.log is the same correctly-specified IEEE op
+      // Spark's `log` codegens, so prior values are bit-identical).
+      val ndFrame = docs.groupBy(col(classCol).as("__cls"))
         .agg(count(lit(1)).as("__d"))
-      val nTot = docs.count()
-      val priors = nDocs.select(col("__cls"),
-        floor(log(col("__d").cast("double") / lit(nTot.toDouble)) * 1e6 + 0.5)
-          .cast("long").as("__prior"))
+      val nd = ndFrame.collect()
+      val nTot = nd.iterator.map(_.getLong(1)).sum
+      val priorRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(nd.map(r => org.apache.spark.sql.Row(
+          r.get(0),
+          math.floor(math.log(r.getLong(1).toDouble / nTot.toDouble) * 1e6 + 0.5)
+            .toLong)): _*)
+      val spark = docs.sparkSession
+      val priors = spark.createDataFrame(priorRows,
+        org.apache.spark.sql.types.StructType(Seq(ndFrame.schema.fields(0),
+          org.apache.spark.sql.types.StructField("__prior",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+      val classes = priors.select("__cls")
       // token occurrences × classes, scored per occurrence in micro-nats
       val occ = tk.select(col("doc_id"), col("__term"))
         .crossJoin(broadcast(classes.select(col("__cls").as("__scls"))))

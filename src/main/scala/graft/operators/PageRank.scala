@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   * Each iteration is one equi-join (edges ⋈ ranks on src — shuffle on
   * the src key; the degree table rides the same key) + one dst-keyed
   * aggregation: shuffle-parallel, no driver participation. Iteration
-  * results are materialized per round (localCheckpoint) so the plan
-  * does not grow with the iteration count — the dd08 round discipline;
-  * at cluster scale set a checkpoint dir for reliable checkpoints.
+  * results are materialized per round ([[TextDedup.roundCheckpoint]]:
+  * reliable checkpoint when the session has a checkpoint dir,
+  * localCheckpoint otherwise, lazy under materialize=none for plan
+  * gates) so the plan does not grow with the iteration count — the
+  * dd08 round discipline.
   */
 object PageRank {
 
@@ -44,12 +46,12 @@ object PageRank {
     // degree builds): materialize it ONCE — an edge derivation that is
     // itself a join (e.g. the pg01 entry's lineitem x orders distinct)
     // must not be re-evaluated per round.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(TextDedup.roundCheckpoint)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     val base = Unit6 * (dampDen - dampNum) / dampDen
     var ranks = nodes.withColumn("rank_u", lit(Unit6))
     for (_ <- 1 to iterations) {
@@ -67,7 +69,7 @@ object PageRank {
         .join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank_u"))
-        .localCheckpoint(true)
+        .transform(TextDedup.roundCheckpoint)
     }
     ranks
   }
@@ -118,31 +120,31 @@ object PageRank {
       when(col("w") <= 0 || col("w").isNull,
         raise_error(concat(lit("personalizedPagerankMicro: non-positive edge weight "),
           col("w").cast("string")))).otherwise(col("w").cast("long")).as("w"))
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     val rs = restart.select(col("node"),
       when(col("p") <= 0 || col("p").isNull,
         raise_error(concat(lit("personalizedPagerankMicro: non-positive personalization "),
           col("p").cast("string")))).otherwise(col("p").cast("long")).as("p"))
       .groupBy("node").agg(sum("p").as("p"))
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(rs.select(col("node"))).distinct()
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     val wdeg = e.groupBy("src").agg(sum("w").as("wdeg"))
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     // 1-row (|S|, ΣP) broadcast — the Quality/TimeSeries totals pattern
     val tot = rs.agg(count(lit(1)).as("ns"), sum("p").as("pp"))
     val dampDiff = dampDen - dampNum
     val baseDf = rs.crossJoin(broadcast(tot))
       .select(col("node"),
         expr(s"(ns * $Unit6 * $dampDiff * p) DIV ($dampDen * pp)").as("base_u"))
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     var ranks = nodes
       .join(rs.crossJoin(broadcast(tot)), Seq("node"), "left")
       .select(col("node"),
         coalesce(expr(s"(ns * $Unit6 * p) DIV pp"), lit(0L)).as("rank_u"))
-      .localCheckpoint(true)
+      .transform(TextDedup.roundCheckpoint)
     for (_ <- 1 to iterations) {
       val inflow = e
         .join(ranks.withColumnRenamed("node", "src"), "src")
@@ -157,7 +159,7 @@ object PageRank {
         .select(col("node"),
           (coalesce(col("base_u"), lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("rank_u"))
-        .localCheckpoint(true)
+        .transform(TextDedup.roundCheckpoint)
     }
     ranks
   }

@@ -172,6 +172,8 @@ object Quality {
       s"duplicate table entries in suite: ${spec.map(_.table).mkString(", ")}")
     spec.foreach(tr => require(tables.contains(tr.table),
       s"suite references unknown table '${tr.table}' — known: ${tables.keys.mkString(", ")}"))
+    spec.foreach(tr => require(tr.rules.nonEmpty,
+      s"suite table '${tr.table}' has no rules — drop the entry or add rules"))
     val allNames = spec.flatMap(_.rules.map(_.name))
     require(allNames.distinct.size == allNames.size,
       s"rule names must be unique across the whole suite, got ${allNames.mkString(", ")}")

@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
   * participation, and the join input is the FRONTIER (shrinking), not
   * the full visited set. Distances are exact integers, so results are
   * deterministic under any partitioning; rounds are materialized
-  * (localCheckpoint) so the plan does not grow with the hop count —
-  * the dd08/PageRank round discipline (set a checkpoint dir for
-  * reliable checkpoints at cluster scale).
+  * ([[TextDedup.roundCheckpoint]]: reliable checkpoint when a
+  * checkpoint dir is set, localCheckpoint otherwise, lazy under
+  * materialize=none for plan gates) so the plan does not grow with
+  * the hop count — the dd08/PageRank round discipline.
   *
   * The hop bound is part of the CONTRACT (k is a query parameter, not
   * a convergence heuristic): unreached nodes are simply absent. Runs
@@ -38,9 +39,9 @@ object ShortestPath {
     *         `maxHops` only */
   def bfsHops(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst")).transform(TextDedup.roundCheckpoint)
     var visited = sources.select(col("node")).distinct()
-      .withColumn("hop", lit(0L)).localCheckpoint(true)
+      .withColumn("hop", lit(0L)).transform(TextDedup.roundCheckpoint)
     var frontier = visited
     for (h <- 1 to maxHops) {
       frontier = e
@@ -48,8 +49,8 @@ object ShortestPath {
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
-        .localCheckpoint(true)
-      visited = visited.unionAll(frontier).localCheckpoint(true)
+        .transform(TextDedup.roundCheckpoint)
+      visited = visited.unionAll(frontier).transform(TextDedup.roundCheckpoint)
     }
     visited
   }
@@ -83,9 +84,9 @@ object ShortestPath {
     *         source using <= maxEdges edges; unreachable nodes absent */
   def weightedHops(edges: DataFrame, sources: DataFrame, maxEdges: Int): DataFrame = {
     require(maxEdges >= 0, s"maxEdges must be >= 0, got $maxEdges")
-    val e = edges.select(col("src"), col("dst"), col("w")).localCheckpoint(true)
+    val e = edges.select(col("src"), col("dst"), col("w")).transform(TextDedup.roundCheckpoint)
     var dist = sources.select(col("node")).distinct()
-      .withColumn("dist", lit(0L)).localCheckpoint(true)
+      .withColumn("dist", lit(0L)).transform(TextDedup.roundCheckpoint)
     var frontier = dist
     for (_ <- 1 to maxEdges) {
       val candidates = e
@@ -93,7 +94,7 @@ object ShortestPath {
         .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
       val merged = dist.unionAll(candidates)
         .groupBy("node").agg(min("dist").as("dist"))
-        .localCheckpoint(true)
+        .transform(TextDedup.roundCheckpoint)
       // Next frontier = nodes whose label improved this round (new
       // nodes, or a strictly smaller distance) — only they can improve
       // a neighbor next round.
@@ -101,7 +102,7 @@ object ShortestPath {
           dist.select(col("node"), col("dist").as("__old")), Seq("node"), "left")
         .filter(col("__old").isNull || col("dist") < col("__old"))
         .select("node", "dist")
-        .localCheckpoint(true)
+        .transform(TextDedup.roundCheckpoint)
       dist = merged
     }
     dist

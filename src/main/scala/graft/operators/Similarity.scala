@@ -145,6 +145,59 @@ object Similarity {
     * The bucket equi-join is the blocking step — at 100 TB this is a
     * shuffle on the bucket key instead of an all-pairs cross join.
     */
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023's recipe
+    * re-expressed relationally): cluster the embedding corpus with the
+    * DETERMINISTIC integer k-means ([[KMeansExact]] — bitwise
+    * reproducible, unlike MLlib's float Lloyd), then WITHIN each
+    * cluster drop every vector that has a lower-id near-duplicate at
+    * `cosine >= threshold`; the kept row per duplicate neighborhood is
+    * the smallest id (deterministic survivorship, the dd10 convention).
+    *
+    * Scale shape: clustering is the blocking step — the pair join is
+    * keyed on the cluster id, so pair volume is Σ C(|cluster|,2), never
+    * N². That makes cluster SIZE the quadratic skew axis (exactly the
+    * Baskets basket-width axis), and it is ENFORCED the same way:
+    * `maxClusterSize` raise_errors per offending cluster, with the
+    * width count riding the cluster-keyed window on the same
+    * hashpartitioning the self-join needs anyway. Callers hitting the
+    * cap should raise k (more, smaller clusters), not the cap.
+    *
+    * @param emb (vec_id, embedding) rows
+    * @param d   embedding dimensionality
+    * @return (vec_id, cluster) — the SURVIVING corpus */
+  def semanticDedup(emb: DataFrame, d: Int, k: Int, iterations: Int,
+                    threshold: Double,
+                    maxClusterSize: Int = 100000): DataFrame = {
+    require(maxClusterSize >= 1,
+      s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val assign = KMeansExact.assignMicro(
+        emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+        d = d, k = k, iterations = iterations)
+      .select(col("id").as("vec_id"), col("cluster"))
+    val withCl = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(assign, "vec_id")
+    val wC = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+    val guarded = withCl
+      .withColumn("__w", count(lit(1)).over(wC))
+      .withColumn("vec_id",
+        when(col("__w") > maxClusterSize, raise_error(concat(
+          lit("semanticDedup: cluster "), col("cluster").cast("string"),
+          lit(" holds "), col("__w").cast("string"),
+          lit(s" vectors, over maxClusterSize=$maxClusterSize; the in-cluster " +
+            "pair join is quadratic in cluster size — raise k or the cap " +
+            "deliberately"))))
+          .otherwise(col("vec_id")))
+      .select("vec_id", "cluster", "e")
+    val dupOf = guarded.select(col("cluster"), col("vec_id").as("va"), col("e").as("ea"))
+      .join(guarded.select(col("cluster"), col("vec_id").as("vb"), col("e").as("eb")),
+        Seq("cluster"))
+      .filter(col("vb") < col("va"))
+      .filter(cosine_similarity(col("ea"), col("eb")) >= threshold)
+      .select(col("va").as("vec_id")).distinct()
+    guarded.join(dupOf, Seq("vec_id"), "left_anti")
+      .select("vec_id", "cluster")
+  }
+
   def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 4): DataFrame = {
     val b = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
       signBucket(col("embedding"), bits).as("bucket"))

@@ -71,6 +71,16 @@ object TextDedup {
       try materialize(build(w)) finally w.unpersist()
     } else build(working)
 
+  /** Per-round materialization point for the iterative graph operators
+    * (PageRank, BFS, Bellman–Ford): [[materialize]] in eager mode —
+    * which upgrades to RELIABLE `checkpoint` when the session has a
+    * checkpoint dir, the cluster-scale promise the round loops make —
+    * and identity in `none` mode, so specs can gate the per-round plan
+    * shape (join strategy, no Cartesian blowup) exactly like the dedup
+    * family. Same conf, same semantics, one discipline. */
+  def roundCheckpoint(df: DataFrame): DataFrame =
+    if (eager(df)) materialize(df) else df
+
   /** Eager materialization point: reliable `checkpoint` when the session
     * has a checkpoint dir (cluster-safe — blocks live on the reliable
     * store, survive executor loss), `localCheckpoint` otherwise.

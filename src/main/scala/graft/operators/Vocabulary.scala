@@ -29,7 +29,12 @@ object Vocabulary {
   def build(docs: DataFrame, textCol: String, k: Int): Array[String] = {
     require(k > 0 && k <= 1000000,
       s"k=$k must be in (0, 1e6] — the vocabulary is collected and broadcast")
-    docs.select(explode(split(col(textCol), " ")).as("__term"))
+    // empties filtered (consecutive spaces / empty text): '' must never
+    // enter the vocabulary or the token count — same normal form as
+    // graft.functions.tokens, minus its lowercasing (ids are
+    // case-sensitive here by contract, oracle-pinned)
+    docs.select(explode(filter(split(col(textCol), " "), t => t =!= ""))
+        .as("__term"))
       .groupBy("__term").agg(count(lit(1)).as("__c"))
       .orderBy(col("__c").desc, col("__term"))
       .limit(k)
@@ -48,7 +53,7 @@ object Vocabulary {
     val vmap = typedLit(vocab.zipWithIndex.map { case (t, i) => t -> (i + 1L) }.toMap)
     docs
       .select(col(idCol),
-        transform(split(col(textCol), " "),
+        transform(filter(split(col(textCol), " "), t => t =!= ""),
           t => coalesce(element_at(vmap, t), lit(0L))).as("__ids"))
       .select(col(idCol),
         size(col("__ids")).cast("long").as("n_tokens"),

@@ -70,9 +70,10 @@ object ExtensionQueries {
   /** Persisted term-bucketed inverted index for ir02, via the shared
     * [[corpusFixture]] discipline. */
   private def invIndexLoaded(s: SparkSession, d: String): String =
-    // formatVer b: postings gained the denormalized dl column + the
+    // formatVer c: meta gained the postingRows consistency witness
+    // (stale-stats detection); b added the denormalized dl column +
     // persisted corpus stats (ir04 ranked retrieval)
-    corpusFixture(d, "documents", "invidx", formatVer = "b") { tmp =>
+    corpusFixture(d, "documents", "invidx", formatVer = "c") { tmp =>
       graft.operators.InvertedIndex.saveIndex(
         t(s, d).documents.select("doc_id", "text"), tmp.toString)
     }
@@ -81,7 +82,7 @@ object ExtensionQueries {
     * "historical" slice (doc_id % 10 != 0), then the "nightly" slice
     * appended — only the new batch is ever tokenized. */
   private def invIndexIncremental(s: SparkSession, d: String): String =
-    corpusFixture(d, "documents", "invidxinc", formatVer = "b") { tmp =>
+    corpusFixture(d, "documents", "invidxinc", formatVer = "c") { tmp =>
       val docs = t(s, d).documents.select("doc_id", "text")
       graft.operators.InvertedIndex.saveIndex(
         docs.filter(col("doc_id") % 10 =!= 0), tmp.toString)
@@ -337,8 +338,14 @@ object ExtensionQueries {
         |  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
         |  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
         |ORDER BY user_id, l_event, r_event""".stripMargin),
+      // 4 chunks (protocol minimum is 2): the dominant cost is
+      // per-micro-batch planning of the dual-state join, and the
+      // output is chunking-invariant BY CONTRACT (it must equal the
+      // batch oracle under any feed order — that equality is what the
+      // entry verifies; the 6-chunk displacement coverage stays in the
+      // StreamReplaySpec unit replays).
       (s, d) => graft.streaming.StreamReplay.intervalJoinReplay(
-        s, t(s, d).events.select("user_id", "event_id", "ts"))),
+        s, t(s, d).events.select("user_id", "event_id", "ts"), nChunks = 4)),
 
     GraftQuery(
       // The OUTER half of the stream-stream interval join (st03): even
@@ -356,9 +363,10 @@ object ExtensionQueries {
         |  AND CAST(r.ts AS TIMESTAMP) >= CAST(l.ts AS TIMESTAMP) - INTERVAL 5 MINUTE
         |  AND CAST(r.ts AS TIMESTAMP) <= CAST(l.ts AS TIMESTAMP) + INTERVAL 5 MINUTE
         |ORDER BY user_id, l_event, r_event NULLS FIRST""".stripMargin),
+      // 4 chunks — same rationale as st02.
       (s, d) => graft.streaming.StreamReplay.intervalJoinReplay(
         s, t(s, d).events.select("user_id", "event_id", "ts"),
-        joinType = "leftOuter")),
+        joinType = "leftOuter", nChunks = 4)),
 
     GraftQuery(
       // STREAMING dedup made driver-visible (st04): the incremental half
@@ -2793,6 +2801,48 @@ object ExtensionQueries {
         .orderBy("id")),
 
     GraftQuery(
+      // SemDeDup-style semantic dedup (sd01, Similarity.semanticDedup):
+      // km01's deterministic k-means as the blocking step, then an
+      // in-cluster cosine pair join drops every vector with a lower-id
+      // near-duplicate at >= 0.3 — the embedding-space curation dedup
+      // (Abbas et al. 2023) as one relational composition. Pair volume
+      // is Σ C(|cluster|,2), never N², and cluster size is a GUARDED
+      // quadratic axis (maxClusterSize raise_error — the Baskets
+      // basket-width discipline). The oracle unrolls the same two
+      // k-means iterations as km01, then runs the textbook in-cluster
+      // dominance anti-join.
+      "sd01_semantic_dedup",
+      Some("""WITH v AS (SELECT vec_id AS id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+        |c0 AS (SELECT CAST(id AS INTEGER) AS cl, i, x AS c FROM v WHERE id < 4),
+        |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+        |s1 AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+        |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
+        |s2 AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |wc AS (SELECT s2.id AS vec_id, s2.cl AS cluster, e.e
+        |  FROM s2 JOIN e ON e.vec_id = s2.id),
+        |dup AS (SELECT DISTINCT a.vec_id
+        |  FROM wc a JOIN wc b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+        |  WHERE list_dot_product(a.e, b.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.3)
+        |SELECT vec_id, cluster FROM wc
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin),
+      (s, d) => graft.operators.Similarity.semanticDedup(
+          t(s, d).embeddings, d = 64, k = 4, iterations = 2, threshold = 0.3)
+        .orderBy("vec_id")),
+
+    GraftQuery(
       // 2-D skyline / Pareto frontier (operators/Skyline): parts that
       // are cheapest for their size class — no other part is both no
       // pricier and no smaller with one strict. The oracle runs the
@@ -3121,7 +3171,8 @@ object ExtensionQueries {
       // 100 TB encode pass is pure map-side codegen. k=24 < |vocab|=31
       // so the OOV (id 0) path carries real traffic.
       "vb01_vocab_encode",
-      Some("""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+      Some("""WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS ts FROM documents),
         |cnt AS (SELECT term, COUNT(*) AS c
         |  FROM (SELECT unnest(ts) AS term FROM toks) GROUP BY 1),
         |vl AS (SELECT list(term ORDER BY c DESC, term) AS v

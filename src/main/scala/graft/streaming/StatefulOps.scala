@@ -525,7 +525,10 @@ object StatefulOps {
         OutputMode.Append(), GroupStateTimeout.NoTimeout) {
         (key: Long, it: Iterator[(Long, Double)], state: GroupState[Long]) =>
           val used = state.getOption.getOrElse(0L)
-          val admitted = it.take(math.max(0L, maxPerKey - used).toInt).toSeq
+          // clamp BEFORE the Int conversion: maxPerKey > Int.MaxValue
+          // must admit Int.MaxValue per batch, not truncate negative
+          val admitted = it.take(
+            math.min(math.max(0L, maxPerKey - used), Int.MaxValue.toLong).toInt).toSeq
           state.update(used + admitted.size)
           admitted.iterator
       }
@@ -560,7 +563,8 @@ object StatefulOps {
           else {
             val rows = it.toSeq
             val (used, lastSeen0) = state.getOption.getOrElse((0L, Long.MinValue))
-            val admitted = rows.take(math.max(0L, maxPerKey - used).toInt)
+            val admitted = rows.take(
+              math.min(math.max(0L, maxPerKey - used), Int.MaxValue.toLong).toInt)
             val lastSeen = math.max(lastSeen0, rows.iterator.map(_._3.getTime).max)
             state.update((used + admitted.size, lastSeen))
             state.setTimeoutTimestamp(

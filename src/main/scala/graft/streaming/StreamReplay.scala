@@ -34,20 +34,34 @@ import org.apache.spark.sql.functions._
   * production form is the same expression over readStream (Q29).
   *
   * ==Child-session lifetime==
-  * Each replay call creates one `spark.newSession()` child (same
-  * SparkContext, isolated conf/catalog) to hold its 8-partition
-  * shuffle override, and the child is NOT torn down afterwards: Spark
-  * has no per-session close, so its catalog/listener registrations
-  * live until the SparkContext stops. The retained state is small
-  * (conf + empty catalog — the memory-sink table and checkpoint dir
-  * ARE dropped in the finally), but it accrues per call: fine for a
-  * bounded gate/test harness, not for an unbounded service loop. A
-  * service should call the underlying [[StreamingOps]] operator over
-  * `readStream` directly — the replay protocol is the test.
+  * Replays share ONE cached `spark.newSession()` child per parent
+  * session (same SparkContext, isolated conf/catalog) holding the
+  * 8-partition shuffle override — Spark has no per-session close, so
+  * a per-call child would accrue catalog/listener registrations until
+  * the SparkContext stops (it did, harness-bounded, through r15; the
+  * cache removed that accrual plus the per-call SessionState clone).
+  * Per-replay state stays isolated the cheap way: unique query names,
+  * unique checkpoint dirs, per-call MemoryStreams, and the memory-sink
+  * table + checkpoint dir are dropped in the finally. A service should
+  * call the underlying [[StreamingOps]] operator over `readStream`
+  * directly — the replay protocol is the test.
   */
 object StreamReplay {
 
   private val runSeq = new AtomicInteger(0)
+
+  /** One replay child session per parent session + state-store conf
+    * snapshot (r15 verdict: the per-call `newSession()` accrual was the
+    * right place to shave fixed replay cost). Reuse is safe because
+    * every replay isolates its own state: unique memory-sink query
+    * names (runSeq), unique checkpoint dirs, per-call MemoryStreams —
+    * concurrent replays on the shared child are just concurrent
+    * streaming queries on one session. A state-store conf CHANGE on the
+    * parent (e.g. RocksDbStateStoreSpec switching providers) misses the
+    * cache and builds a fresh child, so the propagation contract of
+    * [[replaySession]] still holds. */
+  private val sessionCache =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, (Map[String, String], SparkSession)]()
 
   /** The per-replay child session, in ONE place: 8-partition shuffle
     * override (see the partition-count comment at the first call site)
@@ -64,12 +78,16 @@ object StreamReplay {
     * (review r13). RocksDbStateStoreSpec pins provider-identical output.
     */
   private[streaming] def replaySession(spark: SparkSession): SparkSession = {
-    val replay = spark.newSession()
-    replay.conf.set("spark.sql.shuffle.partitions", "8")
-    spark.conf.getAll
+    val ssConf = spark.conf.getAll
       .filter { case (k, _) => k.startsWith("spark.sql.streaming.stateStore.") }
-      .foreach { case (k, v) => replay.conf.set(k, v) }
-    replay
+    sessionCache.compute(spark, (_, cached) =>
+      if (cached != null && cached._1 == ssConf) cached
+      else {
+        val replay = spark.newSession()
+        replay.conf.set("spark.sql.shuffle.partitions", "8")
+        ssConf.foreach { case (k, v) => replay.conf.set(k, v) }
+        (ssConf, replay)
+      })._2
   }
 
   /** The feed protocol's chunking step: `rows` (already sorted by the

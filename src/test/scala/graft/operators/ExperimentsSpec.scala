@@ -53,6 +53,16 @@ class ExperimentsSpec extends SparkSpec {
     assert(msgs(e).contains("variant must be 0 or 1"), msgs(e))
   }
 
+  test("null converted fails loudly per row (no silent not-converted)") {
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val df = Seq(("e", 0, Some(true)), ("e", 1, Option.empty[Boolean]))
+      .toDF("experiment", "variant", "converted")
+    val e = intercept[Exception](Experiments.twoProportionZ(df).collect())
+    assert(msgs(e).contains("converted is null"), msgs(e))
+  }
+
   test("ONE hash aggregation over the per-user frame (single shuffle)") {
     val df = perUser((1 to 40).map(i => ("e" + (i % 3), i % 2, i % 5 == 0)): _*)
     val plan = Experiments.twoProportionZ(df)

@@ -156,6 +156,20 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(messagesOf(e).contains("null string"), messagesOf(e))
   }
 
+  test("jaroWinklerJoin requireAscii: non-ASCII keys fail loudly, opt-in") {
+    val df = Seq((1L, "cafeteria"), (2L, "caféteria")).toDF("id", "s")
+    // default: scores under the pinned UTF-16 semantics, no error
+    assert(FuzzyJoin.jaroWinklerJoin(df, "id", "s", threshold = 0.9).count() >= 0)
+    val e = intercept[Exception](
+      FuzzyJoin.jaroWinklerJoin(df, "id", "s", threshold = 0.9,
+        requireAscii = true).count())
+    assert(messagesOf(e).contains("non-ASCII key"), messagesOf(e))
+    // all-ASCII input passes the guard unchanged
+    val ok = Seq((1L, "martha"), (2L, "marhta")).toDF("id", "s")
+    assert(FuzzyJoin.jaroWinklerJoin(ok, "id", "s", threshold = 0.9,
+      requireAscii = true).count() == 1)
+  }
+
   test("guards: window and maxDistance validated") {
     val df = Seq((1L, "a")).toDF("id", "name")
     intercept[IllegalArgumentException](

@@ -138,6 +138,23 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("build with saveIndex first"))
   }
 
+  test("stale meta (interrupted append) is detected, not silently scored") {
+    // simulate a crash BETWEEN the parquet append and the meta write:
+    // extra postings land in the directory while meta keeps old stats
+    val p = tmpDir("invidx-stale")
+    InvertedIndex.saveIndex(docs.filter(col("doc_id") <= 2), p)
+    assert(InvertedIndex.verifyIndex(spark, p).docCount == 2L)
+    InvertedIndex.buildPostings(docs.filter(col("doc_id") === 3))
+      .withColumn("term_bucket", lit(0L))
+      .write.mode("append").partitionBy("term_bucket").parquet(p)
+    val e = intercept[IllegalArgumentException](InvertedIndex.verifyIndex(spark, p))
+    assert(e.getMessage.contains("stale stats from an interrupted append"))
+    // the NEXT append fails the same loud way — drift cannot compound
+    val e2 = intercept[IllegalArgumentException](
+      InvertedIndex.appendToIndex(docs.filter(col("doc_id") === 4), p))
+    assert(e2.getMessage.contains("stale stats"))
+  }
+
   test("a foreign directory is rejected loudly") {
     val bogus = tmpDir("invidx-bogus")
     docs.write.mode("overwrite").parquet(bogus)

@@ -49,4 +49,26 @@ class NaiveBayesSpec extends SparkSpec {
     assert(got.count() == docs.count())
     assert(got.select("doc_id").distinct().count() == docs.count())
   }
+
+  test("plan gate: scoring tables broadcast, no single-partition stage") {
+    // r15 verdict #6: the scaladoc's scale claims as plan assertions —
+    // classes ride a broadcast nested-loop cross (bounded |classes|),
+    // classTot + priors are EXPLICIT broadcasts, and nothing collapses
+    // to one partition (the argmax window is doc-keyed). Lazy mode so
+    // the working set does not hide the upstream operators.
+    spark.conf.set(TextDedup.MaterializeConf, "none")
+    try {
+      val df = NaiveBayes.trainAndClassify(tables.documents, "text", "lang")
+      df.collect()
+      val plan = graft.PlanSig.finalPlanText(df)
+      assert(plan.contains("BroadcastNestedLoopJoin"),
+        s"classes must broadcast into the token cross:\n${plan.take(1500)}")
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"classTot and priors must stay broadcast:\n${plan.take(1500)}")
+      assert(!plan.contains("Exchange SinglePartition"),
+        s"no single-partition stage:\n${plan.take(1500)}")
+      assert(!plan.contains("CartesianProduct"),
+        s"no unbounded Cartesian:\n${plan.take(1500)}")
+    } finally spark.conf.set(TextDedup.MaterializeConf, "local")
+  }
 }

@@ -11,6 +11,22 @@ class PageRankSpec extends SparkSpec {
   private def tinyGraph = Seq((1L, 2L), (1L, 3L), (2L, 1L))
     .toDF("src", "dst")
 
+  test("plan gate: iterations are src-keyed equi-joins + dst aggregates only") {
+    // lazy roundCheckpoint (materialize=none) exposes the per-round
+    // plan: no Cartesian blowup, no single-partition stage — the
+    // shuffle-parallel claim of the scaladoc as an assertion.
+    spark.conf.set(TextDedup.MaterializeConf, "none")
+    try {
+      val df = PageRank.pagerankMicro(tinyGraph, iterations = 2)
+      df.collect()
+      val plan = graft.PlanSig.finalPlanText(df)
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"rank flow must be equi-joins:\n${plan.take(1500)}")
+      assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+    } finally spark.conf.set(TextDedup.MaterializeConf, "local")
+  }
+
   test("pagerankMicro matches the hand-computed integer iterations") {
     // r0 = 1_000_000 each; base = 150_000
     // iter1: a->b (1M*85)//200 = 425_000 (and a->c); b->a (1M*85)//100 = 850_000

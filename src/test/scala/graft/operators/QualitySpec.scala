@@ -114,6 +114,10 @@ class QualitySpec extends SparkSpec {
     intercept[IllegalArgumentException](suite(m, Seq.empty))
     intercept[IllegalArgumentException](suite(m,
       Seq(TableRules("nope", Seq(NotNull("a", "k"))))))
+    // an empty rules list is a spec bug, not an empty.reduce crash
+    val er = intercept[IllegalArgumentException](suite(m,
+      Seq(TableRules("t", Seq.empty))))
+    assert(er.getMessage.contains("has no rules"))
     intercept[IllegalArgumentException](suite(m, Seq(
       TableRules("t", Seq(NotNull("same", "k"), Check("same", col("k") > 0))))))
     intercept[IllegalArgumentException](suite(m, Seq(

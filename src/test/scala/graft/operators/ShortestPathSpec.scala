@@ -27,6 +27,34 @@ class ShortestPathSpec extends SparkSpec {
       sources.toSeq.toDF("node"), maxHops)
       .as[(Long, Long)].collect().toMap
 
+  test("plan gate: rounds are frontier equi-joins, never Cartesian or single-partition") {
+    // r15 verdict #6 (pg03/wd01): the round loop's scale claims as plan
+    // assertions, inspectable because roundCheckpoint goes lazy under
+    // materialize=none — every hop must plan as an equi-join on the
+    // node key (+ the anti join for BFS's visited subtraction), with no
+    // Cartesian blowup and no single-partition stage anywhere.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val wedges = Seq((1L, 2L, 5L), (2L, 3L, 1L), (1L, 3L, 10L))
+      .toDF("src", "dst", "w")
+    val srcs = Seq(1L).toDF("node")
+    spark.conf.set(TextDedup.MaterializeConf, "none")
+    try {
+      val bfs = ShortestPath.bfsHops(edges, srcs, maxHops = 2)
+      bfs.collect()
+      val p1 = graft.PlanSig.finalPlanText(bfs)
+      assert(p1.contains("LeftAnti"), s"visited subtraction:\n${p1.take(1500)}")
+      assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+        s"hops must be equi-joins:\n${p1.take(1500)}")
+      assert(!p1.contains("Exchange SinglePartition"), p1.take(1500))
+      val wh = ShortestPath.weightedHops(wedges, srcs, maxEdges = 2)
+      wh.collect()
+      val p2 = graft.PlanSig.finalPlanText(wh)
+      assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+        s"relaxations must be equi-joins:\n${p2.take(1500)}")
+      assert(!p2.contains("Exchange SinglePartition"), p2.take(1500))
+    } finally spark.conf.set(TextDedup.MaterializeConf, "local")
+  }
+
   test("matches brute-force BFS on seeded random directed graphs") {
     val rnd = new scala.util.Random(11)
     for (trial <- 1 to 15) {

@@ -41,6 +41,55 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("semanticDedup: hand-checked clusters, survivors, and dominance") {
+    // init centroids = ids 0/1 → one Lloyd round groups {0,2} and
+    // {1,3}; within each, the higher id is a near-dup (cos ≈ 0.994)
+    // of the lower and must be dropped
+    val df = emb(
+      0L -> Seq(1f, 0f),
+      1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0.1f, 0.9f))
+    val got = Similarity.semanticDedup(df, d = 2, k = 2, iterations = 1,
+        threshold = 0.9)
+      .orderBy("vec_id").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((0L, 0), (1L, 1)))
+    // below the threshold nothing is a dup: all four survive
+    assert(Similarity.semanticDedup(df, d = 2, k = 2, iterations = 1,
+      threshold = 0.9999).count() == 4)
+  }
+
+  test("semanticDedup: cluster-size cap fails loudly (quadratic axis guard)") {
+    val df = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f))
+    val e = intercept[Exception](Similarity.semanticDedup(
+      df, d = 2, k = 2, iterations = 1, threshold = 0.9,
+      maxClusterSize = 1).count())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("maxClusterSize=1"), msg)
+    intercept[IllegalArgumentException](Similarity.semanticDedup(
+      df, d = 2, k = 2, iterations = 1, threshold = 0.9, maxClusterSize = 0))
+  }
+
+  test("semanticDedup on testdata: every cluster keeps its smallest id; drops are real") {
+    val e = tables.embeddings
+    val total = e.count()
+    val got = Similarity.semanticDedup(e, d = 64, k = 4, iterations = 2,
+      threshold = 0.3)
+    val n = got.count()
+    assert(n > 0 && n < total, s"expected real drops: $n of $total survive")
+    // the smallest id of each cluster can never have a lower-id dup —
+    // it must always survive
+    val assign = KMeansExact.assignMicro(
+      e.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      d = 64, k = 4, iterations = 2)
+    val minIds = assign.groupBy("cluster").agg(min("id").as("vec_id"))
+      .select("vec_id").as[Long].collect().toSet
+    val kept = got.select("vec_id").as[Long].collect().toSet
+    assert(minIds.subsetOf(kept))
+  }
+
   test("ivf with nProbe == nLists equals brute force exactly") {
     val e = tables.embeddings
     val brute = Similarity.bruteForceTopK(e, 0L, 5).as[(Long, Double)].collect().toSeq

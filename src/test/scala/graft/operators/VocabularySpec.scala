@@ -28,6 +28,17 @@ class VocabularySpec extends SparkSpec {
       (3L, 1L, 0L, "2")))
   }
 
+  test("empty tokens (double spaces, empty text) never enter vocab or counts") {
+    val docs = Seq((1L, "a  b"), (2L, ""), (3L, " a ")).toDF("doc_id", "text")
+    // raw split would yield '' tokens: "a  b" → [a,'',b], "" → [''],
+    // " a " → ['',a,''] — all must be filtered, '' never ranked
+    assert(Vocabulary.build(docs, "text", k = 10).toSeq == Seq("a", "b"))
+    val got = Vocabulary.encode(docs, "doc_id", "text",
+        Vocabulary.build(docs, "text", k = 10))
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0L, "1,2"), (2L, 0L, 0L, ""), (3L, 1L, 0L, "1")))
+  }
+
   test("encode plan is shuffle-free (broadcast map literal, no join)") {
     val docs = Seq((1L, "a b")).toDF("doc_id", "text")
     val plan = Vocabulary.encode(docs, "doc_id", "text", Array("a", "b"))

@@ -66,6 +66,22 @@ class StatefulOpsSpec extends SparkSpec {
     assert(spark.table("rl_out").count() == 4, "only 4 of 6 events admitted")
   }
 
+  test("rateLimit: maxPerKey beyond Int range admits everything (clamped take)") {
+    // maxPerKey - used overflows Int: an unclamped .toInt truncates to a
+    // negative/tiny count and silently under-admits
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Double)]
+    val q = StatefulOps.rateLimit(ms.toDS(), maxPerKey = Long.MaxValue)
+      .toDF("user_id", "value")
+      .writeStream.outputMode("append").format("memory").queryName("rl_big_out").start()
+    try {
+      ms.addData((1 to 5).map(i => (7L, i.toDouble)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("rl_big_out").count() == 5,
+      "all 5 events must pass under an effectively-unbounded budget")
+  }
+
   test("funnelStream: a LATE earlier-stage event re-qualifies a parked later-stage event") {
     // batch 1: click@20 arrives BEFORE any view — useless for now (stage 0)
     // batch 2: view@10 arrives late — t1=10, and the parked click@20 must
