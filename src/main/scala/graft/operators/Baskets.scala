@@ -62,7 +62,7 @@ object Baskets {
       // shuffle the join pays for regardless. raise_error names the
       // offending basket so the fix (truncate upstream) is actionable.
       val wB = Window.partitionBy("basket_id")
-      val kept = keptRaw
+      val guarded = keptRaw
         .withColumn("__w", count(lit(1)).over(wB))
         .withColumn("item",
           when(col("__w") > maxBasketWidth, raise_error(concat(
@@ -74,13 +74,19 @@ object Baskets {
               "or raise the cap deliberately"))))
             .otherwise(col("item")))
         .select("basket_id", "item")
-      val pairSupp = kept.select(col("basket_id"), col("item").as("item_a"))
-        .join(kept.select(col("basket_id"), col("item").as("item_b")), "basket_id")
-        .filter(col("item_a") < col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(count(lit(1)).as("n_pair"))
-        .filter(col("n_pair") >= minSupport)
-      f(bs, itemSupp, pairSupp)
+      // Nested working set: the guarded frame feeds BOTH sides of the
+      // self-join — materializing it runs the prune + width check once
+      // instead of once per side (measured: the unmaterialized form
+      // cost rec01 ~1.26x at sf0.1).
+      TextDedup.withWorkingSet(guarded) { kept =>
+        val pairSupp = kept.select(col("basket_id"), col("item").as("item_a"))
+          .join(kept.select(col("basket_id"), col("item").as("item_b")), "basket_id")
+          .filter(col("item_a") < col("item_b"))
+          .groupBy("item_a", "item_b")
+          .agg(count(lit(1)).as("n_pair"))
+          .filter(col("n_pair") >= minSupport)
+        f(bs, itemSupp, pairSupp)
+      }
     }
   }
 

@@ -44,14 +44,25 @@ import org.apache.spark.sql.functions._
 object KMeansExact {
 
   def assignMicro(vectors: DataFrame, d: Int, k: Int, iterations: Int,
-                  unitScale: Long = 1000000L): DataFrame = {
+                  unitScale: Long = 1000000L): DataFrame =
+    fitMicro(vectors, d, k, iterations, unitScale)._1
+
+  /** [[assignMicro]] plus the (cluster, dim, c) centroid table the
+    * FINAL assignment was computed against (i.e. after iterations−1
+    * updates — NOT the post-loop update, which no returned assignment
+    * reflects). This is the model artifact an incremental consumer
+    * must persist so that later batches assign under exactly the same
+    * geometry as the corpus ([[Similarity.saveSemanticIndex]]). */
+  def fitMicro(vectors: DataFrame, d: Int, k: Int, iterations: Int,
+               unitScale: Long = 1000000L): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(d >= 1, s"d must be >= 1, got $d")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(unitScale >= 1, s"unitScale must be >= 1, got $unitScale")
+    var usedCentroids: DataFrame = null
     // Quantized long form (id, dim, x): feeds every iteration's
     // assignment AND the final distance projection — materialize once.
-    TextDedup.withWorkingSet(
+    val assigned = TextDedup.withWorkingSet(
       vectors.select(col("id"), posexplode(col("vec")).as(Seq("dim", "__v")))
         .select(col("id"), col("dim"),
           floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
@@ -71,6 +82,7 @@ object KMeansExact {
         .localCheckpoint(true)
       var assign: DataFrame = null
       for (_ <- 1 to iterations) {
+        usedCentroids = centroids
         val dists = v.join(broadcast(centroids), "dim")
           .groupBy(col("id"), col("cluster"))
           .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist_u"))
@@ -94,5 +106,6 @@ object KMeansExact {
       assign.select(col("id"), col("cluster").cast("int").as("cluster"),
         col("dist_u"))
     }
+    (assigned, usedCentroids)
   }
 }

@@ -198,6 +198,143 @@ object Similarity {
       .select("vec_id", "cluster")
   }
 
+  // ------------------------------------------------------------------
+  // Persisted semantic index + INCREMENTAL semantic dedup — the dd11 /
+  // ir03 incremental discipline applied to [[semanticDedup]]: the
+  // expensive corpus pass (k-means fit + full in-cluster dedup) happens
+  // ONCE at build time; a nightly embedding batch is assigned to the
+  // PERSISTED centroids (broadcast k·d rows — the batch never
+  // re-clusters the corpus) and deduped against (a) the persisted
+  // same-cluster corpus and (b) lower-id batch rows, so the nightly
+  // cost is |batch| × cluster-local work, never a corpus re-fit.
+  // ------------------------------------------------------------------
+
+  private val SemMetaFile = "_graft_semantic_index.properties"
+
+  /** Model/layout parameters persisted with the index; `corpusRows` is
+    * the consistency witness ([[InvertedIndex]] postingRows
+    * discipline). */
+  final case class SemIndexMeta(d: Int, k: Int, iterations: Int,
+                                unitScale: Long, corpusRows: Long)
+
+  private def writeSemMeta(path: String, m: SemIndexMeta): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("d", m.d.toString); p.setProperty("k", m.k.toString)
+    p.setProperty("iterations", m.iterations.toString)
+    p.setProperty("unitScale", m.unitScale.toString)
+    p.setProperty("corpusRows", m.corpusRows.toString)
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(dir, "." + SemMetaFile, ".tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try p.store(out, "graft semantic index") finally out.close()
+    java.nio.file.Files.move(tmp, dir.resolve(SemMetaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readSemMeta(path: String): SemIndexMeta = {
+    val f = java.nio.file.Paths.get(path, SemMetaFile)
+    require(java.nio.file.Files.exists(f),
+      s"$path has no $SemMetaFile — not a graft semantic index; build with saveSemanticIndex")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    def prop(k: String): String = {
+      val v = p.getProperty(k)
+      require(v != null, s"$path/$SemMetaFile is missing '$k' — corrupt; rebuild")
+      v
+    }
+    SemIndexMeta(prop("d").toInt, prop("k").toInt, prop("iterations").toInt,
+      prop("unitScale").toLong, prop("corpusRows").toLong)
+  }
+
+  /** Fit + persist the semantic index: `centroids/` (the k·d rows the
+    * corpus assignments were computed against —
+    * [[KMeansExact.fitMicro]]'s used-centroids, so batch assignment
+    * shares the corpus's exact geometry) and `corpus/` (vec_id,
+    * embedding as double[], partitioned by cluster). */
+  def saveSemanticIndex(emb: DataFrame, d: Int, k: Int, iterations: Int,
+                        path: String): Unit = {
+    val unitScale = 1000000L
+    val (assign, centroids) = KMeansExact.fitMicro(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      d = d, k = k, iterations = iterations, unitScale = unitScale)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(assign.select(col("id").as("vec_id"), col("cluster")), "vec_id")
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
+    val n = emb.sparkSession.read.parquet(s"$path/corpus").count()
+    writeSemMeta(path, SemIndexMeta(d, k, iterations, unitScale, n))
+  }
+
+  /** Dedup a NEW batch against a [[saveSemanticIndex]] directory:
+    * returns the batch rows that survive — a batch row is dropped when
+    * some same-cluster corpus vector, or a lower-id same-cluster batch
+    * row, has `cosine >= threshold` with it. Contract: batch vec_ids
+    * are new to the index (the dd11/ir03 ingest contract). Assignment
+    * runs against the PERSISTED centroids as a broadcast join — the
+    * corpus is never re-clustered; only its matching cluster
+    * partitions are read for the dedup join (directory-partitioned).
+    * `maxClusterSize` guards the batch-side quadratic axis exactly as
+    * in [[semanticDedup]].
+    *
+    * @return (vec_id, cluster) — surviving batch rows */
+  def semanticDedupIncremental(newBatch: DataFrame, path: String,
+                               threshold: Double,
+                               maxClusterSize: Int = 100000): DataFrame = {
+    require(maxClusterSize >= 1,
+      s"maxClusterSize must be >= 1, got $maxClusterSize")
+    val spark = newBatch.sparkSession
+    val meta = readSemMeta(path)
+    val corpus = spark.read.parquet(s"$path/corpus")
+    val actual = corpus.count()
+    require(actual == meta.corpusRows,
+      s"$path: corpus has $actual rows but meta records ${meta.corpusRows} — " +
+        "stale index from an interrupted build; rebuild with saveSemanticIndex")
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // quantized long form of the batch + broadcast-centroid argmin —
+    // the assignment stage of KMeansExact.fitMicro verbatim, against
+    // the persisted geometry
+    val v = newBatch
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "__v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("__v") * meta.unitScale + 0.5).cast("long").as("x"))
+    val assigned = v.join(broadcast(centroids), "dim")
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("__dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
+    val batch = newBatch.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .join(assigned, "vec_id")
+    TextDedup.withWorkingSet(batch) { b =>
+      val wC = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+      val guarded = b
+        .withColumn("__w", count(lit(1)).over(wC))
+        .withColumn("vec_id",
+          when(col("__w") > maxClusterSize, raise_error(concat(
+            lit("semanticDedupIncremental: batch puts "), col("__w").cast("string"),
+            lit(" vectors into cluster "), col("cluster").cast("string"),
+            lit(s", over maxClusterSize=$maxClusterSize — split the batch or " +
+              "rebuild with a larger k"))))
+            .otherwise(col("vec_id")))
+        .select("vec_id", "cluster", "e")
+      val dupVsCorpus = guarded.select(col("cluster"), col("vec_id"), col("e"))
+        .join(corpus.select(col("cluster"), col("e").as("ce")), Seq("cluster"))
+        .filter(cosine_similarity(col("e"), col("ce")) >= threshold)
+        .select("vec_id")
+      val dupVsBatch = guarded.select(col("cluster"), col("vec_id").as("va"), col("e").as("ea"))
+        .join(guarded.select(col("cluster"), col("vec_id").as("vb"), col("e").as("eb")),
+          Seq("cluster"))
+        .filter(col("vb") < col("va"))
+        .filter(cosine_similarity(col("ea"), col("eb")) >= threshold)
+        .select(col("va").as("vec_id"))
+      guarded.join(dupVsCorpus.unionAll(dupVsBatch).distinct(),
+          Seq("vec_id"), "left_anti")
+        .select("vec_id", "cluster")
+    }
+  }
+
   def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 4): DataFrame = {
     val b = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
       signBucket(col("embedding"), bits).as("bucket"))

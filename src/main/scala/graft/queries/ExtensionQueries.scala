@@ -90,6 +90,17 @@ object ExtensionQueries {
         docs.filter(col("doc_id") % 10 === 0), tmp.toString)
     }
 
+  /** Persisted semantic (k-means) index over the "historical"
+    * embedding slice (vec_id % 10 != 0) for sd02, via the shared
+    * [[corpusFixture]] discipline. */
+  private def semIndexLoaded(s: SparkSession, dir: String): String =
+    corpusFixture(dir, "embeddings", "semidx") { tmp =>
+      graft.operators.Similarity.saveSemanticIndex(
+        t(s, dir).embeddings.filter(col("vec_id") % 10 =!= 0)
+          .select("vec_id", "embedding"),
+        d = 64, k = 4, iterations = 2, path = tmp.toString)
+    }
+
   /** Persisted LSH band index over the "historical" corpus slice
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
@@ -2840,6 +2851,67 @@ object ExtensionQueries {
         |ORDER BY vec_id""".stripMargin),
       (s, d) => graft.operators.Similarity.semanticDedup(
           t(s, d).embeddings, d = 64, k = 4, iterations = 2, threshold = 0.3)
+        .orderBy("vec_id")),
+
+    GraftQuery(
+      // INCREMENTAL semantic dedup (sd02, Similarity
+      // .semanticDedupIncremental): the dd11/ir03 nightly-batch
+      // discipline applied to sd01 — the "historical" slice
+      // (vec_id % 10 != 0) is fitted + deduped ONCE into a persisted
+      // index (centroids = the exact geometry the corpus assignments
+      // used, KMeansExact.fitMicro); the batch (vec_id % 10 == 0)
+      // assigns against those BROADCAST centroids (no corpus re-fit)
+      // and drops rows near a same-cluster corpus vector or a
+      // lower-id same-cluster batch row. The oracle recomputes the
+      // whole derivation: historical 2-iteration Lloyd with generic
+      // 4-smallest-id init, batch argmin against the
+      // after-one-update centroids, both dominance joins.
+      "sd02_incremental_semantic_dedup",
+      Some("""WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 <> 0),
+        |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
+        |v AS (SELECT vec_id AS id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 <> 0),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+        |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
+        |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+        |s1 AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+        |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
+        |s2 AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |vb AS (SELECT vec_id AS id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 = 0),
+        |ab AS (SELECT vb.id, c.cl, CAST(SUM((vb.x - c.c) * (vb.x - c.c)) AS BIGINT) AS dist
+        |  FROM vb JOIN c1 c ON c.i = vb.i GROUP BY 1, 2),
+        |sb AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM ab) WHERE rn = 1),
+        |wc AS (SELECT s2.id AS vec_id, s2.cl AS cluster, h.e FROM s2 JOIN h ON h.vec_id = s2.id),
+        |wb AS (SELECT sb.id AS vec_id, sb.cl AS cluster, nb.e FROM sb JOIN nb ON nb.vec_id = sb.id),
+        |dup AS (
+        |  SELECT DISTINCT b.vec_id FROM wb b JOIN wc c ON c.cluster = b.cluster
+        |  WHERE list_dot_product(b.e, c.e) /
+        |    (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(c.e, c.e))) >= 0.3
+        |  UNION
+        |  SELECT DISTINCT a.vec_id FROM wb a JOIN wb b2
+        |    ON a.cluster = b2.cluster AND b2.vec_id < a.vec_id
+        |  WHERE list_dot_product(a.e, b2.e) /
+        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))) >= 0.3)
+        |SELECT vec_id, cluster FROM wb
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+        |ORDER BY vec_id""".stripMargin),
+      (s, d) => graft.operators.Similarity.semanticDedupIncremental(
+          t(s, d).embeddings.filter(col("vec_id") % 10 === 0)
+            .select("vec_id", "embedding"),
+          semIndexLoaded(s, d), threshold = 0.3)
         .orderBy("vec_id")),
 
     GraftQuery(

@@ -90,6 +90,50 @@ class SimilaritySpec extends SparkSpec {
     assert(minIds.subsetOf(kept))
   }
 
+  test("semanticDedupIncremental: hand-checked assignment + both dominance paths") {
+    // corpus {0,2} / {1,3} as in the sd01 hand test; persisted
+    // centroids are the INIT geometry (iterations=1 → the centroids
+    // the corpus assignment actually used)
+    val corpus = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f),
+      2L -> Seq(0.9f, 0.1f), 3L -> Seq(0.1f, 0.9f))
+    val path = tmpDir("semidx-hand")
+    Similarity.saveSemanticIndex(corpus, d = 2, k = 2, iterations = 1, path)
+    // batch: 10 dups corpus 0 (cos .9986) → dropped vs corpus;
+    // 12/13 are mutual near-dups (cos ≈ 1) but far from the corpus
+    // (cos ≈ .62-.71 < .9) → 13 dropped vs lower-id batch row 12
+    val batch = emb(10L -> Seq(0.95f, 0.05f),
+      12L -> Seq(0.7f, -0.7f), 13L -> Seq(0.71f, -0.7f))
+    val got = Similarity.semanticDedupIncremental(batch, path, threshold = 0.9)
+      .as[(Long, Int)].collect().toSet
+    assert(got == Set((12L, 0)))
+    // batch-side cluster cap is guarded like sd01
+    val e = intercept[Exception](Similarity.semanticDedupIncremental(
+      batch, path, threshold = 0.9, maxClusterSize = 2).count())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("maxClusterSize=2"), msg)
+  }
+
+  test("semanticDedupIncremental: stale or foreign index fails loudly") {
+    val corpus = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val path = tmpDir("semidx-stale")
+    Similarity.saveSemanticIndex(corpus, d = 2, k = 2, iterations = 1, path)
+    // simulate a crash between the corpus write and the meta write:
+    // extra corpus rows the meta's witness does not record
+    emb(99L -> Seq(1f, 1f))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        lit(0).as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/corpus")
+    val batch = emb(10L -> Seq(0.5f, 0.5f))
+    val e = intercept[IllegalArgumentException](
+      Similarity.semanticDedupIncremental(batch, path, threshold = 0.9))
+    assert(e.getMessage.contains("stale index"))
+    val bogus = tmpDir("semidx-bogus")
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.semanticDedupIncremental(batch, bogus, threshold = 0.9))
+    assert(e2.getMessage.contains("not a graft semantic index"))
+  }
+
   test("ivf with nProbe == nLists equals brute force exactly") {
     val e = tables.embeddings
     val brute = Similarity.bruteForceTopK(e, 0L, 5).as[(Long, Double)].collect().toSeq
