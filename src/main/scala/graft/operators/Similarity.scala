@@ -253,18 +253,72 @@ object Similarity {
     * [[KMeansExact.fitMicro]]'s used-centroids, so batch assignment
     * shares the corpus's exact geometry) and `corpus/` (vec_id,
     * embedding as double[], partitioned by cluster). */
+  /** Per-row loud dimensionality check (KMeansExact declares d as
+    * caller-asserted; the PERSISTED index makes this a cross-job
+    * contract, so it is enforced at the boundary instead): a vector of
+    * the wrong length would silently join fewer dims and mis-assign. */
+  private def checkedDim(emb: DataFrame, d: Int, who: String): DataFrame =
+    emb.select(col("vec_id"),
+      when(size(col("embedding")) =!= d, raise_error(concat(
+        lit(s"$who: embedding of length "), size(col("embedding")).cast("string"),
+        lit(" for vec_id "), col("vec_id").cast("string"),
+        lit(s" does not match the index dimensionality d=$d"))))
+        .otherwise(asDouble(col("embedding"))).as("e"))
+
   def saveSemanticIndex(emb: DataFrame, d: Int, k: Int, iterations: Int,
                         path: String): Unit = {
     val unitScale = 1000000L
+    val checked = checkedDim(emb, d, "saveSemanticIndex")
     val (assign, centroids) = KMeansExact.fitMicro(
-      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      checked.select(col("vec_id").as("id"), col("e").as("vec")),
       d = d, k = k, iterations = iterations, unitScale = unitScale)
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    checked
       .join(assign.select(col("id").as("vec_id"), col("cluster")), "vec_id")
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
     val n = emb.sparkSession.read.parquet(s"$path/corpus").count()
     writeSemMeta(path, SemIndexMeta(d, k, iterations, unitScale, n))
+  }
+
+  /** Append a batch's SURVIVORS into the index corpus — the lifecycle
+    * step after [[semanticDedupIncremental]], mirroring
+    * [[InvertedIndex.appendToIndex]]: assign against the persisted
+    * centroids (the geometry never changes on append — that is the
+    * point: tomorrow's batch dedups against today's survivors under
+    * the same clusters), parquet-append into the cluster directories,
+    * update the witness. The pre-append witness check makes a
+    * previously-interrupted append fail loudly before compounding.
+    * Contract: rows are survivors with vec_ids new to the index. */
+  def appendToSemanticIndex(survivors: DataFrame, path: String): Unit = {
+    val spark = survivors.sparkSession
+    val meta = readSemMeta(path)
+    val actual = spark.read.parquet(s"$path/corpus").count()
+    require(actual == meta.corpusRows,
+      s"$path: corpus has $actual rows but meta records ${meta.corpusRows} — " +
+        "stale index from an interrupted build/append; rebuild with saveSemanticIndex")
+    val checked = checkedDim(survivors, meta.d, "appendToSemanticIndex")
+    val assigned = assignToCentroids(checked, path, meta)
+    val rows = checked.join(assigned, "vec_id").select("vec_id", "e", "cluster")
+    rows.write.mode("append").partitionBy("cluster").parquet(s"$path/corpus")
+    val added = rows.count()
+    writeSemMeta(path, meta.copy(corpusRows = meta.corpusRows + added))
+  }
+
+  /** The batch→persisted-centroid argmin, shared by the dedup and
+    * append paths (one definition of the assignment geometry). */
+  private def assignToCentroids(checked: DataFrame, path: String,
+                                meta: SemIndexMeta): DataFrame = {
+    val centroids = checked.sparkSession.read.parquet(s"$path/centroids")
+    checked
+      .select(col("vec_id"), posexplode(col("e")).as(Seq("dim", "__v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("__v") * meta.unitScale + 0.5).cast("long").as("x"))
+      .join(broadcast(centroids), "dim")
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("__dist"))
+      .groupBy("vec_id")
+      .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("m.cluster").as("cluster"))
   }
 
   /** Dedup a NEW batch against a [[saveSemanticIndex]] directory:
@@ -291,22 +345,11 @@ object Similarity {
     require(actual == meta.corpusRows,
       s"$path: corpus has $actual rows but meta records ${meta.corpusRows} — " +
         "stale index from an interrupted build; rebuild with saveSemanticIndex")
-    val centroids = spark.read.parquet(s"$path/centroids")
-    // quantized long form of the batch + broadcast-centroid argmin —
-    // the assignment stage of KMeansExact.fitMicro verbatim, against
-    // the persisted geometry
-    val v = newBatch
-      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "__v")))
-      .select(col("vec_id"), col("dim"),
-        floor(col("__v") * meta.unitScale + 0.5).cast("long").as("x"))
-    val assigned = v.join(broadcast(centroids), "dim")
-      .groupBy(col("vec_id"), col("cluster"))
-      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("__dist"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
-      .select(col("vec_id"), col("m.cluster").as("cluster"))
-    val batch = newBatch.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-      .join(assigned, "vec_id")
+    // dim-checked batch + the shared broadcast-centroid argmin (the
+    // assignment stage of KMeansExact.fitMicro verbatim, against the
+    // persisted geometry)
+    val checked = checkedDim(newBatch, meta.d, "semanticDedupIncremental")
+    val batch = checked.join(assignToCentroids(checked, path, meta), "vec_id")
     TextDedup.withWorkingSet(batch) { b =>
       val wC = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
       val guarded = b

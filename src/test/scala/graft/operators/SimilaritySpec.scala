@@ -134,6 +134,71 @@ class SimilaritySpec extends SparkSpec {
     assert(e2.getMessage.contains("not a graft semantic index"))
   }
 
+  test("appendToSemanticIndex: tomorrow's batch dedups against today's survivors") {
+    val corpus = emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+    val path = tmpDir("semidx-append")
+    Similarity.saveSemanticIndex(corpus, d = 2, k = 2, iterations = 1, path)
+    // night 1: survivor 12 is far from the corpus → appended
+    val night1 = emb(12L -> Seq(0.7f, -0.7f))
+    assert(Similarity.semanticDedupIncremental(night1, path, threshold = 0.9)
+      .count() == 1)
+    Similarity.appendToSemanticIndex(night1, path)
+    // night 2: a clone of 12 must now be dropped AGAINST THE INDEX
+    // (not via the batch-batch path — it is alone in its batch)
+    val night2 = emb(20L -> Seq(0.7f, -0.7f), 21L -> Seq(-0.7f, -0.7f))
+    val got = Similarity.semanticDedupIncremental(night2, path, threshold = 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == Set(21L), s"clone of appended survivor must drop: $got")
+    // witness maintained: a further manual append is detected as stale
+    emb(99L -> Seq(1f, 1f))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"),
+        lit(0).as("cluster"))
+      .write.mode("append").partitionBy("cluster").parquet(s"$path/corpus")
+    intercept[IllegalArgumentException](
+      Similarity.appendToSemanticIndex(emb(30L -> Seq(0.1f, 0.2f)), path))
+  }
+
+  test("semantic index: wrong-dimension embeddings fail loudly at every boundary") {
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val path = tmpDir("semidx-dim")
+    val bad = emb(0L -> Seq(1f, 0f, 5f), 1L -> Seq(0f, 1f))
+    val e1 = intercept[Exception](
+      Similarity.saveSemanticIndex(bad, d = 2, k = 2, iterations = 1, path))
+    assert(msgs(e1).contains("does not match the index dimensionality"), msgs(e1))
+    Similarity.saveSemanticIndex(emb(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f)),
+      d = 2, k = 2, iterations = 1, path)
+    val b3 = emb(10L -> Seq(0.5f, 0.5f, 0.5f))
+    val e2 = intercept[Exception](
+      Similarity.semanticDedupIncremental(b3, path, threshold = 0.9).count())
+    assert(msgs(e2).contains("d=2"), msgs(e2))
+    val e3 = intercept[Exception](Similarity.appendToSemanticIndex(b3, path))
+    assert(msgs(e3).contains("d=2"), msgs(e3))
+  }
+
+  test("plan gate: sd01/sd02 pair joins are cluster-keyed equi-joins, no single partition") {
+    val e = tables.embeddings
+    val path = tmpDir("semidx-plan")
+    Similarity.saveSemanticIndex(e.filter(col("vec_id") % 10 =!= 0)
+      .select("vec_id", "embedding"), d = 64, k = 4, iterations = 2, path)
+    spark.conf.set(TextDedup.MaterializeConf, "none")
+    try {
+      for (df <- Seq(
+        Similarity.semanticDedup(e, d = 64, k = 4, iterations = 2, threshold = 0.3),
+        Similarity.semanticDedupIncremental(
+          e.filter(col("vec_id") % 10 === 0).select("vec_id", "embedding"),
+          path, threshold = 0.3))) {
+        df.collect()
+        val plan = graft.PlanSig.finalPlanText(df)
+        assert(!plan.contains("CartesianProduct"),
+          s"no unbounded Cartesian:\n${plan.take(1500)}")
+        assert(!plan.contains("Exchange SinglePartition"),
+          s"no single-partition stage:\n${plan.take(1500)}")
+      }
+    } finally spark.conf.set(TextDedup.MaterializeConf, "local")
+  }
+
   test("ivf with nProbe == nLists equals brute force exactly") {
     val e = tables.embeddings
     val brute = Similarity.bruteForceTopK(e, 0L, 5).as[(Long, Double)].collect().toSeq
