@@ -101,6 +101,15 @@ object ExtensionQueries {
         d = 64, k = 4, iterations = 2, path = tmp.toString)
     }
 
+  /** Persisted product-quantization index over the full embedding
+    * corpus for pq02, via the shared [[corpusFixture]] discipline. */
+  private def pqIndexLoaded(s: SparkSession, dir: String): String =
+    corpusFixture(dir, "embeddings", "pqidx") { tmp =>
+      graft.operators.ProductQuantizer.savePqIndex(
+        t(s, dir).embeddings.select("vec_id", "embedding"),
+        d = 64, m = 4, k = 4, iterations = 2, path = tmp.toString)
+    }
+
   /** Persisted LSH band index over the "historical" corpus slice
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
@@ -2913,6 +2922,92 @@ object ExtensionQueries {
             .select("vec_id", "embedding"),
           semIndexLoaded(s, d), threshold = 0.3)
         .orderBy("vec_id")),
+
+    GraftQuery(
+      // Product quantization + asymmetric-distance search (pq01,
+      // operators/ProductQuantizer — Jégou et al. 2011): 64-dim
+      // vectors → 4 subspaces × 4-centroid integer codebooks (the
+      // KMeansExact discipline PER SUBSPACE), candidates scored by m
+      // lookups into the probe's precomputed m·k distance table —
+      // N·m code rows + one id-keyed sum instead of N·d arithmetic,
+      // the memory/bandwidth rung under 100 TB ANN. Everything is
+      // exact integer (quantized components, integer Lloyd, integer
+      // ADC sums), so unlike recall-banded ANN this gets a full hash
+      // oracle: the SQL unrolls both Lloyd iterations per subspace
+      // and recomputes the ADC table.
+      "pq01_product_quantization",
+      Some("""WITH v AS (SELECT vec_id AS id,
+        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+        |c0 AS (SELECT v.sub, init.cl, v.j, v.x AS c FROM v JOIN init USING (id)),
+        |a1 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.sub, s1.cl, v.j, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 ON s1.id = v.id AND s1.sub = v.sub GROUP BY 1, 2, 3),
+        |c1 AS (SELECT c0.sub, c0.cl, c0.j, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.sub = c0.sub AND c1u.cl = c0.cl AND c1u.j = c0.j),
+        |a2 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s2 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |pt AS (SELECT c1.sub, c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS pdist
+        |  FROM c1 JOIN (SELECT sub, j, x FROM v WHERE id = 0) p
+        |    ON p.sub = c1.sub AND p.j = c1.j
+        |  GROUP BY 1, 2),
+        |adc AS (SELECT s2.id AS vec_id, CAST(SUM(pt.pdist) AS BIGINT) AS dist_u
+        |  FROM s2 JOIN pt ON pt.sub = s2.sub AND pt.cl = s2.cl
+        |  WHERE s2.id <> 0 GROUP BY 1)
+        |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin),
+      (s, d) => graft.operators.ProductQuantizer.adcTopK(
+          t(s, d).embeddings, probeId = 0L, topK = 10,
+          d = 64, m = 4, k = 4, iterations = 2)),
+
+    GraftQuery(
+      // PQ search against the PERSISTED index (pq02 — the production
+      // path, the q26_ivf_loaded / ir04 discipline): the fit is
+      // amortized into the fixture; the query reads ONLY the N·m code
+      // table + m·k centroid rows, builds the probe's ADC lookup
+      // table, and reduces — the raw embedding column is never
+      // touched at query time. The oracle is pq01's full
+      // recomputation: hash equality proves the persisted index IS
+      // the derivation.
+      "pq02_pq_indexed",
+      Some("""WITH v AS (SELECT vec_id AS id,
+        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+        |c0 AS (SELECT v.sub, init.cl, v.j, v.x AS c FROM v JOIN init USING (id)),
+        |a1 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.sub, s1.cl, v.j, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 ON s1.id = v.id AND s1.sub = v.sub GROUP BY 1, 2, 3),
+        |c1 AS (SELECT c0.sub, c0.cl, c0.j, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.sub = c0.sub AND c1u.cl = c0.cl AND c1u.j = c0.j),
+        |a2 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s2 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |pt AS (SELECT c1.sub, c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS pdist
+        |  FROM c1 JOIN (SELECT sub, j, x FROM v WHERE id = 0) p
+        |    ON p.sub = c1.sub AND p.j = c1.j
+        |  GROUP BY 1, 2),
+        |adc AS (SELECT s2.id AS vec_id, CAST(SUM(pt.pdist) AS BIGINT) AS dist_u
+        |  FROM s2 JOIN pt ON pt.sub = s2.sub AND pt.cl = s2.cl
+        |  WHERE s2.id <> 0 GROUP BY 1)
+        |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin),
+      (s, d) => graft.operators.ProductQuantizer.adcTopKIndexed(
+          t(s, d).embeddings.filter(col("vec_id") === 0L)
+            .select("vec_id", "embedding"),
+          pqIndexLoaded(s, d), topK = 10)),
 
     GraftQuery(
       // 2-D skyline / Pareto frontier (operators/Skyline): parts that

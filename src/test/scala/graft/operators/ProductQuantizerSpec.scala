@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ProductQuantizerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb(rows: (Long, Seq[Float])*) =
+    rows.toDF("vec_id", "embedding")
+
+  test("codes: each vector takes its nearest per-subspace centroid, hand-checked") {
+    // d=4, m=2 (subspaces [0,1] and [2,3]), k=2, 1 iteration → the
+    // codebooks ARE the two seed vectors' subvectors (ids 0, 1)
+    val df = emb(
+      0L -> Seq(1f, 0f, 0f, 1f),    // seed: sub0 centroid 0 = (1,0); sub1 c0 = (0,1)
+      1L -> Seq(0f, 1f, 1f, 0f),    // seed: sub0 centroid 1 = (0,1); sub1 c1 = (1,0)
+      2L -> Seq(0.9f, 0f, 0.9f, 0f), // sub0 → c0 (near (1,0)); sub1 → c1 (near (1,0))
+      3L -> Seq(0f, 0.9f, 0f, 0.9f)) // sub0 → c1; sub1 → c0
+    val (codes, _) = ProductQuantizer.fitCodes(df, d = 4, m = 2, k = 2,
+      iterations = 1)
+    val got = codes.as[(Long, Int, Int)].collect().toSet
+    assert(got == Set(
+      (0L, 0, 0), (0L, 1, 0), (1L, 0, 1), (1L, 1, 1),
+      (2L, 0, 0), (2L, 1, 1), (3L, 0, 1), (3L, 1, 0)))
+  }
+
+  test("ADC distance equals the exact distance when codes are exact (centroid-coincident)") {
+    // vectors equal to the seeds → quantization error is ZERO, so the
+    // ADC distance from probe 0 must equal the true integer distance
+    val df = emb(
+      0L -> Seq(1f, 0f, 0f, 1f),
+      1L -> Seq(0f, 1f, 1f, 0f))
+    val got = ProductQuantizer.adcTopK(df, probeId = 0L, topK = 5,
+        d = 4, m = 2, k = 2, iterations = 1)
+      .as[(Long, Long)].collect().toSeq
+    // per dim: (1e6)^2 difference ×4 dims = 4e12
+    assert(got == Seq((1L, 4000000000000L)))
+  }
+
+  test("guards: d % m, k, topK, iterations validated") {
+    val df = emb(0L -> Seq(1f, 0f, 0f, 1f))
+    intercept[IllegalArgumentException](
+      ProductQuantizer.fitCodes(df, d = 4, m = 3, k = 2, iterations = 1))
+    intercept[IllegalArgumentException](
+      ProductQuantizer.fitCodes(df, d = 4, m = 2, k = 0, iterations = 1))
+    intercept[IllegalArgumentException](
+      ProductQuantizer.adcTopK(df, 0L, topK = 0, d = 4, m = 2, k = 1, iterations = 1))
+    intercept[IllegalArgumentException](
+      ProductQuantizer.fitCodes(df, d = 4, m = 2, k = 1, iterations = 0))
+  }
+
+  test("ADC ranking tracks the exact ranking on testdata (recall sanity)") {
+    val e = tables.embeddings
+    val pq = ProductQuantizer.adcTopK(e, probeId = 0L, topK = 20,
+        d = 64, m = 4, k = 4, iterations = 2)
+      .select("vec_id").as[Long].collect().toSet
+    // exact integer-quantized L2 top-20 (same micro-unit quantization)
+    val v = e.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .select(col("vec_id"), col("dim"),
+        floor(col("__v").cast("double") * 1000000L + 0.5).cast("long").as("x"))
+    val probe = v.filter(col("vec_id") === 0L)
+      .select(col("dim"), col("x").as("px"))
+    val exact = v.filter(col("vec_id") =!= 0L).join(probe, "dim")
+      .groupBy("vec_id")
+      .agg(sum((col("x") - col("px")) * (col("x") - col("px"))).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(20)
+      .select("vec_id").as[Long].collect().toSet
+    // PQ with 4x4 codebooks over near-random vectors is coarse; demand
+    // a NONTRIVIAL overlap, not equality (the full-hash gate is the
+    // ORACLE's job — it pins the ADC arithmetic, this pins usefulness)
+    assert((pq & exact).size >= 4,
+      s"ADC top-20 shares ${(pq & exact).size} of exact top-20 — quantizer is broken")
+  }
+
+  test("indexed ADC equals the inline fit+search; stale/foreign index loud") {
+    val e = tables.embeddings
+    val path = tmpDir("pqidx")
+    ProductQuantizer.savePqIndex(e, d = 64, m = 4, k = 4, iterations = 2, path)
+    val probe = e.filter(col("vec_id") === 0L).select("vec_id", "embedding")
+    val indexed = ProductQuantizer.adcTopKIndexed(probe, path, topK = 10)
+      .as[(Long, Long)].collect().toSeq
+    val inline = ProductQuantizer.adcTopK(e, probeId = 0L, topK = 10,
+        d = 64, m = 4, k = 4, iterations = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(indexed == inline && indexed.size == 10)
+    // wrong-width probe is a loud contract violation
+    val bad = Seq((0L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    val e1 = intercept[Exception](
+      ProductQuantizer.adcTopKIndexed(bad, path, topK = 5).collect())
+    val msg = Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("d=64"), msg)
+    // extra code rows without a meta update = stale, detected
+    spark.range(1).select(lit(0).as("sub"), lit(0).as("cluster"),
+      lit(999999L).as("id"))
+      .write.mode("append").parquet(s"$path/codes")
+    intercept[IllegalArgumentException](
+      ProductQuantizer.adcTopKIndexed(probe, path, topK = 5))
+    val bogus = tmpDir("pqidx-bogus")
+    intercept[IllegalArgumentException](
+      ProductQuantizer.adcTopKIndexed(probe, bogus, topK = 5))
+  }
+
+  test("determinism: codes and top-k invariant under input partitioning") {
+    val e = tables.embeddings
+    def run(df: org.apache.spark.sql.DataFrame) =
+      ProductQuantizer.adcTopK(df, probeId = 3L, topK = 10,
+        d = 64, m = 4, k = 4, iterations = 2)
+        .as[(Long, Long)].collect().toSeq
+    assert(run(e) == run(e.repartition(17)))
+  }
+}
