@@ -44,23 +44,33 @@ object ProductQuantizer {
   def fitCodes(emb: DataFrame, d: Int, m: Int, k: Int, iterations: Int,
                unitScale: Long = 1000000L): (DataFrame, DataFrame) = {
     require(m >= 1 && d % m == 0, s"d=$d must be divisible by m=$m")
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val subDim = d / m
     val v = emb
       .select(col("vec_id").as("id"), posexplode(col("embedding")).as(Seq("dim", "__v")))
       .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
         (col("dim") % subDim).cast("int").as("j"),
         floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
+    fitCodesFromLong(v, emb.select(col("vec_id").as("id")), k, iterations)
+  }
+
+  /** The Lloyd core over an ALREADY-INTEGER long form (id, sub, j, x) —
+    * shared by [[fitCodes]] (micro-quantized raw vectors) and the
+    * IVF-PQ residual path ([[ivfPqTopK]]: residuals are differences of
+    * micro-units, already exact integers). `ids` supplies the id
+    * universe for the smallest-k init. */
+  private[operators] def fitCodesFromLong(v: DataFrame, ids: DataFrame,
+                                          k: Int, iterations: Int): (DataFrame, DataFrame) = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // the working-set persist discipline by hand: this returns a
     // (codes, centroids) PAIR, which withWorkingSet's DataFrame
     // signature cannot carry — both results are round-checkpointed
     // before the unpersist, so the lifetime contract is identical
-    val eagerHere = TextDedup.eagerMode(emb.sparkSession)
+    val eagerHere = TextDedup.eagerMode(v.sparkSession)
     val vw = if (eagerHere)
       v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else v
     try {
-      val smallK = emb.select(col("vec_id").as("id")).orderBy("id").limit(k)
+      val smallK = ids.orderBy("id").limit(k)
         .withColumn("cluster",
           (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       require(smallK.count() == k, s"product quantizer needs at least k=$k vectors")
@@ -184,6 +194,85 @@ object ProductQuantizer {
     codes
       .join(broadcast(table), Seq("sub", "cluster"))
       .filter(col("id") =!= col("__pid"))
+      .groupBy(col("id").as("vec_id"))
+      .agg(sum("pdist").as("dist_u"))
+      .orderBy(col("dist_u"), col("vec_id"))
+      .limit(topK)
+  }
+
+  /** IVF-PQ (Jégou et al.'s IVFADC — the standard billion-scale ANN
+    * stack, composed from the house pieces): a coarse integer k-means
+    * ([[KMeansExact.fitMicro]]) partitions the corpus into lists; the
+    * product quantizer is trained on the RESIDUALS (vector − assigned
+    * coarse centroid — exact integer differences of micro-units, so
+    * determinism survives the composition); a probe visits only its
+    * `nProbe` nearest lists, and candidates there are scored by ADC
+    * over the residual codes with a PER-LIST lookup table (the probe's
+    * residual differs per list).
+    *
+    * Scale shape: search touches nProbe/kCoarse of the code table
+    * (list-pruned — IVF's lever) and does m lookups per candidate
+    * (PQ's lever); the only candidate-sized work is one id-keyed sum.
+    * Every stage is the already-gated machinery of km01 + pq01 —
+    * this entry proves they COMPOSE (the er01 precedent).
+    *
+    * @return (vec_id, dist_u) top-`topK` by integer ADC distance
+    *         ascending, vec_id tie-break, probe excluded */
+  def ivfPqTopK(emb: DataFrame, probeId: Long, topK: Int, d: Int, m: Int,
+                kCoarse: Int, coarseIterations: Int,
+                kPq: Int, pqIterations: Int, nProbe: Int,
+                unitScale: Long = 1000000L): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(nProbe >= 1 && nProbe <= kCoarse,
+      s"nProbe must be in [1, kCoarse=$kCoarse], got $nProbe")
+    require(m >= 1 && d % m == 0, s"d=$d must be divisible by m=$m")
+    val subDim = d / m
+    val (coarseAssign, coarseCentroids) = KMeansExact.fitMicro(
+      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
+      d = d, k = kCoarse, iterations = coarseIterations, unitScale = unitScale)
+    val v = emb
+      .select(col("vec_id").as("id"), posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .select(col("id"), col("dim"),
+        floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
+    // residuals against the ASSIGNED coarse centroid, already integer
+    val rv = v
+      .join(coarseAssign.select(col("id"), col("cluster").as("__cc")), "id")
+      .join(broadcast(coarseCentroids.select(col("cluster").as("__cc"),
+        col("dim"), col("c"))), Seq("__cc", "dim"))
+      .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
+        (col("dim") % subDim).cast("int").as("j"),
+        (col("x") - col("c")).as("x"))
+    val (codes, residCentroids) =
+      fitCodesFromLong(rv, emb.select(col("vec_id").as("id")), kPq, pqIterations)
+    // probe's nProbe nearest coarse lists (exact integer distance over
+    // kCoarse broadcast rows — orderBy/limit on a k-row frame)
+    val pv = v.filter(col("id") === probeId).select(col("dim"), col("x").as("px"))
+    val probed = coarseCentroids.join(broadcast(pv), "dim")
+      .groupBy(col("cluster").as("__cc"))
+      .agg(sum((col("px") - col("c")) * (col("px") - col("c"))).as("__cdist"))
+      .orderBy(col("__cdist"), col("__cc"))
+      .limit(nProbe)
+      .select("__cc")
+    // per-list probe residuals → per-list ADC tables over the residual
+    // codebooks (nProbe·m·kPq rows — broadcast-tiny)
+    val prx = coarseCentroids
+      .join(broadcast(probed.withColumnRenamed("__cc", "cluster")), "cluster")
+      .join(broadcast(pv), "dim")
+      .select(col("cluster").as("__cc"),
+        (col("dim") / subDim).cast("int").as("sub"),
+        (col("dim") % subDim).cast("int").as("j"),
+        (col("px") - col("c")).as("rx"))
+    val table = prx
+      .join(broadcast(residCentroids.select(col("sub"), col("cluster"), col("j"),
+        col("c"))), Seq("sub", "j"))
+      .groupBy("__cc", "sub", "cluster")
+      .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("pdist"))
+    // candidates: codes of vectors living in the probed lists
+    codes
+      .join(coarseAssign.select(col("id"), col("cluster").as("__cc")), "id")
+      .join(broadcast(probed), Seq("__cc"), "left_semi")
+      .filter(col("id") =!= probeId)
+      .join(broadcast(table), Seq("__cc", "sub", "cluster"))
       .groupBy(col("id").as("vec_id"))
       .agg(sum("pdist").as("dist_u"))
       .orderBy(col("dist_u"), col("vec_id"))

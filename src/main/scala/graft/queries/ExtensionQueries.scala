@@ -3010,6 +3010,68 @@ object ExtensionQueries {
           pqIndexLoaded(s, d), topK = 10)),
 
     GraftQuery(
+      // IVF-PQ (pq03, ProductQuantizer.ivfPqTopK — Jégou et al.'s
+      // IVFADC, the standard billion-scale ANN stack): km01's coarse
+      // integer k-means partitions the corpus into lists; the product
+      // quantizer trains on the RESIDUALS (integer differences of
+      // micro-units — determinism survives the composition); the
+      // probe visits its 2 nearest of 4 lists and scores candidates
+      // by ADC with a PER-LIST lookup table. Search cost =
+      // nProbe/kCoarse of the code table + m lookups per candidate.
+      // The oracle recomputes the whole stack: coarse Lloyd (2
+      // iterations), residuals, residual codebooks (1 iteration),
+      // list probing, per-list tables, candidate sums.
+      "pq03_ivfpq",
+      Some("""WITH v AS (SELECT vec_id AS id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+        |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
+        |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+        |s1 AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
+        |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+        |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
+        |s2 AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |rv AS (SELECT v.id, CAST((v.i - 1) // 16 AS INTEGER) AS sub,
+        |    CAST((v.i - 1) % 16 AS INTEGER) AS j, v.x - c1.c AS x
+        |  FROM v JOIN s2 ON s2.id = v.id JOIN c1 ON c1.cl = s2.cl AND c1.i = v.i),
+        |rinit AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM rv ORDER BY id LIMIT 4)),
+        |rc0 AS (SELECT rv.sub, rinit.cl, rv.j, rv.x AS c FROM rv JOIN rinit USING (id)),
+        |ra1 AS (SELECT rv.id, rv.sub, c.cl, CAST(SUM((rv.x - c.c) * (rv.x - c.c)) AS BIGINT) AS dist
+        |  FROM rv JOIN rc0 c ON c.sub = rv.sub AND c.j = rv.j GROUP BY 1, 2, 3),
+        |rs1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ra1) WHERE rn = 1),
+        |pl AS (SELECT cl AS cc FROM (SELECT c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS cdist
+        |    FROM c1 JOIN (SELECT i, x FROM v WHERE id = 0) p ON p.i = c1.i GROUP BY 1)
+        |  ORDER BY cdist, cl LIMIT 2),
+        |prx AS (SELECT c1.cl AS cc, CAST((c1.i - 1) // 16 AS INTEGER) AS sub,
+        |    CAST((c1.i - 1) % 16 AS INTEGER) AS j, p.x - c1.c AS rx
+        |  FROM c1 JOIN pl ON pl.cc = c1.cl
+        |  JOIN (SELECT i, x FROM v WHERE id = 0) p ON p.i = c1.i),
+        |tbl AS (SELECT prx.cc, rc0.sub, rc0.cl, CAST(SUM((prx.rx - rc0.c) * (prx.rx - rc0.c)) AS BIGINT) AS pdist
+        |  FROM prx JOIN rc0 ON rc0.sub = prx.sub AND rc0.j = prx.j GROUP BY 1, 2, 3),
+        |cand AS (SELECT rs1.id, s2.cl AS cc, rs1.sub, rs1.cl
+        |  FROM rs1 JOIN s2 ON s2.id = rs1.id
+        |  WHERE s2.cl IN (SELECT cc FROM pl) AND rs1.id <> 0),
+        |adc AS (SELECT cand.id AS vec_id, CAST(SUM(tbl.pdist) AS BIGINT) AS dist_u
+        |  FROM cand JOIN tbl ON tbl.cc = cand.cc AND tbl.sub = cand.sub AND tbl.cl = cand.cl
+        |  GROUP BY 1)
+        |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin),
+      (s, d) => graft.operators.ProductQuantizer.ivfPqTopK(
+          t(s, d).embeddings, probeId = 0L, topK = 10, d = 64, m = 4,
+          kCoarse = 4, coarseIterations = 2, kPq = 4, pqIterations = 1,
+          nProbe = 2)),
+
+    GraftQuery(
       // 2-D skyline / Pareto frontier (operators/Skyline): parts that
       // are cheapest for their size class — no other part is both no
       // pricier and no smaller with one strict. The oracle runs the

@@ -103,6 +103,33 @@ class ProductQuantizerSpec extends SparkSpec {
       ProductQuantizer.adcTopKIndexed(probe, bogus, topK = 5))
   }
 
+  test("ivfPqTopK: nProbe == kCoarse visits everything; guards validated") {
+    val e = tables.embeddings
+    // with all lists probed, IVF prunes nothing: the candidate set is
+    // the full corpus and every returned distance is a genuine ADC sum
+    val all = ProductQuantizer.ivfPqTopK(e, probeId = 0L, topK = 10,
+        d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+        kPq = 4, pqIterations = 1, nProbe = 4)
+      .as[(Long, Long)].collect().toSeq
+    assert(all.size == 10 && all == all.sortBy(r => (r._2, r._1)))
+    // pruned probes return a SUBSET of lists' candidates — still 10
+    // rows here, and distances are the same arithmetic
+    val pruned = ProductQuantizer.ivfPqTopK(e, probeId = 0L, topK = 10,
+        d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+        kPq = 4, pqIterations = 1, nProbe = 2)
+      .as[(Long, Long)].collect().toSeq
+    assert(pruned.size == 10)
+    val allDist = all.toMap
+    assert(pruned.forall { case (id, dst) => allDist.get(id).forall(_ == dst) },
+      "a candidate's ADC distance must not depend on how many lists were probed")
+    intercept[IllegalArgumentException](ProductQuantizer.ivfPqTopK(
+      e, 0L, 10, d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+      kPq = 4, pqIterations = 1, nProbe = 5))
+    intercept[IllegalArgumentException](ProductQuantizer.ivfPqTopK(
+      e, 0L, 0, d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+      kPq = 4, pqIterations = 1, nProbe = 2))
+  }
+
   test("determinism: codes and top-k invariant under input partitioning") {
     val e = tables.embeddings
     def run(df: org.apache.spark.sql.DataFrame) =
