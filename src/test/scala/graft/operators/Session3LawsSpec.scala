@@ -71,4 +71,28 @@ class Session3LawsSpec extends SparkSpec {
         (col("l_returnflag") === "R").as("y")), "q", "y"),
       tables.lineitem.limit(5000), "dt01")
   }
+
+  // ------------------------------------------- round-16 additions
+
+  test("semanticDedup survivors are partitioning-invariant") {
+    invariant(
+      Similarity.semanticDedup(_, d = 64, k = 4, iterations = 2,
+        threshold = 0.3),
+      tables.embeddings, "sd01")
+  }
+
+  test("PQ ADC top-k is partitioning-invariant") {
+    invariant(
+      ProductQuantizer.adcTopK(_, probeId = 0L, topK = 10,
+        d = 64, m = 4, k = 4, iterations = 2),
+      tables.embeddings, "pq01")
+  }
+
+  test("IVF-PQ top-k is partitioning-invariant (composition preserves it)") {
+    invariant(
+      ProductQuantizer.ivfPqTopK(_, probeId = 0L, topK = 10, d = 64, m = 4,
+        kCoarse = 4, coarseIterations = 2, kPq = 4, pqIterations = 1,
+        nProbe = 2),
+      tables.embeddings, "pq03")
+  }
 }
