@@ -34,6 +34,36 @@ import org.apache.spark.sql.functions._
   */
 object FuzzyJoin {
 
+  /** Default equal-key block-width cap for the prefix-token candidate
+    * joins ([[qgramJoin]], [[jaroWinklerJoin]]): natural blocks are
+    * small by construction (tokens are rarest-document-frequency-first,
+    * so hot tokens sit outside most prefixes) — only mass duplication
+    * of one string builds a wide block, and C(64k, 2) ≈ 2·10⁹ candidate
+    * pairs from one key is already a straggler that deserves a loud
+    * death over a silent one. */
+  val DefaultMaxBlockSize: Int = 65536
+
+  /** The shared block-width guard: raise_error per (gram, occ) token
+    * block wider than `cap`, with the count riding a window partitioned
+    * on the SAME (gram, occ) key the candidate self-join shuffles on —
+    * the guard costs a sort inside the exchange the join pays for
+    * regardless (Baskets.withPrunedPairs:64-75 discipline). */
+  private def blockGuarded(prefix: DataFrame, cap: Int, who: String): DataFrame = {
+    val wBlk = org.apache.spark.sql.expressions.Window.partitionBy("gram", "occ")
+    prefix
+      .withColumn("__blk", count(lit(1)).over(wBlk))
+      .withColumn("__id",
+        when(col("__blk") > cap, raise_error(concat(
+          lit(s"$who: prefix token ('"), col("gram"), lit("', occ "),
+          col("occ").cast("string"), lit(") is shared by "),
+          col("__blk").cast("string"),
+          lit(s" strings, over maxBlockSize=$cap; the candidate join is " +
+            "quadratic in block width — exact-dedup cloned strings " +
+            "upstream (q25/dd01) or raise the cap deliberately"))))
+          .otherwise(col("__id")))
+      .select(col("__id"), col("__s"), col("gram"), col("occ"))
+  }
+
   /** EXACT fuzzy self-join via count-filtered q-gram prefix blocking —
     * the COMPLETE-recall counterpart of [[sortedNeighborhood]] (the
     * SSJoin/PPJoin family, public literature): every pair with edit
@@ -58,12 +88,24 @@ object FuzzyJoin {
     * string needs > q*d grams (length >= q*d + q), else the count
     * bound is vacuous for that string and NO prefix filter is sound.
     *
+    * @param maxBlockSize loud cap on the equal-(gram, occ) prefix-token
+    *   block width — the candidate join's quadratic skew axis (the
+    *   Baskets basket-width / semanticDedup cluster-size discipline):
+    *   one string cloned C times shares every prefix token, so a single
+    *   (gram, occ) key emits C(C,2) candidate pairs. The width count
+    *   rides a window on the join's own (gram, occ) shuffle, so the job
+    *   dies naming the token BEFORE any pair row materializes. Callers
+    *   hitting the cap should exact-dedup clones upstream (q25/dd01 —
+    *   identical strings are by definition edit-distance 0), not raise
+    *   the cap.
     * @return (id_a, id_b, dist), id_a < id_b, exact and complete
     */
   def qgramJoin(df: DataFrame, idCol: String, strCol: String,
-                q: Int = 2, maxDistance: Int = 2): DataFrame = {
+                q: Int = 2, maxDistance: Int = 2,
+                maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
     require(q >= 1, s"q must be >= 1, got $q")
     require(maxDistance >= 1, s"maxDistance must be >= 1, got $maxDistance")
+    require(maxBlockSize >= 1, s"maxBlockSize must be >= 1, got $maxBlockSize")
     val prefixLen = q * maxDistance + 1
     val minLen = q * maxDistance + q
     // Loud preconditions — the complete-recall contract is only sound
@@ -99,10 +141,11 @@ object FuzzyJoin {
         val dfreq = tk.groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("__id").orderBy(col("__df"), col("gram"), col("occ"))
-        val prefix = tk.join(dfreq, "gram")
+        val prefix = blockGuarded(tk.join(dfreq, "gram")
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= prefixLen)
-          .select(col("__id"), col("__s"), col("gram"), col("occ"))
+          .select(col("__id"), col("__s"), col("gram"), col("occ")),
+          maxBlockSize, "qgramJoin")
         val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
             col("gram"), col("occ"))
           .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),
@@ -163,13 +206,18 @@ object FuzzyJoin {
     *   reasons in Spark's code-point space — no longer provably covers
     *   astral-plane (surrogate-pair) strings. `true` raise_errors on
     *   the first non-ASCII key instead of silently scoring it
-    *   (JaroWinklerSpec pins the divergence as a tested fact). */
+    *   (JaroWinklerSpec pins the divergence as a tested fact).
+    * @param maxBlockSize loud equal-(gram, occ) block-width cap — the
+    *   [[qgramJoin]] contract verbatim (cloned strings share every
+    *   prefix token; the guard rides the join's own shuffle). */
   def jaroWinklerJoin(df: DataFrame, idCol: String, strCol: String,
                       threshold: Double,
-                      requireAscii: Boolean = false): DataFrame = {
+                      requireAscii: Boolean = false,
+                      maxBlockSize: Int = DefaultMaxBlockSize): DataFrame = {
     require(threshold >= 0.81 && threshold < 1.0,
       s"threshold must be in [0.81, 1.0) — below 0.81 the Jaro bound " +
         s"(θj = (θ-0.4)/0.6) drops to 2/3 where no prefix filter is sound; got $threshold")
+    require(maxBlockSize >= 1, s"maxBlockSize must be >= 1, got $maxBlockSize")
     val thetaJ = (threshold - 0.4) / 0.6
     val ratio = 3.0 * thetaJ - 2.0   // admissible-length factor, > 0
     val overlap = 3.0 * thetaJ - 1.0 // shared-character factor, > 1
@@ -208,10 +256,11 @@ object FuzzyJoin {
         val dfreq = tk.groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("__id").orderBy(col("__df"), col("gram"), col("occ"))
-        val prefix = tk.join(dfreq, "gram")
+        val prefix = blockGuarded(tk.join(dfreq, "gram")
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= col("__len") - col("__k") + 1)
-          .select(col("__id"), col("__s"), col("gram"), col("occ"))
+          .select(col("__id"), col("__s"), col("gram"), col("occ")),
+          maxBlockSize, "jaroWinklerJoin")
         val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
             col("gram"), col("occ"))
           .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),

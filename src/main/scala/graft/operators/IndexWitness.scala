@@ -1,0 +1,63 @@
+package graft.operators
+
+/** Filesystem-METADATA consistency witness for persisted index
+  * directories ([[ProductQuantizer]], [[Similarity]] semantic index,
+  * [[InvertedIndex]]) — the r16-advisory fix for the per-query
+  * `count()` witness: instead of running a Spark job over the whole
+  * code/corpus/posting table before every search (pointless at a
+  * billion-row index), the save/append path records a fingerprint of
+  * the data FILE LISTING (sorted relative paths + byte sizes, hashed)
+  * in the index meta, and the query path re-lists the directory and
+  * compares — O(#files) filesystem metadata, zero Spark jobs, zero
+  * data pages read.
+  *
+  * What it catches, loudly: any interrupted build or append that
+  * touched the data tree — extra files (append without a meta update),
+  * missing files (partial overwrite), truncated or grown files (size
+  * change), renamed layout. A rebuild with identical row COUNTS but
+  * different parameters also changes the listing (Spark writes fresh
+  * task-UUID file names), which the old row-count witness could not
+  * see. What it deliberately does not catch: in-place byte corruption
+  * at identical length — parquet's own page checksums own that layer.
+  *
+  * Hidden entries (names starting with `_` or `.`: `_SUCCESS`, the
+  * meta sidecar itself, temp files) are excluded, matching Spark's own
+  * data-file visibility convention. Local-filesystem `java.nio` walk,
+  * consistent with the meta sidecar I/O beside it; the production
+  * mapping is the same listing through the object store's LIST call —
+  * still metadata-priced, still no data scan.
+  */
+object IndexWitness {
+
+  /** Fingerprint of `dir`'s visible data files: sha-256 over the
+    * sorted `relativePath|byteSize` listing. */
+  def fingerprint(dir: String): String = {
+    val root = java.nio.file.Paths.get(dir)
+    require(java.nio.file.Files.isDirectory(root),
+      s"$dir is not a directory — cannot fingerprint an index that is not there")
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    val stream = java.nio.file.Files.walk(root)
+    try {
+      stream.forEach { p =>
+        val name = p.getFileName.toString
+        if (java.nio.file.Files.isRegularFile(p) &&
+            !name.startsWith("_") && !name.startsWith("."))
+          entries += s"${root.relativize(p)}|${java.nio.file.Files.size(p)}"
+      }
+    } finally stream.close()
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
+    md.digest().map("%02x".format(_)).mkString
+  }
+
+  /** Loud staleness check: the recorded fingerprint vs the directory's
+    * current listing. `what`/`hint` compose the caller's error idiom
+    * (e.g. "stale index from an interrupted build; rebuild with
+    * savePqIndex"). */
+  def check(dir: String, expected: String, what: String, hint: String): Unit = {
+    val actual = fingerprint(dir)
+    require(actual == expected,
+      s"$dir: data-file listing fingerprint $actual does not match the meta's " +
+        s"$expected — $what; $hint")
+  }
+}

@@ -61,7 +61,7 @@ object InvertedIndex {
     * instead of silently mis-scoring BM25: [[appendToIndex]] and
     * [[verifyIndex]] compare it against the index and fail loudly. */
   final case class IndexMeta(nBuckets: Int, docCount: Long, totalTokens: Long,
-                             postingRows: Long)
+                             postingRows: Long, dataFp: String)
 
   /** (term, doc_id, tf, dl) posting rows over the shared [[tokens]]
     * convention — one corpus scan + one (term, doc) aggregation; `dl`
@@ -86,6 +86,7 @@ object InvertedIndex {
     p.setProperty("docCount", meta.docCount.toString)
     p.setProperty("totalTokens", meta.totalTokens.toString)
     p.setProperty("postingRows", meta.postingRows.toString)
+    p.setProperty("dataFp", meta.dataFp)
     val dir = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(dir, "." + MetaFile, ".tmp")
     val out = java.nio.file.Files.newOutputStream(tmp)
@@ -109,16 +110,18 @@ object InvertedIndex {
       v
     }
     IndexMeta(prop("nBuckets").toInt, prop("docCount").toLong,
-      prop("totalTokens").toLong, prop("postingRows").toLong)
+      prop("totalTokens").toLong, prop("postingRows").toLong, prop("dataFp"))
   }
 
-  /** Loud stats-consistency check: the meta's `postingRows` witness vs
-    * the index's actual row count (a no-column parquet count — footer
-    * metadata, not data pages). A mismatch means a crash landed between
-    * a parquet append and its meta write, so docCount/totalTokens are
-    * stale and BM25 would silently mis-score — rebuild or re-run the
-    * append. [[appendToIndex]] runs this automatically before every
-    * append (stale stats cannot compound); call it directly after any
+  /** Loud stats-consistency check: the meta's [[IndexWitness]]
+    * file-listing fingerprint vs the directory's current listing — a
+    * filesystem-METADATA comparison, no Spark job, no footer read (r16
+    * advisory; the previous form counted the whole posting table). A
+    * mismatch means a crash landed between a parquet append and its
+    * meta write, so docCount/totalTokens are stale and BM25 would
+    * silently mis-score — rebuild or re-run the append.
+    * [[appendToIndex]] runs this automatically before every append
+    * (stale stats cannot compound); call it directly after any
     * suspected interrupted append before trusting ranked retrieval. */
   def verifyIndex(spark: SparkSession, path: String): IndexMeta =
     verifyIndex(spark, path, "rebuild with saveIndex")
@@ -126,11 +129,9 @@ object InvertedIndex {
   private def verifyIndex(spark: SparkSession, path: String,
                           hint: String): IndexMeta = {
     val meta = readMeta(path, hint)
-    val actual = spark.read.parquet(path).count()
-    require(actual == meta.postingRows,
-      s"$path: index has $actual posting rows but meta records " +
-        s"${meta.postingRows} — stale stats from an interrupted append; " +
-        "rebuild with saveIndex (or restore the pre-append state and re-append)")
+    IndexWitness.check(path, meta.dataFp,
+      "stale stats from an interrupted append",
+      "rebuild with saveIndex (or restore the pre-append state and re-append)")
     meta
   }
 
@@ -140,6 +141,11 @@ object InvertedIndex {
     * persisting the full posting build just to aggregate it twice). */
   def saveIndex(docs: DataFrame, path: String, nBuckets: Int = 16): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    // Old meta deleted before the overwrite, new meta last: a crash
+    // mid-rebuild leaves a loud no-meta state (the savePqIndex
+    // ordering discipline).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, MetaFile))
     buildPostings(docs)
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(path)
@@ -148,7 +154,8 @@ object InvertedIndex {
       count_distinct(col("doc_id")).as("n"),
       coalesce(sum(col("tf")), lit(0L)).as("sumdl"),
       count(lit(1)).as("rows")).head()
-    writeMeta(path, IndexMeta(nBuckets, st.getLong(0), st.getLong(1), st.getLong(2)))
+    writeMeta(path, IndexMeta(nBuckets, st.getLong(0), st.getLong(1), st.getLong(2),
+      IndexWitness.fingerprint(path)))
   }
 
   /** INCREMENTAL index maintenance — the [[TextDedup.saveBandIndex]] /
@@ -164,8 +171,8 @@ object InvertedIndex {
   def appendToIndex(newDocs: DataFrame, path: String): Unit = {
     // Pre-append witness check: if a PREVIOUS append crashed between
     // its parquet write and its meta write, the stats are stale — fail
-    // here, loudly, before compounding the drift (one footer-only count
-    // per nightly append; never rides the query path).
+    // here, loudly, before compounding the drift (a file-listing
+    // fingerprint: filesystem metadata only, no job).
     val meta = verifyIndex(newDocs.sparkSession, path, "build with saveIndex first")
     // Persist the (nightly-sized) batch postings: they feed both the
     // append write and the stats delta — corpus stats stay maintained
@@ -181,7 +188,8 @@ object InvertedIndex {
         count(lit(1)).as("rows")).head()
       writeMeta(path, meta.copy(docCount = meta.docCount + st.getLong(0),
         totalTokens = meta.totalTokens + st.getLong(1),
-        postingRows = meta.postingRows + st.getLong(2)))
+        postingRows = meta.postingRows + st.getLong(2),
+        dataFp = IndexWitness.fingerprint(path)))
     } finally batch.unpersist()
   }
 

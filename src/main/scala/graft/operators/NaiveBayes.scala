@@ -46,8 +46,15 @@ object NaiveBayes {
       // actions (classes distinct, per-class counts, total count): the
       // per-class doc counts are a bounded model artifact — classes,
       // nTot, and the integer micro-nat priors all derive from it
-      // driver-side (Math.log is the same correctly-specified IEEE op
-      // Spark's `log` codegens, so prior values are bit-identical).
+      // driver-side. StrictMath.log (fdlibm) is used instead of
+      // Math.log because only StrictMath pins ONE result across JVMs
+      // and JIT states (Math.log is 1-ulp-specified, and its
+      // interpreted vs intrinsic paths may legally differ — a prior
+      // within ~1 ulp of a 0.5 micro-nat boundary could then flip the
+      // floor between runs). Oracle dependency: the hash gate
+      // additionally relies on the engines' log values landing in the
+      // same micro-nat cell — a practical, test-pinned agreement
+      // (nb01), not an IEEE guarantee.
       val ndFrame = docs.groupBy(col(classCol).as("__cls"))
         .agg(count(lit(1)).as("__d"))
       val nd = ndFrame.collect()
@@ -55,7 +62,7 @@ object NaiveBayes {
       val priorRows: java.util.List[org.apache.spark.sql.Row] =
         java.util.Arrays.asList(nd.map(r => org.apache.spark.sql.Row(
           r.get(0),
-          math.floor(math.log(r.getLong(1).toDouble / nTot.toDouble) * 1e6 + 0.5)
+          math.floor(StrictMath.log(r.getLong(1).toDouble / nTot.toDouble) * 1e6 + 0.5)
             .toLong)): _*)
       val spark = docs.sparkSession
       val priors = spark.createDataFrame(priorRows,

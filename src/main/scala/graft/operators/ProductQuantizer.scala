@@ -113,8 +113,13 @@ object ProductQuantizer {
 
   private val MetaFile = "_graft_pq_index.properties"
 
+  /** `codeRows` records the code-row count for observability and
+    * incremental maintenance; `dataFp` is the consistency witness the
+    * QUERY path checks — an [[IndexWitness]] file-listing fingerprint
+    * (r16 advisory: the old per-query `codes.count()` was a full Spark
+    * job over the index before every search). */
   final case class PqIndexMeta(d: Int, m: Int, k: Int, iterations: Int,
-                               unitScale: Long, codeRows: Long)
+                               unitScale: Long, codeRows: Long, dataFp: String)
 
   private def writeMeta(path: String, meta: PqIndexMeta): Unit = {
     val p = new java.util.Properties()
@@ -123,6 +128,7 @@ object ProductQuantizer {
     p.setProperty("iterations", meta.iterations.toString)
     p.setProperty("unitScale", meta.unitScale.toString)
     p.setProperty("codeRows", meta.codeRows.toString)
+    p.setProperty("dataFp", meta.dataFp)
     val dir = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(dir, "." + MetaFile, ".tmp")
     val out = java.nio.file.Files.newOutputStream(tmp)
@@ -145,41 +151,96 @@ object ProductQuantizer {
       v
     }
     PqIndexMeta(prop("d").toInt, prop("m").toInt, prop("k").toInt,
-      prop("iterations").toInt, prop("unitScale").toLong, prop("codeRows").toLong)
+      prop("iterations").toInt, prop("unitScale").toLong, prop("codeRows").toLong,
+      prop("dataFp"))
   }
 
+  /** The loud pre-query/pre-append staleness check: filesystem-metadata
+    * fingerprint only, NO Spark job over the index (r16 advisory). */
+  private def checkWitness(path: String, meta: PqIndexMeta, who: String): Unit =
+    IndexWitness.check(path, meta.dataFp,
+      s"$who found a stale index from an interrupted build or append",
+      "rebuild with savePqIndex (or re-run the interrupted appendToPqIndex)")
+
   /** Fit + persist: `codes/` (N·m rows) and `centroids/`, with an
-    * atomic meta carrying the parameters and a code-row witness. */
+    * atomic meta carrying the parameters and the file-listing witness.
+    * The OLD meta (if any) is deleted BEFORE the data overwrite and the
+    * new meta written last, so a crash mid-rebuild always leaves a
+    * loud no-meta state — never an old meta over new data (which a
+    * row-count witness could miss when counts coincide). */
   def savePqIndex(emb: DataFrame, d: Int, m: Int, k: Int, iterations: Int,
                   path: String, unitScale: Long = 1000000L): Unit = {
     val (codes, centroids) = fitCodes(emb, d, m, k, iterations, unitScale)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, MetaFile))
     codes.write.mode("overwrite").parquet(s"$path/codes")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val n = emb.sparkSession.read.parquet(s"$path/codes").count()
-    writeMeta(path, PqIndexMeta(d, m, k, iterations, unitScale, n))
+    writeMeta(path, PqIndexMeta(d, m, k, iterations, unitScale, n,
+      IndexWitness.fingerprint(path)))
   }
 
-  /** ADC top-k against a PERSISTED index: `probe` is ONE (vec_id,
-    * embedding) row — its id is excluded from candidates (pass an id
-    * absent from the index to search with an external vector). The
-    * probe's dimensionality is a loud per-row contract against the
-    * index meta; a stale index (interrupted build) fails loudly via
-    * the code-row witness. */
-  def adcTopKIndexed(probe: DataFrame, path: String, topK: Int): DataFrame = {
-    require(topK >= 1, s"topK must be >= 1, got $topK")
-    val spark = probe.sparkSession
+  /** Append a batch of NEW vectors into a persisted index — the
+    * [[Similarity.appendToSemanticIndex]] lifecycle for PQ: encode the
+    * batch against the PERSISTED codebooks (the geometry never changes
+    * on append — tomorrow's queries score today's corpus and the batch
+    * under one quantizer), parquet-append the codes, update the
+    * witness. The pre-append check makes a previously-interrupted
+    * append fail loudly before compounding; an append that itself
+    * crashes before the meta write leaves a fingerprint mismatch every
+    * later call reports. Contract: `newEmb` vec_ids are new to the
+    * index (the ingest effectively-once contract, as everywhere).
+    *
+    * Scale shape: one batch-sized argmin against m·k·(d/m) BROADCAST
+    * centroid rows — the corpus codes are never read, never re-fit.
+    */
+  def appendToPqIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
     val meta = readMeta(path)
-    val codes = spark.read.parquet(s"$path/codes")
-    val actual = codes.count()
-    require(actual == meta.codeRows,
-      s"$path: index has $actual code rows but meta records ${meta.codeRows} — " +
-        "stale index from an interrupted build; rebuild with savePqIndex")
-    val centroids = spark.read.parquet(s"$path/centroids")
+    checkWitness(path, meta, "appendToPqIndex")
+    val centroids = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
+    val subDim = meta.d / meta.m
+    val v = newEmb
+      .select(col("vec_id"),
+        when(size(col("embedding")) =!= meta.d, raise_error(concat(
+          lit("appendToPqIndex: embedding of length "),
+          size(col("embedding")).cast("string"), lit(" for vec_id "),
+          col("vec_id").cast("string"),
+          lit(s" does not match the index dimensionality d=${meta.d}"))))
+          .otherwise(col("embedding")).as("embedding"))
+      .select(col("vec_id").as("id"),
+        posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
+        (col("dim") % subDim).cast("int").as("j"),
+        floor(col("__v").cast("double") * meta.unitScale + 0.5).cast("long").as("x"))
+    // the fitCodesFromLong assignment stage verbatim, against the
+    // persisted geometry (argmin ties → lower cluster id)
+    val codes = v.join(broadcast(centroids), Seq("sub", "j"))
+      .groupBy(col("id"), col("sub"), col("cluster"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("__dist"))
+      .groupBy("id", "sub")
+      .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
+      .select(col("id"), col("sub"), col("m.cluster").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      codes.write.mode("append").parquet(s"$path/codes")
+      val added = codes.count()
+      writeMeta(path, meta.copy(codeRows = meta.codeRows + added,
+        dataFp = IndexWitness.fingerprint(path)))
+    } finally codes.unpersist()
+  }
+
+  /** The probe→ADC-lookup-table projection shared by the one-probe and
+    * batched indexed searches: per probe, the m·k per-subspace
+    * probe→centroid distances. Dimensionality is a loud per-row
+    * contract against the index meta. */
+  private def probeTables(probe: DataFrame, centroids: DataFrame,
+                          meta: PqIndexMeta, who: String): DataFrame = {
     val subDim = meta.d / meta.m
     val pv = probe
       .select(col("vec_id"),
         when(size(col("embedding")) =!= meta.d, raise_error(concat(
-          lit("adcTopKIndexed: probe embedding of length "),
+          lit(s"$who: probe embedding of length "),
           size(col("embedding")).cast("string"),
           lit(s" does not match the index dimensionality d=${meta.d}"))))
           .otherwise(col("embedding")).as("embedding"))
@@ -188,9 +249,49 @@ object ProductQuantizer {
       .select(col("__pid"), (col("dim") / subDim).cast("int").as("sub"),
         (col("dim") % subDim).cast("int").as("j"),
         floor(col("__v").cast("double") * meta.unitScale + 0.5).cast("long").as("px"))
-    val table = centroids.join(broadcast(pv), Seq("sub", "j"))
+    centroids.join(broadcast(pv), Seq("sub", "j"))
       .groupBy("sub", "cluster", "__pid")
       .agg(sum((col("px") - col("c")) * (col("px") - col("c"))).as("pdist"))
+  }
+
+  /** Pinned on-disk schemas for the index tables: skips parquet
+    * schema-inference (a footer-reading Spark job per `spark.read`) on
+    * the QUERY path — with the [[IndexWitness]] fingerprint this makes
+    * search construction run ZERO jobs over the index. */
+  private val CodesSchema = "id long, sub int, cluster int"
+  private val CentroidsSchema = "sub int, cluster int, j int, c long"
+
+  /** ADC top-k against a PERSISTED index: `probe` is ONE (vec_id,
+    * embedding) row — its id is excluded from candidates (pass an id
+    * absent from the index to search with an external vector). The
+    * one-row contract is ENFORCED (r16 advice: a silently multi-probe
+    * frame used to sum pdist ACROSS probes, and an empty one returned
+    * silently empty): a driver-side limit-2 count over the PROBE frame
+    * — one tiny job, never the index; an in-plan raise_error cannot
+    * carry this contract because AQE's empty-relation propagation
+    * legally folds the whole plan to empty before the guard column is
+    * ever evaluated (measured). A stale index (interrupted
+    * build/append) fails loudly via the file-listing witness — a
+    * filesystem-metadata check, NO Spark job over the code table (r16
+    * advisory; the old form paid a full `codes.count()` per search).
+    * Multiple probes per pass belong on [[adcTopKIndexedBatch]]. */
+  def adcTopKIndexed(probe: DataFrame, path: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = probe.sparkSession
+    val meta = readMeta(path)
+    checkWitness(path, meta, "adcTopKIndexed")
+    val nProbes = probe.limit(2).count()
+    require(nProbes != 0,
+      "adcTopKIndexed: the probe frame is empty — the searched vec_id is " +
+        "absent from the input (or the frame was pre-filtered to nothing); " +
+        "an unguarded search here would return silently empty")
+    require(nProbes == 1,
+      "adcTopKIndexed: more than one probe row — the one-probe contract " +
+        "would silently sum distances ACROSS probes; use adcTopKIndexedBatch " +
+        "for multi-probe search")
+    val codes = spark.read.schema(CodesSchema).parquet(s"$path/codes")
+    val centroids = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
+    val table = probeTables(probe, centroids, meta, "adcTopKIndexed")
     codes
       .join(broadcast(table), Seq("sub", "cluster"))
       .filter(col("id") =!= col("__pid"))
@@ -198,6 +299,48 @@ object ProductQuantizer {
       .agg(sum("pdist").as("dist_u"))
       .orderBy(col("dist_u"), col("vec_id"))
       .limit(topK)
+  }
+
+  /** BATCHED ADC search against a persisted index — the production
+    * retrieval shape (r16 directive #4): score N probes in ONE pass
+    * over the code table instead of N sequential searches. `probes` is
+    * a (vec_id, embedding) DataFrame; the result carries top-`topK`
+    * candidates PER probe (each probe's own id excluded), ranked by
+    * integer ADC distance ascending with vec_id tie-break.
+    *
+    * Scale shape: the per-probe lookup tables are P·m·k broadcast rows
+    * (bounded by the probe batch — the same contract as every
+    * broadcast-model operator here); the code table is scanned ONCE,
+    * each code row joining its P table rows, and the per-probe top-k
+    * is a (probe-keyed) window over the id-keyed sums — one shuffle on
+    * (probe, id), one on probe, no per-probe driver loop, no per-probe
+    * re-scan. Per-probe cost therefore AMORTIZES the scan: P probes
+    * cost one code-table pass + P× the (tiny) table join width.
+    *
+    * An empty probe frame returns an empty result (a batch of zero
+    * queries is a valid batch — unlike [[adcTopKIndexed]]'s one-row
+    * contract, nothing can be silently half-scored here).
+    *
+    * @return (probe_id, vec_id, dist_u, rk) with rk = 1..topK per probe
+    */
+  def adcTopKIndexedBatch(probes: DataFrame, path: String, topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = probes.sparkSession
+    val meta = readMeta(path)
+    checkWitness(path, meta, "adcTopKIndexedBatch")
+    val codes = spark.read.schema(CodesSchema).parquet(s"$path/codes")
+    val centroids = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
+    val table = probeTables(probes, centroids, meta, "adcTopKIndexedBatch")
+    val wP = Window.partitionBy("__pid").orderBy(col("dist_u"), col("vec_id"))
+    codes
+      .join(broadcast(table), Seq("sub", "cluster"))
+      .filter(col("id") =!= col("__pid"))
+      .groupBy(col("__pid"), col("id").as("vec_id"))
+      .agg(sum("pdist").as("dist_u"))
+      .withColumn("rk", row_number().over(wP))
+      .filter(col("rk") <= topK)
+      .select(col("__pid").as("probe_id"), col("vec_id"), col("dist_u"),
+        col("rk").cast("int").as("rk"))
   }
 
   /** IVF-PQ (Jégou et al.'s IVFADC — the standard billion-scale ANN
@@ -247,6 +390,15 @@ object ProductQuantizer {
     // probe's nProbe nearest coarse lists (exact integer distance over
     // kCoarse broadcast rows — orderBy/limit on a k-row frame)
     val pv = v.filter(col("id") === probeId).select(col("dim"), col("x").as("px"))
+    // Driver-side existence check: an absent probeId must fail loudly,
+    // not probe zero lists and return silently empty (r16 advice). An
+    // in-plan raise_error cannot carry this — AQE's empty-relation
+    // propagation folds the plan to empty before the guard evaluates
+    // (measured on the indexed path); one limit-1 job over the
+    // projected scan is noise next to the inline k-means fit.
+    require(!pv.isEmpty,
+      s"ivfPqTopK: probe vec_id=$probeId is absent from emb — zero lists " +
+        "would be probed and the result silently empty")
     val probed = coarseCentroids.join(broadcast(pv), "dim")
       .groupBy(col("cluster").as("__cc"))
       .agg(sum((col("px") - col("c")) * (col("px") - col("c"))).as("__cdist"))
@@ -296,9 +448,19 @@ object ProductQuantizer {
       .select((col("dim") / subDim).cast("int").as("sub"),
         (col("dim") % subDim).cast("int").as("j"),
         floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("px"))
-    val table = centroids.join(broadcast(probe), Seq("sub", "j"))
+    // LEFT join + per-group component count: an absent (or duplicated)
+    // probeId fails loudly instead of returning silently empty (r16
+    // advice — the inner join dropped every centroid row when the
+    // probe filter matched nothing).
+    val table = centroids.join(broadcast(probe), Seq("sub", "j"), "left")
       .groupBy("sub", "cluster")
-      .agg(sum((col("px") - col("c")) * (col("px") - col("c"))).as("pdist"))
+      .agg(sum((col("px") - col("c")) * (col("px") - col("c"))).as("pdist0"),
+        count(col("px")).as("__npx"))
+      .select(col("sub"), col("cluster"),
+        when(col("__npx") =!= subDim, raise_error(lit(
+          s"adcTopK: probe vec_id=$probeId is absent from emb (or present more " +
+            "than once) — a silent empty result would look like an empty index")))
+          .otherwise(col("pdist0")).as("pdist"))
     codes.filter(col("id") =!= probeId)
       .join(broadcast(table), Seq("sub", "cluster"))
       .groupBy(col("id").as("vec_id"))

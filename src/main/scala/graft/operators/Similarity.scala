@@ -211,11 +211,13 @@ object Similarity {
 
   private val SemMetaFile = "_graft_semantic_index.properties"
 
-  /** Model/layout parameters persisted with the index; `corpusRows` is
-    * the consistency witness ([[InvertedIndex]] postingRows
-    * discipline). */
+  /** Model/layout parameters persisted with the index; `dataFp` is the
+    * consistency witness the query path checks — an [[IndexWitness]]
+    * file-listing fingerprint, NO Spark job over the corpus (r16
+    * advisory: the old `corpusRows` count was a full scan before every
+    * nightly batch). `corpusRows` stays as the maintained row count. */
   final case class SemIndexMeta(d: Int, k: Int, iterations: Int,
-                                unitScale: Long, corpusRows: Long)
+                                unitScale: Long, corpusRows: Long, dataFp: String)
 
   private def writeSemMeta(path: String, m: SemIndexMeta): Unit = {
     val p = new java.util.Properties()
@@ -223,6 +225,7 @@ object Similarity {
     p.setProperty("iterations", m.iterations.toString)
     p.setProperty("unitScale", m.unitScale.toString)
     p.setProperty("corpusRows", m.corpusRows.toString)
+    p.setProperty("dataFp", m.dataFp)
     val dir = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(dir, "." + SemMetaFile, ".tmp")
     val out = java.nio.file.Files.newOutputStream(tmp)
@@ -245,8 +248,15 @@ object Similarity {
       v
     }
     SemIndexMeta(prop("d").toInt, prop("k").toInt, prop("iterations").toInt,
-      prop("unitScale").toLong, prop("corpusRows").toLong)
+      prop("unitScale").toLong, prop("corpusRows").toLong, prop("dataFp"))
   }
+
+  /** Loud staleness check — filesystem-metadata fingerprint only, no
+    * Spark job over the corpus (r16 advisory). */
+  private def checkSemWitness(path: String, meta: SemIndexMeta, who: String): Unit =
+    IndexWitness.check(path, meta.dataFp,
+      s"$who found a stale index from an interrupted build or append",
+      "rebuild with saveSemanticIndex (or re-run the interrupted append)")
 
   /** Fit + persist the semantic index: `centroids/` (the k·d rows the
     * corpus assignments were computed against —
@@ -272,12 +282,19 @@ object Similarity {
     val (assign, centroids) = KMeansExact.fitMicro(
       checked.select(col("vec_id").as("id"), col("e").as("vec")),
       d = d, k = k, iterations = iterations, unitScale = unitScale)
+    // Old meta deleted BEFORE the data overwrite, new meta written
+    // last: a crash mid-rebuild leaves a loud no-meta state, never an
+    // old meta over new data (r16 advice — a changed unitScale/k with
+    // coinciding row counts would otherwise mis-quantize silently).
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, SemMetaFile))
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     checked
       .join(assign.select(col("id").as("vec_id"), col("cluster")), "vec_id")
       .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
     val n = emb.sparkSession.read.parquet(s"$path/corpus").count()
-    writeSemMeta(path, SemIndexMeta(d, k, iterations, unitScale, n))
+    writeSemMeta(path, SemIndexMeta(d, k, iterations, unitScale, n,
+      IndexWitness.fingerprint(path)))
   }
 
   /** Append a batch's SURVIVORS into the index corpus — the lifecycle
@@ -290,18 +307,55 @@ object Similarity {
     * previously-interrupted append fail loudly before compounding.
     * Contract: rows are survivors with vec_ids new to the index. */
   def appendToSemanticIndex(survivors: DataFrame, path: String): Unit = {
-    val spark = survivors.sparkSession
     val meta = readSemMeta(path)
-    val actual = spark.read.parquet(s"$path/corpus").count()
-    require(actual == meta.corpusRows,
-      s"$path: corpus has $actual rows but meta records ${meta.corpusRows} — " +
-        "stale index from an interrupted build/append; rebuild with saveSemanticIndex")
+    checkSemWitness(path, meta, "appendToSemanticIndex")
     val checked = checkedDim(survivors, meta.d, "appendToSemanticIndex")
     val assigned = assignToCentroids(checked, path, meta)
     val rows = checked.join(assigned, "vec_id").select("vec_id", "e", "cluster")
     rows.write.mode("append").partitionBy("cluster").parquet(s"$path/corpus")
     val added = rows.count()
-    writeSemMeta(path, meta.copy(corpusRows = meta.corpusRows + added))
+    writeSemMeta(path, meta.copy(corpusRows = meta.corpusRows + added,
+      dataFp = IndexWitness.fingerprint(path)))
+  }
+
+  /** Open a persisted semantic index for composition OUTSIDE the batch
+    * dedup path (the st14 streaming replay): meta + centroid and corpus
+    * frames, witness-checked loudly up front. */
+  def loadSemanticIndexParts(spark: org.apache.spark.sql.SparkSession,
+                             path: String): (SemIndexMeta, DataFrame, DataFrame) = {
+    val meta = readSemMeta(path)
+    checkSemWitness(path, meta, "loadSemanticIndexParts")
+    (meta, spark.read.parquet(s"$path/centroids"),
+      spark.read.parquet(s"$path/corpus"))
+  }
+
+  /** The persisted-centroid argmin as a LOCAL function over collected
+    * k·d centroid rows — the streaming twin of [[assignToCentroids]]
+    * (ONE definition of the assignment geometry would be ideal, but a
+    * stream cannot run the relational two-stage argmin without a
+    * stateful aggregation; this mirrors it exactly: micro-quantized
+    * components, integer Σ(x−c)², ties → lower cluster id — all-long
+    * arithmetic, so the two forms are bit-identical by construction,
+    * and Session3LawsSpec-style equality is pinned in the streaming
+    * spec). */
+  def assignLocal(vec: Seq[Double], centroids: Map[Int, Array[Long]],
+                  unitScale: Long): Int = {
+    require(centroids.nonEmpty, "assignLocal: no centroids")
+    val x = new Array[Long](vec.length)
+    var i = 0
+    while (i < vec.length) {
+      x(i) = math.floor(vec(i) * unitScale + 0.5).toLong; i += 1
+    }
+    var best = -1; var bestD = Long.MaxValue
+    centroids.keysIterator.toSeq.sorted.foreach { cl =>
+      val cs = centroids(cl)
+      require(cs.length == x.length,
+        s"assignLocal: centroid $cl has dim ${cs.length}, vector has ${x.length}")
+      var d = 0L; var j = 0
+      while (j < x.length) { val dd = x(j) - cs(j); d += dd * dd; j += 1 }
+      if (d < bestD) { bestD = d; best = cl }
+    }
+    best
   }
 
   /** The batch→persisted-centroid argmin, shared by the dedup and
@@ -340,11 +394,8 @@ object Similarity {
       s"maxClusterSize must be >= 1, got $maxClusterSize")
     val spark = newBatch.sparkSession
     val meta = readSemMeta(path)
+    checkSemWitness(path, meta, "semanticDedupIncremental")
     val corpus = spark.read.parquet(s"$path/corpus")
-    val actual = corpus.count()
-    require(actual == meta.corpusRows,
-      s"$path: corpus has $actual rows but meta records ${meta.corpusRows} — " +
-        "stale index from an interrupted build; rebuild with saveSemanticIndex")
     // dim-checked batch + the shared broadcast-centroid argmin (the
     // assignment stage of KMeansExact.fitMicro verbatim, against the
     // persisted geometry)
@@ -378,9 +429,31 @@ object Similarity {
     }
   }
 
-  def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 4): DataFrame = {
+  /** @param maxBucketSize loud cap on the sign-bucket width — the
+    *   self-join's quadratic axis (the Baskets/semanticDedup/FuzzyJoin
+    *   discipline): at `bits` hyperplanes there are only 2^bits buckets,
+    *   so a corpus of N vectors averages N/2^bits per bucket and each
+    *   bucket emits C(width, 2) pair rows. The count rides a window on
+    *   the join's own bucket shuffle, so an over-wide bucket dies loudly
+    *   — named — before any pair row materializes. Callers hitting the
+    *   cap should raise `bits` (more, narrower buckets — the operator's
+    *   actual scale lever), not the cap. */
+  def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 4,
+                   maxBucketSize: Int = 1000000): DataFrame = {
+    require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
+    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
     val b = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
-      signBucket(col("embedding"), bits).as("bucket"))
+        signBucket(col("embedding"), bits).as("bucket"))
+      .withColumn("__w", count(lit(1)).over(wB))
+      .withColumn("vec_id",
+        when(col("__w") > maxBucketSize, raise_error(concat(
+          lit("nearDupPairs: bucket '"), col("bucket"), lit("' holds "),
+          col("__w").cast("string"),
+          lit(s" vectors, over maxBucketSize=$maxBucketSize; the in-bucket " +
+            "pair join is quadratic in bucket width — raise bits (more, " +
+            "narrower buckets) or the cap deliberately"))))
+          .otherwise(col("vec_id")))
+      .select("vec_id", "e", "bucket")
     val a2 = b.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
     val b2 = b.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
     a2.join(b2, Seq("bucket"))

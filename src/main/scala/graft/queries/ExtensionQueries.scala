@@ -73,7 +73,7 @@ object ExtensionQueries {
     // formatVer c: meta gained the postingRows consistency witness
     // (stale-stats detection); b added the denormalized dl column +
     // persisted corpus stats (ir04 ranked retrieval)
-    corpusFixture(d, "documents", "invidx", formatVer = "c") { tmp =>
+    corpusFixture(d, "documents", "invidx", formatVer = "d") { tmp =>
       graft.operators.InvertedIndex.saveIndex(
         t(s, d).documents.select("doc_id", "text"), tmp.toString)
     }
@@ -82,7 +82,7 @@ object ExtensionQueries {
     * "historical" slice (doc_id % 10 != 0), then the "nightly" slice
     * appended — only the new batch is ever tokenized. */
   private def invIndexIncremental(s: SparkSession, d: String): String =
-    corpusFixture(d, "documents", "invidxinc", formatVer = "c") { tmp =>
+    corpusFixture(d, "documents", "invidxinc", formatVer = "d") { tmp =>
       val docs = t(s, d).documents.select("doc_id", "text")
       graft.operators.InvertedIndex.saveIndex(
         docs.filter(col("doc_id") % 10 =!= 0), tmp.toString)
@@ -94,7 +94,7 @@ object ExtensionQueries {
     * embedding slice (vec_id % 10 != 0) for sd02, via the shared
     * [[corpusFixture]] discipline. */
   private def semIndexLoaded(s: SparkSession, dir: String): String =
-    corpusFixture(dir, "embeddings", "semidx") { tmp =>
+    corpusFixture(dir, "embeddings", "semidx", formatVer = "b") { tmp =>
       graft.operators.Similarity.saveSemanticIndex(
         t(s, dir).embeddings.filter(col("vec_id") % 10 =!= 0)
           .select("vec_id", "embedding"),
@@ -104,7 +104,7 @@ object ExtensionQueries {
   /** Persisted product-quantization index over the full embedding
     * corpus for pq02, via the shared [[corpusFixture]] discipline. */
   private def pqIndexLoaded(s: SparkSession, dir: String): String =
-    corpusFixture(dir, "embeddings", "pqidx") { tmp =>
+    corpusFixture(dir, "embeddings", "pqidx", formatVer = "b") { tmp =>
       graft.operators.ProductQuantizer.savePqIndex(
         t(s, dir).embeddings.select("vec_id", "embedding"),
         d = 64, m = 4, k = 4, iterations = 2, path = tmp.toString)

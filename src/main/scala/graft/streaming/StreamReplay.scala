@@ -78,6 +78,14 @@ object StreamReplay {
     * (review r13). RocksDbStateStoreSpec pins provider-identical output.
     */
   private[streaming] def replaySession(spark: SparkSession): SparkSession = {
+    // Prune dead parents on each lookup (r16 advice): a strong-keyed
+    // map would otherwise retain stopped/recreated parent sessions —
+    // and their superseded children — forever across a long run of
+    // test suites, re-creating one level up the very accrual the cache
+    // removed. O(live sessions) per replay; entries whose parent
+    // SparkContext is stopped are unreachable by definition (a stopped
+    // context can never run a replay again).
+    sessionCache.keySet.removeIf(s => s.sparkContext.isStopped)
     val ssConf = spark.conf.getAll
       .filter { case (k, _) => k.startsWith("spark.sql.streaming.stateStore.") }
     sessionCache.compute(spark, (_, cached) =>

@@ -121,7 +121,11 @@ class InvertedIndexSpec extends SparkSpec {
     InvertedIndex.saveIndex(full, ref)
     val metaInc = InvertedIndex.loadIndex(spark, inc)._2
     val metaRef = InvertedIndex.loadIndex(spark, ref)._2
-    assert(metaInc == metaRef, s"incremental stats drifted: $metaInc vs $metaRef")
+    // dataFp is a file-LISTING fingerprint: the incremental tree holds
+    // base+append files, the rebuild a single write — it differs by
+    // construction. The STATS must be identical.
+    assert(metaInc.copy(dataFp = "") == metaRef.copy(dataFp = ""),
+      s"incremental stats drifted: $metaInc vs $metaRef")
     assert(metaRef.docCount > 0 && metaRef.totalTokens > metaRef.docCount)
     // ranked retrieval through the incrementally-built index is
     // identical too (stats + postings both maintained)

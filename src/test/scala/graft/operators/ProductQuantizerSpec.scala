@@ -130,6 +130,146 @@ class ProductQuantizerSpec extends SparkSpec {
       kPq = 4, pqIterations = 1, nProbe = 2))
   }
 
+  test("indexed query path runs NO Spark job over the index (witness is FS metadata)") {
+    // r16 advisory: the old witness was a full codes.count() per query.
+    // Construction now runs exactly ONE job — the limit-2 probe-frame
+    // validation (the one-probe contract) — and none over the index:
+    // the witness is a file-listing fingerprint and the codes/centroids
+    // reads carry pinned schemas (no footer-inference job).
+    val e = tables.embeddings
+    val path = tmpDir("pqidx-nojob")
+    ProductQuantizer.savePqIndex(e, d = 64, m = 4, k = 4, iterations = 2, path)
+    val probe = e.filter(col("vec_id") === 0L).select("vec_id", "embedding")
+    val sc = spark.sparkContext
+    // baseline: what the probe-frame validation alone costs (its exact
+    // job count is an AQE detail, not the contract)
+    sc.setJobGroup("pq-nojob-base", "probe validation baseline")
+    try probe.limit(2).count() finally sc.clearJobGroup()
+    val base = sc.statusTracker.getJobIdsForGroup("pq-nojob-base").length
+    sc.setJobGroup("pq-nojob-probe", "indexed ADC construction")
+    val q = try ProductQuantizer.adcTopKIndexed(probe, path, topK = 5)
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("pq-nojob-probe").length
+    assert(jobs == base, s"query construction ran $jobs Spark jobs vs $base " +
+      "for the probe validation alone — the index witness must stay a " +
+      "filesystem-metadata check (no job over codes/centroids)")
+    assert(q.count() == 5) // and the frame still searches
+    // the BATCH form validates nothing per probe: zero jobs at construction
+    sc.setJobGroup("pq-nojob-batch", "batched ADC construction")
+    val qb = try ProductQuantizer.adcTopKIndexedBatch(probe, path, topK = 5)
+    finally sc.clearJobGroup()
+    assert(sc.statusTracker.getJobIdsForGroup("pq-nojob-batch").isEmpty,
+      "batched construction must run zero jobs")
+    assert(qb.count() == 5)
+  }
+
+  test("adcTopKIndexed: multi-probe and empty-probe frames fail loudly") {
+    // r16 advice (medium): a multi-probe frame used to SUM distances
+    // across probes silently; an empty one returned silently empty.
+    val e = tables.embeddings
+    val path = tmpDir("pqidx-oneprobe")
+    ProductQuantizer.savePqIndex(e, d = 64, m = 4, k = 4, iterations = 2, path)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val two = e.filter(col("vec_id").isin(0L, 1L)).select("vec_id", "embedding")
+    val e1 = intercept[Exception](
+      ProductQuantizer.adcTopKIndexed(two, path, topK = 5).collect())
+    assert(msgs(e1).contains("adcTopKIndexedBatch"), msgs(e1))
+    val none = e.filter(col("vec_id") === -999L).select("vec_id", "embedding")
+    val e2 = intercept[Exception](
+      ProductQuantizer.adcTopKIndexed(none, path, topK = 5).collect())
+    assert(msgs(e2).contains("empty"), msgs(e2))
+  }
+
+  test("adcTopKIndexedBatch equals N single-probe searches, per probe") {
+    val e = tables.embeddings
+    val path = tmpDir("pqidx-batch")
+    ProductQuantizer.savePqIndex(e, d = 64, m = 4, k = 4, iterations = 2, path)
+    val probeIds = Seq(0L, 1L, 2L)
+    val batch = ProductQuantizer.adcTopKIndexedBatch(
+        e.filter(col("vec_id").isin(probeIds: _*)).select("vec_id", "embedding"),
+        path, topK = 10)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(batch.keySet == probeIds.toSet)
+    for (pid <- probeIds) {
+      val single = ProductQuantizer.adcTopKIndexed(
+          e.filter(col("vec_id") === pid).select("vec_id", "embedding"),
+          path, topK = 10)
+        .as[(Long, Long)].collect().toSeq
+      assert(batch(pid) == single, s"probe $pid: batched != single")
+    }
+    // empty probe batch = empty result (a valid zero-query batch)
+    assert(ProductQuantizer.adcTopKIndexedBatch(
+      e.filter(col("vec_id") === -999L).select("vec_id", "embedding"),
+      path, topK = 10).count() == 0)
+  }
+
+  test("adcTopK / ivfPqTopK: an absent probe id fails loudly, not silently empty") {
+    val e = tables.embeddings
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e1 = intercept[Exception](
+      ProductQuantizer.adcTopK(e, probeId = -999L, topK = 5,
+        d = 64, m = 4, k = 4, iterations = 1).collect())
+    assert(msgs(e1).contains("absent"), msgs(e1))
+    val e2 = intercept[Exception](
+      ProductQuantizer.ivfPqTopK(e, probeId = -999L, topK = 5, d = 64, m = 4,
+        kCoarse = 4, coarseIterations = 1, kPq = 4, pqIterations = 1,
+        nProbe = 2).collect())
+    assert(msgs(e2).contains("absent"), msgs(e2))
+  }
+
+  test("appendToPqIndex: batch encoded against the PERSISTED codebooks; witness maintained") {
+    val e = tables.embeddings
+    val hist = e.filter(col("vec_id") % 10 =!= 0)
+    val night = e.filter(col("vec_id") % 10 === 0)
+    val path = tmpDir("pqidx-append")
+    ProductQuantizer.savePqIndex(hist, d = 64, m = 4, k = 4, iterations = 2, path)
+    ProductQuantizer.appendToPqIndex(night, path)
+    // the appended codes are EXACTLY the argmin of each batch vector
+    // against the persisted centroids — recompute independently
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Int, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap // (sub, cluster) -> c by j
+    val nightVecs = night.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val expected = (for {
+      (id, v) <- nightVecs
+      sub <- 0 until 4
+    } yield {
+      val xs = (0 until 16).map(j => math.floor(v(sub * 16 + j).toDouble * 1e6 + 0.5).toLong)
+      val best = (0 until 4).map { cl =>
+        val cs = centroids((sub, cl))
+        (xs.indices.map(j => { val dd = xs(j) - cs(j); dd * dd }).sum, cl)
+      }.min
+      (id, sub, best._2)
+    }).toSet
+    val gotCodes = spark.read.parquet(s"$path/codes")
+      .join(night.select(col("vec_id").as("id")), "id", "left_semi")
+      .as[(Long, Int, Int)].collect().toSet
+    assert(gotCodes == expected, "appended codes must be the persisted-geometry argmin")
+    // search now covers the union; probe 0 (appended) excluded as probe
+    val got = ProductQuantizer.adcTopKIndexed(
+      e.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+      path, topK = 10).count()
+    assert(got == 10)
+    // a crash AFTER the data append but BEFORE the meta write = stale
+    spark.range(1).select(lit(999999L).as("id"), lit(0).as("sub"),
+        lit(0).as("cluster"))
+      .write.mode("append").parquet(s"$path/codes")
+    val e1 = intercept[IllegalArgumentException](
+      ProductQuantizer.appendToPqIndex(night, path))
+    assert(e1.getMessage.contains("stale"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      ProductQuantizer.adcTopKIndexed(
+        e.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+        path, topK = 5))
+  }
+
   test("determinism: codes and top-k invariant under input partitioning") {
     val e = tables.embeddings
     def run(df: org.apache.spark.sql.DataFrame) =

@@ -41,6 +41,29 @@ class SimilaritySpec extends SparkSpec {
     assert(got == Seq((1L, 2L)))
   }
 
+  test("nearDupPairs: over-wide sign buckets fail loudly (quadratic axis guard)") {
+    // r16 verdict: the bucket self-join is quadratic in bucket width —
+    // same discipline as baskets/clusters/fuzzy blocks. Three vectors
+    // share bucket "11.."; cap 2 must die naming the bucket and width.
+    val df = emb(
+      1L -> Seq(1f, 1f, 0f, 0f),
+      2L -> Seq(1f, 0.99f, 0f, 0f),
+      3L -> Seq(0.5f, 0.5f, 0f, 0f),
+      4L -> Seq(-1f, -1f, 0f, 0f))
+    val e = intercept[Exception](
+      Similarity.nearDupPairs(df, threshold = 0.9, bits = 4, maxBucketSize = 2)
+        .count())
+    val msg = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msg.contains("maxBucketSize=2") && msg.contains("3 vectors"), msg)
+    // at the cap the same input works
+    assert(Similarity.nearDupPairs(df, threshold = 0.9, bits = 4,
+      maxBucketSize = 3).count() >= 1)
+    val e2 = intercept[IllegalArgumentException](
+      Similarity.nearDupPairs(df, threshold = 0.9, maxBucketSize = 0))
+    assert(e2.getMessage.contains("maxBucketSize"))
+  }
+
   test("semanticDedup: hand-checked clusters, survivors, and dominance") {
     // init centroids = ids 0/1 → one Lloyd round groups {0,2} and
     // {1,3}; within each, the higher id is a near-dup (cos ≈ 0.994)
