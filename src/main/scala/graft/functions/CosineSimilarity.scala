@@ -86,3 +86,24 @@ case class CosineSimilarity(left: Expression, right: Expression) extends BinaryE
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+object CosineSimilarity {
+  /** The expression's arithmetic as a plain-Scala function for
+    * contexts that cannot evaluate Catalyst expressions (the state
+    * function of the st14 streaming dedup): SAME left-to-right
+    * accumulation, same `dot / (sqrt(na) * sqrt(nb))` combination —
+    * bit-identical to the codegen'd form by construction. Zero-norm
+    * inputs return NaN, mirroring the expression's NULL (both fail a
+    * `>= threshold` test). */
+  def local(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i); val y = b(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) Double.NaN
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}

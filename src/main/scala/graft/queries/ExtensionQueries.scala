@@ -110,6 +110,20 @@ object ExtensionQueries {
         d = 64, m = 4, k = 4, iterations = 2, path = tmp.toString)
     }
 
+  /** INCREMENTALLY-built PQ index for pq05 (the invIndexIncremental
+    * discipline): base index fitted on the "historical" slice
+    * (vec_id % 10 != 0); the "nightly" slice is APPENDED — encoded
+    * against the PERSISTED codebooks, the corpus never re-fit. */
+  private def pqIndexIncremental(s: SparkSession, dir: String): String =
+    corpusFixture(dir, "embeddings", "pqidxinc", formatVer = "b") { tmp =>
+      val e = t(s, dir).embeddings.select("vec_id", "embedding")
+      graft.operators.ProductQuantizer.savePqIndex(
+        e.filter(col("vec_id") % 10 =!= 0),
+        d = 64, m = 4, k = 4, iterations = 2, path = tmp.toString)
+      graft.operators.ProductQuantizer.appendToPqIndex(
+        e.filter(col("vec_id") % 10 === 0), tmp.toString)
+    }
+
   /** Persisted LSH band index over the "historical" corpus slice
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
@@ -128,6 +142,55 @@ object ExtensionQueries {
       |  SELECT DISTINCT doc_id, s FROM (
       |    SELECT doc_id, unnest([t[i]||' '||t[i+1]||' '||t[i+2] for i in range(1, greatest(len(t)-1,1))]) AS s
       |    FROM toks) q)""".stripMargin
+
+  /** sd02's full-derivation oracle, shared VERBATIM with its
+    * streaming twin st14 (one SQL text, the [[BandCte]] discipline —
+    * a derivation change cannot silently desynchronize the gates):
+    * historical 2-iteration Lloyd with 4-smallest-id init, batch
+    * argmin against the after-one-update centroids, corpus + lower-id
+    * batch dominance joins. */
+  private val Sd02Oracle =
+    """WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 <> 0),
+      |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
+      |v AS (SELECT vec_id AS id, i,
+      |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 <> 0),
+      |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+      |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+      |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
+      |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+      |s1 AS (SELECT id, cl FROM (SELECT id, cl,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+      |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+      |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
+      |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
+      |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+      |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
+      |s2 AS (SELECT id, cl FROM (SELECT id, cl,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+      |vb AS (SELECT vec_id AS id, i,
+      |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 = 0),
+      |ab AS (SELECT vb.id, c.cl, CAST(SUM((vb.x - c.c) * (vb.x - c.c)) AS BIGINT) AS dist
+      |  FROM vb JOIN c1 c ON c.i = vb.i GROUP BY 1, 2),
+      |sb AS (SELECT id, cl FROM (SELECT id, cl,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM ab) WHERE rn = 1),
+      |wc AS (SELECT s2.id AS vec_id, s2.cl AS cluster, h.e FROM s2 JOIN h ON h.vec_id = s2.id),
+      |wb AS (SELECT sb.id AS vec_id, sb.cl AS cluster, nb.e FROM sb JOIN nb ON nb.vec_id = sb.id),
+      |dup AS (
+      |  SELECT DISTINCT b.vec_id FROM wb b JOIN wc c ON c.cluster = b.cluster
+      |  WHERE list_dot_product(b.e, c.e) /
+      |    (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(c.e, c.e))) >= 0.3
+      |  UNION
+      |  SELECT DISTINCT a.vec_id FROM wb a JOIN wb b2
+      |    ON a.cluster = b2.cluster AND b2.vec_id < a.vec_id
+      |  WHERE list_dot_product(a.e, b2.e) /
+      |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))) >= 0.3)
+      |SELECT vec_id, cluster FROM wb
+      |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
+      |ORDER BY vec_id""".stripMargin
 
   /** Shared oracle CTE: [[ShingleCte]] + 16-seed Carter-Wegman minhash
     * signatures + 4-row band keys — ONE SQL text for every banding
@@ -2876,52 +2939,33 @@ object ExtensionQueries {
       // 4-smallest-id init, batch argmin against the
       // after-one-update centroids, both dominance joins.
       "sd02_incremental_semantic_dedup",
-      Some("""WITH h AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 <> 0),
-        |nb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id % 10 = 0),
-        |v AS (SELECT vec_id AS id, i,
-        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
-        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 <> 0),
-        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
-        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
-        |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
-        |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
-        |s1 AS (SELECT id, cl FROM (SELECT id, cl,
-        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
-        |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
-        |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
-        |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
-        |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
-        |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
-        |s2 AS (SELECT id, cl FROM (SELECT id, cl,
-        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
-        |vb AS (SELECT vec_id AS id, i,
-        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
-        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 = 0),
-        |ab AS (SELECT vb.id, c.cl, CAST(SUM((vb.x - c.c) * (vb.x - c.c)) AS BIGINT) AS dist
-        |  FROM vb JOIN c1 c ON c.i = vb.i GROUP BY 1, 2),
-        |sb AS (SELECT id, cl FROM (SELECT id, cl,
-        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM ab) WHERE rn = 1),
-        |wc AS (SELECT s2.id AS vec_id, s2.cl AS cluster, h.e FROM s2 JOIN h ON h.vec_id = s2.id),
-        |wb AS (SELECT sb.id AS vec_id, sb.cl AS cluster, nb.e FROM sb JOIN nb ON nb.vec_id = sb.id),
-        |dup AS (
-        |  SELECT DISTINCT b.vec_id FROM wb b JOIN wc c ON c.cluster = b.cluster
-        |  WHERE list_dot_product(b.e, c.e) /
-        |    (sqrt(list_dot_product(b.e, b.e)) * sqrt(list_dot_product(c.e, c.e))) >= 0.3
-        |  UNION
-        |  SELECT DISTINCT a.vec_id FROM wb a JOIN wb b2
-        |    ON a.cluster = b2.cluster AND b2.vec_id < a.vec_id
-        |  WHERE list_dot_product(a.e, b2.e) /
-        |    (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b2.e, b2.e))) >= 0.3)
-        |SELECT vec_id, cluster FROM wb
-        |WHERE vec_id NOT IN (SELECT vec_id FROM dup)
-        |ORDER BY vec_id""".stripMargin),
+      Some(Sd02Oracle),
       (s, d) => graft.operators.Similarity.semanticDedupIncremental(
           t(s, d).embeddings.filter(col("vec_id") % 10 === 0)
             .select("vec_id", "embedding"),
           semIndexLoaded(s, d), threshold = 0.3)
         .orderBy("vec_id")),
+
+    GraftQuery(
+      // STREAMING semantic dedup on ingest (st14, r16 directive #5):
+      // the sd02 nightly batch running INSIDE a streaming query —
+      // broadcast-centroid assignment as a pure projection, the
+      // corpus-dominance half as a stateless stream-static cluster
+      // equi-join, the batch-vs-batch half as cluster-keyed state
+      // emitting the higher id of each near pair when its second
+      // member arrives (drop emission is arrival-order-invariant where
+      // survivor emission could not be). Gated by sd02's ORACLE
+      // VERBATIM (one SQL text, shared val — the BandCte discipline):
+      // the streamed survivors must equal the batch derivation on any
+      // chunking.
+      "st14_stream_semantic_dedup",
+      Some(Sd02Oracle),
+      (s, d) => graft.streaming.StreamReplay.semanticDedupReplay(
+          s, t(s, d).embeddings.filter(col("vec_id") % 10 === 0)
+            .select("vec_id", "embedding"),
+          semIndexLoaded(s, d), threshold = 0.3)
+        .orderBy("vec_id")),
+
 
     GraftQuery(
       // Product quantization + asymmetric-distance search (pq01,
@@ -3070,6 +3114,109 @@ object ExtensionQueries {
           t(s, d).embeddings, probeId = 0L, topK = 10, d = 64, m = 4,
           kCoarse = 4, coarseIterations = 2, kPq = 4, pqIterations = 1,
           nProbe = 2)),
+
+    GraftQuery(
+      // BATCHED indexed ADC search (pq04, ProductQuantizer
+      // .adcTopKIndexedBatch — r16 directive #4): production retrieval
+      // scores N probes per pass, not one — the code table is scanned
+      // ONCE, each code row joining its P broadcast lookup-table rows,
+      // and the per-probe top-k is a probe-keyed window over the
+      // (probe, id)-keyed sums. No per-probe driver loop, no per-probe
+      // re-scan: per-probe cost amortizes the scan. The oracle is
+      // pq01's Lloyd unroll with a per-probe ADC table and a
+      // PARTITION BY probe_id ranking.
+      "pq04_pq_batched",
+      Some("""WITH v AS (SELECT vec_id AS id,
+        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+        |c0 AS (SELECT v.sub, init.cl, v.j, v.x AS c FROM v JOIN init USING (id)),
+        |a1 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.sub, s1.cl, v.j, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 ON s1.id = v.id AND s1.sub = v.sub GROUP BY 1, 2, 3),
+        |c1 AS (SELECT c0.sub, c0.cl, c0.j, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.sub = c0.sub AND c1u.cl = c0.cl AND c1u.j = c0.j),
+        |a2 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s2 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |pt AS (SELECT p.pid AS probe_id, c1.sub, c1.cl,
+        |    CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS pdist
+        |  FROM c1 JOIN (SELECT id AS pid, sub, j, x FROM v WHERE id IN (0, 1, 2)) p
+        |    ON p.sub = c1.sub AND p.j = c1.j
+        |  GROUP BY 1, 2, 3),
+        |adc AS (SELECT pt.probe_id, s2.id AS vec_id, CAST(SUM(pt.pdist) AS BIGINT) AS dist_u
+        |  FROM s2 JOIN pt ON pt.sub = s2.sub AND pt.cl = s2.cl
+        |  WHERE s2.id <> pt.probe_id GROUP BY 1, 2),
+        |rk AS (SELECT probe_id, vec_id, dist_u,
+        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dist_u, vec_id) AS INTEGER) AS rk
+        |  FROM adc)
+        |SELECT probe_id, vec_id, dist_u, rk FROM rk WHERE rk <= 10
+        |ORDER BY probe_id, rk""".stripMargin),
+      (s, d) => graft.operators.ProductQuantizer.adcTopKIndexedBatch(
+          t(s, d).embeddings.filter(col("vec_id").isin(0L, 1L, 2L))
+            .select("vec_id", "embedding"),
+          pqIndexLoaded(s, d), topK = 10)
+        .orderBy("probe_id", "rk")),
+
+    GraftQuery(
+      // PQ index APPEND lifecycle (pq05, ProductQuantizer
+      // .appendToPqIndex — r16 directive #6): the codebooks are fitted
+      // ONCE on the historical slice (vec_id % 10 != 0); the nightly
+      // slice is encoded against those PERSISTED codebooks (broadcast
+      // m·k·(d/m) centroid rows — the corpus codes are never read,
+      // never re-fit) and parquet-appended; a search then covers the
+      // union. The oracle recomputes the whole lifecycle: historical
+      // Lloyd (2 iterations, init = 4 smallest historical ids), batch
+      // argmin against the persisted (after-one-update) centroids,
+      // ADC over the UNION of code sets, probe id 0 (itself an
+      // appended vector) excluded.
+      "pq05_pq_append",
+      Some("""WITH v AS (SELECT vec_id AS id,
+        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 <> 0),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+        |c0 AS (SELECT v.sub, init.cl, v.j, v.x AS c FROM v JOIN init USING (id)),
+        |a1 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.sub, s1.cl, v.j, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 ON s1.id = v.id AND s1.sub = v.sub GROUP BY 1, 2, 3),
+        |c1 AS (SELECT c0.sub, c0.cl, c0.j, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.sub = c0.sub AND c1u.cl = c0.cl AND c1u.j = c0.j),
+        |a2 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s2 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |vb AS (SELECT vec_id AS id,
+        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 = 0),
+        |ab AS (SELECT vb.id, vb.sub, c.cl, CAST(SUM((vb.x - c.c) * (vb.x - c.c)) AS BIGINT) AS dist
+        |  FROM vb JOIN c1 c ON c.sub = vb.sub AND c.j = vb.j GROUP BY 1, 2, 3),
+        |sb AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ab) WHERE rn = 1),
+        |codes AS (SELECT * FROM s2 UNION ALL SELECT * FROM sb),
+        |pt AS (SELECT c1.sub, c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS pdist
+        |  FROM c1 JOIN (SELECT sub, j, x FROM vb WHERE id = 0) p
+        |    ON p.sub = c1.sub AND p.j = c1.j
+        |  GROUP BY 1, 2),
+        |adc AS (SELECT codes.id AS vec_id, CAST(SUM(pt.pdist) AS BIGINT) AS dist_u
+        |  FROM codes JOIN pt ON pt.sub = codes.sub AND pt.cl = codes.cl
+        |  WHERE codes.id <> 0 GROUP BY 1)
+        |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin),
+      (s, d) => graft.operators.ProductQuantizer.adcTopKIndexed(
+          t(s, d).embeddings.filter(col("vec_id") === 0L)
+            .select("vec_id", "embedding"),
+          pqIndexIncremental(s, d), topK = 10)),
 
     GraftQuery(
       // 2-D skyline / Pareto frontier (operators/Skyline): parts that

@@ -455,6 +455,65 @@ object StatefulOps {
       }
   }
 
+  /** Streaming SEMANTIC-dedup drop emission — the batch-vs-batch half
+    * of SemDeDup on ingest (st14; the corpus half is a stateless
+    * stream-static join in the replay, see
+    * [[StreamReplay.semanticDedupReplay]]).
+    *
+    * Input: (vec_id, cluster, embedding) rows, cluster already assigned
+    * against the persisted centroids ([[graft.operators.Similarity.assignLocal]]
+    * — a pure projection, so it runs unchanged on the stream). Keyed
+    * state per cluster accumulates the batch vectors seen so far; each
+    * micro-batch emits the HIGHER id of every near pair
+    * (cosine >= threshold) the moment its second member arrives —
+    * exactly sd02's dupVsBatch set ("drop a iff some lower-id batch row
+    * is near a"), but incrementally: {max(a,b) : cos(a,b) >= θ} ≡
+    * {a : ∃ b < a, cos(a,b) >= θ}. Arrival-order-invariant by the same
+    * argument as [[lshCandidateStream]] — a pair is scored once,
+    * whatever the chunking — so the distinct drops equal the batch
+    * answer on any replay split. A dropped row STAYS in state and keeps
+    * dropping others (sd02 dominance is against all lower-id batch
+    * rows, surviving or not). Duplicate emissions possible when a row
+    * pairs with several earlier rows; dedup downstream (st09 contract).
+    *
+    * State is the batch's vectors per OCCUPIED cluster — the same
+    * batch-side axis sd02's maxClusterSize guards; production adds a
+    * TTL keyed to the ingest horizon ([[lshCandidateStreamTtl]]
+    * pattern). Cosines use [[graft.functions.CosineSimilarity.local]],
+    * the codegen'd expression's arithmetic verbatim, so streamed drops
+    * are bit-identical to the batch operator's.
+    */
+  def semanticDropStream(rows: Dataset[(Long, Int, Seq[Double])],
+                         threshold: Double): Dataset[Long] = {
+    implicit val outEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val keyEnc: Encoder[Int] = Encoders.scalaInt
+    implicit val stEnc: Encoder[Seq[(Long, Seq[Double])]] =
+      Encoders.kryo[Seq[(Long, Seq[Double])]]
+    rows.groupByKey(_._2)
+      .flatMapGroupsWithState[Seq[(Long, Seq[Double])], Long](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: Int, it: Iterator[(Long, Int, Seq[Double])],
+         state: GroupState[Seq[(Long, Seq[Double])]]) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val seen = old.iterator.map(_._1).toSet
+          val incoming = it.map(r => (r._1, r._3)).toSeq
+            .filterNot(r => seen(r._1)).sortBy(_._1)
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            state.update(old ++ incoming)
+            val out = Seq.newBuilder[Long]
+            for ((ida, va) <- incoming; (idb, vb) <- old)
+              if (graft.functions.CosineSimilarity.local(va, vb) >= threshold)
+                out += math.max(ida, idb)
+            for (i <- incoming.indices; j <- i + 1 until incoming.size)
+              if (graft.functions.CosineSimilarity.local(
+                incoming(i)._2, incoming(j)._2) >= threshold)
+                out += incoming(j)._1
+            out.result().iterator
+          }
+      }
+  }
+
   /** [[lshCandidateStream]] with event-time state eviction — the dedup
     * horizon made real. Input band rows carry an event-time Timestamp
     * column (`_4`, the document's ingest time) that drives the

@@ -94,6 +94,10 @@ object StreamReplay {
         val replay = spark.newSession()
         replay.conf.set("spark.sql.shuffle.partitions", "8")
         ssConf.foreach { case (k, v) => replay.conf.set(k, v) }
+        // newSession() starts a FRESH function registry: graft's native
+        // expressions (cosine_similarity in the st14 dedup join) must
+        // be re-registered or the replay fails to resolve them.
+        graft.functions.registerAll(replay)
         (ssConf, replay)
       })._2
   }
@@ -371,6 +375,115 @@ object StreamReplay {
       val schema = out.schema
       val resultRows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
+  /** Replays an embedding batch through STREAMING semantic dedup
+    * against a persisted [[graft.operators.Similarity.saveSemanticIndex]]
+    * directory — sd02's nightly batch running ON INGEST (st14, r16
+    * directive #5): inside one streaming query,
+    *
+    *   - each arriving vector is assigned to its cluster with
+    *     [[graft.operators.Similarity.assignLocal]] over the COLLECTED
+    *     persisted centroids (k·d longs in the task closure — the
+    *     broadcast-centroid argmin as a pure projection, integer
+    *     arithmetic bit-identical to the batch form);
+    *   - the corpus-dominance half is a STATELESS stream-static
+    *     equi-join on the cluster key against the index corpus
+    *     (directory-partitioned by cluster), cosine-filtered with the
+    *     codegen'd expression;
+    *   - the batch-vs-batch half is cluster-keyed state
+    *     ([[StatefulOps.semanticDropStream]]) emitting the higher id of
+    *     each near pair when its second member arrives.
+    *
+    * Both halves emit DROPPED vec_ids — drop emission is
+    * arrival-order-invariant where survivor emission could not be
+    * (a later lower-id near-duplicate retroactively dooms an
+    * already-seen row; appends cannot retract). Survivors = batch
+    * minus distinct drops, assembled at the collection boundary with
+    * the same local assignment — and must equal the batch
+    * [[graft.operators.Similarity.semanticDedupIncremental]] answer on
+    * ANY chunking (the st09 convergence gate; sd02's oracle gates st14
+    * verbatim). Returns (vec_id, cluster) survivors.
+    */
+  def semanticDedupReplay(spark: SparkSession, newBatch: DataFrame,
+                          indexPath: String, threshold: Double,
+                          nChunks: Int = 6): DataFrame = {
+    import graft.operators.Similarity
+    val (meta, centroidsDf, _) = Similarity.loadSemanticIndexParts(spark, indexPath)
+    val cents: Map[Int, Array[Long]] = centroidsDf
+      .select(col("cluster").cast("int"), col("dim").cast("int"), col("c").cast("long"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().groupBy(_._1).map { case (cl, rs) =>
+        val arr = new Array[Long](meta.d)
+        rs.foreach(r => arr(r._2) = r._3)
+        cl -> arr
+      }
+    val rows = {
+      import spark.implicits._
+      newBatch.select(col("vec_id").cast("long"),
+          col("embedding").cast("array<double>"))
+        .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    }
+    rows.foreach { case (id, e) =>
+      require(e.length == meta.d,
+        s"semanticDedupReplay: embedding of length ${e.length} for vec_id $id " +
+          s"does not match the index dimensionality d=${meta.d}")
+    }
+    // id-ordered chunks with the standard %13 displacement — the feed
+    // is genuinely out of order, so the convergence gate really does
+    // exercise retroactive drops (a displaced lower id arriving AFTER
+    // its higher near-duplicate), not just a sorted replay.
+    val fed = displaced(chunked(rows, nChunks))(_._1)
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    import replay.implicits._
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val unitScale = meta.unitScale
+    val assigned = ms.toDS().map { case (id, e) =>
+      (id, Similarity.assignLocal(e, cents, unitScale), e)
+    }
+    val corpus = replay.read.parquet(s"$indexPath/corpus")
+      .select(col("cluster").cast("int").as("cluster"), col("e").as("ce"))
+    val dropsCorpus = assigned.toDF("vec_id", "cluster", "e")
+      .join(corpus, Seq("cluster"))
+      .filter(graft.functions.cosine_similarity(col("e"), col("ce")) >= threshold)
+      .select(col("vec_id"))
+    val dropsBatch = StatefulOps.semanticDropStream(assigned, threshold)
+      .toDF("vec_id")
+    val drops = dropsCorpus.unionAll(dropsBatch)
+
+    val name = s"st_semdedup_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = drops.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        fed.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      val dropped = replay.table(name).select("vec_id").distinct()
+        .as[Long].collect().toSet
+      val survivors = rows.filterNot(r => dropped(r._1))
+        .map { case (id, e) =>
+          org.apache.spark.sql.Row(id, Similarity.assignLocal(e, cents, unitScale))
+        }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("vec_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.IntegerType, nullable = false)))
+      spark.createDataFrame(java.util.Arrays.asList(survivors: _*), schema)
     } finally {
       try replay.catalog.dropTempView(name) catch { case _: Exception => () }
       new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
