@@ -198,7 +198,16 @@ object IngestGate {
       codec = "snappy",
       dlqPath = Some(s"$root/dlq"),
       retry = SimpleRetry(attempts = 3),
-      eventTimeCol = Some("event_ts"))
+      eventTimeCol = Some("event_ts"),
+      // A17 flush workers, sized for this gate's write shape (r16
+      // directive #3): historical orders give nearly every record a
+      // unique (y,m,d,h), so each micro-batch creates ~250 partition
+      // directories — on ONE task that is ~250 sequential parquet file
+      // creates (~2.5 s/batch measured); 8 flush workers write them
+      // concurrently (1.1 s/batch, 16 gains nothing further). Row
+      // content and directory layout are unchanged — only the file
+      // parallelism within the batch.
+      writePartitions = Some(8))
 
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     implicit val envEnc: org.apache.spark.sql.Encoder[Envelope] =
@@ -253,7 +262,16 @@ object IngestGate {
       codec = "snappy",
       dlqPath = Some(s"$root/dlq"),
       retry = SimpleRetry(attempts = 3),
-      eventTimeCol = Some("event_ts"))
+      eventTimeCol = Some("event_ts"),
+      // A17 flush workers, sized for this gate's write shape (r16
+      // directive #3): historical orders give nearly every record a
+      // unique (y,m,d,h), so each micro-batch creates ~250 partition
+      // directories — on ONE task that is ~250 sequential parquet file
+      // creates (~2.5 s/batch measured); 8 flush workers write them
+      // concurrently (1.1 s/batch, 16 gains nothing further). Row
+      // content and directory layout are unchanged — only the file
+      // parallelism within the batch.
+      writePartitions = Some(8))
     val markers = s"$root/markers"
     val armCrash = new java.util.concurrent.atomic.AtomicBoolean(false)
     val replaysSkipped = new java.util.concurrent.atomic.AtomicInteger(0)
