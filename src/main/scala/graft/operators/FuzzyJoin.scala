@@ -44,16 +44,23 @@ object FuzzyJoin {
   val DefaultMaxBlockSize: Int = 65536
 
   /** The shared block-width guard: raise_error per (gram, occ) token
-    * block wider than `cap`, with the count riding a window partitioned
-    * on the SAME (gram, occ) key the candidate self-join shuffles on —
-    * the guard costs a sort inside the exchange the join pays for
-    * regardless (Baskets.withPrunedPairs:64-75 discipline). */
+    * block wider than `cap`. Shape: a map-side-combined aggregate over
+    * the (MATERIALIZED) prefix finds offending tokens — its shuffle is
+    * #distinct tokens, not data — and a BROADCAST left join plants the
+    * raise on every row of an offending block, firing while the
+    * candidate join's input is scanned, before any pair row
+    * materializes. (A count-window riding the join key was tried
+    * first, the Baskets discipline — but (gram, occ) is a
+    * low-cardinality skewed key, and WindowExec's partition sort cost
+    * ~1 s/entry at sf0.1 where the offender set is almost always
+    * EMPTY; the aggregate form is measured net-free.) */
   private def blockGuarded(prefix: DataFrame, cap: Int, who: String): DataFrame = {
-    val wBlk = org.apache.spark.sql.expressions.Window.partitionBy("gram", "occ")
-    prefix
-      .withColumn("__blk", count(lit(1)).over(wBlk))
+    val offend = prefix.groupBy("gram", "occ")
+      .agg(count(lit(1)).as("__blk"))
+      .filter(col("__blk") > cap)
+    prefix.join(broadcast(offend), Seq("gram", "occ"), "left")
       .withColumn("__id",
-        when(col("__blk") > cap, raise_error(concat(
+        when(col("__blk").isNotNull, raise_error(concat(
           lit(s"$who: prefix token ('"), col("gram"), lit("', occ "),
           col("occ").cast("string"), lit(") is shared by "),
           col("__blk").cast("string"),
@@ -92,12 +99,12 @@ object FuzzyJoin {
     *   block width — the candidate join's quadratic skew axis (the
     *   Baskets basket-width / semanticDedup cluster-size discipline):
     *   one string cloned C times shares every prefix token, so a single
-    *   (gram, occ) key emits C(C,2) candidate pairs. The width count
-    *   rides a window on the join's own (gram, occ) shuffle, so the job
-    *   dies naming the token BEFORE any pair row materializes. Callers
-    *   hitting the cap should exact-dedup clones upstream (q25/dd01 —
-    *   identical strings are by definition edit-distance 0), not raise
-    *   the cap.
+    *   (gram, occ) key emits C(C,2) candidate pairs. The width check is
+    *   a map-side-combined aggregate + broadcast raise (see
+    *   [[blockGuarded]]), so the job dies naming the token BEFORE any
+    *   pair row materializes. Callers hitting the cap should exact-dedup
+    *   clones upstream (q25/dd01 — identical strings are by definition
+    *   edit-distance 0), not raise the cap.
     * @return (id_a, id_b, dist), id_a < id_b, exact and complete
     */
   def qgramJoin(df: DataFrame, idCol: String, strCol: String,
@@ -141,23 +148,31 @@ object FuzzyJoin {
         val dfreq = tk.groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("__id").orderBy(col("__df"), col("gram"), col("occ"))
-        val prefix = blockGuarded(tk.join(dfreq, "gram")
+        // The RAW prefix feeds three consumers (both candidate-join
+        // sides + the guard's width aggregate): materialize it once
+        // (third working-set level) so the dfreq join and rank window
+        // run a single time — r17: the unmaterialized form re-ran them
+        // per side (fz04 +75% at sf1). The guard itself is a lazy
+        // broadcast left join whose exchange is REUSED across the two
+        // sides (near-free when no block offends).
+        TextDedup.withWorkingSet(tk.join(dfreq, "gram")
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= prefixLen)
-          .select(col("__id"), col("__s"), col("gram"), col("occ")),
-          maxBlockSize, "qgramJoin")
-        val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
-            col("gram"), col("occ"))
-          .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),
-            col("gram"), col("occ")), Seq("gram", "occ"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b", "s_a", "s_b")
-          .distinct()
-        cand
-          .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDistance)
-          .filter(levenshtein(col("s_a"), col("s_b")) <= maxDistance)
-          .select(col("id_a"), col("id_b"),
-            levenshtein(col("s_a"), col("s_b")).as("dist"))
+          .select(col("__id"), col("__s"), col("gram"), col("occ"))) { raw =>
+          val prefix = blockGuarded(raw, maxBlockSize, "qgramJoin")
+          val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
+              col("gram"), col("occ"))
+            .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),
+              col("gram"), col("occ")), Seq("gram", "occ"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b", "s_a", "s_b")
+            .distinct()
+          cand
+            .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDistance)
+            .filter(levenshtein(col("s_a"), col("s_b")) <= maxDistance)
+            .select(col("id_a"), col("id_b"),
+              levenshtein(col("s_a"), col("s_b")).as("dist"))
+        }
       }
     }
   }
@@ -209,7 +224,7 @@ object FuzzyJoin {
     *   (JaroWinklerSpec pins the divergence as a tested fact).
     * @param maxBlockSize loud equal-(gram, occ) block-width cap — the
     *   [[qgramJoin]] contract verbatim (cloned strings share every
-    *   prefix token; the guard rides the join's own shuffle). */
+    *   prefix token; aggregate + broadcast raise, [[blockGuarded]]). */
   def jaroWinklerJoin(df: DataFrame, idCol: String, strCol: String,
                       threshold: Double,
                       requireAscii: Boolean = false,
@@ -256,27 +271,29 @@ object FuzzyJoin {
         val dfreq = tk.groupBy("gram").agg(count_distinct(col("__id")).as("__df"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("__id").orderBy(col("__df"), col("gram"), col("occ"))
-        val prefix = blockGuarded(tk.join(dfreq, "gram")
+        // Raw prefix materialized once, guard lazy (see qgramJoin).
+        TextDedup.withWorkingSet(tk.join(dfreq, "gram")
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= col("__len") - col("__k") + 1)
-          .select(col("__id"), col("__s"), col("gram"), col("occ")),
-          maxBlockSize, "jaroWinklerJoin")
-        val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
-            col("gram"), col("occ"))
-          .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),
-            col("gram"), col("occ")), Seq("gram", "occ"))
-          .filter(col("id_a") < col("id_b"))
-          .select("id_a", "id_b", "s_a", "s_b")
-          .distinct()
-        val jw = graft.functions.jaro_winkler(col("s_a"), col("s_b"))
-        cand
-          // admissible-length window first (cheap; 1e-9 slack keeps it
-          // conservative), then the exact verify decides
-          .filter(greatest(length(col("s_a")), length(col("s_b"))) * ratio <=
-            least(length(col("s_a")), length(col("s_b"))) + lit(1e-9))
-          .filter(jw >= threshold)
-          .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
-            graft.functions.roundFp(jw, 6).as("jw"))
+          .select(col("__id"), col("__s"), col("gram"), col("occ"))) { raw =>
+          val prefix = blockGuarded(raw, maxBlockSize, "jaroWinklerJoin")
+          val cand = prefix.select(col("__id").as("id_a"), col("__s").as("s_a"),
+              col("gram"), col("occ"))
+            .join(prefix.select(col("__id").as("id_b"), col("__s").as("s_b"),
+              col("gram"), col("occ")), Seq("gram", "occ"))
+            .filter(col("id_a") < col("id_b"))
+            .select("id_a", "id_b", "s_a", "s_b")
+            .distinct()
+          val jw = graft.functions.jaro_winkler(col("s_a"), col("s_b"))
+          cand
+            // admissible-length window first (cheap; 1e-9 slack keeps it
+            // conservative), then the exact verify decides
+            .filter(greatest(length(col("s_a")), length(col("s_b"))) * ratio <=
+              least(length(col("s_a")), length(col("s_b"))) + lit(1e-9))
+            .filter(jw >= threshold)
+            .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
+              graft.functions.roundFp(jw, 6).as("jw"))
+        }
       }
     }
   }

@@ -433,20 +433,24 @@ object Similarity {
     *   self-join's quadratic axis (the Baskets/semanticDedup/FuzzyJoin
     *   discipline): at `bits` hyperplanes there are only 2^bits buckets,
     *   so a corpus of N vectors averages N/2^bits per bucket and each
-    *   bucket emits C(width, 2) pair rows. The count rides a window on
-    *   the join's own bucket shuffle, so an over-wide bucket dies loudly
-    *   — named — before any pair row materializes. Callers hitting the
-    *   cap should raise `bits` (more, narrower buckets — the operator's
-    *   actual scale lever), not the cap. */
+    *   bucket emits C(width, 2) pair rows. The width check is a
+    *   map-side-combined aggregate + broadcast raise (the FuzzyJoin
+    *   blockGuarded shape — a count window over 2^bits partitions would
+    *   sort the whole corpus on a low-cardinality key), so an over-wide
+    *   bucket dies loudly — named — before any pair row materializes.
+    *   Callers hitting the cap should raise `bits` (more, narrower
+    *   buckets — the operator's actual scale lever), not the cap. */
   def nearDupPairs(emb: DataFrame, threshold: Double, bits: Int = 4,
                    maxBucketSize: Int = 1000000): DataFrame = {
     require(maxBucketSize >= 1, s"maxBucketSize must be >= 1, got $maxBucketSize")
-    val wB = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
-    val b = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
-        signBucket(col("embedding"), bits).as("bucket"))
-      .withColumn("__w", count(lit(1)).over(wB))
+    val raw = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"),
+      signBucket(col("embedding"), bits).as("bucket"))
+    val offend = raw.groupBy("bucket")
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > maxBucketSize)
+    val b = raw.join(broadcast(offend), Seq("bucket"), "left")
       .withColumn("vec_id",
-        when(col("__w") > maxBucketSize, raise_error(concat(
+        when(col("__w").isNotNull, raise_error(concat(
           lit("nearDupPairs: bucket '"), col("bucket"), lit("' holds "),
           col("__w").cast("string"),
           lit(s" vectors, over maxBucketSize=$maxBucketSize; the in-bucket " +

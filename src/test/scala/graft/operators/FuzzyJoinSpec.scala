@@ -112,13 +112,14 @@ class FuzzyJoinSpec extends SparkSpec {
     try FuzzyJoin.qgramJoin(df, "id", "s", q = 2, maxDistance = 1)
     finally sc.clearJobGroup()
     val jobs = sc.statusTracker.getJobIdsForGroup("fz-guard-probe").length
-    // Measured at 20 jobs, deterministic over repeated runs (the two
-    // localCheckpoint materializations + the AQE-split candidate/verify
-    // chain; r17's block-width guard adds AQE window stages that ride
-    // the join's own (gram, occ) shuffle — bounded stage bookkeeping,
-    // NOT a pass over the input). The old min(length) pre-scan added a
-    // full input pass; pin the measured count so one can't creep back.
-    assert(jobs <= 20, s"qgramJoin ran $jobs jobs (measured 20)")
+    // Measured at 21 jobs, deterministic over repeated runs (three
+    // localCheckpoint materializations — strs, toks, and r17's raw
+    // prefix — plus the guard's width aggregate and the AQE-split
+    // candidate/verify chain; the prefix materialization REMOVED the
+    // per-side dfreq-join/rank-window recomputation, so the job count
+    // is bookkeeping, not input passes). The old min(length) pre-scan
+    // added a full input pass; pin the count so one can't creep back.
+    assert(jobs <= 21, s"qgramJoin ran $jobs jobs (measured 21)")
   }
 
   test("block-width cap: mass-cloned strings fail loudly, naming the token") {
