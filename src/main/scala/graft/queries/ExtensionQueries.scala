@@ -404,7 +404,12 @@ object ExtensionQueries {
         |SELECT user_id, CAST(MIN(ts) AS TIMESTAMP) AS session_start, COUNT(*) AS n
         |FROM g GROUP BY user_id, grp ORDER BY user_id, session_start""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.sessionReplay(
-        s, t(s, d).events.select("user_id", "event_id", "ts"))),
+        s, t(s, d).events.select("user_id", "event_id", "ts"),
+        // 4 replay chunks (r16 st02/st03 precedent): output is
+        // chunking-invariant by contract, the 6-chunk displacement
+        // coverage lives in StreamReplaySpec, and each micro-batch
+        // costs fixed state-store machinery.
+        nChunks = 4)),
 
     GraftQuery(
       // The second stateful streaming operator made driver-visible: the
@@ -465,7 +470,8 @@ object ExtensionQueries {
         |FROM events GROUP BY user_id, hour_bucket
         |ORDER BY user_id, hour_bucket""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.dedupReplay(
-        s, t(s, d).events.select("user_id", "event_id", "ts"))),
+        s, t(s, d).events.select("user_id", "event_id", "ts"),
+        nChunks = 4)),
 
     GraftQuery(
       // Incremental dedup against a PERSISTED band index (dd11): the
@@ -505,7 +511,7 @@ object ExtensionQueries {
         |FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
         |ORDER BY doc_a, doc_b""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.lshCandidateReplay(
-        s, t(s, d).documents.select("doc_id", "text"))),
+        s, t(s, d).documents.select("doc_id", "text"), nChunks = 4)),
 
     GraftQuery(
       // The CUSTOM-KEYED-STATE operator made driver-visible (st05):
@@ -524,7 +530,8 @@ object ExtensionQueries {
         |  FROM events) q
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.latestByKeyReplay(
-        s, t(s, d).events.select("user_id", "event_type", "event_id"))),
+        s, t(s, d).events.select("user_id", "event_type", "event_id"),
+        nChunks = 4)),
 
     GraftQuery(
       // Append-mode custom state (st06): per-key admission limiting
@@ -537,7 +544,8 @@ object ExtensionQueries {
       Some("""SELECT user_id, CAST(LEAST(COUNT(*), 5) AS BIGINT) AS n_admitted
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.rateLimitReplay(
-        s, t(s, d).events.select("user_id", "value", "event_id"), maxPerKey = 5L)),
+        s, t(s, d).events.select("user_id", "value", "event_id"), maxPerKey = 5L,
+        nChunks = 4)),
 
     GraftQuery(
       // Deterministic bounded admission (st07, VERDICT r9 #8): st06's
@@ -555,7 +563,7 @@ object ExtensionQueries {
         |  FROM events) q
         |WHERE rn <= 5 ORDER BY user_id, event_id""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.smallestKReplay(
-        s, t(s, d).events.select("user_id", "event_id"), k = 5)),
+        s, t(s, d).events.select("user_id", "event_id"), k = 5, nChunks = 4)),
 
     GraftQuery(
       // Streaming funnel (st08): the stream half of fn01 — per-user
@@ -581,7 +589,7 @@ object ExtensionQueries {
         |ORDER BY u.user_id""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.funnelReplay(
         s, t(s, d).events.select("user_id", "ts", "event_type", "event_id"),
-        stages = Seq("view", "click", "purchase"))),
+        stages = Seq("view", "click", "purchase"), nChunks = 4)),
 
     GraftQuery(
       // Streaming funnel under event-time TTL (st10): the PRODUCTION
@@ -609,7 +617,7 @@ object ExtensionQueries {
         |ORDER BY u.user_id""".stripMargin),
       (s, d) => graft.streaming.StreamReplay.funnelTtlReplay(
         s, t(s, d).events.select("user_id", "ts", "event_type", "event_id"),
-        stages = Seq("view", "click", "purchase"))),
+        stages = Seq("view", "click", "purchase"), nChunks = 4)),
 
     GraftQuery(
       "q29_sliding_window",
@@ -2441,7 +2449,7 @@ object ExtensionQueries {
             col("o_custkey").as("key"), col("o_orderkey").as("change_id"),
             datediff(col("o_orderdate").cast("date"),
               lit("1970-01-01").cast("date")).cast("long").as("ts_days"),
-            col("o_orderpriority").as("attr")))),
+            col("o_orderpriority").as("attr")), nChunks = 4)),
 
     GraftQuery(
       // Stream-static broadcast enrichment (st12): the one STATELESS
@@ -2459,7 +2467,7 @@ object ExtensionQueries {
       (s, d) => graft.streaming.StreamReplay.enrichReplay(
           s, t(s, d).events.select("user_id", "event_id"),
           t(s, d).customer.select(col("c_custkey").as("user_id"),
-            col("c_nationkey").as("nation")))),
+            col("c_nationkey").as("nation")), nChunks = 4)),
 
     GraftQuery(
       // Per-key integer EWMA (ts05, TimeSeries.ewmaMilli): the
@@ -2511,7 +2519,7 @@ object ExtensionQueries {
       (s, d) => graft.streaming.StreamReplay.zscoreReplay(
           s, t(s, d).events.select(col("user_id"), col("ts"), col("event_id"),
             floor(col("value") * 1000 + 0.5).cast("long").as("vu")),
-          window = 30, minBaseline = 10, threshold = 3)),
+          window = 30, minBaseline = 10, threshold = 3, nChunks = 4)),
 
     GraftQuery(
       // Declarative data-quality expectations (operators/Quality): all
@@ -2963,7 +2971,7 @@ object ExtensionQueries {
       (s, d) => graft.streaming.StreamReplay.semanticDedupReplay(
           s, t(s, d).embeddings.filter(col("vec_id") % 10 === 0)
             .select("vec_id", "embedding"),
-          semIndexLoaded(s, d), threshold = 0.3)
+          semIndexLoaded(s, d), threshold = 0.3, nChunks = 4)
         .orderBy("vec_id")),
 
 
