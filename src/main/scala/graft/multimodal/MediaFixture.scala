@@ -57,6 +57,77 @@ object MediaFixture {
       }
     }
 
+  // ---- dHash near-dup fixture (mm03) -------------------------------
+  // A SEPARATE fixture dir: mm01 globs `*.png` over the media dir, so
+  // additional images there would silently change its VALUES oracle.
+  //
+  // Six 36x32 images built from constant-value 4x4 cells on the 9x8
+  // dHash grid (cell value IS the cell average — closed-form hashes):
+  //   0 left->right gradient 10+25c       -> every bit set   (-1L)
+  //   1 the same gradient +20 brightness  -> same hash       (-1L)
+  //      (the brightness invariance dHash exists for)
+  //   2 gradient with one dipped cell (r0,c4)=80 -> exactly bit 3
+  //      clears (85 < 80 fails)           -> -1L & ~(1L<<3)
+  //   3 reversed gradient 210-25c         -> no bit set      (0L)
+  //   4 reversed gradient +20 brightness  -> 0L
+  //      (+20, not -20: cell values must stay in [0, 255] — a negative
+  //      value wraps through setRGB into a bright byte and corrupts
+  //      the gradient, found by this spec in v1)
+  //   5 alternating 50/200 stripes        -> bits at even c  (0x55 rows)
+  // Near pairs at Hamming <= 3: (0,1,0) (0,2,1) (1,2,1) (3,4,0);
+  // every other pair is >= 31 bits apart.
+
+  val DhashN = 6
+  private val DhashVersion = "v2"
+
+  def dhashCell(i: Int, r: Int, c: Int): Int = i match {
+    case 0 => 10 + 25 * c
+    case 1 => 30 + 25 * c
+    case 2 => if (r == 0 && c == 4) 80 else 10 + 25 * c
+    case 3 => 210 - 25 * c
+    case 4 => 230 - 25 * c
+    case 5 => if (c % 2 == 0) 50 else 200
+    case _ => throw new IllegalArgumentException(s"no dhash fixture $i")
+  }
+
+  /** The analytically-expected dHash of fixture image `i` (bit r*8+c
+    * set iff cell (r,c) < cell (r,c+1)) — asserted against
+    * [[ImageHash.dHash64]] in MultimodalSpec and the basis of the mm03
+    * VALUES oracle. */
+  def dhashExpected(i: Int): Long = {
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (dhashCell(i, r, c) < dhashCell(i, r, c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
+
+  /** Generate (once) and return the dHash fixture directory. */
+  def ensureDhash(): String =
+    graft.Fixtures.ensure("media_dhash", DhashVersion) { dir =>
+      (0 until DhashN).foreach { i =>
+        val img = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < 32) {
+          var x = 0
+          while (x < 36) {
+            val v = dhashCell(i, y / 4, x / 4)
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        if (!ImageIO.write(img, "png", new File(dir, s"dh_$i.png")))
+          throw new IllegalStateException("no PNG writer available in this JVM")
+      }
+    }
+
   private def writePng(f: File, i: Int): Unit = {
     val (w, h) = imageDim(i)
     val v = imageGrey(i)

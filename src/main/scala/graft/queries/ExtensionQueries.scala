@@ -1887,6 +1887,38 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Perceptual image near-dup dedup (mm03, ImageHash): the image
+      // analog of dd04 SimHash — 64-bit dHash per decoded image
+      // (integer Rec.601 luma, exact cross-multiplied cell compares),
+      // banded Hamming equi-join with GUARANTEED recall at
+      // maxHamming < nBands (pigeonhole), band-bucket width cap riding
+      // an aggregate+broadcast raise. Fixture images are constant-value
+      // cells on the hash grid, so every expected hash — and thus every
+      // pair's Hamming distance — is closed-form: the brightness-
+      // shifted gradient pair lands at distance 0 (the invariance dHash
+      // exists for), the one-cell dip at 1, the reversed/striped images
+      // >= 31 bits away. The VALUES oracle verifies the whole
+      // listing -> decode -> hash -> band-join -> verify pipeline.
+      "mm03_image_dhash",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(hamming AS INTEGER) AS hamming
+        |FROM (VALUES (0, 1, 0), (0, 2, 1), (1, 2, 1), (3, 4, 0))
+        |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) => {
+        import graft.multimodal.{ImageHash, MediaFixture, Multimodal}
+        val dir = MediaFixture.ensureDhash()
+        val imgs = Multimodal.readMedia(s, dir, "image/png", Some("*.png"))
+        val idx = imgs.toDF.select(col("media_id"),
+          regexp_extract(element_at(col("meta"), lit("path")), "dh_(\\d+)\\.png", 1)
+            .cast("int").as("id"))
+        val hashes = ImageHash.hashImages(imgs).toDF
+          .join(idx, "media_id").select("id", "dhash")
+        ImageHash.nearDupPairs(hashes, maxHamming = 3)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
+          .orderBy("idx_a", "idx_b")
+      }),
+
+    GraftQuery(
       // RAG document chunking (TextAnalysis.chunkDocuments): fixed-size
       // overlapping word windows (50 words, stride 40) — pure
       // projection + explode, ZERO shuffles; chunking a 100 TB corpus

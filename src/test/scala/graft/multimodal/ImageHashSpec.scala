@@ -1,0 +1,144 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.MediaItem
+
+class ImageHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val fixtureHashes: Map[Int, Long] = {
+    val dir = MediaFixture.ensureDhash()
+    (0 until MediaFixture.DhashN).map { i =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"dh_$i.png"))
+      i -> ImageHash.dHash64(bytes)
+    }.toMap
+  }
+
+  test("fixture dHashes equal the analytic closed forms") {
+    // the mm03 VALUES oracle rests on these exact longs
+    assert(fixtureHashes(0) == -1L, "monotone gradient: every bit set")
+    assert(fixtureHashes(1) == -1L, "brightness shift leaves dHash unchanged")
+    assert(fixtureHashes(2) == (-1L & ~(1L << 3)), "one dipped cell flips exactly bit 3")
+    assert(fixtureHashes(3) == 0L, "reversed gradient: no bit set")
+    assert(fixtureHashes(4) == 0L)
+    assert(fixtureHashes(5) == 0x5555555555555555L, "stripes: bits at even columns")
+    (0 until MediaFixture.DhashN).foreach { i =>
+      assert(fixtureHashes(i) == MediaFixture.dhashExpected(i), s"i=$i")
+    }
+  }
+
+  test("dHash is invariant under resize that preserves gradient structure") {
+    // the same cell pattern rendered at 3x the resolution (108x96, 12x12
+    // cells) must hash identically — the downscale-to-grid is the point
+    def bigPng(i: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(108, 96,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 96; x <- 0 until 108) {
+        val v = MediaFixture.dhashCell(i, y / 12, x / 12)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    (0 until MediaFixture.DhashN).foreach { i =>
+      assert(ImageHash.dHash64(bigPng(i)) == fixtureHashes(i), s"i=$i")
+    }
+  }
+
+  test("undecodable, too-small, and oversized payloads throw (DLQ path)") {
+    intercept[IllegalArgumentException](ImageHash.dHash64(Array[Byte](1, 2, 3)))
+    val tiny = {
+      val img = new java.awt.image.BufferedImage(8, 8,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val e = intercept[IllegalArgumentException](ImageHash.dHash64(tiny))
+    assert(e.getMessage.contains("smaller than"))
+  }
+
+  private def pairsOf(hashes: Seq[(Int, Long)], maxHamming: Int,
+                      nBands: Int = 4): Seq[(Int, Int, Int)] =
+    ImageHash.nearDupPairs(hashes.toDF("id", "dhash"), maxHamming, nBands)
+      .as[(Int, Int, Int)].collect().toSeq
+
+  private def brute(hashes: Seq[(Int, Long)], maxHamming: Int): Seq[(Int, Int, Int)] =
+    (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHamming
+    } yield (a, b, d)).sortBy(p => (p._1, p._2))
+
+  test("nearDupPairs finds exactly the fixture near pairs") {
+    val hs = fixtureHashes.toSeq.sortBy(_._1)
+    val got = pairsOf(hs, maxHamming = 3)
+    assert(got == Seq((0, 1, 0), (0, 2, 1), (1, 2, 1), (3, 4, 0)))
+    assert(got == brute(hs, 3))
+  }
+
+  test("banded join equals brute force on engineered bit-flip families") {
+    // base hashes far apart; each spawns variants 1-3 bit flips away,
+    // with flips spread across DIFFERENT bands (the adversarial case
+    // for banding — recall must come from the untouched band)
+    val bases = Seq(0L, -1L, 0x5555555555555555L, 0x123456789abcdefL)
+    val hs = bases.zipWithIndex.flatMap { case (h, i) =>
+      Seq((i * 10, h),
+        (i * 10 + 1, h ^ (1L << 2)),                            // 1 flip, band 0
+        (i * 10 + 2, h ^ (1L << 2) ^ (1L << 20)),               // 2 flips, bands 0,1
+        (i * 10 + 3, h ^ (1L << 2) ^ (1L << 20) ^ (1L << 40))). // 3 flips, bands 0,1,2
+        map { case (id, v) => (id, v) }
+    }
+    (0 to 3).foreach { t =>
+      assert(pairsOf(hs, t) == brute(hs, t), s"maxHamming=$t")
+    }
+  }
+
+  test("recall precondition and band arithmetic are enforced") {
+    val hs = Seq((1, 1L), (2, 2L)).toDF("id", "dhash")
+    // maxHamming >= nBands would lose the pigeonhole recall guarantee
+    intercept[IllegalArgumentException](ImageHash.nearDupPairs(hs, 4, nBands = 4))
+    intercept[IllegalArgumentException](ImageHash.nearDupPairs(hs, 2, nBands = 5))
+    intercept[IllegalArgumentException](ImageHash.nearDupPairs(hs, -1))
+  }
+
+  test("band-bucket width cap dies loudly before any pair row") {
+    // 6 all-zero hashes share every band: C(6,2) pairs uncapped
+    val flood = (1 to 6).map(i => (i, 0L)) :+ (7, -1L)
+    val e = intercept[Exception] {
+      ImageHash.nearDupPairs(flood.toDF("id", "dhash"), 3,
+        maxBandBucket = 5).collect()
+    }
+    assert(e.getMessage.contains("over maxBandBucket=5"), e.getMessage)
+    // at the cap it completes and matches brute force
+    assert(pairsOf(flood, 3).toSet ==
+      brute(flood, 3).toSet)
+  }
+
+  test("plan: banded equi-join, no cartesian product") {
+    val hs = fixtureHashes.toSeq.map { case (i, h) => (i, h) }.toDF("id", "dhash")
+    val plan = ImageHash.nearDupPairs(hs, 3).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("hashImages runs the partition-local batch lifecycle end-to-end") {
+    val dir = MediaFixture.ensureDhash()
+    val items = Multimodal.readMedia(spark, dir, "image/png", Some("*.png"))
+    val byPath = items.collect().map(m =>
+      m.meta("path").split('/').last -> m.media_id).toMap
+    val hashed = ImageHash.hashImages(items).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    (0 until MediaFixture.DhashN).foreach { i =>
+      assert(hashed(byPath(s"dh_$i.png")) == fixtureHashes(i), s"i=$i")
+    }
+  }
+
+  test("undecodable items fail the distributed hash task (not fabricated)") {
+    val junk = Seq(MediaItem(9L, "image/png", Array[Byte](0, 1), Map.empty)).toDS()
+    intercept[org.apache.spark.SparkException] {
+      ImageHash.hashImages(junk).collect()
+    }
+  }
+}
