@@ -131,25 +131,49 @@ object ImageHash {
     */
   def nearDupPairs(hashes: DataFrame, maxHamming: Int, nBands: Int = 4,
                    maxBandBucket: Int = 1000000): DataFrame = {
+    requireRecall(maxHamming, nBands)
+    val g = bandGuarded(banded(hashes, nBands), maxBandBucket, "nearDupPairs")
+    val a = g.select(col("id").as("id_a"), col("dhash").as("ha"),
+      col("band"), col("bv"))
+    val b = g.select(col("id").as("id_b"), col("dhash").as("hb"),
+      col("band"), col("bv"))
+    verified(a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b")),
+      maxHamming)
+  }
+
+  private def requireRecall(maxHamming: Int, nBands: Int): Unit = {
     require(nBands >= 2 && 64 % nBands == 0,
       s"nBands must divide 64 and be >= 2, got $nBands")
     require(maxHamming >= 0 && maxHamming < nBands,
       s"maxHamming must be in [0, nBands) for guaranteed recall, " +
         s"got maxHamming=$maxHamming nBands=$nBands")
-    require(maxBandBucket >= 1, s"maxBandBucket must be >= 1, got $maxBandBucket")
+  }
+
+  /** (id, dhash) -> one row per (band, bv) — the blocking projection
+    * shared by the inline join, the index writer, and the incremental
+    * query (one definition of the banding geometry). */
+  private def banded(hashes: DataFrame, nBands: Int): DataFrame = {
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val bands = (0 until nBands).map(p =>
       shiftrightunsigned(col("dhash"), p * width).bitwiseAND(lit(mask)))
-    val banded = hashes.select(col("id"), col("dhash"),
+    hashes.select(col("id"), col("dhash"),
       posexplode(array(bands: _*)).as(Seq("band", "bv")))
-    val offend = banded.groupBy("band", "bv")
+  }
+
+  /** Band-bucket width cap: map-side-combined aggregate + broadcast
+    * raise (band keys are low-cardinality — the r17 FuzzyJoin guard
+    * transport), firing before any pair row materializes. */
+  private def bandGuarded(bandRows: DataFrame, maxBandBucket: Int,
+                          who: String): DataFrame = {
+    require(maxBandBucket >= 1, s"maxBandBucket must be >= 1, got $maxBandBucket")
+    val offend = bandRows.groupBy("band", "bv")
       .agg(count(lit(1)).as("__w"))
       .filter(col("__w") > maxBandBucket)
-    val g = banded.join(broadcast(offend), Seq("band", "bv"), "left")
+    bandRows.join(broadcast(offend), Seq("band", "bv"), "left")
       .withColumn("id",
         when(col("__w").isNotNull, raise_error(concat(
-          lit("ImageHash.nearDupPairs: band "), col("band").cast("string"),
+          lit(s"ImageHash.$who: band "), col("band").cast("string"),
           lit(" value "), col("bv").cast("string"), lit(" holds "),
           col("__w").cast("string"),
           lit(s" images, over maxBandBucket=$maxBandBucket; the in-bucket " +
@@ -157,16 +181,84 @@ object ImageHash {
             "heavy sludge upstream or raise the cap deliberately"))))
           .otherwise(col("id")))
       .select("id", "dhash", "band", "bv")
-    val a = g.select(col("id").as("id_a"), col("dhash").as("ha"),
-      col("band"), col("bv"))
-    val b = g.select(col("id").as("id_b"), col("dhash").as("hb"),
-      col("band"), col("bv"))
-    a.join(b, Seq("band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ha", "hb").distinct() // multi-band collisions
+  }
+
+  /** Candidate dedup + popcount verify, shared by the inline and
+    * incremental joins. Input carries (id_a, ha, id_b, hb). */
+  private def verified(cands: DataFrame, maxHamming: Int): DataFrame =
+    cands.select("id_a", "id_b", "ha", "hb").distinct() // multi-band collisions
       .select(col("id_a"), col("id_b"),
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
+
+  // ---- persisted band index (the dd11 lifecycle for images) --------
+  // A crawl re-run should not re-decode and re-hash last month's
+  // petabytes: the banded projection is persisted ONCE as a bucketed
+  // path table ([[graft.operators.Layout.saveBucketedPath]], bucketed
+  // by the band bucket so the nightly candidate join reads the index
+  // side with ZERO exchange whatever its size), and each new batch is
+  // hashed, banded, and joined against it — the recurring cost is the
+  // NEW batch alone. Like the dd11 band index (and unlike the
+  // PQ/semantic/inverted indexes), the sidecar carries only the
+  // banding PARAMETERS — there are no incrementally-maintained stats
+  // to go stale — so the loud checks are the param/foreign-dir ones.
+
+  /** Write the banded projection of `hashes` (id, dhash) to `path` as
+    * a bucketed path table. `nBands` is fixed at save time (it IS the
+    * blocking geometry); queries read it from the sidecar, so a
+    * caller-side mismatch cannot exist. The width cap runs at save
+    * time: an over-wide bucket would make every future incremental
+    * query quadratic, so it dies here, named, instead. */
+  def saveDhashIndex(hashes: DataFrame, path: String, nBands: Int = 4,
+                     nBuckets: Int = 8, maxBandBucket: Int = 1000000): Unit = {
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must divide 64 and be >= 2, got $nBands")
+    val rows = bandGuarded(banded(hashes, nBands), maxBandBucket, "saveDhashIndex")
+      .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
+    graft.operators.Layout.saveBucketedPath(rows, path, "bucket", nBuckets,
+      extraProps = Map("dhashNBands" -> nBands.toString))
+  }
+
+  private def readIndexMeta(path: String): Int = {
+    val props = graft.operators.Layout.pathTableProps(path).getOrElse(sys.error(
+      s"$path has no path-table metadata — not a graft dHash band index; " +
+        "rebuild with ImageHash.saveDhashIndex"))
+    props.getOrElse("dhashNBands", sys.error(
+      s"$path is a bucketed path table but not a dHash band index " +
+        "(no dhashNBands property) — refusing to misread a foreign index")).toInt
+  }
+
+  /** Near-dup pairs INVOLVING a new batch of hashes, against a
+    * [[saveDhashIndex]] corpus: (indexed x new) band collisions plus
+    * (new x new) — never (indexed x indexed), those were emitted when
+    * the index was built. The index side joins exchange-free on its
+    * bucket key; banding geometry comes from the index's own sidecar.
+    * Output (id_a < id_b, hamming <= maxHamming), distinct, ordered. */
+  def incrementalNearDupPairs(newHashes: DataFrame, indexPath: String,
+                              maxHamming: Int,
+                              maxBandBucket: Int = 1000000): DataFrame = {
+    val nBands = readIndexMeta(indexPath)
+    requireRecall(maxHamming, nBands)
+    val idx = graft.operators.Layout.loadBucketedPath(
+      newHashes.sparkSession, indexPath)._1
+    val nb = bandGuarded(banded(newHashes, nBands), maxBandBucket,
+        "incrementalNearDupPairs")
+      .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
+    val oldNew = idx.select(col("id").as("id_o"), col("dhash").as("ho"),
+        col("bucket"))
+      .join(nb.select(col("id").as("id_n"), col("dhash").as("hn"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("id_o") =!= col("id_n"))
+      .select(least(col("id_o"), col("id_n")).as("id_a"),
+        greatest(col("id_o"), col("id_n")).as("id_b"),
+        col("ho").as("ha"), col("hn").as("hb")) // hamming is symmetric
+    val newNew = nb.select(col("id").as("id_a"), col("dhash").as("ha"),
+        col("bucket"))
+      .join(nb.select(col("id").as("id_b"), col("dhash").as("hb"),
+        col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "ha", "hb")
+    verified(oldNew.unionAll(newNew), maxHamming)
   }
 }

@@ -134,6 +134,29 @@ object ExtensionQueries {
         tmp.toString)
     }
 
+  /** The dHash fixture corpus as an (id, dhash) frame — real
+    * listing -> PNG decode -> hash, ids recovered from the fixture
+    * file names (the mm01 idx discipline). Shared by mm03/mm04. */
+  private def dhashFixtureHashes(s: SparkSession): DataFrame = {
+    import graft.multimodal.{ImageHash, MediaFixture, Multimodal}
+    val dir = MediaFixture.ensureDhash()
+    val imgs = Multimodal.readMedia(s, dir, "image/png", Some("*.png"))
+    val ids = imgs.toDF.select(col("media_id"),
+      regexp_extract(element_at(col("meta"), lit("path")), "dh_(\\d+)\\.png", 1)
+        .cast("int").as("id"))
+    ImageHash.hashImages(imgs).toDF.join(ids, "media_id").select("id", "dhash")
+  }
+
+  /** Persisted dHash band index over the "historical" fixture images
+    * (all but 1/2) for mm04. Fixture-derived and scale-independent, so
+    * the version ties to the media fixture version + index format
+    * rather than a source-table mtime. */
+  private def dhashIndexLoaded(s: SparkSession): String =
+    graft.Fixtures.ensure("media_dhash_idx", "v2a") { tmp =>
+      graft.multimodal.ImageHash.saveDhashIndex(
+        dhashFixtureHashes(s).filter(!col("id").isin(1, 2)), tmp.toString)
+    }
+
   /** Shared oracle CTE: distinct 3-gram shingles per document. */
   private val ShingleCte =
     """WITH toks AS (
@@ -1904,19 +1927,32 @@ object ExtensionQueries {
         |  CAST(hamming AS INTEGER) AS hamming
         |FROM (VALUES (0, 1, 0), (0, 2, 1), (1, 2, 1), (3, 4, 0))
         |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin),
-      (s, d) => {
-        import graft.multimodal.{ImageHash, MediaFixture, Multimodal}
-        val dir = MediaFixture.ensureDhash()
-        val imgs = Multimodal.readMedia(s, dir, "image/png", Some("*.png"))
-        val idx = imgs.toDF.select(col("media_id"),
-          regexp_extract(element_at(col("meta"), lit("path")), "dh_(\\d+)\\.png", 1)
-            .cast("int").as("id"))
-        val hashes = ImageHash.hashImages(imgs).toDF
-          .join(idx, "media_id").select("id", "dhash")
-        ImageHash.nearDupPairs(hashes, maxHamming = 3)
+      (s, d) =>
+        graft.multimodal.ImageHash.nearDupPairs(dhashFixtureHashes(s), maxHamming = 3)
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
-          .orderBy("idx_a", "idx_b")
-      }),
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Incremental image dedup against a PERSISTED dHash band index
+      // (mm04 — the dd11 lifecycle for the image family): history
+      // (images 0/3/4/5) is decoded, hashed, banded, and bucket-written
+      // ONCE; the "nightly" batch (1/2) is the only thing re-hashed,
+      // and the candidate join reads the index side exchange-free on
+      // its bucket key. Pairs = (indexed x new) + (new x new) — the
+      // all-history pair (3,4) must NOT re-emit. Banding geometry
+      // comes from the index sidecar; recall stays exact
+      // (maxHamming < nBands, pigeonhole).
+      "mm04_image_dhash_incremental",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(hamming AS INTEGER) AS hamming
+        |FROM (VALUES (0, 1, 0), (0, 2, 1), (1, 2, 1))
+        |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) =>
+        graft.multimodal.ImageHash.incrementalNearDupPairs(
+            dhashFixtureHashes(s).filter(col("id").isin(1, 2)),
+            dhashIndexLoaded(s), maxHamming = 3)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
+          .orderBy("idx_a", "idx_b")),
 
     GraftQuery(
       // RAG document chunking (TextAnalysis.chunkDocuments): fixed-size

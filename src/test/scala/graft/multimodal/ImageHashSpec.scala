@@ -135,6 +135,61 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("persisted index: incremental pairs == inline pairs involving the batch") {
+    // generic property on the engineered families, not just the fixture
+    val bases = Seq(0L, -1L, 0x5555555555555555L, 0x123456789abcdefL)
+    val hs = bases.zipWithIndex.flatMap { case (h, i) =>
+      Seq((i * 10, h), (i * 10 + 1, h ^ (1L << 2)),
+        (i * 10 + 2, h ^ (1L << 2) ^ (1L << 20)),
+        (i * 10 + 3, h ^ (1L << 2) ^ (1L << 20) ^ (1L << 40)))
+    }
+    val (history, batch) = hs.partition(_._1 % 10 < 2)
+    val dir = tmpDir("dhash-idx")
+    ImageHash.saveDhashIndex(history.toDF("id", "dhash"), dir)
+    val got = ImageHash.incrementalNearDupPairs(
+      batch.toDF("id", "dhash"), dir, maxHamming = 3)
+      .as[(Int, Int, Int)].collect().toSeq
+    val batchIds = batch.map(_._1).toSet
+    val expected = brute(hs, 3)
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(got == expected)
+    // never (indexed x indexed): a history-only near pair must not re-emit
+    val historyOnly = brute(history, 3)
+    assert(historyOnly.nonEmpty, "fixture must contain a history-history pair")
+    assert(historyOnly.forall(p => !got.contains(p)))
+  }
+
+  test("persisted index: banding geometry comes from the sidecar, misuse is loud") {
+    val dir = tmpDir("dhash-idx-meta")
+    ImageHash.saveDhashIndex(Seq((1, 0L), (2, -1L)).toDF("id", "dhash"), dir,
+      nBands = 8)
+    // maxHamming validated against the INDEX's nBands (8), not a default
+    val ok = ImageHash.incrementalNearDupPairs(
+      Seq((3, 1L)).toDF("id", "dhash"), dir, maxHamming = 7)
+    assert(ok.collect().nonEmpty) // (1,3) at hamming 1
+    intercept[IllegalArgumentException] {
+      ImageHash.incrementalNearDupPairs(
+        Seq((3, 1L)).toDF("id", "dhash"), dir, maxHamming = 8)
+    }
+    // a directory that is not an index fails loudly, never reads as empty
+    val foreign = tmpDir("dhash-not-an-index")
+    intercept[RuntimeException] {
+      ImageHash.incrementalNearDupPairs(
+        Seq((3, 1L)).toDF("id", "dhash"), foreign, maxHamming = 3)
+    }
+  }
+
+  test("persisted index: the candidate join reads a genuinely bucketed index side") {
+    val dir = tmpDir("dhash-idx-plan")
+    ImageHash.saveDhashIndex(
+      (0 until 16).map(i => (i, i.toLong)).toDF("id", "dhash"), dir)
+    val plan = ImageHash.incrementalNearDupPairs(
+        Seq((100, 3L)).toDF("id", "dhash"), dir, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Bucketed: true"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("undecodable items fail the distributed hash task (not fabricated)") {
     val junk = Seq(MediaItem(9L, "image/png", Array[Byte](0, 1), Map.empty)).toDS()
     intercept[org.apache.spark.SparkException] {
