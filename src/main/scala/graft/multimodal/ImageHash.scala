@@ -132,7 +132,7 @@ object ImageHash {
   def nearDupPairs(hashes: DataFrame, maxHamming: Int, nBands: Int = 4,
                    maxBandBucket: Int = 1000000): DataFrame = {
     requireRecall(maxHamming, nBands)
-    val g = bandGuarded(banded(hashes, nBands), maxBandBucket, "nearDupPairs")
+    val g = bandGuarded(bandRows(hashes, nBands), maxBandBucket, "nearDupPairs")
     val a = g.select(col("id").as("id_a"), col("dhash").as("ha"),
       col("band"), col("bv"))
     val b = g.select(col("id").as("id_b"), col("dhash").as("hb"),
@@ -150,9 +150,11 @@ object ImageHash {
   }
 
   /** (id, dhash) -> one row per (band, bv) — the blocking projection
-    * shared by the inline join, the index writer, and the incremental
-    * query (one definition of the banding geometry). */
-  private def banded(hashes: DataFrame, nBands: Int): DataFrame = {
+    * shared by the inline join, the index writer, the incremental
+    * query, and the streaming replay (ONE definition of the banding
+    * geometry, the TextDedup.bandRows discipline). Pure projection —
+    * zero shuffles — so it runs unchanged on a stream. */
+  def bandRows(hashes: DataFrame, nBands: Int): DataFrame = {
     val width = 64 / nBands
     val mask = if (width == 64) -1L else (1L << width) - 1
     val bands = (0 until nBands).map(p =>
@@ -214,7 +216,7 @@ object ImageHash {
                      nBuckets: Int = 8, maxBandBucket: Int = 1000000): Unit = {
     require(nBands >= 2 && 64 % nBands == 0,
       s"nBands must divide 64 and be >= 2, got $nBands")
-    val rows = bandGuarded(banded(hashes, nBands), maxBandBucket, "saveDhashIndex")
+    val rows = bandGuarded(bandRows(hashes, nBands), maxBandBucket, "saveDhashIndex")
       .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
     graft.operators.Layout.saveBucketedPath(rows, path, "bucket", nBuckets,
       extraProps = Map("dhashNBands" -> nBands.toString))
@@ -242,7 +244,7 @@ object ImageHash {
     requireRecall(maxHamming, nBands)
     val idx = graft.operators.Layout.loadBucketedPath(
       newHashes.sparkSession, indexPath)._1
-    val nb = bandGuarded(banded(newHashes, nBands), maxBandBucket,
+    val nb = bandGuarded(bandRows(newHashes, nBands), maxBandBucket,
         "incrementalNearDupPairs")
       .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
     val oldNew = idx.select(col("id").as("id_o"), col("dhash").as("ho"),

@@ -157,6 +157,15 @@ object ExtensionQueries {
         dhashFixtureHashes(s).filter(!col("id").isin(1, 2)), tmp.toString)
     }
 
+  /** mm03's closed-form pair oracle, shared VERBATIM with its
+    * streaming twin st15 (the Sd02Oracle discipline — one SQL text, so
+    * a fixture change cannot silently desynchronize the gates). */
+  private val DhashPairsOracle =
+    """SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+      |  CAST(hamming AS INTEGER) AS hamming
+      |FROM (VALUES (0, 1, 0), (0, 2, 1), (1, 2, 1), (3, 4, 0))
+      |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin
+
   /** Shared oracle CTE: distinct 3-gram shingles per document. */
   private val ShingleCte =
     """WITH toks AS (
@@ -1923,13 +1932,28 @@ object ExtensionQueries {
       // >= 31 bits away. The VALUES oracle verifies the whole
       // listing -> decode -> hash -> band-join -> verify pipeline.
       "mm03_image_dhash",
-      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
-        |  CAST(hamming AS INTEGER) AS hamming
-        |FROM (VALUES (0, 1, 0), (0, 2, 1), (1, 2, 1), (3, 4, 0))
-        |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin),
+      Some(DhashPairsOracle),
       (s, d) =>
         graft.multimodal.ImageHash.nearDupPairs(dhashFixtureHashes(s), maxHamming = 3)
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Streaming perceptual image dedup (st15): mm03's whole pipeline
+      // — the SHARED dHash banding projection + popcount verify — run
+      // ON INGEST inside one streaming query, with band-bucket keyed
+      // state (StatefulOps.dhashDedupStream) emitting each VERIFIED
+      // near pair the moment its second member arrives (verify fused
+      // into emission — no second pass). Arrival-order-invariance is
+      // the gate: distinct streamed pairs must equal the batch answer
+      // on any chunking, so mm03's oracle gates st15 VERBATIM.
+      "st15_stream_image_dedup",
+      Some(DhashPairsOracle),
+      (s, d) =>
+        graft.streaming.StreamReplay.imageDedupReplay(
+            s, dhashFixtureHashes(s), maxHamming = 3)
+          .select(col("id_a").cast("int").as("idx_a"),
+            col("id_b").cast("int").as("idx_b"), col("hamming"))
           .orderBy("idx_a", "idx_b")),
 
     GraftQuery(

@@ -431,6 +431,58 @@ object StatefulOps {
     * No timeout here: production would add a TTL timeout keyed to the
     * dedup horizon the service guarantees.
     */
+  /** Streaming perceptual-image dedup — dHash near-dup pairs ON INGEST
+    * (st15): [[lshCandidateStream]]'s band-bucket state machine with
+    * the verify stage FUSED into emission. Input: (band, bv, id, dhash)
+    * rows ([[graft.multimodal.ImageHash.bandRows]] — a pure projection,
+    * so it runs unchanged on the stream). State per (band, bv) bucket
+    * holds the (id, dhash) pairs seen so far; each arriving image is
+    * popcount-verified against the bucket's residents AT EMISSION, so
+    * the query outputs verified (id_a < id_b, hamming <= maxHamming)
+    * pairs directly — no second pass, no stream-static join. A pair
+    * within several shared bands emits once per band; dedup downstream
+    * (the st09 contract). Arrival-order-invariant: Hamming is
+    * symmetric and a pair is scored exactly once, when its second
+    * member arrives — so the distinct streamed pairs equal the batch
+    * [[graft.multimodal.ImageHash.nearDupPairs]] answer on ANY
+    * chunking. State scales with occupied buckets; the batch-side
+    * maxBandBucket cap is the upstream guard for hot buckets (flat-
+    * image sludge), same production note as [[lshCandidateStream]].
+    */
+  def dhashDedupStream(bands: Dataset[(Int, Long, Long, Long)],
+                       maxHamming: Int): Dataset[(Long, Long, Int)] = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    implicit val outEnc: Encoder[(Long, Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[(Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val stEnc: Encoder[Seq[(Long, Long)]] = Encoders.kryo[Seq[(Long, Long)]]
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (_: (Int, Long), it: Iterator[(Int, Long, Long, Long)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val oldIds = old.iterator.map(_._1).toSet
+          val incoming = it.map(r => (r._3, r._4)).toSeq.distinct
+            .filterNot(r => oldIds(r._1)).sortBy(_._1)
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            state.update(old ++ incoming)
+            val out = Seq.newBuilder[(Long, Long, Int)]
+            def score(a: (Long, Long), b: (Long, Long)): Unit = {
+              val d = java.lang.Long.bitCount(a._2 ^ b._2)
+              if (d <= maxHamming)
+                out += ((math.min(a._1, b._1), math.max(a._1, b._1), d))
+            }
+            for (n <- incoming; m <- old) score(n, m)
+            for (i <- incoming.indices; j <- i + 1 until incoming.size)
+              score(incoming(i), incoming(j))
+            out.result().iterator
+          }
+      }
+  }
+
   def lshCandidateStream(bands: Dataset[(Int, String, Long)]): Dataset[(Long, Long)] = {
     implicit val outEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     implicit val keyEnc: Encoder[(Int, String)] = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)

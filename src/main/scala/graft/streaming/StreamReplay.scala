@@ -381,6 +381,65 @@ object StreamReplay {
     }
   }
 
+  /** Replays an (id, dhash) image-hash batch through STREAMING
+    * perceptual dedup (st15): the SHARED banding projection
+    * ([[graft.multimodal.ImageHash.bandRows]] — one definition for
+    * batch, index, and stream) runs inside the streaming query, and
+    * band-bucket keyed state ([[StatefulOps.dhashDedupStream]]) emits
+    * each VERIFIED near pair — popcount at emission, no second pass —
+    * when its second member arrives.
+    *
+    * Hashes are fed in `nChunks` id-ordered micro-batches (no event
+    * time — pair emission is arrival-order-invariant, which is exactly
+    * the property the gate exercises: the distinct streamed pairs must
+    * equal the batch [[graft.multimodal.ImageHash.nearDupPairs]] answer
+    * on ANY chunking). Returns distinct (id_a, id_b, hamming), ordered.
+    */
+  def imageDedupReplay(spark: SparkSession, hashes: DataFrame,
+                       maxHamming: Int, nBands: Int = 4,
+                       nChunks: Int = 4): DataFrame = {
+    import graft.multimodal.ImageHash
+    val rows = hashes.select(col("id").cast("long"), col("dhash").cast("long"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    val chunks = chunked(rows, nChunks)
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    import replay.implicits._
+    val ms = MemoryStream[(Long, Long)]
+    val bands = ImageHash.bandRows(ms.toDF.toDF("id", "dhash"), nBands)
+      .select(col("band").cast("int"), col("bv").cast("long"),
+        col("id").cast("long"), col("dhash").cast("long"))
+      .as[(Int, Long, Long, Long)]
+    val stream = StatefulOps.dhashDedupStream(bands, maxHamming)
+      .toDF("id_a", "id_b", "hamming")
+
+    val name = s"st_imgreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        chunks.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch.toSeq); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      // a pair within several shared bands emits once per band — dedup
+      // at the collection boundary (st09 contract)
+      val out = replay.table(name).distinct().orderBy("id_a", "id_b")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Replays an embedding batch through STREAMING semantic dedup
     * against a persisted [[graft.operators.Similarity.saveSemanticIndex]]
     * directory — sd02's nightly batch running ON INGEST (st14, r16

@@ -190,6 +190,22 @@ class ImageHashSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("streaming dedup replay converges to the batch answer on any chunking") {
+    val bases = Seq(0L, -1L, 0x5555555555555555L, 0x123456789abcdefL)
+    val hs = bases.zipWithIndex.flatMap { case (h, i) =>
+      Seq((i * 10, h), (i * 10 + 1, h ^ (1L << 2)),
+        (i * 10 + 2, h ^ (1L << 2) ^ (1L << 20)),
+        (i * 10 + 3, h ^ (1L << 2) ^ (1L << 20) ^ (1L << 40)))
+    }
+    val expected = brute(hs, 3).map { case (a, b, d) => (a.toLong, b.toLong, d) }
+    Seq(2, 3, 5).foreach { n =>
+      val got = graft.streaming.StreamReplay.imageDedupReplay(
+          spark, hs.toDF("id", "dhash"), maxHamming = 3, nChunks = n)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got == expected, s"nChunks=$n")
+    }
+  }
+
   test("undecodable items fail the distributed hash task (not fabricated)") {
     val junk = Seq(MediaItem(9L, "image/png", Array[Byte](0, 1), Map.empty)).toDS()
     intercept[org.apache.spark.SparkException] {
