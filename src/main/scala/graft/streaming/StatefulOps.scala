@@ -447,7 +447,8 @@ object StatefulOps {
     * [[graft.multimodal.ImageHash.nearDupPairs]] answer on ANY
     * chunking. State scales with occupied buckets; the batch-side
     * maxBandBucket cap is the upstream guard for hot buckets (flat-
-    * image sludge), same production note as [[lshCandidateStream]].
+    * image sludge), same production note as [[lshCandidateStream]];
+    * [[dhashDedupStreamTtl]] is the bounded-state production form.
     */
   def dhashDedupStream(bands: Dataset[(Int, Long, Long, Long)],
                        maxHamming: Int): Dataset[(Long, Long, Int)] = {
@@ -618,6 +619,64 @@ object StatefulOps {
                 out += ((math.min(d, m), math.max(d, m)))
               for (i <- incoming.indices; j <- i + 1 until incoming.size)
                 out += ((incoming(i), incoming(j)))
+              out.result().iterator
+            }
+          }
+      }
+  }
+
+  /** [[dhashDedupStream]] under event-time TTL — the production form
+    * for an unbounded image firehose (the [[lshCandidateStreamTtl]]
+    * contract applied to the image family): bucket state evicts
+    * `horizonMs` past the bucket's last-seen event time, so state
+    * tracks the dedup horizon the service guarantees rather than
+    * stream length. Inside the horizon the emitted pairs equal
+    * [[dhashDedupStream]]'s (gated in StatefulTtlSpec); after
+    * eviction a re-arriving near-dup is NOT paired against forgotten
+    * history — the same deliberate semantics as the lsh TTL form.
+    * Input adds the event-time column: (band, bv, id, dhash, ts).
+    */
+  def dhashDedupStreamTtl(bands: Dataset[(Int, Long, Long, Long, java.sql.Timestamp)],
+                          maxHamming: Int, delayThreshold: String,
+                          horizonMs: Long): Dataset[(Long, Long, Int)] = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[(Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Seq[(Long, Long)], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder()
+    bands.withWatermark("_5", delayThreshold)
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[(Seq[(Long, Long)], Long), (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (_: (Int, Long), it: Iterator[(Int, Long, Long, Long, java.sql.Timestamp)],
+         state: GroupState[(Seq[(Long, Long)], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val (old, lastSeen0) =
+              state.getOption.getOrElse((Seq.empty[(Long, Long)], Long.MinValue))
+            val oldIds = old.iterator.map(_._1).toSet
+            val incoming = rows.map(r => (r._3, r._4)).distinct
+              .filterNot(r => oldIds(r._1)).sortBy(_._1)
+            val lastSeen = math.max(lastSeen0, rows.iterator.map(_._5.getTime).max)
+            if (incoming.nonEmpty || lastSeen != lastSeen0)
+              state.update((old ++ incoming, lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            if (incoming.isEmpty) Iterator.empty
+            else {
+              val out = Seq.newBuilder[(Long, Long, Int)]
+              def score(a: (Long, Long), b: (Long, Long)): Unit = {
+                val d = java.lang.Long.bitCount(a._2 ^ b._2)
+                if (d <= maxHamming)
+                  out += ((math.min(a._1, b._1), math.max(a._1, b._1), d))
+              }
+              for (n <- incoming; m <- old) score(n, m)
+              for (i <- incoming.indices; j <- i + 1 until incoming.size)
+                score(incoming(i), incoming(j))
               out.result().iterator
             }
           }

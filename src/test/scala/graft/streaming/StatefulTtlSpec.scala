@@ -160,6 +160,47 @@ class StatefulTtlSpec extends SparkSpec {
     }
   }
 
+  test("dhashDedupStreamTtl equals dhashDedupStream inside the horizon") {
+    // Three hashes sharing band bucket (0, 5L) within Hamming 3 of each
+    // other (0, 1-bit, 2-bit flips), one far hash alone in (1, 9L):
+    // verified pairs (1,2,1),(1,3,2),(2,3,1) whatever the batching.
+    val bandEvents: Seq[(Int, Long, Long, Long)] = Seq(
+      (0, 5L, 1L, 0L), (1, 9L, 7L, -1L),
+      (0, 5L, 2L, 1L), (0, 5L, 3L, 3L))
+    val want: Set[(Long, Long, Int)] = {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Int, Long, Long, Long)]
+      val name = s"ttl_dh_ref_${System.nanoTime()}"
+      val q = StatefulOps.dhashDedupStream(ms.toDS(), maxHamming = 3)
+        .toDF("id_a", "id_b", "hamming")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        bandEvents.grouped(2).foreach { b => ms.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+      spark.table(name).as[(Long, Long, Int)].collect().toSet
+    }
+    assert(want == Set((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 1)),
+      s"untimed reference moved: $want")
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Int, Long, Long, Long, Timestamp)]
+      val name = s"ttl_dh_in_${label}_${System.nanoTime()}"
+      val q = StatefulOps.dhashDedupStreamTtl(ms.toDS(), maxHamming = 3,
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("id_a", "id_b", "hamming")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        bandEvents.grouped(2).foreach { b =>
+          ms.addData(b.map { case (bid, bv, id, h) =>
+            (bid, bv, id, h, new Timestamp(1000L + id)) })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(name).as[(Long, Long, Int)].collect().toSet
+      assert(got == want, s"[$label] TTL form diverged inside horizon: $got vs $want")
+    }
+  }
+
   // --------------------------------------------- rateLimit / smallestK
 
   test("rateLimitTtl equals rateLimit inside the horizon; budget resets after eviction") {
