@@ -49,6 +49,12 @@ object ImageHash {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     if (img == null) throw new IllegalArgumentException(
       s"no installed image reader decodes this ${bytes.length}-byte payload")
+    dHashImage(img)
+  }
+
+  /** [[dHash64]] on an already-decoded image — the shared arithmetic
+    * for single images and video frames ([[hashFrames]]). */
+  def dHashImage(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     if (w < GridW || h < GridH) throw new IllegalArgumentException(
@@ -103,6 +109,24 @@ object ImageHash {
       it.grouped(64).flatMap(_.map(m => HashedImage(m.media_id, dHash64(m.data))))
     }
   }
+
+  /** One dHash per frame of a multi-frame container (animated GIF via
+    * the shared [[Multimodal.Decoders]] frame reader, same
+    * composition-safety contract as mm02's feature decode) — flatMap
+    * 1→N, rows scale with frames. The basis of video near-dup
+    * detection ([[videoNearDupPairs]]). */
+  def hashFrames(videos: Dataset[Multimodal.MediaItem]): Dataset[FrameHash] = {
+    implicit val enc = Encoders.product[FrameHash]
+    videos.mapPartitions { it =>
+      it.grouped(64).flatMap(_.flatMap { m =>
+        Multimodal.Decoders.gifFrameImages(m.data).zipWithIndex.map {
+          case (img, i) => FrameHash(m.media_id, i, dHashImage(img))
+        }
+      })
+    }
+  }
+
+  case class FrameHash(media_id: Long, frame_idx: Int, dhash: Long)
 
   /** Near-duplicate pairs by banded Hamming join over dHashes.
     *
@@ -159,8 +183,9 @@ object ImageHash {
     val mask = if (width == 64) -1L else (1L << width) - 1
     val bands = (0 until nBands).map(p =>
       shiftrightunsigned(col("dhash"), p * width).bitwiseAND(lit(mask)))
-    hashes.select(col("id"), col("dhash"),
-      posexplode(array(bands: _*)).as(Seq("band", "bv")))
+    // col("*") carries any extra blocking columns (frame_idx for the
+    // video form) through the explode unchanged
+    hashes.select(col("*"), posexplode(array(bands: _*)).as(Seq("band", "bv")))
   }
 
   /** Band-bucket width cap: map-side-combined aggregate + broadcast
@@ -193,6 +218,72 @@ object ImageHash {
         bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .orderBy("id_a", "id_b")
+
+  /** Video near-duplicate pairs by FRAME-ALIGNED banded Hamming
+    * matching over per-frame dHashes ([[hashFrames]]) — the re-encode /
+    * re-upload detector for video corpora: a transcoded copy keeps its
+    * frame structure, so frame k of the copy is a near-dup of frame k
+    * of the original. Input carries (id, frame_idx, dhash); two videos
+    * pair when at least `minMatchNum / minMatchDen` of the LONGER
+    * video's frames match at the same frame index within `maxHamming`
+    * bits (exact integer cross-multiply — no FP threshold).
+    *
+    * The blocking join is on (frame_idx, band, bv): alignment is part
+    * of the join key, so candidates are bounded by per-frame-position
+    * bucket widths, never video×video. A reordered cut of the same
+    * scenes does NOT pair (frame alignment is the semantics, not a
+    * limitation — reordering is a different edit); a trimmed-intro
+    * variant needs an offset sweep composed upstream, out of scope
+    * here. The `maxBandBucket` cap guards flat-frame floods (title
+    * cards, black frames) per frame position, same discipline and
+    * transport as [[nearDupPairs]].
+    *
+    * Output: (id_a < id_b, n_matched), ordered.
+    */
+  def videoNearDupPairs(frames: DataFrame, maxHamming: Int,
+                        minMatchNum: Int, minMatchDen: Int,
+                        nBands: Int = 4,
+                        maxBandBucket: Int = 1000000): DataFrame = {
+    requireRecall(maxHamming, nBands)
+    require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
+      s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
+    require(maxBandBucket >= 1, s"maxBandBucket must be >= 1, got $maxBandBucket")
+    val rows = bandRows(frames.select("id", "frame_idx", "dhash"), nBands)
+    val offend = rows.groupBy("frame_idx", "band", "bv")
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > maxBandBucket)
+    val g = rows.join(broadcast(offend), Seq("frame_idx", "band", "bv"), "left")
+      .withColumn("id",
+        when(col("__w").isNotNull, raise_error(concat(
+          lit("ImageHash.videoNearDupPairs: frame position "),
+          col("frame_idx").cast("string"), lit(" band "),
+          col("band").cast("string"), lit(" value "),
+          col("bv").cast("string"), lit(" holds "), col("__w").cast("string"),
+          lit(s" frames, over maxBandBucket=$maxBandBucket; drop flat-frame " +
+            "sludge (title cards, black frames) upstream or raise the cap " +
+            "deliberately"))))
+          .otherwise(col("id")))
+      .select("id", "frame_idx", "dhash", "band", "bv")
+    val a = g.select(col("id").as("id_a"), col("dhash").as("ha"),
+      col("frame_idx"), col("band"), col("bv"))
+    val b = g.select(col("id").as("id_b"), col("dhash").as("hb"),
+      col("frame_idx"), col("band"), col("bv"))
+    val matched = a.join(b, Seq("frame_idx", "band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "frame_idx", "ha", "hb").distinct()
+      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_matched"))
+    val nFrames = frames.groupBy(col("id")).agg(count(lit(1)).as("__nf"))
+    matched
+      .join(nFrames.select(col("id").as("id_a"), col("__nf").as("__na")), Seq("id_a"))
+      .join(nFrames.select(col("id").as("id_b"), col("__nf").as("__nb")), Seq("id_b"))
+      // n_matched / max(na, nb) >= num / den, exactly, in integers
+      .filter(col("n_matched") * minMatchDen >=
+        greatest(col("__na"), col("__nb")) * minMatchNum)
+      .select("id_a", "id_b", "n_matched")
+      .orderBy("id_a", "id_b")
+  }
 
   // ---- persisted band index (the dd11 lifecycle for images) --------
   // A crawl re-run should not re-decode and re-hash last month's

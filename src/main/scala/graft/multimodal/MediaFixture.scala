@@ -78,7 +78,8 @@ object MediaFixture {
   // every other pair is >= 31 bits apart.
 
   val DhashN = 6
-  private val DhashVersion = "v2"
+  // v3: added dhv_<i>.gif frame-patterned videos for mm05
+  private val DhashVersion = "v3"
 
   def dhashCell(i: Int, r: Int, c: Int): Int = i match {
     case 0 => 10 + 25 * c
@@ -108,23 +109,62 @@ object MediaFixture {
     h
   }
 
+  // dHash VIDEO fixtures (mm05): each dhv_<i>.gif is three 36x32
+  // frames, every frame one of the dhashCell patterns above — so every
+  // frame's dHash is one of the already-pinned closed forms. With
+  // frame-aligned matching at Hamming <= 3 and a 2/3 match fraction:
+  //   0 [grad, rev, stripes]     \
+  //   1 [grad+20, rev+20, str.]   } 3/3 aligned matches pairwise
+  //   2 [dipped, rev, stripes]   /
+  //   3 [stripes, grad, rev]  — vid 0's SCENES reordered: 0 aligned
+  //      matches (reordering is a different edit, must NOT pair)
+  //   4 [stripes x3]          — exactly 1 aligned match with each of
+  //      0-3 (under the 2/3 fraction, must NOT pair)
+  val DhashVidN = 5
+  def dhashVidFrames(i: Int): Seq[Int] = i match {
+    case 0 => Seq(0, 3, 5)
+    case 1 => Seq(1, 4, 5)
+    case 2 => Seq(2, 3, 5)
+    case 3 => Seq(5, 0, 3)
+    case 4 => Seq(5, 5, 5)
+    case _ => throw new IllegalArgumentException(s"no dhash video fixture $i")
+  }
+
+  private def dhashFrameImage(pattern: Int): BufferedImage = {
+    val img = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 32) {
+      var x = 0
+      while (x < 36) {
+        val v = dhashCell(pattern, y / 4, x / 4)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    img
+  }
+
   /** Generate (once) and return the dHash fixture directory. */
   def ensureDhash(): String =
     graft.Fixtures.ensure("media_dhash", DhashVersion) { dir =>
       (0 until DhashN).foreach { i =>
-        val img = new BufferedImage(36, 32, BufferedImage.TYPE_INT_RGB)
-        var y = 0
-        while (y < 32) {
-          var x = 0
-          while (x < 36) {
-            val v = dhashCell(i, y / 4, x / 4)
-            img.setRGB(x, y, (v << 16) | (v << 8) | v)
-            x += 1
-          }
-          y += 1
-        }
-        if (!ImageIO.write(img, "png", new File(dir, s"dh_$i.png")))
+        if (!ImageIO.write(dhashFrameImage(i), "png", new File(dir, s"dh_$i.png")))
           throw new IllegalStateException("no PNG writer available in this JVM")
+      }
+      (0 until DhashVidN).foreach { i =>
+        val f = new File(dir, s"dhv_$i.gif")
+        val writer = ImageIO.getImageWritersByFormatName("gif").next()
+        val ios = ImageIO.createImageOutputStream(f)
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          dhashVidFrames(i).foreach { p =>
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(dhashFrameImage(p), null, null), null)
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
       }
     }
 

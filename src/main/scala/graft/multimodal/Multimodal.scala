@@ -134,7 +134,17 @@ object Multimodal {
       * further constraint. Undecodable bytes throw too, like
       * [[imageio]] — route both through the failure path (DLQ, A5).
       */
-    val gifFrames: FrameDecoder = bytes => {
+    val gifFrames: FrameDecoder = bytes =>
+      gifFrameImages(bytes).map(img =>
+        (img.getWidth, img.getHeight, meanLuma(img)))
+
+    /** The raw per-frame decode [[gifFrames]] is built on, with the
+      * same composition-safety contract — exposed within the package
+      * so per-frame HASHING ([[ImageHash.hashFrames]]) shares one
+      * reader and one set of checks with per-frame feature extraction.
+      */
+    private[multimodal] def gifFrameImages(
+        bytes: Array[Byte]): Seq[java.awt.image.BufferedImage] = {
       // The stream closes in a finally that guards EVERY exit, including
       // the no-reader throw: with ImageIO's default disk cache each
       // stream holds a temp file + fd, and the undecodable-payload path
@@ -158,7 +168,7 @@ object Multimodal {
                   s"sub-image of the ${w0}x$h0 canvas; only full-frame GIFs decode " +
                   "to per-frame features")
             requireCompositionFree(reader.getImageMetadata(i), i)
-            (img.getWidth, img.getHeight, meanLuma(img))
+            img
           }
         } finally reader.dispose()
       } finally in.close()

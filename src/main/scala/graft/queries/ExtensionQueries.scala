@@ -152,7 +152,7 @@ object ExtensionQueries {
     * the version ties to the media fixture version + index format
     * rather than a source-table mtime. */
   private def dhashIndexLoaded(s: SparkSession): String =
-    graft.Fixtures.ensure("media_dhash_idx", "v2a") { tmp =>
+    graft.Fixtures.ensure("media_dhash_idx", "v3a") { tmp =>
       graft.multimodal.ImageHash.saveDhashIndex(
         dhashFixtureHashes(s).filter(!col("id").isin(1, 2)), tmp.toString)
     }
@@ -1937,6 +1937,38 @@ object ExtensionQueries {
         graft.multimodal.ImageHash.nearDupPairs(dhashFixtureHashes(s), maxHamming = 3)
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
           .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Video near-dup dedup (mm05, ImageHash.videoNearDupPairs): the
+      // re-encode/re-upload detector for video corpora — per-frame
+      // dHash through the REAL GIF frame reader (shared with mm02,
+      // same composition-safety contract), then FRAME-ALIGNED banded
+      // Hamming matching with an exact integer 2/3 match-fraction
+      // gate. Fixture videos are sequences of the mm03 cell patterns,
+      // so every frame hash is an already-pinned closed form: the
+      // brightness-shifted and one-cell-dipped copies pair at 3/3
+      // matched frames; the REORDERED cut of the same scenes (vid 3)
+      // and the flat stripes-only video (vid 4, exactly 1 aligned
+      // match each) must NOT pair.
+      "mm05_video_dhash",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(n_matched AS BIGINT) AS n_matched
+        |FROM (VALUES (0, 1, 3), (0, 2, 3), (1, 2, 3))
+        |t(idx_a, idx_b, n_matched) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) => {
+        import graft.multimodal.{ImageHash, MediaFixture, Multimodal}
+        val dir = MediaFixture.ensureDhash()
+        val vids = Multimodal.readMedia(s, dir, "image/gif", Some("*.gif"))
+        val ids = vids.toDF.select(col("media_id"),
+          regexp_extract(element_at(col("meta"), lit("path")), "dhv_(\\d+)\\.gif", 1)
+            .cast("int").as("id"))
+        val frames = ImageHash.hashFrames(vids).toDF
+          .join(ids, "media_id").select("id", "frame_idx", "dhash")
+        ImageHash.videoNearDupPairs(frames, maxHamming = 3,
+            minMatchNum = 2, minMatchDen = 3)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("n_matched"))
+          .orderBy("idx_a", "idx_b")
+      }),
 
     GraftQuery(
       // Streaming perceptual image dedup (st15): mm03's whole pipeline

@@ -190,6 +190,63 @@ class ImageHashSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("video fixtures: per-frame dHashes equal the single-image closed forms") {
+    val dir = MediaFixture.ensureDhash()
+    (0 until MediaFixture.DhashVidN).foreach { i =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"dhv_$i.gif"))
+      val got = Multimodal.Decoders.gifFrameImages(bytes).map(ImageHash.dHashImage)
+      val want = MediaFixture.dhashVidFrames(i).map(MediaFixture.dhashExpected)
+      assert(got == want, s"video $i: $got != $want")
+    }
+  }
+
+  test("videoNearDupPairs: aligned matches pair, reordered and flat videos do not") {
+    // frame table straight from the fixture derivation (no decode —
+    // decode equivalence is the previous test)
+    val frames = (0 until MediaFixture.DhashVidN).flatMap { i =>
+      MediaFixture.dhashVidFrames(i).zipWithIndex.map { case (p, f) =>
+        (i, f, MediaFixture.dhashExpected(p))
+      }
+    }.toDF("id", "frame_idx", "dhash")
+    val got = ImageHash.videoNearDupPairs(frames, maxHamming = 3,
+      minMatchNum = 2, minMatchDen = 3).as[(Int, Int, Long)].collect().toSeq
+    assert(got == Seq((0, 1, 3L), (0, 2, 3L), (1, 2, 3L)))
+    // at 1/3 the single-aligned-match videos (3,4) come in — the
+    // fraction gate, not the blocking, is what excludes them above
+    val loose = ImageHash.videoNearDupPairs(frames, maxHamming = 3,
+      minMatchNum = 1, minMatchDen = 3).as[(Int, Int, Long)].collect().toSeq
+    assert(loose.map(p => (p._1, p._2)).contains((3, 4)),
+      s"stripes frame 0 aligns between vids 3 and 4: $loose")
+    assert(!loose.map(p => (p._1, p._2)).contains((0, 3)),
+      "reordered scenes never align, at any fraction")
+  }
+
+  test("videoNearDupPairs: fraction uses the LONGER video; misuse is loud") {
+    // a 2-frame prefix copy of a 4-frame video: 2 matches = 2/4 of the
+    // longer — at 1/2 it pairs, at 2/3 it must not (truncation is not
+    // a re-encode)
+    val frames = (Seq((1, 0, 0L), (1, 1, -1L), (1, 2, 0x0FL), (1, 3, 0xF0L)) ++
+      Seq((2, 0, 0L), (2, 1, -1L))).toDF("id", "frame_idx", "dhash")
+    def run(num: Int, den: Int) =
+      ImageHash.videoNearDupPairs(frames, 3, num, den).count()
+    assert(run(1, 2) == 1 && run(2, 3) == 0)
+    intercept[IllegalArgumentException](run(3, 2))
+    intercept[IllegalArgumentException](run(0, 3))
+    intercept[IllegalArgumentException](
+      ImageHash.videoNearDupPairs(frames, 4, 1, 2, nBands = 4))
+  }
+
+  test("videoNearDupPairs: flat-frame flood guard fires per frame position") {
+    val flood = ((1 to 6).map(i => (i, 0, 0L)) :+ (7, 1, 0L))
+      .toDF("id", "frame_idx", "dhash")
+    val e = intercept[Exception] {
+      ImageHash.videoNearDupPairs(flood, 3, 1, 2, maxBandBucket = 5).count()
+    }
+    assert(e.getMessage.contains("frame position 0"), e.getMessage)
+    assert(e.getMessage.contains("over maxBandBucket=5"), e.getMessage)
+  }
+
   test("streaming dedup replay converges to the batch answer on any chunking") {
     val bases = Seq(0L, -1L, 0x5555555555555555L, 0x123456789abcdefL)
     val hs = bases.zipWithIndex.flatMap { case (h, i) =>
