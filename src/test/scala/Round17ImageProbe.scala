@@ -79,6 +79,31 @@ object Round17ImageProbe {
       f"10,000-image nightly batch -> $inc%,d pairs in $t7%.1f s " +
       "(history never re-hashed)")
     new scala.reflect.io.Directory(new java.io.File(idxDir)).deleteRecursively()
+
+    // --- video form: 100k videos x 10 frames = 1M frame hashes ------
+    // Every even-id video's odd neighbor is a 2-bit-flipped re-encode
+    // of ALL TEN frames, so expected pairs = 50,000 exactly, each at
+    // n_matched = 10; frame_idx keying must keep candidates bounded by
+    // per-position buckets (the alignment IS the blocking).
+    val nv = 100000L
+    val frames = spark.range(nv).toDF("id")
+      .select(col("id"), explode(sequence(lit(0), lit(9))).as("frame_idx"))
+      .select(col("id"), col("frame_idx"),
+        when(col("id") % 2 === 1,
+            xxhash64(concat((col("id") - 1).cast("string"), lit("#"),
+              col("frame_idx").cast("string"))).bitwiseXOR(lit(5L)))
+          .otherwise(xxhash64(concat(col("id").cast("string"), lit("#"),
+            col("frame_idx").cast("string")))).as("dhash"))
+    val t8 = System.nanoTime()
+    val vp = ImageHash.videoNearDupPairs(frames, maxHamming = 3,
+      minMatchNum = 2, minMatchDen = 3)
+    val vMatched = vp.agg(count(lit(1)), sum("n_matched")).head()
+    val t9 = (System.nanoTime() - t8) / 1e9
+    assert(vMatched.getLong(0) == nv / 2 && vMatched.getLong(1) == nv / 2 * 10,
+      s"expected ${nv / 2} pairs at 10 matches each, got $vMatched")
+    println(f"PROBE17I videoNearDupPairs: $nv%,d videos x 10 frames " +
+      f"(${nv * 10}%,d frame hashes) -> ${vMatched.getLong(0)}%,d verified " +
+      f"video pairs in $t9%.1f s")
     spark.stop()
   }
 }
