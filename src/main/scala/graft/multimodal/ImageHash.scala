@@ -156,13 +156,19 @@ object ImageHash {
   def nearDupPairs(hashes: DataFrame, maxHamming: Int, nBands: Int = 4,
                    maxBandBucket: Int = 1000000): DataFrame = {
     requireRecall(maxHamming, nBands)
-    val g = bandGuarded(bandRows(hashes, nBands), maxBandBucket, "nearDupPairs")
-    val a = g.select(col("id").as("id_a"), col("dhash").as("ha"),
-      col("band"), col("bv"))
-    val b = g.select(col("id").as("id_b"), col("dhash").as("hb"),
-      col("band"), col("bv"))
-    verified(a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b")),
-      maxHamming)
+    // the guarded band frame feeds BOTH self-join sides: working-set
+    // materialization keeps the decode -> hash -> band -> guard prefix
+    // at ONE evaluation (the r17 fuzzy-join prefix lesson — without
+    // it every upstream image decodes twice)
+    graft.operators.TextDedup.withWorkingSet(
+      bandGuarded(bandRows(hashes, nBands), maxBandBucket, "nearDupPairs")) { g =>
+      val a = g.select(col("id").as("id_a"), col("dhash").as("ha"),
+        col("band"), col("bv"))
+      val b = g.select(col("id").as("id_b"), col("dhash").as("hb"),
+        col("band"), col("bv"))
+      verified(a.join(b, Seq("band", "bv")).filter(col("id_a") < col("id_b")),
+        maxHamming)
+    }
   }
 
   private def requireRecall(maxHamming: Int, nBands: Int): Unit = {
@@ -264,25 +270,34 @@ object ImageHash {
             "deliberately"))))
           .otherwise(col("id")))
       .select("id", "frame_idx", "dhash", "band", "bv")
-    val a = g.select(col("id").as("id_a"), col("dhash").as("ha"),
-      col("frame_idx"), col("band"), col("bv"))
-    val b = g.select(col("id").as("id_b"), col("dhash").as("hb"),
-      col("frame_idx"), col("band"), col("bv"))
-    val matched = a.join(b, Seq("frame_idx", "band", "bv"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "frame_idx", "ha", "hb").distinct()
-      .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_matched"))
-    val nFrames = frames.groupBy(col("id")).agg(count(lit(1)).as("__nf"))
-    matched
-      .join(nFrames.select(col("id").as("id_a"), col("__nf").as("__na")), Seq("id_a"))
-      .join(nFrames.select(col("id").as("id_b"), col("__nf").as("__nb")), Seq("id_b"))
-      // n_matched / max(na, nb) >= num / den, exactly, in integers
-      .filter(col("n_matched") * minMatchDen >=
-        greatest(col("__na"), col("__nb")) * minMatchNum)
-      .select("id_a", "id_b", "n_matched")
-      .orderBy("id_a", "id_b")
+    // g feeds both self-join sides AND the per-video frame counts:
+    // working-set materialization keeps the decode -> frame-hash ->
+    // band -> guard prefix at ONE evaluation (the r17 fuzzy-join
+    // prefix lesson). Frame counts derive from g itself — each frame
+    // contributes exactly nBands band rows — so the input is never
+    // re-read for the denominator.
+    graft.operators.TextDedup.withWorkingSet(g) { gw =>
+      val a = gw.select(col("id").as("id_a"), col("dhash").as("ha"),
+        col("frame_idx"), col("band"), col("bv"))
+      val b = gw.select(col("id").as("id_b"), col("dhash").as("hb"),
+        col("frame_idx"), col("band"), col("bv"))
+      val matched = a.join(b, Seq("frame_idx", "band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "frame_idx", "ha", "hb").distinct()
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_matched"))
+      val nFrames = gw.groupBy(col("id"))
+        .agg((count(lit(1)) / nBands).cast("long").as("__nf"))
+      matched
+        .join(nFrames.select(col("id").as("id_a"), col("__nf").as("__na")), Seq("id_a"))
+        .join(nFrames.select(col("id").as("id_b"), col("__nf").as("__nb")), Seq("id_b"))
+        // n_matched / max(na, nb) >= num / den, exactly, in integers
+        .filter(col("n_matched") * minMatchDen >=
+          greatest(col("__na"), col("__nb")) * minMatchNum)
+        .select("id_a", "id_b", "n_matched")
+        .orderBy("id_a", "id_b")
+    }
   }
 
   // ---- persisted band index (the dd11 lifecycle for images) --------
@@ -335,23 +350,30 @@ object ImageHash {
     requireRecall(maxHamming, nBands)
     val idx = graft.operators.Layout.loadBucketedPath(
       newHashes.sparkSession, indexPath)._1
-    val nb = bandGuarded(bandRows(newHashes, nBands), maxBandBucket,
-        "incrementalNearDupPairs")
-      .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
-    val oldNew = idx.select(col("id").as("id_o"), col("dhash").as("ho"),
-        col("bucket"))
-      .join(nb.select(col("id").as("id_n"), col("dhash").as("hn"),
-        col("bucket")), Seq("bucket"))
-      .filter(col("id_o") =!= col("id_n"))
-      .select(least(col("id_o"), col("id_n")).as("id_a"),
-        greatest(col("id_o"), col("id_n")).as("id_b"),
-        col("ho").as("ha"), col("hn").as("hb")) // hamming is symmetric
-    val newNew = nb.select(col("id").as("id_a"), col("dhash").as("ha"),
-        col("bucket"))
-      .join(nb.select(col("id").as("id_b"), col("dhash").as("hb"),
-        col("bucket")), Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "ha", "hb")
-    verified(oldNew.unionAll(newNew), maxHamming)
+    // the new batch's band rows feed THREE join branches (old-new probe
+    // + both sides of the new-new self-join); working-set
+    // materialization keeps the decode -> hash -> band -> guard
+    // pipeline at one evaluation (the TextDedup.incrementalCandidatePairs
+    // discipline)
+    graft.operators.TextDedup.withWorkingSet(
+      bandGuarded(bandRows(newHashes, nBands), maxBandBucket,
+          "incrementalNearDupPairs")
+        .withColumn("bucket", concat_ws("#", col("band"), col("bv")))) { nb =>
+      val oldNew = idx.select(col("id").as("id_o"), col("dhash").as("ho"),
+          col("bucket"))
+        .join(nb.select(col("id").as("id_n"), col("dhash").as("hn"),
+          col("bucket")), Seq("bucket"))
+        .filter(col("id_o") =!= col("id_n"))
+        .select(least(col("id_o"), col("id_n")).as("id_a"),
+          greatest(col("id_o"), col("id_n")).as("id_b"),
+          col("ho").as("ha"), col("hn").as("hb")) // hamming is symmetric
+      val newNew = nb.select(col("id").as("id_a"), col("dhash").as("ha"),
+          col("bucket"))
+        .join(nb.select(col("id").as("id_b"), col("dhash").as("hb"),
+          col("bucket")), Seq("bucket"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "ha", "hb")
+      verified(oldNew.unionAll(newNew), maxHamming)
+    }
   }
 }

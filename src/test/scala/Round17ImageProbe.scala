@@ -23,6 +23,15 @@ object Round17ImageProbe {
     spark.sparkContext.setLogLevel("ERROR")
     GraftSession.init(spark)
 
+    // Synthetic hashes have NO decode upstream: the working-set
+    // materialization that keeps a real image pipeline from decoding
+    // every frame twice only adds persist cost here (measured: 11.0 s
+    // vs 7.8 s on the 1M join) — so this probe runs the lazy mode,
+    // which is exactly what the conf exists for (cheap/scan-only
+    // prefixes). Production image pipelines keep the default: one
+    // decode beats one persist.
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+
     val n = 1000000L
     def hashes(ids: org.apache.spark.sql.DataFrame) = {
       val base = xxhash64(col("id") - col("id") % 2)

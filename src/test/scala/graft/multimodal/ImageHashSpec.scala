@@ -118,9 +118,15 @@ class ImageHashSpec extends SparkSpec {
 
   test("plan: banded equi-join, no cartesian product") {
     val hs = fixtureHashes.toSeq.map { case (i, h) => (i, h) }.toDF("id", "dhash")
-    val plan = ImageHash.nearDupPairs(hs, 3).queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"), plan)
-    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // materialize=none keeps the plan lazy so the join shape is real,
+    // not a checkpoint scan (BasketsSpec discipline)
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val plan = ImageHash.nearDupPairs(hs, 3).queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.graft.dedup.materialize", "local")
   }
 
   test("hashImages runs the partition-local batch lifecycle end-to-end") {
@@ -183,11 +189,16 @@ class ImageHashSpec extends SparkSpec {
     val dir = tmpDir("dhash-idx-plan")
     ImageHash.saveDhashIndex(
       (0 until 16).map(i => (i, i.toLong)).toDF("id", "dhash"), dir)
-    val plan = ImageHash.incrementalNearDupPairs(
-        Seq((100, 3L)).toDF("id", "dhash"), dir, maxHamming = 3)
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("Bucketed: true"), plan)
-    assert(!plan.contains("CartesianProduct"), plan)
+    // materialize=none keeps the plan lazy so the join shape is
+    // assertable (the BasketsSpec plan-gating discipline)
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val plan = ImageHash.incrementalNearDupPairs(
+          Seq((100, 3L)).toDF("id", "dhash"), dir, maxHamming = 3)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Bucketed: true"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.set("spark.graft.dedup.materialize", "local")
   }
 
   test("video fixtures: per-frame dHashes equal the single-image closed forms") {
