@@ -100,13 +100,15 @@ object ImageHash {
     hash
   }
 
-  /** Hash a media Dataset — same partition-local batch lifecycle as
-    * [[Multimodal.decodeImages]] (one decoder context per partition,
-    * bounded batches). */
+  /** Hash a media Dataset. Per-row decode: [[dHash64]] carries no
+    * reusable decoder context (ImageIO builds its reader per call), so
+    * there is nothing to batch — a streaming map over the partition
+    * iterator is the whole lifecycle (r17 verdict: the previous
+    * `grouped(64)` regroup was a no-op and claimed otherwise). */
   def hashImages(items: Dataset[Multimodal.MediaItem]): Dataset[HashedImage] = {
     implicit val enc = Encoders.product[HashedImage]
     items.mapPartitions { it =>
-      it.grouped(64).flatMap(_.map(m => HashedImage(m.media_id, dHash64(m.data))))
+      it.map(m => HashedImage(m.media_id, dHash64(m.data)))
     }
   }
 
@@ -118,11 +120,13 @@ object ImageHash {
   def hashFrames(videos: Dataset[Multimodal.MediaItem]): Dataset[FrameHash] = {
     implicit val enc = Encoders.product[FrameHash]
     videos.mapPartitions { it =>
-      it.grouped(64).flatMap(_.flatMap { m =>
+      // per-row decode, as in hashImages: the GIF frame reader is
+      // per-payload, so a batch regroup would add nothing
+      it.flatMap { m =>
         Multimodal.Decoders.gifFrameImages(m.data).zipWithIndex.map {
           case (img, i) => FrameHash(m.media_id, i, dHashImage(img))
         }
-      })
+      }
     }
   }
 

@@ -78,8 +78,13 @@ object MediaFixture {
   // every other pair is >= 31 bits apart.
 
   val DhashN = 6
-  // v3: added dhv_<i>.gif frame-patterned videos for mm05
-  private val DhashVersion = "v3"
+  // v3: added dhv_<i>.gif frame-patterned videos for mm05.
+  // Visible beyond this object: DERIVED fixtures (the mm04 persisted
+  // dHash index) compose their own cache version from this one, so a
+  // bump here invalidates both caches in one edit (r17 advisory — a
+  // second literal over there once served a stale index against
+  // freshly-hashed rows).
+  private[graft] val DhashVersion = "v3"
 
   def dhashCell(i: Int, r: Int, c: Int): Int = i match {
     case 0 => 10 + 25 * c

@@ -20,9 +20,14 @@ package graft.operators
   * see. What it deliberately does not catch: in-place byte corruption
   * at identical length — parquet's own page checksums own that layer.
   *
-  * Hidden entries (names starting with `_` or `.`: `_SUCCESS`, the
-  * meta sidecar itself, temp files) are excluded, matching Spark's own
-  * data-file visibility convention. Local-filesystem `java.nio` walk,
+  * Hidden entries (any RELATIVE-PATH segment starting with `_` or `.`:
+  * `_SUCCESS`, the meta sidecar itself, temp files, and everything
+  * under a `_temporary/` tree left by a killed write) are excluded,
+  * matching Spark's own data-file visibility convention — which skips
+  * hidden DIRECTORIES too, so a leaf-name-only check would bake a
+  * stray temp tree into a save-time fingerprint and then fail every
+  * later query as "stale" even though the visible data matches (r17
+  * advisory). Local-filesystem `java.nio` walk,
   * consistent with the meta sidecar I/O beside it; the production
   * mapping is the same listing through the object store's LIST call —
   * still metadata-priced, still no data scan.
@@ -39,10 +44,15 @@ object IndexWitness {
     val stream = java.nio.file.Files.walk(root)
     try {
       stream.forEach { p =>
-        val name = p.getFileName.toString
-        if (java.nio.file.Files.isRegularFile(p) &&
-            !name.startsWith("_") && !name.startsWith("."))
-          entries += s"${root.relativize(p)}|${java.nio.file.Files.size(p)}"
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val rel = root.relativize(p)
+          val hidden = (0 until rel.getNameCount).exists { i =>
+            val seg = rel.getName(i).toString
+            seg.startsWith("_") || seg.startsWith(".")
+          }
+          if (!hidden)
+            entries += s"$rel|${java.nio.file.Files.size(p)}"
+        }
       }
     } finally stream.close()
     val md = java.security.MessageDigest.getInstance("SHA-256")

@@ -80,8 +80,15 @@ object InvertedIndex {
     * consistent version or the new one. (The append→meta gap itself is
     * covered by `postingRows`, checked in [[appendToIndex]] /
     * [[verifyIndex]].) */
+  /** Meta format version, bumped on every backward-incompatible sidecar
+    * change so an old index fails with a NAMED upgrade message, not a
+    * generic missing-property error (r17 advisory). v2 = the dataFp
+    * file-listing witness replaced the per-query posting count. */
+  private val MetaFormatVersion = 2
+
   private def writeMeta(path: String, meta: IndexMeta): Unit = {
     val p = new java.util.Properties()
+    p.setProperty("formatVersion", MetaFormatVersion.toString)
     p.setProperty("nBuckets", meta.nBuckets.toString)
     p.setProperty("docCount", meta.docCount.toString)
     p.setProperty("totalTokens", meta.totalTokens.toString)
@@ -103,6 +110,12 @@ object InvertedIndex {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
+    // format migration first: an index from before the file-listing
+    // witness gets a NAMED upgrade message, not a generic
+    // missing-property error (r17 advisory)
+    require(p.getProperty("dataFp") != null,
+      s"$path predates the file-listing witness (meta format " +
+        s"v$MetaFormatVersion) — index format upgraded; $hint")
     def prop(k: String): String = {
       val v = p.getProperty(k)
       require(v != null, s"$path/$MetaFile is missing '$k' — corrupt or " +

@@ -45,12 +45,17 @@ object ProductQuantizer {
                unitScale: Long = 1000000L): (DataFrame, DataFrame) = {
     require(m >= 1 && d % m == 0, s"d=$d must be divisible by m=$m")
     val subDim = d / m
+    // id pinned to long AT THE SOURCE: the persisted index's query path
+    // reads codes with the fixed `id long` schema (CodesSchema), so an
+    // int-id input must be widened at write time, not fail at read time
+    // (r17 advisory)
     val v = emb
-      .select(col("vec_id").as("id"), posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .select(col("vec_id").cast("long").as("id"),
+        posexplode(col("embedding")).as(Seq("dim", "__v")))
       .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
         (col("dim") % subDim).cast("int").as("j"),
         floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
-    fitCodesFromLong(v, emb.select(col("vec_id").as("id")), k, iterations)
+    fitCodesFromLong(v, emb.select(col("vec_id").cast("long").as("id")), k, iterations)
   }
 
   /** The Lloyd core over an ALREADY-INTEGER long form (id, sub, j, x) —
@@ -113,6 +118,12 @@ object ProductQuantizer {
 
   private val MetaFile = "_graft_pq_index.properties"
 
+  /** Meta format version, bumped on every backward-incompatible sidecar
+    * change so an old index fails with a NAMED upgrade message, not a
+    * generic missing-property error (r17 advisory). v2 = the dataFp
+    * file-listing witness replaced the per-query row-count check. */
+  private val MetaFormatVersion = 2
+
   /** `codeRows` records the code-row count for observability and
     * incremental maintenance; `dataFp` is the consistency witness the
     * QUERY path checks — an [[IndexWitness]] file-listing fingerprint
@@ -123,6 +134,7 @@ object ProductQuantizer {
 
   private def writeMeta(path: String, meta: PqIndexMeta): Unit = {
     val p = new java.util.Properties()
+    p.setProperty("formatVersion", MetaFormatVersion.toString)
     p.setProperty("d", meta.d.toString); p.setProperty("m", meta.m.toString)
     p.setProperty("k", meta.k.toString)
     p.setProperty("iterations", meta.iterations.toString)
@@ -145,6 +157,11 @@ object ProductQuantizer {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
+    // format migration first, so an old-but-valid index gets a NAMED
+    // upgrade message instead of a generic missing-property error
+    require(p.getProperty("dataFp") != null,
+      s"$path predates the file-listing witness (meta format v$MetaFormatVersion) " +
+        "— index format upgraded; rebuild with savePqIndex")
     def prop(k: String): String = {
       val v = p.getProperty(k)
       require(v != null, s"$path/$MetaFile is missing '$k' — corrupt; rebuild")
@@ -208,7 +225,7 @@ object ProductQuantizer {
           col("vec_id").cast("string"),
           lit(s" does not match the index dimensionality d=${meta.d}"))))
           .otherwise(col("embedding")).as("embedding"))
-      .select(col("vec_id").as("id"),
+      .select(col("vec_id").cast("long").as("id"), // pinned CodesSchema `id long`
         posexplode(col("embedding")).as(Seq("dim", "__v")))
       .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
         (col("dim") % subDim).cast("int").as("j"),

@@ -219,8 +219,15 @@ object Similarity {
   final case class SemIndexMeta(d: Int, k: Int, iterations: Int,
                                 unitScale: Long, corpusRows: Long, dataFp: String)
 
+  /** Meta format version, bumped on every backward-incompatible sidecar
+    * change so an old index fails with a NAMED upgrade message, not a
+    * generic missing-property error (r17 advisory). v2 = the dataFp
+    * file-listing witness replaced the per-query corpus count. */
+  private val SemMetaFormatVersion = 2
+
   private def writeSemMeta(path: String, m: SemIndexMeta): Unit = {
     val p = new java.util.Properties()
+    p.setProperty("formatVersion", SemMetaFormatVersion.toString)
     p.setProperty("d", m.d.toString); p.setProperty("k", m.k.toString)
     p.setProperty("iterations", m.iterations.toString)
     p.setProperty("unitScale", m.unitScale.toString)
@@ -242,6 +249,12 @@ object Similarity {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
+    // format migration first: a pre-witness index gets a NAMED upgrade
+    // message, not a generic missing-property error (r17 advisory)
+    require(p.getProperty("dataFp") != null,
+      s"$path predates the file-listing witness (meta format " +
+        s"v$SemMetaFormatVersion) — index format upgraded; rebuild with " +
+        "saveSemanticIndex")
     def prop(k: String): String = {
       val v = p.getProperty(k)
       require(v != null, s"$path/$SemMetaFile is missing '$k' — corrupt; rebuild")
@@ -458,14 +471,20 @@ object Similarity {
             "narrower buckets) or the cap deliberately"))))
           .otherwise(col("vec_id")))
       .select("vec_id", "e", "bucket")
-    val a2 = b.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
-    val b2 = b.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
-    a2.join(b2, Seq("bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        cosine_similarity(col("ea"), col("eb")).as("score0"))
-      .filter(col("score0") >= threshold)
-      .select(col("vec_a"), col("vec_b"), round4(col("score0")).as("score"))
-      .orderBy("vec_a", "vec_b")
+    // the guarded frame feeds BOTH self-join sides: working-set
+    // materialization keeps the signBucket projection + the offend
+    // aggregate/broadcast guard at ONE evaluation (the r17 fuzzy-join
+    // prefix lesson, as in ImageHash.nearDupPairs)
+    TextDedup.withWorkingSet(b) { g =>
+      val a2 = g.select(col("vec_id").as("vec_a"), col("e").as("ea"), col("bucket"))
+      val b2 = g.select(col("vec_id").as("vec_b"), col("e").as("eb"), col("bucket"))
+      a2.join(b2, Seq("bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .select(col("vec_a"), col("vec_b"),
+          cosine_similarity(col("ea"), col("eb")).as("score0"))
+        .filter(col("score0") >= threshold)
+        .select(col("vec_a"), col("vec_b"), round4(col("score0")).as("score"))
+        .orderBy("vec_a", "vec_b")
+    }
   }
 }

@@ -152,7 +152,11 @@ object ExtensionQueries {
     * the version ties to the media fixture version + index format
     * rather than a source-table mtime. */
   private def dhashIndexLoaded(s: SparkSession): String =
-    graft.Fixtures.ensure("media_dhash_idx", "v3a") { tmp =>
+    // version DERIVED from the media fixture's own version (suffix = the
+    // index format generation), so one fixture bump invalidates both the
+    // image cache and this index cache (r17 advisory)
+    graft.Fixtures.ensure("media_dhash_idx",
+      s"${graft.multimodal.MediaFixture.DhashVersion}a") { tmp =>
       graft.multimodal.ImageHash.saveDhashIndex(
         dhashFixtureHashes(s).filter(!col("id").isin(1, 2)), tmp.toString)
     }
