@@ -360,6 +360,50 @@ object ProductQuantizer {
         col("rk").cast("int").as("rk"))
   }
 
+  /** (id, dim, x) micro-quantized long form of an embedding frame —
+    * the input shape of every integer stage here; id pinned long (the
+    * persisted-index read-schema contract). */
+  private def quantizedLongForm(emb: DataFrame, unitScale: Long): DataFrame =
+    emb
+      .select(col("vec_id").cast("long").as("id"),
+        posexplode(col("embedding")).as(Seq("dim", "__v")))
+      .select(col("id"), col("dim"),
+        floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
+
+  /** The IVF-PQ model fit — ONE implementation shared by the inline
+    * search ([[ivfPqTopK]]) and the persisted index
+    * ([[saveIvfPqIndex]]), so "the persisted index IS the inline
+    * derivation" (the pq02-vs-pq01 proof pattern) holds by
+    * construction: coarse integer k-means over the full vectors, then
+    * residual PQ codebooks fitted on (vector − assigned coarse
+    * centroid) — exact integer differences of micro-units, so
+    * determinism survives the composition.
+    * @return (coarseAssign (id, cluster..), coarseCentroids
+    *         (cluster, dim, c), codes (id, sub, cluster),
+    *         residCentroids (sub, cluster, j, c)) */
+  private def ivfPqFit(emb: DataFrame, d: Int, m: Int,
+                       kCoarse: Int, coarseIterations: Int,
+                       kPq: Int, pqIterations: Int,
+                       unitScale: Long): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(m >= 1 && d % m == 0, s"d=$d must be divisible by m=$m")
+    val subDim = d / m
+    val (coarseAssign, coarseCentroids) = KMeansExact.fitMicro(
+      emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec")),
+      d = d, k = kCoarse, iterations = coarseIterations, unitScale = unitScale)
+    val v = quantizedLongForm(emb, unitScale)
+    // residuals against the ASSIGNED coarse centroid, already integer
+    val rv = v
+      .join(coarseAssign.select(col("id"), col("cluster").as("__cc")), "id")
+      .join(broadcast(coarseCentroids.select(col("cluster").as("__cc"),
+        col("dim"), col("c"))), Seq("__cc", "dim"))
+      .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
+        (col("dim") % subDim).cast("int").as("j"),
+        (col("x") - col("c")).as("x"))
+    val (codes, residCentroids) = fitCodesFromLong(rv,
+      emb.select(col("vec_id").cast("long").as("id")), kPq, pqIterations)
+    (coarseAssign, coarseCentroids, codes, residCentroids)
+  }
+
   /** IVF-PQ (Jégou et al.'s IVFADC — the standard billion-scale ANN
     * stack, composed from the house pieces): a coarse integer k-means
     * ([[KMeansExact.fitMicro]]) partitions the corpus into lists; the
@@ -376,6 +420,14 @@ object ProductQuantizer {
     * Every stage is the already-gated machinery of km01 + pq01 —
     * this entry proves they COMPOSE (the er01 precedent).
     *
+    * THIS form re-fits both codebooks per call — the one-shot
+    * convenience (the Similarity.ivfTopK role). Production searches go
+    * through the PERSISTED index ([[saveIvfPqIndex]] /
+    * [[ivfPqTopKIndexed]]), where the fit is amortized to zero and the
+    * nProbe list pruning happens in the parquet partition layout
+    * (r17 verdict: the per-call refit was the last O(corpus)-per-query
+    * path in the ANN family).
+    *
     * @return (vec_id, dist_u) top-`topK` by integer ADC distance
     *         ascending, vec_id tie-break, probe excluded */
   def ivfPqTopK(emb: DataFrame, probeId: Long, topK: Int, d: Int, m: Int,
@@ -385,25 +437,10 @@ object ProductQuantizer {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     require(nProbe >= 1 && nProbe <= kCoarse,
       s"nProbe must be in [1, kCoarse=$kCoarse], got $nProbe")
-    require(m >= 1 && d % m == 0, s"d=$d must be divisible by m=$m")
+    val (coarseAssign, coarseCentroids, codes, residCentroids) =
+      ivfPqFit(emb, d, m, kCoarse, coarseIterations, kPq, pqIterations, unitScale)
     val subDim = d / m
-    val (coarseAssign, coarseCentroids) = KMeansExact.fitMicro(
-      emb.select(col("vec_id").as("id"), col("embedding").as("vec")),
-      d = d, k = kCoarse, iterations = coarseIterations, unitScale = unitScale)
-    val v = emb
-      .select(col("vec_id").as("id"), posexplode(col("embedding")).as(Seq("dim", "__v")))
-      .select(col("id"), col("dim"),
-        floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
-    // residuals against the ASSIGNED coarse centroid, already integer
-    val rv = v
-      .join(coarseAssign.select(col("id"), col("cluster").as("__cc")), "id")
-      .join(broadcast(coarseCentroids.select(col("cluster").as("__cc"),
-        col("dim"), col("c"))), Seq("__cc", "dim"))
-      .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
-        (col("dim") % subDim).cast("int").as("j"),
-        (col("x") - col("c")).as("x"))
-    val (codes, residCentroids) =
-      fitCodesFromLong(rv, emb.select(col("vec_id").as("id")), kPq, pqIterations)
+    val v = quantizedLongForm(emb, unitScale)
     // probe's nProbe nearest coarse lists (exact integer distance over
     // kCoarse broadcast rows — orderBy/limit on a k-row frame)
     val pv = v.filter(col("id") === probeId).select(col("dim"), col("x").as("px"))
@@ -480,6 +517,238 @@ object ProductQuantizer {
           .otherwise(col("pdist0")).as("pdist"))
     codes.filter(col("id") =!= probeId)
       .join(broadcast(table), Seq("sub", "cluster"))
+      .groupBy(col("id").as("vec_id"))
+      .agg(sum("pdist").as("dist_u"))
+      .orderBy(col("dist_u"), col("vec_id"))
+      .limit(topK)
+  }
+
+  // ---------------------------------------------------------------
+  // Persisted IVF-PQ index (r17 directive #1) — the production form
+  // of ivfPqTopK, which re-fits both codebooks per call: the fit runs
+  // ONCE (saveIvfPqIndex); the code table is written PARTITIONED BY
+  // its coarse list, so a probe's "visit nProbe of kCoarse lists"
+  // is enforced by parquet partition pruning at the storage layer
+  // (the IvfIndex discipline) — a search against a 100 TB code table
+  // reads nProbe/kCoarse of the bytes, plus two broadcast-tiny
+  // centroid tables. Composes savePqIndex's witness/meta lifecycle
+  // with IvfIndex's list-partitioned layout.
+  // ---------------------------------------------------------------
+
+  private val IvfPqMetaFile = "_graft_ivfpq_index.properties"
+
+  /** Pinned on-disk schemas (zero schema-inference jobs on the query
+    * path, as with [[CodesSchema]]). `list_id` is the partition
+    * column of the code table — each vector's m code rows live in its
+    * coarse list's partition. */
+  private val IvfPqCodesSchema = "id long, sub int, cluster int, list_id int"
+  private val CoarseSchema = "cluster int, dim int, c long"
+
+  final case class IvfPqIndexMeta(d: Int, m: Int, kCoarse: Int,
+                                  coarseIterations: Int, kPq: Int,
+                                  pqIterations: Int, unitScale: Long,
+                                  codeRows: Long, dataFp: String)
+
+  private def writeIvfPqMeta(path: String, meta: IvfPqIndexMeta): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("formatVersion", MetaFormatVersion.toString)
+    p.setProperty("d", meta.d.toString); p.setProperty("m", meta.m.toString)
+    p.setProperty("kCoarse", meta.kCoarse.toString)
+    p.setProperty("coarseIterations", meta.coarseIterations.toString)
+    p.setProperty("kPq", meta.kPq.toString)
+    p.setProperty("pqIterations", meta.pqIterations.toString)
+    p.setProperty("unitScale", meta.unitScale.toString)
+    p.setProperty("codeRows", meta.codeRows.toString)
+    p.setProperty("dataFp", meta.dataFp)
+    val dir = java.nio.file.Paths.get(path)
+    val tmp = java.nio.file.Files.createTempFile(dir, "." + IvfPqMetaFile, ".tmp")
+    val out = java.nio.file.Files.newOutputStream(tmp)
+    try p.store(out, "graft ivf-pq index") finally out.close()
+    java.nio.file.Files.move(tmp, dir.resolve(IvfPqMetaFile),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  private def readIvfPqMeta(path: String): IvfPqIndexMeta = {
+    val f = java.nio.file.Paths.get(path, IvfPqMetaFile)
+    require(java.nio.file.Files.exists(f),
+      s"$path has no $IvfPqMetaFile — not a graft ivf-pq index; build with " +
+        "saveIvfPqIndex")
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(f)
+    try p.load(in) finally in.close()
+    def prop(k: String): String = {
+      val v = p.getProperty(k)
+      require(v != null, s"$path/$IvfPqMetaFile is missing '$k' — corrupt; rebuild")
+      v
+    }
+    IvfPqIndexMeta(prop("d").toInt, prop("m").toInt, prop("kCoarse").toInt,
+      prop("coarseIterations").toInt, prop("kPq").toInt,
+      prop("pqIterations").toInt, prop("unitScale").toLong,
+      prop("codeRows").toLong, prop("dataFp"))
+  }
+
+  private def checkIvfPqWitness(path: String, meta: IvfPqIndexMeta,
+                                who: String): Unit =
+    IndexWitness.check(path, meta.dataFp,
+      s"$who found a stale index from an interrupted build or append",
+      "rebuild with saveIvfPqIndex (or re-run the interrupted appendToIvfPqIndex)")
+
+  /** Fit + persist the IVF-PQ model: `coarse/` (kCoarse·d centroid
+    * rows), `centroids/` (the m·kPq·(d/m) residual codebooks), and
+    * `codes/` — (id, sub, cluster) PARTITIONED BY `list_id`, the
+    * vector's coarse list, so probe-time list pruning happens in the
+    * parquet file index. Meta ordering as [[savePqIndex]]: old meta
+    * deleted before any data overwrite, new meta (with the
+    * [[IndexWitness]] file-listing fingerprint) written last — a crash
+    * mid-rebuild leaves a loud no-meta state. */
+  def saveIvfPqIndex(emb: DataFrame, d: Int, m: Int,
+                     kCoarse: Int, coarseIterations: Int,
+                     kPq: Int, pqIterations: Int, path: String,
+                     unitScale: Long = 1000000L): Unit = {
+    val (coarseAssign, coarseCentroids, codes, residCentroids) =
+      ivfPqFit(emb, d, m, kCoarse, coarseIterations, kPq, pqIterations, unitScale)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, IvfPqMetaFile))
+    coarseCentroids.select(col("cluster"), col("dim"), col("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
+    residCentroids.select(col("sub"), col("cluster"), col("j"), col("c"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    codes
+      .join(coarseAssign.select(col("id"), col("cluster").as("list_id")), "id")
+      .select(col("id"), col("sub"), col("cluster"), col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+    val n = emb.sparkSession.read.parquet(s"$path/codes").count()
+    writeIvfPqMeta(path, IvfPqIndexMeta(d, m, kCoarse, coarseIterations,
+      kPq, pqIterations, unitScale, n, IndexWitness.fingerprint(path)))
+  }
+
+  /** Append NEW vectors into a persisted IVF-PQ index (the
+    * [[appendToPqIndex]] lifecycle): each batch vector is
+    * coarse-assigned against the PERSISTED coarse centroids (the list
+    * geometry never changes on append), its residual encoded against
+    * the PERSISTED residual codebooks, and the code rows
+    * parquet-appended into their list partitions; the witness is
+    * re-fingerprinted last. Scale shape: one batch-sized pass against
+    * two broadcast centroid tables — the corpus codes are never read,
+    * never re-fit. Contract: `newEmb` vec_ids are new to the index. */
+  def appendToIvfPqIndex(newEmb: DataFrame, path: String): Unit = {
+    val spark = newEmb.sparkSession
+    val meta = readIvfPqMeta(path)
+    checkIvfPqWitness(path, meta, "appendToIvfPqIndex")
+    val coarse = spark.read.schema(CoarseSchema).parquet(s"$path/coarse")
+    val residCentroids = spark.read.schema(CentroidsSchema)
+      .parquet(s"$path/centroids")
+    val subDim = meta.d / meta.m
+    val v = quantizedLongForm(
+      newEmb.select(col("vec_id"),
+        when(size(col("embedding")) =!= meta.d, raise_error(concat(
+          lit("appendToIvfPqIndex: embedding of length "),
+          size(col("embedding")).cast("string"), lit(" for vec_id "),
+          col("vec_id").cast("string"),
+          lit(s" does not match the index dimensionality d=${meta.d}"))))
+          .otherwise(col("embedding")).as("embedding")),
+      meta.unitScale)
+    // coarse assignment: the fitMicro assignment stage verbatim against
+    // the persisted geometry (argmin ties → lower cluster id)
+    val assign = v.join(broadcast(coarse), "dim")
+      .groupBy(col("id"), col("cluster"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("__dist"))
+      .groupBy("id")
+      .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
+      .select(col("id"), col("m.cluster").as("list_id"))
+    // residual encode: fitCodesFromLong's assignment stage verbatim
+    // against the persisted residual codebooks
+    val rv = v
+      .join(assign, "id")
+      .join(broadcast(coarse.select(col("cluster").as("list_id"),
+        col("dim"), col("c"))), Seq("list_id", "dim"))
+      .select(col("id"), col("list_id"),
+        (col("dim") / subDim).cast("int").as("sub"),
+        (col("dim") % subDim).cast("int").as("j"),
+        (col("x") - col("c")).as("x"))
+    val codes = rv.join(broadcast(residCentroids), Seq("sub", "j"))
+      .groupBy(col("id"), col("list_id"), col("sub"), col("cluster"))
+      .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("__dist"))
+      .groupBy("id", "list_id", "sub")
+      .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
+      .select(col("id"), col("sub"), col("m.cluster").as("cluster"), col("list_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      codes.write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+      val added = codes.count()
+      writeIvfPqMeta(path, meta.copy(codeRows = meta.codeRows + added,
+        dataFp = IndexWitness.fingerprint(path)))
+    } finally codes.unpersist()
+  }
+
+  /** IVF-PQ search against a PERSISTED index — [[ivfPqTopK]] with the
+    * fit amortized to zero and the list pruning pushed into the
+    * STORAGE layer: the probe's `nProbe` nearest lists are ranked over
+    * the kCoarse-row coarse table and collected (≤ kCoarse ints — the
+    * [[IvfIndex]] nearestLists budget), so the code-table scan carries
+    * LITERAL partition filters and parquet prunes to exactly nProbe of
+    * kCoarse list partitions; candidates there are scored by ADC with
+    * the probe's PER-LIST residual lookup tables (nProbe·m·kPq
+    * broadcast rows). One-probe contract, staleness witness, and
+    * raise-on-empty exactly as [[adcTopKIndexed]].
+    *
+    * @return (vec_id, dist_u) top-`topK` by integer ADC distance
+    *         ascending, vec_id tie-break, probe excluded */
+  def ivfPqTopKIndexed(probe: DataFrame, path: String, topK: Int,
+                       nProbe: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = probe.sparkSession
+    val meta = readIvfPqMeta(path)
+    checkIvfPqWitness(path, meta, "ivfPqTopKIndexed")
+    require(nProbe >= 1 && nProbe <= meta.kCoarse,
+      s"nProbe must be in [1, kCoarse=${meta.kCoarse}], got $nProbe")
+    val nProbes = probe.limit(2).count()
+    require(nProbes != 0,
+      "ivfPqTopKIndexed: the probe frame is empty — the searched vec_id is " +
+        "absent from the input (or the frame was pre-filtered to nothing); " +
+        "an unguarded search here would return silently empty")
+    require(nProbes == 1,
+      "ivfPqTopKIndexed: more than one probe row — the one-probe contract " +
+        "would silently sum distances ACROSS probes")
+    val subDim = meta.d / meta.m
+    val coarse = spark.read.schema(CoarseSchema).parquet(s"$path/coarse")
+    val residCentroids = spark.read.schema(CentroidsSchema)
+      .parquet(s"$path/centroids")
+    val pv = quantizedLongForm(
+      probe.select(col("vec_id"),
+        when(size(col("embedding")) =!= meta.d, raise_error(concat(
+          lit("ivfPqTopKIndexed: probe embedding of length "),
+          size(col("embedding")).cast("string"),
+          lit(s" does not match the index dimensionality d=${meta.d}"))))
+          .otherwise(col("embedding")).as("embedding")),
+      meta.unitScale)
+      .select(col("id").as("__pid"), col("dim"), col("x").as("px"))
+    // nProbe nearest lists, COLLECTED (≤ kCoarse ints): literal values
+    // in the codes filter are what parquet partition pruning prunes on
+    val probeId = pv.select("__pid").head().getLong(0)
+    val lists = coarse.join(broadcast(pv.select("dim", "px")), "dim")
+      .groupBy("cluster")
+      .agg(sum((col("px") - col("c")) * (col("px") - col("c"))).as("__cdist"))
+      .orderBy(col("__cdist"), col("cluster"))
+      .limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
+    // per-list probe residuals → per-list ADC tables (nProbe·m·kPq rows)
+    val prx = coarse
+      .filter(col("cluster").isin(lists: _*))
+      .join(broadcast(pv.select("dim", "px")), "dim")
+      .select(col("cluster").as("list_id"),
+        (col("dim") / subDim).cast("int").as("sub"),
+        (col("dim") % subDim).cast("int").as("j"),
+        (col("px") - col("c")).as("rx"))
+    val table = prx
+      .join(broadcast(residCentroids), Seq("sub", "j"))
+      .groupBy("list_id", "sub", "cluster")
+      .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("pdist"))
+    spark.read.schema(IvfPqCodesSchema).parquet(s"$path/codes")
+      .filter(col("list_id").isin(lists: _*)) // -> parquet PartitionFilters
+      .filter(col("id") =!= probeId)
+      .join(broadcast(table), Seq("list_id", "sub", "cluster"))
       .groupBy(col("id").as("vec_id"))
       .agg(sum("pdist").as("dist_u"))
       .orderBy(col("dist_u"), col("vec_id"))

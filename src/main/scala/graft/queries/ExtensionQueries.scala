@@ -124,6 +124,89 @@ object ExtensionQueries {
         e.filter(col("vec_id") % 10 === 0), tmp.toString)
     }
 
+  /** Persisted IVF-PQ index over the full embedding corpus for pq06,
+    * via the shared [[corpusFixture]] discipline — the fit (coarse
+    * k-means + residual codebooks) is amortized into the fixture; the
+    * query reads the two tiny centroid tables plus ONLY the probed
+    * list partitions of the code table. */
+  private def ivfPqIndexLoaded(s: SparkSession, dir: String): String =
+    corpusFixture(dir, "embeddings", "ivfpqidx") { tmp =>
+      graft.operators.ProductQuantizer.saveIvfPqIndex(
+        t(s, dir).embeddings.select("vec_id", "embedding"),
+        d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+        kPq = 4, pqIterations = 1, path = tmp.toString)
+    }
+
+  /** INCREMENTALLY-built IVF-PQ index for pq07 (the pqIndexIncremental
+    * discipline): coarse lists + residual codebooks fitted ONCE on the
+    * "historical" slice (vec_id % 10 != 0); the "nightly" slice is
+    * APPENDED — coarse-assigned and residual-encoded against the
+    * PERSISTED geometry, the corpus never re-fit, the new code rows
+    * landing in their list partitions. */
+  private def ivfPqIndexIncremental(s: SparkSession, dir: String): String =
+    corpusFixture(dir, "embeddings", "ivfpqidxinc") { tmp =>
+      val e = t(s, dir).embeddings.select("vec_id", "embedding")
+      graft.operators.ProductQuantizer.saveIvfPqIndex(
+        e.filter(col("vec_id") % 10 =!= 0),
+        d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+        kPq = 4, pqIterations = 1, path = tmp.toString)
+      graft.operators.ProductQuantizer.appendToIvfPqIndex(
+        e.filter(col("vec_id") % 10 === 0), tmp.toString)
+    }
+
+  /** pq03's full IVFADC recomputation, shared VERBATIM with pq06 (the
+    * Sd02Oracle discipline — one SQL text, so hash equality between
+    * the inline stack and the persisted index cannot silently
+    * desynchronize): coarse Lloyd (2 iterations, 4-smallest-id init),
+    * residuals against the after-one-update centroids, residual
+    * codebooks (1 iteration), 2-of-4 list probing, per-list ADC
+    * tables, candidate sums, probe id 0 excluded. */
+  private val IvfPqOracle =
+    """WITH v AS (SELECT vec_id AS id, i,
+      |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+      |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+      |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+      |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
+      |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+      |s1 AS (SELECT id, cl FROM (SELECT id, cl,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+      |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+      |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
+      |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
+      |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+      |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+      |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
+      |s2 AS (SELECT id, cl FROM (SELECT id, cl,
+      |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+      |rv AS (SELECT v.id, CAST((v.i - 1) // 16 AS INTEGER) AS sub,
+      |    CAST((v.i - 1) % 16 AS INTEGER) AS j, v.x - c1.c AS x
+      |  FROM v JOIN s2 ON s2.id = v.id JOIN c1 ON c1.cl = s2.cl AND c1.i = v.i),
+      |rinit AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+      |  FROM (SELECT DISTINCT id FROM rv ORDER BY id LIMIT 4)),
+      |rc0 AS (SELECT rv.sub, rinit.cl, rv.j, rv.x AS c FROM rv JOIN rinit USING (id)),
+      |ra1 AS (SELECT rv.id, rv.sub, c.cl, CAST(SUM((rv.x - c.c) * (rv.x - c.c)) AS BIGINT) AS dist
+      |  FROM rv JOIN rc0 c ON c.sub = rv.sub AND c.j = rv.j GROUP BY 1, 2, 3),
+      |rs1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+      |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ra1) WHERE rn = 1),
+      |pl AS (SELECT cl AS cc FROM (SELECT c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS cdist
+      |    FROM c1 JOIN (SELECT i, x FROM v WHERE id = 0) p ON p.i = c1.i GROUP BY 1)
+      |  ORDER BY cdist, cl LIMIT 2),
+      |prx AS (SELECT c1.cl AS cc, CAST((c1.i - 1) // 16 AS INTEGER) AS sub,
+      |    CAST((c1.i - 1) % 16 AS INTEGER) AS j, p.x - c1.c AS rx
+      |  FROM c1 JOIN pl ON pl.cc = c1.cl
+      |  JOIN (SELECT i, x FROM v WHERE id = 0) p ON p.i = c1.i),
+      |tbl AS (SELECT prx.cc, rc0.sub, rc0.cl, CAST(SUM((prx.rx - rc0.c) * (prx.rx - rc0.c)) AS BIGINT) AS pdist
+      |  FROM prx JOIN rc0 ON rc0.sub = prx.sub AND rc0.j = prx.j GROUP BY 1, 2, 3),
+      |cand AS (SELECT rs1.id, s2.cl AS cc, rs1.sub, rs1.cl
+      |  FROM rs1 JOIN s2 ON s2.id = rs1.id
+      |  WHERE s2.cl IN (SELECT cc FROM pl) AND rs1.id <> 0),
+      |adc AS (SELECT cand.id AS vec_id, CAST(SUM(tbl.pdist) AS BIGINT) AS dist_u
+      |  FROM cand JOIN tbl ON tbl.cc = cand.cc AND tbl.sub = cand.sub AND tbl.cl = cand.cl
+      |  GROUP BY 1)
+      |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin
+
   /** Persisted LSH band index over the "historical" corpus slice
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
@@ -3202,9 +3285,49 @@ object ExtensionQueries {
       // iterations), residuals, residual codebooks (1 iteration),
       // list probing, per-list tables, candidate sums.
       "pq03_ivfpq",
+      Some(IvfPqOracle),
+      (s, d) => graft.operators.ProductQuantizer.ivfPqTopK(
+          t(s, d).embeddings, probeId = 0L, topK = 10, d = 64, m = 4,
+          kCoarse = 4, coarseIterations = 2, kPq = 4, pqIterations = 1,
+          nProbe = 2)),
+
+    GraftQuery(
+      // IVF-PQ search against the PERSISTED index (pq06 — r17
+      // directive #1, closing the last O(corpus)-per-query path in the
+      // ANN family): saveIvfPqIndex persists the coarse centroids, the
+      // residual codebooks, and the code table PARTITIONED BY coarse
+      // list; ivfPqTopKIndexed ranks the probe's 2 nearest of 4 lists
+      // over the kCoarse-row coarse table and reads ONLY those list
+      // partitions of the codes (parquet partition pruning — the
+      // IvfIndex discipline), scoring by per-list broadcast ADC
+      // tables. The oracle is pq03's full recomputation VERBATIM
+      // (shared SQL text): hash equality proves the persisted index IS
+      // the inline derivation (the pq02-vs-pq01 proof pattern).
+      "pq06_ivfpq_indexed",
+      Some(IvfPqOracle),
+      (s, d) => graft.operators.ProductQuantizer.ivfPqTopKIndexed(
+          t(s, d).embeddings.filter(col("vec_id") === 0L)
+            .select("vec_id", "embedding"),
+          ivfPqIndexLoaded(s, d), topK = 10, nProbe = 2)),
+
+    GraftQuery(
+      // IVF-PQ index APPEND lifecycle (pq07, ProductQuantizer
+      // .appendToIvfPqIndex — the pq05 discipline lifted to the
+      // list-partitioned index): coarse lists + residual codebooks
+      // are fitted ONCE on the historical slice (vec_id % 10 != 0);
+      // the nightly slice is coarse-assigned and residual-encoded
+      // against those PERSISTED tables (two broadcast-tiny joins — the
+      // corpus codes are never read, never re-fit) and appended into
+      // its list partitions; a probed search then covers the union.
+      // The oracle recomputes the whole lifecycle: historical coarse
+      // Lloyd (2 iters) + residual codebooks (1 iter), batch argmin
+      // assignments against the persisted geometry, 2-of-4 list
+      // probing, ADC over the UNION of code sets, probe id 0 (itself
+      // an appended vector) excluded.
+      "pq07_ivfpq_append",
       Some("""WITH v AS (SELECT vec_id AS id, i,
         |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
-        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 <> 0),
         |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
         |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
         |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
@@ -3230,26 +3353,42 @@ object ExtensionQueries {
         |  FROM rv JOIN rc0 c ON c.sub = rv.sub AND c.j = rv.j GROUP BY 1, 2, 3),
         |rs1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
         |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ra1) WHERE rn = 1),
+        |vb AS (SELECT vec_id AS id, i,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 = 0),
+        |ab AS (SELECT vb.id, c.cl, CAST(SUM((vb.x - c.c) * (vb.x - c.c)) AS BIGINT) AS dist
+        |  FROM vb JOIN c1 c ON c.i = vb.i GROUP BY 1, 2),
+        |sb AS (SELECT id, cl FROM (SELECT id, cl,
+        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM ab) WHERE rn = 1),
+        |rvb AS (SELECT vb.id, CAST((vb.i - 1) // 16 AS INTEGER) AS sub,
+        |    CAST((vb.i - 1) % 16 AS INTEGER) AS j, vb.x - c1.c AS x
+        |  FROM vb JOIN sb ON sb.id = vb.id JOIN c1 ON c1.cl = sb.cl AND c1.i = vb.i),
+        |rab AS (SELECT rvb.id, rvb.sub, c.cl, CAST(SUM((rvb.x - c.c) * (rvb.x - c.c)) AS BIGINT) AS dist
+        |  FROM rvb JOIN rc0 c ON c.sub = rvb.sub AND c.j = rvb.j GROUP BY 1, 2, 3),
+        |rsb AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM rab) WHERE rn = 1),
+        |assign_all AS (SELECT id, cl FROM s2 UNION ALL SELECT id, cl FROM sb),
+        |codes_all AS (SELECT id, sub, cl FROM rs1 UNION ALL SELECT id, sub, cl FROM rsb),
         |pl AS (SELECT cl AS cc FROM (SELECT c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS cdist
-        |    FROM c1 JOIN (SELECT i, x FROM v WHERE id = 0) p ON p.i = c1.i GROUP BY 1)
+        |    FROM c1 JOIN (SELECT i, x FROM vb WHERE id = 0) p ON p.i = c1.i GROUP BY 1)
         |  ORDER BY cdist, cl LIMIT 2),
         |prx AS (SELECT c1.cl AS cc, CAST((c1.i - 1) // 16 AS INTEGER) AS sub,
         |    CAST((c1.i - 1) % 16 AS INTEGER) AS j, p.x - c1.c AS rx
         |  FROM c1 JOIN pl ON pl.cc = c1.cl
-        |  JOIN (SELECT i, x FROM v WHERE id = 0) p ON p.i = c1.i),
+        |  JOIN (SELECT i, x FROM vb WHERE id = 0) p ON p.i = c1.i),
         |tbl AS (SELECT prx.cc, rc0.sub, rc0.cl, CAST(SUM((prx.rx - rc0.c) * (prx.rx - rc0.c)) AS BIGINT) AS pdist
         |  FROM prx JOIN rc0 ON rc0.sub = prx.sub AND rc0.j = prx.j GROUP BY 1, 2, 3),
-        |cand AS (SELECT rs1.id, s2.cl AS cc, rs1.sub, rs1.cl
-        |  FROM rs1 JOIN s2 ON s2.id = rs1.id
-        |  WHERE s2.cl IN (SELECT cc FROM pl) AND rs1.id <> 0),
+        |cand AS (SELECT codes_all.id, assign_all.cl AS cc, codes_all.sub, codes_all.cl
+        |  FROM codes_all JOIN assign_all ON assign_all.id = codes_all.id
+        |  WHERE assign_all.cl IN (SELECT cc FROM pl) AND codes_all.id <> 0),
         |adc AS (SELECT cand.id AS vec_id, CAST(SUM(tbl.pdist) AS BIGINT) AS dist_u
         |  FROM cand JOIN tbl ON tbl.cc = cand.cc AND tbl.sub = cand.sub AND tbl.cl = cand.cl
         |  GROUP BY 1)
         |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin),
-      (s, d) => graft.operators.ProductQuantizer.ivfPqTopK(
-          t(s, d).embeddings, probeId = 0L, topK = 10, d = 64, m = 4,
-          kCoarse = 4, coarseIterations = 2, kPq = 4, pqIterations = 1,
-          nProbe = 2)),
+      (s, d) => graft.operators.ProductQuantizer.ivfPqTopKIndexed(
+          t(s, d).embeddings.filter(col("vec_id") === 0L)
+            .select("vec_id", "embedding"),
+          ivfPqIndexIncremental(s, d), topK = 10, nProbe = 2)),
 
     GraftQuery(
       // BATCHED indexed ADC search (pq04, ProductQuantizer

@@ -270,6 +270,125 @@ class ProductQuantizerSpec extends SparkSpec {
         path, topK = 5))
   }
 
+  test("ivfPqTopKIndexed equals the inline IVF-PQ stack and prunes to nProbe list partitions") {
+    val e = tables.embeddings
+    val path = tmpDir("ivfpqidx")
+    ProductQuantizer.saveIvfPqIndex(e, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 2, kPq = 4, pqIterations = 1, path = path)
+    val probe = e.filter(col("vec_id") === 0L).select("vec_id", "embedding")
+    for (nProbe <- Seq(2, 4)) {
+      val indexed = ProductQuantizer.ivfPqTopKIndexed(probe, path, topK = 10,
+        nProbe = nProbe).as[(Long, Long)].collect().toSeq
+      val inline = ProductQuantizer.ivfPqTopK(e, probeId = 0L, topK = 10,
+        d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+        kPq = 4, pqIterations = 1, nProbe = nProbe)
+        .as[(Long, Long)].collect().toSeq
+      assert(indexed == inline && indexed.size == 10,
+        s"persisted index must BE the inline derivation at nProbe=$nProbe")
+    }
+    // storage-layer pruning: the code-table scan must list at most
+    // nProbe of the kCoarse list partitions (the IvfIndexSpec gate)
+    val df = ProductQuantizer.ivfPqTopKIndexed(probe, path, topK = 10, nProbe = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"probed lists must prune code partitions:\n${plan.take(900)}")
+    val scan = df.queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.find(_.relation.location.rootPaths.exists(_.toString.contains("codes")))
+      .getOrElse(fail("no codes scan in plan"))
+    // the list_id broadcast join also injects a DynamicPruningSubquery
+    // (unevaluatable outside execution) — the STATIC isin filter alone
+    // must already bound the listing to nProbe partitions
+    val staticFilters = scan.partitionFilters.filterNot(_.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning]))
+    val parts = scan.relation.location.listFiles(staticFilters, scan.dataFilters)
+    assert(parts.length <= 2, s"expected <=2 list partitions read, got ${parts.length}")
+  }
+
+  test("ivfPqTopKIndexed: probe/nProbe/foreign-dir contracts are loud") {
+    val e = tables.embeddings
+    val path = tmpDir("ivfpqidx-guards")
+    ProductQuantizer.saveIvfPqIndex(e, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 2, kPq = 4, pqIterations = 1, path = path)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val two = e.filter(col("vec_id").isin(0L, 1L)).select("vec_id", "embedding")
+    assert(msgs(intercept[Exception](
+      ProductQuantizer.ivfPqTopKIndexed(two, path, topK = 5, nProbe = 2)))
+      .contains("more than one probe"))
+    val none = e.filter(col("vec_id") === -999L).select("vec_id", "embedding")
+    assert(msgs(intercept[Exception](
+      ProductQuantizer.ivfPqTopKIndexed(none, path, topK = 5, nProbe = 2)))
+      .contains("empty"))
+    val bad = Seq((0L, Seq(1f, 2f))).toDF("vec_id", "embedding")
+    assert(msgs(intercept[Exception](
+      ProductQuantizer.ivfPqTopKIndexed(bad, path, topK = 5, nProbe = 2).collect()))
+      .contains("d=64"))
+    val probe = e.filter(col("vec_id") === 0L).select("vec_id", "embedding")
+    intercept[IllegalArgumentException](
+      ProductQuantizer.ivfPqTopKIndexed(probe, path, topK = 5, nProbe = 5))
+    intercept[IllegalArgumentException](
+      ProductQuantizer.ivfPqTopKIndexed(probe, tmpDir("ivfpq-bogus"),
+        topK = 5, nProbe = 2))
+  }
+
+  test("appendToIvfPqIndex: batch coarse-assigned + residual-encoded against the persisted geometry") {
+    val e = tables.embeddings
+    val hist = e.filter(col("vec_id") % 10 =!= 0)
+    val night = e.filter(col("vec_id") % 10 === 0)
+    val path = tmpDir("ivfpqidx-append")
+    ProductQuantizer.saveIvfPqIndex(hist, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 2, kPq = 4, pqIterations = 1, path = path)
+    ProductQuantizer.appendToIvfPqIndex(night, path)
+    // independently recompute the batch's list assignment + residual
+    // codes against the PERSISTED tables (the appendToPqIndex gate)
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .as[(Int, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val resid = spark.read.parquet(s"$path/centroids")
+      .as[(Int, Int, Int, Long)].collect()
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.sortBy(_._3).map(_._4).toSeq).toMap
+    val nightVecs = night.select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val expected = (for {
+      (id, vec) <- nightVecs.toSeq
+    } yield {
+      val xs = (0 until 64).map(i => math.floor(vec(i).toDouble * 1e6 + 0.5).toLong)
+      val list = coarse.keys.toSeq.sorted.map { cl =>
+        val cs = coarse(cl)
+        ((0 until 64).map(i => { val dd = xs(i) - cs(i); dd * dd }).sum, cl)
+      }.min._2
+      val codes = (0 until 4).map { sub =>
+        val rx = (0 until 16).map(j => xs(sub * 16 + j) - coarse(list)(sub * 16 + j))
+        val best = (0 until 4).map { cl =>
+          val cs = resid((sub, cl))
+          (rx.indices.map(j => { val dd = rx(j) - cs(j); dd * dd }).sum, cl)
+        }.min._2
+        (id, sub, best, list)
+      }
+      codes
+    }).flatten.toSet
+    val gotCodes = spark.read.parquet(s"$path/codes")
+      .join(night.select(col("vec_id").as("id")), "id", "left_semi")
+      .select("id", "sub", "cluster", "list_id")
+      .as[(Long, Int, Int, Int)].collect().toSet
+    assert(gotCodes == expected,
+      "appended codes must be the persisted-geometry coarse argmin + residual argmin")
+    // search covers the union (probe 0 is itself an appended vector)
+    assert(ProductQuantizer.ivfPqTopKIndexed(
+      e.filter(col("vec_id") === 0L).select("vec_id", "embedding"),
+      path, topK = 10, nProbe = 4).count() == 10)
+    // a crash AFTER the data append but BEFORE the meta write = stale
+    spark.range(1).select(lit(999999L).as("id"), lit(0).as("sub"),
+        lit(0).as("cluster"), lit(0).as("list_id"))
+      .write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
+    val e1 = intercept[IllegalArgumentException](
+      ProductQuantizer.appendToIvfPqIndex(night, path))
+    assert(e1.getMessage.contains("stale"), e1.getMessage)
+  }
+
   test("determinism: codes and top-k invariant under input partitioning") {
     val e = tables.embeddings
     def run(df: org.apache.spark.sql.DataFrame) =
