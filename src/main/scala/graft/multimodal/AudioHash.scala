@@ -1,0 +1,206 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+
+/** Perceptual audio near-duplicate detection — the audio analog of the
+  * image dHash family (mm03): crawled audio corpora are full of
+  * re-encodes, gain-normalized copies, and DC-shifted re-uploads that
+  * byte-exact dedup cannot see. The fingerprint is the dHash
+  * discipline in 1-D: a TIME × LAG grid of difference energies with
+  * only the SIGN of each adjacent-lag comparison kept — 64 bits per
+  * clip.
+  *
+  * Geometry: the clip's PCM frames are split into [[Windows]] = 8 time
+  * windows by the same integer partition as the image grid
+  * (`window = idx * 8 / nFrames`); within each window the energy at
+  * lag k is E(w, k) = Σ (s[i] − s[i−k])² over pairs fully inside the
+  * window, for k = 1..[[Lags]] = 9; bit `w * 8 + (k−1)` is set iff
+  * E(w, k) < E(w, k+1) strictly. E_k = 2(R(0) − R(k)) in
+  * autocorrelation terms, so the adjacent-lag comparison reads the
+  * local spectral tilt — the autocorrelation-domain stand-in for the
+  * band-energy differences of published audio fingerprints (Haitsma &
+  * Kalker, "A Highly Robust Audio Fingerprint System", ISMIR 2002),
+  * chosen because it stays in EXACT INTEGER arithmetic (samples are
+  * ints; differences, squares, and sums of ints are exact), which is
+  * what makes a closed-form VALUES oracle possible (the mm03 proof
+  * pattern).
+  *
+  * Invariances (the perceptual point, exact by construction):
+  *   - DC offset: differences cancel it — a level-shifted copy hashes
+  *     IDENTICALLY (the dHash brightness invariance).
+  *   - Uniform gain: scales every energy by the same square factor —
+  *     sign comparisons unchanged (the dHash contrast invariance).
+  *   - Silence hashes to 0L (no strict inequality anywhere) — the
+  *     audio analog of the flat-image sludge the band-bucket guard
+  *     exists for.
+  *
+  * Near-duplicates are pairs within a small Hamming distance, found at
+  * scale by the SAME banded blocking as images ([[ImageHash]] — one
+  * definition of the banding geometry, guard, and verify): see
+  * [[nearDupPairs]]. Band-geometry guidance at corpus scale: band
+  * VALUE width is 64/nBands bits, so buckets of a near-uniform hash
+  * population average N / 2^(64/nBands) — at 8 bands that is N/256
+  * (quadratic trouble at millions of clips, and the maxBandBucket
+  * guard will say so loudly); production corpora should prefer
+  * nBands = 4 with maxHamming ≤ 3 (re-encode distances in practice)
+  * and reserve 8 bands for small/curated sets.
+  */
+object AudioHash {
+
+  /** Time windows (rows of the grid). */
+  val Windows = 8
+
+  /** Lags per window; [[Lags]] − 1 = 8 adjacent comparisons = the 8
+    * bits per window. */
+  val Lags = 9
+
+  /** Minimum decodable clip length: every window must hold at least
+    * one full lag-[[Lags]] pair. */
+  val MinFrames: Int = Windows * (Lags + 1)
+
+  /** Overflow bound (documented like the image 16384-px cap): with
+    * ≤ [[MaxChannels]] 16-bit channels summed, a squared difference is
+    * < 2^38, so a window of < 2^25 terms keeps every energy under
+    * 2^63. 2^28 frames / 8 windows = 2^25 — ~9.3 h at 8 kHz; split
+    * longer material upstream (it is not a training clip as-is). */
+  val MaxFrames: Long = 1L << 28
+  val MaxChannels = 8
+
+  case class HashedAudio(media_id: Long, afp: Long)
+
+  /** The fingerprint arithmetic over an already-decoded channel-summed
+    * integer sample array — shared by [[afp64]] (the decode path) and
+    * fixture specs that generate samples from closed-form formulas, so
+    * the WAV encode/decode roundtrip is provably transparent. */
+  def fingerprintSamples(mix: Array[Long]): Long = {
+    val n = mix.length
+    require(n >= MinFrames,
+      s"clip of $n frames is shorter than the $MinFrames-frame fingerprint minimum")
+    require(n <= MaxFrames,
+      s"clip of $n frames exceeds $MaxFrames; split upstream (exact integer " +
+        "energies would overflow)")
+    val e = Array.ofDim[Long](Windows, Lags + 1) // e(w)(k), k in 1..Lags
+    var i = 0
+    while (i < n) {
+      val w = (i.toLong * Windows / n).toInt
+      val lo = math.max(i - Lags, 0)
+      var j = i - 1
+      while (j >= lo) {
+        // pair (i, j) at lag i - j counts only if j is in i's window
+        if ((j.toLong * Windows / n).toInt == w) {
+          val d = mix(i) - mix(j)
+          e(w)(i - j) += d * d
+        }
+        j -= 1
+      }
+      i += 1
+    }
+    var hash = 0L
+    var w = 0
+    while (w < Windows) {
+      var k = 1
+      while (k < Lags) {
+        if (e(w)(k) < e(w)(k + 1)) hash |= 1L << (w * 8 + (k - 1))
+        k += 1
+      }
+      w += 1
+    }
+    hash
+  }
+
+  /** 64-bit fingerprint of an encoded clip (any PCM shape the JDK
+    * reads — WAV/AIFF/AU, signed 16-bit either endianness,
+    * signed/unsigned 8-bit, the [[Multimodal.Decoders.wav]] support
+    * matrix). Channels are SUMMED per frame (no divide — exact, and
+    * gain invariance makes the scale irrelevant). Undecodable bytes,
+    * compressed codecs, clips shorter than [[MinFrames]] or longer
+    * than [[MaxFrames]], and > [[MaxChannels]] channels throw
+    * IllegalArgumentException — route through the failure path (DLQ,
+    * A5) like undecodable images. */
+  def afp64(bytes: Array[Byte]): Long = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      catch {
+        case e: UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"no installed audio reader decodes this ${bytes.length}-byte payload", e)
+      }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val bits = fmt.getSampleSizeInBits
+      val ok = (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+        (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
+      if (!ok) throw new IllegalArgumentException(
+        s"unsupported PCM shape: encoding=$enc bits=$bits")
+      val channels = fmt.getChannels
+      if (channels > MaxChannels) throw new IllegalArgumentException(
+        s"$channels channels exceeds $MaxChannels (exact integer energies " +
+          "would overflow); downmix upstream")
+      val nFrames = ais.getFrameLength
+      if (nFrames < 0) throw new IllegalArgumentException(
+        "audio stream declares no frame length (unknown data size header)")
+      if (nFrames < MinFrames) throw new IllegalArgumentException(
+        s"clip of $nFrames frames is shorter than the $MinFrames-frame " +
+          "fingerprint minimum")
+      if (nFrames > MaxFrames) throw new IllegalArgumentException(
+        s"clip of $nFrames frames exceeds $MaxFrames; split upstream")
+      // stream frames through a bounded buffer (the Decoders.wav
+      // discipline — memory tracks the buffer, not the clip), summing
+      // channels into one integer series
+      val frameBytes = fmt.getFrameSize
+      val sampleBytes = bits / 8
+      val mix = new Array[Long](nFrames.toInt)
+      val buf = new Array[Byte](frameBytes * 1024)
+      var frame = 0
+      var read = ais.read(buf)
+      while (read > 0) {
+        var off = 0
+        while (off + frameBytes <= read) {
+          var acc = 0L
+          var c = 0
+          while (c < channels) {
+            val i = off + c * sampleBytes
+            acc +=
+              (if (bits == 16) {
+                val (lo, hi) = if (fmt.isBigEndian) (buf(i + 1), buf(i)) else (buf(i), buf(i + 1))
+                ((hi << 8) | (lo & 0xFF)).toShort.toLong
+              } else if (enc == AudioFormat.Encoding.PCM_UNSIGNED) {
+                ((buf(i) & 0xFF) - 128).toLong
+              } else buf(i).toLong)
+            c += 1
+          }
+          mix(frame) = acc
+          frame += 1
+          off += frameBytes
+        }
+        read = ais.read(buf)
+      }
+      if (frame != nFrames) throw new IllegalArgumentException(
+        s"audio stream truncated: header declares $nFrames frames, read $frame")
+      fingerprintSamples(mix)
+    } finally ais.close()
+  }
+
+  /** Fingerprint a media Dataset. Per-row decode ([[afp64]] carries no
+    * reusable decoder context — the hashImages lifecycle). */
+  def hashAudio(items: Dataset[Multimodal.MediaItem]): Dataset[HashedAudio] = {
+    implicit val enc = Encoders.product[HashedAudio]
+    items.mapPartitions { it =>
+      it.map(m => HashedAudio(m.media_id, afp64(m.data)))
+    }
+  }
+
+  /** Near-duplicate pairs by banded Hamming join — LITERALLY
+    * [[ImageHash.nearDupPairs]] over the audio fingerprints: the
+    * banding geometry, pigeonhole recall precondition
+    * (maxHamming < nBands), band-bucket width guard, and popcount
+    * verify are hash-source-agnostic, so there is ONE definition (a
+    * banding fix lands on images, videos, and audio together).
+    * Input carries (id, afp); output (id_a < id_b, hamming), ordered. */
+  def nearDupPairs(hashes: DataFrame, maxHamming: Int, nBands: Int = 4,
+                   maxBandBucket: Int = 1000000): DataFrame =
+    ImageHash.nearDupPairs(
+      hashes.withColumnRenamed("afp", "dhash"), maxHamming, nBands, maxBandBucket)
+}

@@ -215,13 +215,18 @@ object MediaFixture {
     } finally { writer.dispose(); ios.close() }
   }
 
-  private def writeWav(f: File, i: Int): Unit = {
-    val frames = audioFrames(i)
-    val amp = audioAmplitude(i)
+  private def writeWav(f: File, i: Int): Unit =
+    writePcm16(f, audioFrames(i),
+      k => if (k % 2 == 0) audioAmplitude(i).toInt else -audioAmplitude(i).toInt)
+
+  /** 16-bit signed little-endian mono PCM at 8000 Hz from a
+    * sample-index formula — shared by the mm01 square waves and the
+    * afp fingerprint fixtures. */
+  private def writePcm16(f: File, frames: Int, sample: Int => Int): Unit = {
     val raw = new Array[Byte](frames * 2)
     var k = 0
     while (k < frames) {
-      val s: Short = if (k % 2 == 0) amp else (-amp).toShort
+      val s = sample(k).toShort
       raw(2 * k) = (s & 0xFF).toByte
       raw(2 * k + 1) = ((s >> 8) & 0xFF).toByte
       k += 1
@@ -230,4 +235,63 @@ object MediaFixture {
     val ais = new AudioInputStream(new ByteArrayInputStream(raw), fmt, frames.toLong)
     try AudioSystem.write(ais, AudioFileFormat.Type.WAVE, f) finally ais.close()
   }
+
+  // ---- audio fingerprint near-dup fixture (au01) --------------------
+  // A SEPARATE fixture dir (the mm03 discipline: mm01 globs *.wav over
+  // the media dir, so extra clips there would change its oracle).
+  //
+  // Six 4096-frame clips of closed-form waveforms whose AudioHash
+  // TIME x LAG energy grids are analytic. For an aligned 50%-duty
+  // square wave of period P, the lag-k difference energy in a
+  // 512-frame window is exactly 4A^2 * count(k), with
+  // count(k) = k * (2*512/P - 1) for k <= P/2 — strictly rising — and
+  // folding back after P/2. Per window that gives (bit w*8+(k-1) set
+  // iff E(k) < E(k+1), k = 1..8):
+  //   P =  8: E/4A^2 = 127,254,381,508,381,254,127,0,125
+  //           -> bits k=1,2,3,8       -> window byte 0x87
+  //   P = 16: E/4A^2 = 63,126,...,504,441
+  //           -> bits k=1..7          -> window byte 0x7F
+  // so, with all 8 windows and window boundaries aligned to P (512 is
+  // a multiple of both periods):
+  //   0 period-8 square, A=8192          -> 0x8787878787878787
+  //   1 clip 0 + DC offset 512           -> SAME hash (differences
+  //     cancel DC — the dHash brightness invariance, exact)
+  //   2 clip 0 at 2x gain (A=16384)      -> SAME hash (energies all
+  //     scale by 4 — sign comparisons unchanged, exact)
+  //   3 period-16 square, A=8192         -> 0x7F7F7F7F7F7F7F7F
+  //   4 silence                          -> 0L (no strict inequality)
+  //   5 clip 0 with window 7 (frames 3584..4095, 3584 = 0 mod 16)
+  //     swapped to the period-16 wave    -> 0x7F87878787878787
+  // Hamming relations: (0,1)=(0,2)=(1,2)=0; (0,5)=(1,5)=(2,5)=5
+  // (0x87^0x7F = 0xF8, 5 bits, one window); 3 is >= 35 from all of
+  // 0/1/2/5 and 4 is >= 27 from everything (0x87 and 0x7F have 4 and
+  // 7 set bits per window) — so at maxHamming=5 the pair set is
+  // exactly the six listed, the au01 VALUES oracle.
+  val AfpN = 6
+  private[graft] val AfpVersion = "v1"
+  val AfpFrames = 4096
+
+  /** Closed-form sample formula of afp clip `i` at frame `idx` — the
+    * fixture's source of truth, asserted against the real WAV
+    * encode -> decode -> fingerprint path in AudioHashSpec. */
+  def afpSample(i: Int, idx: Int): Int = {
+    def sq(p: Int, a: Int) = if (idx % p < p / 2) a else -a
+    i match {
+      case 0 => sq(8, 8192)
+      case 1 => sq(8, 8192) + 512
+      case 2 => sq(8, 16384) // clip 0 at exactly 2x gain
+      case 3 => sq(16, 8192)
+      case 4 => 0
+      case 5 => if (idx < 3584) sq(8, 8192) else sq(16, 8192)
+      case _ => throw new IllegalArgumentException(s"no afp fixture $i")
+    }
+  }
+
+  /** Generate (once) and return the afp fixture directory. */
+  def ensureAfp(): String =
+    graft.Fixtures.ensure("media_afp", AfpVersion) { dir =>
+      (0 until AfpN).foreach { i =>
+        writePcm16(new File(dir, s"afp_$i.wav"), AfpFrames, afpSample(i, _))
+      }
+    }
 }

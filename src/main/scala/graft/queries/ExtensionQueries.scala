@@ -244,6 +244,29 @@ object ExtensionQueries {
         dhashFixtureHashes(s).filter(!col("id").isin(1, 2)), tmp.toString)
     }
 
+  /** The afp fixture corpus as an (id, afp) frame — real listing ->
+    * WAV decode -> fingerprint, ids recovered from the fixture file
+    * names (the dhashFixtureHashes discipline). Shared by au01/st16. */
+  private def afpFixtureHashes(s: SparkSession): DataFrame = {
+    import graft.multimodal.{AudioHash, MediaFixture, Multimodal}
+    val dir = MediaFixture.ensureAfp()
+    val clips = Multimodal.readMedia(s, dir, "audio/wav", Some("*.wav"))
+    val ids = clips.toDF.select(col("media_id"),
+      regexp_extract(element_at(col("meta"), lit("path")), "afp_(\\d+)\\.wav", 1)
+        .cast("int").as("id"))
+    AudioHash.hashAudio(clips).toDF.join(ids, "media_id").select("id", "afp")
+  }
+
+  /** au01's closed-form pair oracle, shared VERBATIM with its
+    * streaming twin st16 (the DhashPairsOracle discipline): DC and
+    * gain copies of the period-8 clip at hamming 0, the
+    * one-window-swapped clip at exactly 5 bits from each. */
+  private val AfpPairsOracle =
+    """SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+      |  CAST(hamming AS INTEGER) AS hamming
+      |FROM (VALUES (0, 1, 0), (0, 2, 0), (0, 5, 5), (1, 2, 0), (1, 5, 5), (2, 5, 5))
+      |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin
+
   /** mm03's closed-form pair oracle, shared VERBATIM with its
     * streaming twin st15 (the Sd02Oracle discipline — one SQL text, so
     * a fixture change cannot silently desynchronize the gates). */
@@ -2071,6 +2094,47 @@ object ExtensionQueries {
       (s, d) =>
         graft.streaming.StreamReplay.imageDedupReplay(
             s, dhashFixtureHashes(s), maxHamming = 3)
+          .select(col("id_a").cast("int").as("idx_a"),
+            col("id_b").cast("int").as("idx_b"), col("hamming"))
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Audio perceptual near-dup (au01, multimodal/AudioHash — r17
+      // directive #2, the spectral tier audio corpora lacked): a
+      // TIME x LAG grid of exact-integer difference energies with only
+      // the adjacent-lag comparison SIGNS kept — the dHash discipline
+      // in 1-D (Haitsma-Kalker's band-difference formulation in the
+      // autocorrelation domain, where integers stay exact). Real WAV
+      // decode through javax.sound; DC-shifted and gain-scaled copies
+      // hash IDENTICALLY by construction; the banded Hamming join is
+      // ImageHash.nearDupPairs VERBATIM (one banding geometry for
+      // images, videos, and audio). The fixture clips are closed-form
+      // square waves whose per-window lag-energy counts are analytic
+      // (MediaFixture afp comment), so this is a literal VALUES
+      // oracle: DC copy + gain copy pair at 0; the one-window-swapped
+      // clip pairs with all three at exactly 5 bits; the period-16 and
+      // silent clips pair with nothing.
+      "au01_audio_fingerprint",
+      Some(AfpPairsOracle),
+      (s, d) =>
+        graft.multimodal.AudioHash.nearDupPairs(afpFixtureHashes(s),
+            maxHamming = 5, nBands = 8)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Streaming audio dedup (st16): au01's fingerprints through the
+      // SAME band-bucket keyed state machine as st15 (the banding
+      // projection and pair-emission state are hash-source-agnostic —
+      // one definition for images, videos, and audio ON INGEST). The
+      // distinct streamed pairs equal the batch answer on any
+      // chunking, so au01's oracle gates st16 VERBATIM.
+      "st16_stream_audio_dedup",
+      Some(AfpPairsOracle),
+      (s, d) =>
+        graft.streaming.StreamReplay.imageDedupReplay(
+            s, afpFixtureHashes(s).withColumnRenamed("afp", "dhash"),
+            maxHamming = 5, nBands = 8, nChunks = 3)
           .select(col("id_a").cast("int").as("idx_a"),
             col("id_b").cast("int").as("idx_b"), col("hamming"))
           .orderBy("idx_a", "idx_b")),

@@ -1,0 +1,135 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import graft.multimodal.Multimodal.MediaItem
+
+class AudioHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the fixture fingerprints through the REAL WAV encode -> javax.sound
+  // decode -> fingerprint path (the au01 entry's own route)
+  private lazy val fixtureHashes: Map[Int, Long] = {
+    val dir = MediaFixture.ensureAfp()
+    (0 until MediaFixture.AfpN).map { i =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"afp_$i.wav"))
+      i -> AudioHash.afp64(bytes)
+    }.toMap
+  }
+
+  private def formulaHash(i: Int): Long =
+    AudioHash.fingerprintSamples(
+      Array.tabulate(MediaFixture.AfpFrames)(MediaFixture.afpSample(i, _).toLong))
+
+  test("fixture fingerprints equal the analytic closed forms") {
+    // the au01 VALUES oracle rests on these exact longs (derivation in
+    // the MediaFixture afp comment: per-window lag-energy counts of
+    // aligned square waves)
+    assert(fixtureHashes(0) == 0x8787878787878787L, "period-8 square")
+    assert(fixtureHashes(1) == 0x8787878787878787L,
+      "DC offset leaves the fingerprint unchanged (differences cancel it)")
+    assert(fixtureHashes(2) == 0x8787878787878787L,
+      "uniform gain leaves the fingerprint unchanged (energies scale together)")
+    assert(fixtureHashes(3) == 0x7F7F7F7F7F7F7F7FL, "period-16 square")
+    assert(fixtureHashes(4) == 0L, "silence: no strict inequality anywhere")
+    assert(fixtureHashes(5) == 0x7F87878787878787L,
+      "one swapped window flips exactly that window's byte")
+  }
+
+  test("WAV roundtrip is transparent: decode path == formula path") {
+    (0 until MediaFixture.AfpN).foreach { i =>
+      assert(fixtureHashes(i) == formulaHash(i), s"i=$i")
+    }
+  }
+
+  test("stereo channels sum; gain/DC invariance holds on the mixed series") {
+    // a stereo clip whose L+R sum equals clip 0's mono series must
+    // fingerprint identically through the real decoder
+    val frames = MediaFixture.AfpFrames
+    val raw = new Array[Byte](frames * 4)
+    var k = 0
+    while (k < frames) {
+      val s = MediaFixture.afpSample(0, k)
+      val l = (s / 2 + 100).toShort // asymmetric split, summing to s + 200
+      val r = (s - s / 2 + 100).toShort
+      raw(4 * k) = (l & 0xFF).toByte; raw(4 * k + 1) = ((l >> 8) & 0xFF).toByte
+      raw(4 * k + 2) = (r & 0xFF).toByte; raw(4 * k + 3) = ((r >> 8) & 0xFF).toByte
+      k += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 2, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, frames.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out) finally ais.close()
+    // mixed series = clip 0 + constant 200 -> DC invariance -> same hash
+    assert(AudioHash.afp64(out.toByteArray) == fixtureHashes(0))
+  }
+
+  test("undecodable, too-short, and unsupported payloads throw (DLQ path)") {
+    intercept[IllegalArgumentException](AudioHash.afp64(Array[Byte](1, 2, 3)))
+    // shorter than the 8-window x 10-frame minimum
+    val dir = java.nio.file.Files.createTempDirectory("afp-short")
+    val f = new java.io.File(dir.toFile, "short.wav")
+    val raw = new Array[Byte](40 * 2)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, 40L)
+    try javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, f) finally ais.close()
+    val e = intercept[IllegalArgumentException](
+      AudioHash.afp64(java.nio.file.Files.readAllBytes(f.toPath)))
+    assert(e.getMessage.contains("shorter than"), e.getMessage)
+    // direct arithmetic guards
+    intercept[IllegalArgumentException](
+      AudioHash.fingerprintSamples(new Array[Long](10)))
+  }
+
+  private def brute(hashes: Seq[(Int, Long)], maxHamming: Int): Seq[(Int, Int, Int)] =
+    (for {
+      (a, ha) <- hashes; (b, hb) <- hashes if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= maxHamming
+    } yield (a, b, d)).sortBy(p => (p._1, p._2))
+
+  test("nearDupPairs finds exactly the fixture near pairs (banded == brute)") {
+    val hs = fixtureHashes.toSeq.sortBy(_._1)
+    // hamming-5 pairs need nBands >= 6 for pigeonhole recall; 8 divides 64
+    val got = AudioHash.nearDupPairs(hs.toDF("id", "afp"), maxHamming = 5,
+      nBands = 8).as[(Int, Int, Int)].collect().toSeq
+    assert(got == Seq((0, 1, 0), (0, 2, 0), (0, 5, 5), (1, 2, 0), (1, 5, 5),
+      (2, 5, 5)))
+    assert(got == brute(hs, 5))
+  }
+
+  test("hashAudio runs the distributed decode end-to-end") {
+    val dir = MediaFixture.ensureAfp()
+    val items = Multimodal.readMedia(spark, dir, "audio/wav", Some("*.wav"))
+    val byPath = items.collect().map(m =>
+      m.meta("path").split('/').last -> m.media_id).toMap
+    val hashed = AudioHash.hashAudio(items).collect()
+      .map(h => h.media_id -> h.afp).toMap
+    (0 until MediaFixture.AfpN).foreach { i =>
+      assert(hashed(byPath(s"afp_$i.wav")) == fixtureHashes(i), s"i=$i")
+    }
+  }
+
+  test("undecodable items fail the distributed hash task (not fabricated)") {
+    val junk = Seq(MediaItem(9L, "audio/wav", Array[Byte](0, 1), Map.empty)).toDS()
+    intercept[org.apache.spark.SparkException] {
+      AudioHash.hashAudio(junk).collect()
+    }
+  }
+
+  test("streaming dedup replay converges to the batch answer on any chunking") {
+    // st16: the SAME band-bucket state machine as images, over audio
+    // fingerprints — gated by the identical pair set
+    val hs = fixtureHashes.toSeq.sortBy(_._1)
+    val expected = brute(hs, 5).map { case (a, b, d) => (a.toLong, b.toLong, d) }
+    Seq(2, 3, 6).foreach { n =>
+      val got = graft.streaming.StreamReplay.imageDedupReplay(
+          spark, hs.toDF("id", "dhash"), maxHamming = 5, nBands = 8, nChunks = n)
+        .as[(Long, Long, Int)].collect().toSeq
+      assert(got == expected, s"nChunks=$n")
+    }
+  }
+}
