@@ -304,6 +304,94 @@ object ImageHash {
     }
   }
 
+  /** OFFSET-TOLERANT video near-duplicate pairs (mm06 — r17 directive
+    * #3): [[videoNearDupPairs]] demands exact frame alignment, so a
+    * copy with a trimmed intro (ads stripped, cold-open cut) never
+    * pairs. This form sweeps a BOUNDED set of alignments: video b's
+    * frame p is matched against video a's frame p + s for every shift
+    * s in [−maxShift, maxShift], and the pair qualifies if its BEST
+    * single shift matches ≥ minMatchNum/minMatchDen of the LONGER
+    * video's frames (one consistent alignment — not a bag of
+    * per-frame matches, which would let shuffled scenes accumulate
+    * hits across different shifts).
+    *
+    * Scale shape: side a is replicated (2·maxShift+1)× with the
+    * ALIGNED position `p = frame_idx − s` in the join key (the
+    * RangeJoin bounded-replication discipline: the sweep width is a
+    * small constant lever, never data-dependent), so candidates stay
+    * bounded by per-position band buckets — maxShift multiplies the
+    * join by a constant, it never reintroduces video×video. The
+    * maxBandBucket guard runs on the TRUE frame positions before
+    * replication, exactly as [[videoNearDupPairs]].
+    *
+    * Semantics note (fixture-proven): a ROTATED k-frame clip is a
+    * (k−shift)-frame overlap under this sweep and legitimately pairs
+    * when that overlap clears the fraction — offset tolerance cannot
+    * and should not distinguish "rotation" from "trim + new tail". A
+    * genuinely SHUFFLED cut shares no single alignment and does not
+    * pair at any shift.
+    *
+    * Output: (id_a < id_b, n_matched, shift) — n_matched at the best
+    * shift (ties → the smaller shift), where `shift` is how many
+    * frames of id_a's intro are skipped (negative: id_b's). Ordered.
+    */
+  def videoNearDupPairsOffset(frames: DataFrame, maxHamming: Int,
+                              minMatchNum: Int, minMatchDen: Int,
+                              maxShift: Int, nBands: Int = 4,
+                              maxBandBucket: Int = 1000000): DataFrame = {
+    requireRecall(maxHamming, nBands)
+    require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
+      s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
+    require(maxShift >= 0, s"maxShift must be >= 0, got $maxShift")
+    require(maxBandBucket >= 1, s"maxBandBucket must be >= 1, got $maxBandBucket")
+    val rows = bandRows(frames.select("id", "frame_idx", "dhash"), nBands)
+    val offend = rows.groupBy("frame_idx", "band", "bv")
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > maxBandBucket)
+    val g = rows.join(broadcast(offend), Seq("frame_idx", "band", "bv"), "left")
+      .withColumn("id",
+        when(col("__w").isNotNull, raise_error(concat(
+          lit("ImageHash.videoNearDupPairsOffset: frame position "),
+          col("frame_idx").cast("string"), lit(" band "),
+          col("band").cast("string"), lit(" value "),
+          col("bv").cast("string"), lit(" holds "), col("__w").cast("string"),
+          lit(s" frames, over maxBandBucket=$maxBandBucket; drop flat-frame " +
+            "sludge upstream or raise the cap deliberately"))))
+          .otherwise(col("id")))
+      .select("id", "frame_idx", "dhash", "band", "bv")
+    graft.operators.TextDedup.withWorkingSet(g) { gw =>
+      // side a replicated per shift; join key is the ALIGNED position
+      val a = gw
+        .select(col("id").as("id_a"), col("dhash").as("ha"),
+          col("frame_idx"), col("band"), col("bv"),
+          explode(sequence(lit(-maxShift), lit(maxShift))).as("shift"))
+        .select(col("id_a"), col("ha"), col("shift"),
+          (col("frame_idx") - col("shift")).as("pos"), col("band"), col("bv"))
+      val b = gw.select(col("id").as("id_b"), col("dhash").as("hb"),
+        col("frame_idx").as("pos"), col("band"), col("bv"))
+      val matched = a.join(b, Seq("pos", "band", "bv"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "shift", "pos", "ha", "hb").distinct()
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+        .groupBy("id_a", "id_b", "shift")
+        .agg(count(lit(1)).as("n"))
+      val nFrames = gw.groupBy(col("id"))
+        .agg((count(lit(1)) / nBands).cast("long").as("__nf"))
+      matched
+        // best single alignment: max n, ties to the smaller shift
+        .groupBy("id_a", "id_b")
+        .agg(max(struct(col("n"), (-col("shift")).as("__ns"))).as("m"))
+        .select(col("id_a"), col("id_b"), col("m.n").as("n_matched"),
+          (-col("m.__ns")).cast("int").as("shift"))
+        .join(nFrames.select(col("id").as("id_a"), col("__nf").as("__na")), Seq("id_a"))
+        .join(nFrames.select(col("id").as("id_b"), col("__nf").as("__nb")), Seq("id_b"))
+        .filter(col("n_matched") * minMatchDen >=
+          greatest(col("__na"), col("__nb")) * minMatchNum)
+        .select("id_a", "id_b", "n_matched", "shift")
+        .orderBy("id_a", "id_b")
+    }
+  }
+
   // ---- persisted band index (the dd11 lifecycle for images) --------
   // A crawl re-run should not re-decode and re-hash last month's
   // petabytes: the banded projection is persisted ONCE as a bucketed

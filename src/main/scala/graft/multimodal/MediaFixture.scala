@@ -79,12 +79,15 @@ object MediaFixture {
 
   val DhashN = 6
   // v3: added dhv_<i>.gif frame-patterned videos for mm05.
+  // v4: added vids 5 (trimmed-intro copy) and 6 (shuffled cut) for the
+  //     offset-tolerant mm06 (aligned mm05 relations unchanged: neither
+  //     new video reaches 2/3 aligned matches with anything).
   // Visible beyond this object: DERIVED fixtures (the mm04 persisted
   // dHash index) compose their own cache version from this one, so a
   // bump here invalidates both caches in one edit (r17 advisory — a
   // second literal over there once served a stale index against
   // freshly-hashed rows).
-  private[graft] val DhashVersion = "v3"
+  private[graft] val DhashVersion = "v4"
 
   def dhashCell(i: Int, r: Int, c: Int): Int = i match {
     case 0 => 10 + 25 * c
@@ -125,13 +128,26 @@ object MediaFixture {
   //      matches (reordering is a different edit, must NOT pair)
   //   4 [stripes x3]          — exactly 1 aligned match with each of
   //      0-3 (under the 2/3 fraction, must NOT pair)
-  val DhashVidN = 5
+  // mm06 (offset sweep ±1, same 2/3 fraction) adds:
+  //   5 [rev, stripes]        — vid 0 with its INTRO TRIMMED: 0 aligned
+  //      matches (mm05 ignores it) but 2 matches at shift +1 —
+  //      2·3 >= max(3,2)·2, so the offset form pairs it with 0/1/2.
+  //   6 [rev, grad, stripes]  — vid 0 genuinely SHUFFLED (not a
+  //      rotation): at most 1 match at ANY single shift — never pairs.
+  //   ...and vid 3, the ROTATION, pairs with 0/1/2 at shift −1 under
+  //   the offset sweep (a rotated 3-frame clip IS a 2-frame overlap;
+  //   offset tolerance cannot and should not reject it) — the
+  //   semantic line mm06's oracle pins is alignment-CONSISTENCY:
+  //   rotation/trim share one alignment, a shuffle shares none.
+  val DhashVidN = 7
   def dhashVidFrames(i: Int): Seq[Int] = i match {
     case 0 => Seq(0, 3, 5)
     case 1 => Seq(1, 4, 5)
     case 2 => Seq(2, 3, 5)
     case 3 => Seq(5, 0, 3)
     case 4 => Seq(5, 5, 5)
+    case 5 => Seq(3, 5)
+    case 6 => Seq(3, 0, 5)
     case _ => throw new IllegalArgumentException(s"no dhash video fixture $i")
   }
 

@@ -257,6 +257,28 @@ object ExtensionQueries {
     AudioHash.hashAudio(clips).toDF.join(ids, "media_id").select("id", "afp")
   }
 
+  /** The dHash video fixture as an (id, frame_idx, dhash) frame — real
+    * listing -> GIF frame decode -> per-frame hash, ids from the
+    * fixture file names. Shared by mm05/mm06/st17. */
+  private def dhashVidFixtureFrames(s: SparkSession): DataFrame = {
+    import graft.multimodal.{ImageHash, MediaFixture, Multimodal}
+    val dir = MediaFixture.ensureDhash()
+    val vids = Multimodal.readMedia(s, dir, "image/gif", Some("*.gif"))
+    val ids = vids.toDF.select(col("media_id"),
+      regexp_extract(element_at(col("meta"), lit("path")), "dhv_(\\d+)\\.gif", 1)
+        .cast("int").as("id"))
+    ImageHash.hashFrames(vids).toDF
+      .join(ids, "media_id").select("id", "frame_idx", "dhash")
+  }
+
+  /** mm05's closed-form pair oracle, shared VERBATIM with its
+    * streaming twin st17 (the DhashPairsOracle discipline). */
+  private val DhashVidPairsOracle =
+    """SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+      |  CAST(n_matched AS BIGINT) AS n_matched
+      |FROM (VALUES (0, 1, 3), (0, 2, 3), (1, 2, 3))
+      |t(idx_a, idx_b, n_matched) ORDER BY idx_a, idx_b""".stripMargin
+
   /** au01's closed-form pair oracle, shared VERBATIM with its
     * streaming twin st16 (the DhashPairsOracle discipline): DC and
     * gain copies of the period-8 clip at hamming 0, the
@@ -2061,24 +2083,60 @@ object ExtensionQueries {
       // and the flat stripes-only video (vid 4, exactly 1 aligned
       // match each) must NOT pair.
       "mm05_video_dhash",
-      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
-        |  CAST(n_matched AS BIGINT) AS n_matched
-        |FROM (VALUES (0, 1, 3), (0, 2, 3), (1, 2, 3))
-        |t(idx_a, idx_b, n_matched) ORDER BY idx_a, idx_b""".stripMargin),
-      (s, d) => {
-        import graft.multimodal.{ImageHash, MediaFixture, Multimodal}
-        val dir = MediaFixture.ensureDhash()
-        val vids = Multimodal.readMedia(s, dir, "image/gif", Some("*.gif"))
-        val ids = vids.toDF.select(col("media_id"),
-          regexp_extract(element_at(col("meta"), lit("path")), "dhv_(\\d+)\\.gif", 1)
-            .cast("int").as("id"))
-        val frames = ImageHash.hashFrames(vids).toDF
-          .join(ids, "media_id").select("id", "frame_idx", "dhash")
-        ImageHash.videoNearDupPairs(frames, maxHamming = 3,
-            minMatchNum = 2, minMatchDen = 3)
+      Some(DhashVidPairsOracle),
+      (s, d) =>
+        graft.multimodal.ImageHash.videoNearDupPairs(dhashVidFixtureFrames(s),
+            maxHamming = 3, minMatchNum = 2, minMatchDen = 3)
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("n_matched"))
-          .orderBy("idx_a", "idx_b")
-      }),
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // OFFSET-TOLERANT video near-dup (mm06, ImageHash
+      // .videoNearDupPairsOffset — r17 directive #3): mm05 demands
+      // exact frame alignment, so a trimmed-intro copy never pairs;
+      // this form sweeps shifts in [-1, 1] with the ALIGNED position
+      // in the join key (bounded replication — the RangeJoin
+      // discipline), and a pair qualifies on its BEST single shift at
+      // the same exact integer 2/3 fraction of the longer video. The
+      // fixture pins the semantic line: the trimmed-intro copy (vid 5)
+      // pairs at shift +1; the ROTATION (vid 3) — which aligned mm05
+      // rightly ignores — pairs at shift -1 because a rotated 3-frame
+      // clip IS a 2-frame overlap; the genuinely SHUFFLED cut (vid 6)
+      // shares no single alignment and never pairs (derivation in the
+      // MediaFixture comment).
+      "mm06_video_dhash_offset",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
+        |FROM (VALUES (0, 1, 3, 0), (0, 2, 3, 0), (0, 3, 2, -1), (0, 5, 2, 1),
+        |  (1, 2, 3, 0), (1, 3, 2, -1), (1, 5, 2, 1), (2, 3, 2, -1), (2, 5, 2, 1))
+        |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) =>
+        graft.multimodal.ImageHash.videoNearDupPairsOffset(
+            dhashVidFixtureFrames(s), maxHamming = 3,
+            minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
+            col("n_matched"), col("shift"))
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Streaming video dedup (st17, StreamReplay.videoDedupReplay —
+      // r17 directive #5): mm05's pipeline ON INGEST — the shared
+      // banding projection runs inside the streaming query and
+      // (frame_idx, band, bv)-keyed state emits each verified
+      // frame-level match when its second member arrives (alignment in
+      // the state key, exactly as it is in the batch join key); the
+      // per-video count + fraction gate is the nightly roll-up over
+      // the distinct matched-frame events. Chunking-invariant, so
+      // mm05's oracle gates st17 VERBATIM.
+      "st17_stream_video_dedup",
+      Some(DhashVidPairsOracle),
+      (s, d) =>
+        graft.streaming.StreamReplay.videoDedupReplay(
+            s, dhashVidFixtureFrames(s), maxHamming = 3,
+            minMatchNum = 2, minMatchDen = 3, nChunks = 3)
+          .select(col("id_a").cast("int").as("idx_a"),
+            col("id_b").cast("int").as("idx_b"), col("n_matched"))
+          .orderBy("idx_a", "idx_b")),
 
     GraftQuery(
       // Streaming perceptual image dedup (st15): mm03's whole pipeline

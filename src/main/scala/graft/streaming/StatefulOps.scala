@@ -484,6 +484,56 @@ object StatefulOps {
       }
   }
 
+  /** Streaming VIDEO near-dup frame matching — [[dhashDedupStream]]
+    * keyed by (frame_idx, band, bv) instead of (band, bv) (st17):
+    * frame alignment is part of the state key, exactly as it is part
+    * of the batch join key in
+    * [[graft.multimodal.ImageHash.videoNearDupPairs]], so state and
+    * candidates stay bounded by per-frame-position buckets. Emits each
+    * VERIFIED frame-level match (id_a < id_b, frame_idx) when its
+    * second member arrives — popcount fused into emission; a match
+    * within several shared bands emits once per band, dedup downstream
+    * (the st09 contract). The per-video count + match-fraction gate is
+    * a FINITE aggregation over distinct matches, applied by the
+    * consumer ([[StreamReplay.videoDedupReplay]]) — on ingest that is
+    * the nightly roll-up over the day's matched-frame events.
+    * Arrival-order-invariant like the image form, so the gated result
+    * equals the batch operator on any chunking. */
+  def videoDhashDedupStream(rows: Dataset[(Int, Int, Long, Long, Long)],
+                            maxHamming: Int): Dataset[(Long, Long, Int)] = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    implicit val outEnc: Encoder[(Long, Long, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[(Int, Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong)
+    implicit val stEnc: Encoder[Seq[(Long, Long)]] = Encoders.kryo[Seq[(Long, Long)]]
+    // row = (frame_idx, band, bv, id, dhash)
+    rows.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, Int, Long), it: Iterator[(Int, Int, Long, Long, Long)],
+         state: GroupState[Seq[(Long, Long)]]) =>
+          val old = state.getOption.getOrElse(Seq.empty)
+          val oldIds = old.iterator.map(_._1).toSet
+          val incoming = it.map(r => (r._4, r._5)).toSeq.distinct
+            .filterNot(r => oldIds(r._1)).sortBy(_._1)
+          if (incoming.isEmpty) Iterator.empty
+          else {
+            state.update(old ++ incoming)
+            val out = Seq.newBuilder[(Long, Long, Int)]
+            def score(a: (Long, Long), b: (Long, Long)): Unit = {
+              if (a._1 != b._1 &&
+                  java.lang.Long.bitCount(a._2 ^ b._2) <= maxHamming)
+                out += ((math.min(a._1, b._1), math.max(a._1, b._1), key._1))
+            }
+            for (n <- incoming; m <- old) score(n, m)
+            for (i <- incoming.indices; j <- i + 1 until incoming.size)
+              score(incoming(i), incoming(j))
+            out.result().iterator
+          }
+      }
+  }
+
   def lshCandidateStream(bands: Dataset[(Int, String, Long)]): Dataset[(Long, Long)] = {
     implicit val outEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     implicit val keyEnc: Encoder[(Int, String)] = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)

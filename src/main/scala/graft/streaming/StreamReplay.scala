@@ -440,6 +440,83 @@ object StreamReplay {
     }
   }
 
+  /** Replays an (id, frame_idx, dhash) video frame-hash batch through
+    * STREAMING video near-dup detection (st17): the SHARED banding
+    * projection runs inside the query (frame_idx rides through
+    * [[graft.multimodal.ImageHash.bandRows]]'s `col("*")` carry), and
+    * (frame_idx, band, bv)-keyed state
+    * ([[StatefulOps.videoDhashDedupStream]]) emits each VERIFIED
+    * frame-level match when its second member arrives. The per-video
+    * frame-count + match-fraction gate of
+    * [[graft.multimodal.ImageHash.videoNearDupPairs]] is then applied
+    * over the DISTINCT streamed matches at the collection boundary —
+    * the nightly roll-up over the day's matched-frame events — in the
+    * exact integer form of the batch operator, so mm05's oracle gates
+    * the result VERBATIM on any chunking.
+    * Returns (id_a, id_b, n_matched), ordered. */
+  def videoDedupReplay(spark: SparkSession, frames: DataFrame,
+                       maxHamming: Int, minMatchNum: Int, minMatchDen: Int,
+                       nBands: Int = 4, nChunks: Int = 4): DataFrame = {
+    import graft.multimodal.ImageHash
+    require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
+      s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
+    val rows = frames.select(col("id").cast("long"), col("frame_idx").cast("int"),
+        col("dhash").cast("long"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong, org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sortBy(r => (r._1, r._2))
+    val nFrames = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val chunks = chunked(rows, nChunks)
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    import replay.implicits._
+    val ms = MemoryStream[(Long, Int, Long)]
+    val bands = ImageHash.bandRows(ms.toDF.toDF("id", "frame_idx", "dhash"), nBands)
+      .select(col("frame_idx").cast("int"), col("band").cast("int"),
+        col("bv").cast("long"), col("id").cast("long"), col("dhash").cast("long"))
+      .as[(Int, Int, Long, Long, Long)]
+    val stream = StatefulOps.videoDhashDedupStream(bands, maxHamming)
+      .toDF("id_a", "id_b", "frame_idx")
+
+    val name = s"st_vidreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        chunks.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch.toSeq); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      // a match within several shared bands emits once per band —
+      // distinct, then the batch operator's count + fraction gate
+      val nf = replay.createDataset(nFrames.toSeq)(
+        org.apache.spark.sql.Encoders.tuple(
+          org.apache.spark.sql.Encoders.scalaLong,
+          org.apache.spark.sql.Encoders.scalaLong))
+        .toDF("id", "__nf")
+      val out = replay.table(name).distinct()
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("n_matched"))
+        .join(nf.select(col("id").as("id_a"), col("__nf").as("__na")), Seq("id_a"))
+        .join(nf.select(col("id").as("id_b"), col("__nf").as("__nb")), Seq("id_b"))
+        .filter(col("n_matched") * minMatchDen >=
+          greatest(col("__na"), col("__nb")) * minMatchNum)
+        .select("id_a", "id_b", "n_matched")
+        .orderBy("id_a", "id_b")
+      val schema = out.schema
+      val resultRows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(resultRows: _*), schema)
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Replays an embedding batch through STREAMING semantic dedup
     * against a persisted [[graft.operators.Similarity.saveSemanticIndex]]
     * directory — sd02's nightly batch running ON INGEST (st14, r16

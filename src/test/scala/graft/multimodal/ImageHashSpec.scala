@@ -233,6 +233,68 @@ class ImageHashSpec extends SparkSpec {
       "reordered scenes never align, at any fraction")
   }
 
+  private def fixtureFrames = (0 until MediaFixture.DhashVidN).flatMap { i =>
+    MediaFixture.dhashVidFrames(i).zipWithIndex.map { case (p, f) =>
+      (i, f, MediaFixture.dhashExpected(p))
+    }
+  }.toDF("id", "frame_idx", "dhash")
+
+  test("videoNearDupPairsOffset: trim and rotation pair at their shift, a shuffle never") {
+    val got = ImageHash.videoNearDupPairsOffset(fixtureFrames, maxHamming = 3,
+        minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+      .as[(Int, Int, Long, Int)].collect().toSeq
+    // derivation in the MediaFixture dhash-video comment: the aligned
+    // trio at shift 0; the ROTATION (vid 3) = a 2-frame overlap at
+    // shift -1; the TRIMMED-INTRO copy (vid 5) at shift +1; the
+    // SHUFFLE (vid 6) and flat video (vid 4) at <= 1 match at every
+    // shift - never pair
+    assert(got == Seq(
+      (0, 1, 3L, 0), (0, 2, 3L, 0), (0, 3, 2L, -1), (0, 5, 2L, 1),
+      (1, 2, 3L, 0), (1, 3, 2L, -1), (1, 5, 2L, 1),
+      (2, 3, 2L, -1), (2, 5, 2L, 1)))
+    assert(!got.exists(p => p._2 == 6 || p._1 == 6), "a shuffled cut never pairs")
+  }
+
+  test("videoNearDupPairsOffset at maxShift=0 equals the aligned operator") {
+    val aligned = ImageHash.videoNearDupPairs(fixtureFrames, maxHamming = 3,
+      minMatchNum = 2, minMatchDen = 3).as[(Int, Int, Long)].collect().toSeq
+    val offset0 = ImageHash.videoNearDupPairsOffset(fixtureFrames, maxHamming = 3,
+        minMatchNum = 2, minMatchDen = 3, maxShift = 0)
+      .as[(Int, Int, Long, Int)].collect().toSeq
+    assert(offset0.map(p => (p._1, p._2, p._3)) == aligned)
+    assert(offset0.forall(_._4 == 0))
+  }
+
+  test("videoNearDupPairsOffset: guards and per-position flood cap are loud") {
+    intercept[IllegalArgumentException](
+      ImageHash.videoNearDupPairsOffset(fixtureFrames, 3, 2, 3, maxShift = -1))
+    intercept[IllegalArgumentException](
+      ImageHash.videoNearDupPairsOffset(fixtureFrames, 3, 3, 2, maxShift = 1))
+    val flood = ((1 to 6).map(i => (i, 0, 0L)) :+ (7, 1, 0L))
+      .toDF("id", "frame_idx", "dhash")
+    val e = intercept[Exception] {
+      ImageHash.videoNearDupPairsOffset(flood, 3, 1, 2, maxShift = 1,
+        maxBandBucket = 5).count()
+    }
+    assert(e.getMessage.contains("frame position 0"), e.getMessage)
+    assert(e.getMessage.contains("over maxBandBucket=5"), e.getMessage)
+  }
+
+  test("streaming video dedup replay equals the batch gate on any chunking") {
+    val expected = ImageHash.videoNearDupPairs(fixtureFrames, maxHamming = 3,
+        minMatchNum = 2, minMatchDen = 3)
+      .as[(Int, Int, Long)].collect().toSeq
+      .map { case (a, b, n) => (a.toLong, b.toLong, n) }
+    assert(expected.nonEmpty)
+    Seq(2, 3, 5).foreach { n =>
+      val got = graft.streaming.StreamReplay.videoDedupReplay(
+          spark, fixtureFrames, maxHamming = 3, minMatchNum = 2,
+          minMatchDen = 3, nChunks = n)
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"nChunks=$n")
+    }
+  }
+
   test("videoNearDupPairs: fraction uses the LONGER video; misuse is loud") {
     // a 2-frame prefix copy of a 4-frame video: 2 matches = 2/4 of the
     // longer — at 1/2 it pairs, at 2/3 it must not (truncation is not
