@@ -289,6 +289,47 @@ object ExtensionQueries {
       |FROM (VALUES (0, 1, 0), (0, 2, 0), (0, 5, 5), (1, 2, 0), (1, 5, 5), (2, 5, 5))
       |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin
 
+  /** tp01's curation derivation (exact dedup -> stopword language ID ->
+    * composite quality -> gates), shared VERBATIM with the cross-modal
+    * tp08 (one SQL text, the BandCte discipline). Ends at CTE `c` =
+    * (doc_id, n_tokens, pred_lang, quality) pre-gate. */
+  private val CurateCte =
+    """WITH sv AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM sv),
+      |r AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |  SUM(CASE WHEN w = 'the' THEN 1 ELSE 0 END) / COUNT(*) AS r_the,
+      |  SUM(CASE WHEN w = 'a' THEN 1 ELSE 0 END) / COUNT(*) AS r_a,
+      |  SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) / COUNT(*) AS stop0
+      |  FROM tok WHERE w <> '' GROUP BY doc_id),
+      |c AS (SELECT doc_id, n_tokens,
+      |  CASE WHEN r_the >= 0.05 THEN 'en' WHEN r_a >= 0.05 THEN 'es'
+      |       WHEN r_the >= 0.02 THEN 'de' WHEN r_a >= 0.02 THEN 'fr' ELSE 'zh' END AS pred_lang,
+      |  ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - stop0) * 10000) / 10000 + 0 AS quality
+      |  FROM r)""".stripMargin
+
+  /** The interleaved image corpus for tp08: BOTH media fixture sets —
+    * the dHash near-dup set (ids 0-5) and the flat mm01 images (ids
+    * 10-17) — hashed and measured through the real imageio decode.
+    * Flat images hash to 0L, colliding with the reversed gradients
+    * across fixture sets (the realistic crawl case tp08's oracle
+    * pins). */
+  private def crossModalImages(s: SparkSession): DataFrame = {
+    import graft.multimodal.{ImageHash, MediaFixture, Multimodal}
+    def side(dir: String, re: String, offset: Int): DataFrame = {
+      val items = Multimodal.readMedia(s, dir, "image/png", Some("*.png"))
+      val ids = items.toDF.select(col("media_id"),
+        (regexp_extract(element_at(col("meta"), lit("path")), re, 1)
+          .cast("int") + offset).as("id"))
+      ImageHash.hashImages(items).toDF
+        .join(ids, "media_id")
+        .join(Multimodal.decodeImages(items, Multimodal.Decoders.imageio).toDF
+          .select("media_id", "width", "height"), "media_id")
+        .select("id", "dhash", "width", "height")
+    }
+    side(MediaFixture.ensureDhash(), "dh_(\\d+)\\.png", 0)
+      .unionAll(side(MediaFixture.ensure(), "img_(\\d+)\\.png", 10))
+  }
+
   /** mm03's closed-form pair oracle, shared VERBATIM with its
     * streaming twin st15 (the Sd02Oracle discipline — one SQL text, so
     * a fixture change cannot silently desynchronize the gates). */
@@ -1050,18 +1091,8 @@ object ExtensionQueries {
       // budget (graft.operators.TrainingPipeline). The oracle recomputes
       // every stage in DuckDB SQL.
       "tp01_training_pipeline",
-      Some("""WITH sv AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
-        |tok AS (SELECT doc_id, unnest(string_split(lower(text),' ')) AS w FROM sv),
-        |r AS (SELECT doc_id, COUNT(*) AS n_tokens,
-        |  SUM(CASE WHEN w = 'the' THEN 1 ELSE 0 END) / COUNT(*) AS r_the,
-        |  SUM(CASE WHEN w = 'a' THEN 1 ELSE 0 END) / COUNT(*) AS r_a,
-        |  SUM(CASE WHEN w IN ('the','a') THEN 1 ELSE 0 END) / COUNT(*) AS stop0
-        |  FROM tok WHERE w <> '' GROUP BY doc_id),
-        |c AS (SELECT doc_id, n_tokens,
-        |  CASE WHEN r_the >= 0.05 THEN 'en' WHEN r_a >= 0.05 THEN 'es'
-        |       WHEN r_the >= 0.02 THEN 'de' WHEN r_a >= 0.02 THEN 'fr' ELSE 'zh' END AS pred_lang,
-        |  ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - stop0) * 10000) / 10000 + 0 AS quality
-        |  FROM r)
+      Some(CurateCte +
+        """
         |SELECT pred_lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  ROUND(AVG(quality) * 10000) / 10000 + 0 AS avg_quality
         |FROM c WHERE pred_lang IN ('en','de','fr') AND quality >= 0.5 AND n_tokens >= 20
@@ -1072,6 +1103,39 @@ object ExtensionQueries {
           TrainingPipeline.curate(t(s, d).documents,
             langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L))
       }),
+
+    GraftQuery(
+      // Cross-modal curation (tp08, multimodal/CrossModal — r17
+      // directive #6): ONE pipeline over an interleaved documents +
+      // media corpus — text through tp01's exact-dedup + language +
+      // quality + token gates VERBATIM; images through a pixel-floor
+      // quality gate then mm03's perceptual near-dup dedup (drop on a
+      // lower-id near-dup — the first-occurrence convention); output a
+      // unified survivor manifest. Gates run BEFORE the pairwise stage
+      // (the fullDedup order-of-operations lesson, across modalities).
+      // The image side interleaves BOTH media fixtures: the dHash set
+      // (ids 0-5) and the flat mm01 images (ids 10-17) — img_0 (192 px)
+      // fails the 256-px floor; the flat survivors (hash 0L) then form
+      // one near-dup clique WITH the reversed-gradient images 3/4
+      // (cross-fixture collisions are the realistic crawl case), so of
+      // the hash-0 clique only id 3 survives; images 1/2 drop as
+      // near-dups of 0; the stripes image 5 survives alone. Text
+      // survivors are tp01's CTE (shared SQL text); image survivors the
+      // closed-form VALUES (0, 3, 5).
+      "tp08_crossmodal_curation",
+      Some(CurateCte +
+        """
+        |SELECT modality, item_id FROM (
+        |  SELECT 'text' AS modality, CAST(doc_id AS BIGINT) AS item_id FROM c
+        |  WHERE pred_lang IN ('en','de','fr') AND quality >= 0.5 AND n_tokens >= 20
+        |  UNION ALL
+        |  SELECT 'image' AS modality, CAST(x AS BIGINT) AS item_id
+        |  FROM (VALUES (0), (3), (5)) v(x)) u
+        |ORDER BY modality, item_id""".stripMargin),
+      (s, d) => graft.multimodal.CrossModal.curate(
+          t(s, d).documents, crossModalImages(s),
+          langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L,
+          minPixels = 256, maxHamming = 3)),
 
     GraftQuery(
       // Deterministic hash sampling (the reproducible corpus-downsampling

@@ -1,0 +1,59 @@
+package graft.multimodal
+
+import graft.SparkSpec
+
+class CrossModalSpec extends SparkSpec {
+  import spark.implicits._
+
+  // texts engineered against the languageId/qualityScore closed forms:
+  // 30 tokens, 1/30 'the' (>= 0.02 -> 'de'), quality = min(1, 30/100) *
+  // (1 - 1/30) = 0.29 -> fails 0.5... so use 60 tokens of which 2 'the':
+  // quality = 0.6 * (1 - 2/60) = 0.58 >= 0.5, lang 'de' (2/60 = 0.033)
+  private def deText(seed: String) =
+    (Seq("the", "the") ++ (1 to 58).map(i => s"w$seed$i")).mkString(" ")
+
+  test("survivors: each modality through its own dedup + gates, one manifest") {
+    val docs = Seq(
+      (1L, deText("a")),          // survives (de, quality 0.58, 60 tokens)
+      (2L, deText("a")),          // exact dup of 1 -> drops
+      (3L, deText("b")),          // survives
+      (4L, "short text only"),    // fails token floor
+      (5L, (1 to 60).map(i => s"x$i").mkString(" ")) // no stopwords -> 'zh' -> drops
+    ).toDF("doc_id", "text")
+    val images = Seq(
+      // clique {0,1}: hamming 1 -> keep 0; {2}: far, keeps; 3 fails px
+      (0, 0x0F0FL, 30, 30),
+      (1, 0x0F0EL, 30, 30),
+      (2, -1L, 30, 30),
+      (3, 0x0F0FL, 10, 10) // 100 px < 256: gated BEFORE the pair join
+    ).toDF("id", "dhash", "width", "height")
+    val got = CrossModal.curate(docs, images, langs = Seq("en", "de", "fr"),
+        minQuality = 0.5, minTokens = 20L, minPixels = 256, maxHamming = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("image", 0L), ("image", 2L), ("text", 1L), ("text", 3L)))
+  }
+
+  test("gate order: sub-floor image floods never reach the banded join") {
+    // 10 identical-hash images, all under the pixel floor, with a
+    // band-bucket cap of 5: if the quality gate ran AFTER banding the
+    // width guard would fire — it must not, because gate-first is the
+    // pipeline's scale contract (cheap filters shrink the quadratic
+    // stage)
+    val docs = Seq((1L, deText("a"))).toDF("doc_id", "text")
+    val flood = ((1 to 10).map(i => (i, 0L, 10, 10)) :+ ((99, -1L, 30, 30)))
+      .toDF("id", "dhash", "width", "height")
+    val got = CrossModal.curate(docs, flood, langs = Seq("de"),
+        minQuality = 0.5, minTokens = 20L, minPixels = 256, maxHamming = 3,
+        maxBandBucket = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("image", 99L), ("text", 1L)))
+  }
+
+  test("guards: pixel floor validated") {
+    val docs = Seq((1L, "t")).toDF("doc_id", "text")
+    val images = Seq((0, 0L, 1, 1)).toDF("id", "dhash", "width", "height")
+    intercept[IllegalArgumentException](
+      CrossModal.curate(docs, images, Seq("en"), 0.5, 20L,
+        minPixels = 0, maxHamming = 3))
+  }
+}
