@@ -93,6 +93,29 @@ object StreamReplay {
       else {
         val replay = spark.newSession()
         replay.conf.set("spark.sql.shuffle.partitions", "8")
+        // NO-DATA micro-batches off (r17 verdict #4, measured): every
+        // processAllAvailable otherwise runs a data batch PLUS a
+        // no-data watermark batch, and each batch costs ~1 s of fixed
+        // state-store machinery (Round18StProbe2: triggerExecution
+        // ~1.1 s/batch, commit-dominated — 14 batches for st02's
+        // 4-chunk feed). The no-data batches are PURE GC under the
+        // replay protocol: every harness feeds TWO trailing sentinel
+        // rounds, so the final watermark is applied during the second
+        // sentinel's DATA batch (watermark after round 1 = maxTs +
+        // delay, already past every real row's eviction/emission
+        // bound) — emission never depends on a trailing no-data batch.
+        // Output identity is enforced by the oracle gates (st01-st17
+        // hash equality against the batch oracles) and the
+        // chunking-invariance specs, not assumed. Halves the replay's
+        // batch count (measured st02+st03: 22.0 -> 12.6 s at sf0.1).
+        replay.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+        // A replay's checkpoint dir is deleted in its finally — state
+        // snapshots are maintenance for a future restart that never
+        // happens, so defer them past any bounded replay's batch count
+        // (background compaction competes for the same local[N] CPUs).
+        // Set BEFORE the parent copy: a caller who pins their own
+        // stateStore.* value still wins (the propagation contract).
+        replay.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot", "10000")
         ssConf.foreach { case (k, v) => replay.conf.set(k, v) }
         // newSession() starts a FRESH function registry: graft's native
         // expressions (cosine_similarity in the st14 dedup join) must
