@@ -283,32 +283,52 @@ object ProductQuantizer {
     * absent from the index to search with an external vector). The
     * one-row contract is ENFORCED (r16 advice: a silently multi-probe
     * frame used to sum pdist ACROSS probes, and an empty one returned
-    * silently empty): a driver-side limit-2 count over the PROBE frame
-    * — one tiny job, never the index; an in-plan raise_error cannot
-    * carry this contract because AQE's empty-relation propagation
-    * legally folds the whole plan to empty before the guard column is
-    * ever evaluated (measured). A stale index (interrupted
+    * silently empty): a driver-side limit-2 COLLECT over the PROBE
+    * frame — one tiny job, never the index, and the collected row is
+    * re-issued as a local relation so the (often expensive) probe
+    * expression is never re-evaluated ([[oneProbeLocal]]); an in-plan
+    * raise_error cannot carry this contract because AQE's
+    * empty-relation propagation legally folds the whole plan to empty
+    * before the guard column is ever evaluated (measured). A stale index (interrupted
     * build/append) fails loudly via the file-listing witness — a
     * filesystem-metadata check, NO Spark job over the code table (r16
     * advisory; the old form paid a full `codes.count()` per search).
     * Multiple probes per pass belong on [[adcTopKIndexedBatch]]. */
+  /** The one-probe contract check AND the probe materialization in ONE
+    * job: the probe frame is often an expensive expression (a filter
+    * over the whole corpus — probeOf(id) in every gate entry), and the
+    * search needs it several times (lookup table; the IVF form also
+    * ranks lists and builds per-list residuals from it). Collecting
+    * the single row — bounded by the contract being enforced — and
+    * re-issuing it as a LOCAL 1-row relation makes every later use
+    * free instead of a corpus re-scan per use (Round18IvfPqProbe:
+    * the re-scans, not the pruned code read, dominated indexed-probe
+    * latency at 1M vectors). `who` names the caller in the errors. */
+  private def oneProbeLocal(probe: DataFrame, who: String): DataFrame = {
+    val spark = probe.sparkSession
+    val projected = probe.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val rows = projected.limit(2).collect()
+    require(rows.nonEmpty,
+      s"$who: the probe frame is empty — the searched vec_id is " +
+        "absent from the input (or the frame was pre-filtered to nothing); " +
+        "an unguarded search here would return silently empty")
+    require(rows.length == 1,
+      s"$who: more than one probe row — the one-probe contract " +
+        "would silently sum distances ACROSS probes; use adcTopKIndexedBatch " +
+        "for multi-probe search")
+    spark.createDataFrame(java.util.Arrays.asList(rows(0)), projected.schema)
+  }
+
   def adcTopKIndexed(probe: DataFrame, path: String, topK: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
     val spark = probe.sparkSession
     val meta = readMeta(path)
     checkWitness(path, meta, "adcTopKIndexed")
-    val nProbes = probe.limit(2).count()
-    require(nProbes != 0,
-      "adcTopKIndexed: the probe frame is empty — the searched vec_id is " +
-        "absent from the input (or the frame was pre-filtered to nothing); " +
-        "an unguarded search here would return silently empty")
-    require(nProbes == 1,
-      "adcTopKIndexed: more than one probe row — the one-probe contract " +
-        "would silently sum distances ACROSS probes; use adcTopKIndexedBatch " +
-        "for multi-probe search")
+    val local = oneProbeLocal(probe, "adcTopKIndexed")
     val codes = spark.read.schema(CodesSchema).parquet(s"$path/codes")
     val centroids = spark.read.schema(CentroidsSchema).parquet(s"$path/centroids")
-    val table = probeTables(probe, centroids, meta, "adcTopKIndexed")
+    val table = probeTables(local, centroids, meta, "adcTopKIndexed")
     codes
       .join(broadcast(table), Seq("sub", "cluster"))
       .filter(col("id") =!= col("__pid"))
@@ -703,20 +723,17 @@ object ProductQuantizer {
     checkIvfPqWitness(path, meta, "ivfPqTopKIndexed")
     require(nProbe >= 1 && nProbe <= meta.kCoarse,
       s"nProbe must be in [1, kCoarse=${meta.kCoarse}], got $nProbe")
-    val nProbes = probe.limit(2).count()
-    require(nProbes != 0,
-      "ivfPqTopKIndexed: the probe frame is empty — the searched vec_id is " +
-        "absent from the input (or the frame was pre-filtered to nothing); " +
-        "an unguarded search here would return silently empty")
-    require(nProbes == 1,
-      "ivfPqTopKIndexed: more than one probe row — the one-probe contract " +
-        "would silently sum distances ACROSS probes")
+    // one collect does the contract check AND pins the probe locally:
+    // the IVF search needs the probe THREE more times (probe id, list
+    // ranking, per-list residual tables) and a corpus-derived probe
+    // frame must not be re-scanned per use (Round18IvfPqProbe)
+    val local = oneProbeLocal(probe, "ivfPqTopKIndexed")
     val subDim = meta.d / meta.m
     val coarse = spark.read.schema(CoarseSchema).parquet(s"$path/coarse")
     val residCentroids = spark.read.schema(CentroidsSchema)
       .parquet(s"$path/centroids")
     val pv = quantizedLongForm(
-      probe.select(col("vec_id"),
+      local.select(col("vec_id"),
         when(size(col("embedding")) =!= meta.d, raise_error(concat(
           lit("ivfPqTopKIndexed: probe embedding of length "),
           size(col("embedding")).cast("string"),

@@ -150,7 +150,9 @@ class ProductQuantizerSpec extends SparkSpec {
     val q = try ProductQuantizer.adcTopKIndexed(probe, path, topK = 5)
     finally sc.clearJobGroup()
     val jobs = sc.statusTracker.getJobIdsForGroup("pq-nojob-probe").length
-    assert(jobs == base, s"query construction ran $jobs Spark jobs vs $base " +
+    // <= because the r18 probe materialization folds validation AND
+    // collection into ONE limit-2 job (fewer than the count baseline)
+    assert(jobs <= base, s"query construction ran $jobs Spark jobs vs $base " +
       "for the probe validation alone — the index witness must stay a " +
       "filesystem-metadata check (no job over codes/centroids)")
     assert(q.count() == 5) // and the frame still searches
