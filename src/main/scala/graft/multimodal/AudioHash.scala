@@ -203,4 +203,26 @@ object AudioHash {
                    maxBandBucket: Int = 1000000): DataFrame =
     ImageHash.nearDupPairs(
       hashes.withColumnRenamed("afp", "dhash"), maxHamming, nBands, maxBandBucket)
+
+  /** Persisted fingerprint band index — the [[ImageHash.saveDhashIndex]]
+    * lifecycle over audio (au02): a crawl re-run should not re-decode
+    * last month's clips, so the banded projection persists ONCE as a
+    * bucketed path table and each nightly batch joins against it. The
+    * index machinery is hash-source-agnostic, so these delegate — one
+    * implementation of the save/load/probe lifecycle across the media
+    * dedup family. */
+  def saveAfpIndex(hashes: DataFrame, path: String, nBands: Int = 4,
+                   nBuckets: Int = 8, maxBandBucket: Int = 1000000): Unit =
+    ImageHash.saveDhashIndex(hashes.withColumnRenamed("afp", "dhash"),
+      path, nBands, nBuckets, maxBandBucket)
+
+  /** Near-dup pairs INVOLVING a new batch of fingerprints, against a
+    * [[saveAfpIndex]] corpus: (indexed x new) + (new x new), never
+    * (indexed x indexed) — those were emitted at build time. */
+  def incrementalNearDupPairs(newHashes: DataFrame, indexPath: String,
+                              maxHamming: Int,
+                              maxBandBucket: Int = 1000000): DataFrame =
+    ImageHash.incrementalNearDupPairs(
+      newHashes.withColumnRenamed("afp", "dhash"), indexPath, maxHamming,
+      maxBandBucket)
 }

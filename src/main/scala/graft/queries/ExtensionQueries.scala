@@ -279,6 +279,17 @@ object ExtensionQueries {
       |FROM (VALUES (0, 1, 3), (0, 2, 3), (1, 2, 3))
       |t(idx_a, idx_b, n_matched) ORDER BY idx_a, idx_b""".stripMargin
 
+  /** Persisted afp band index over the "historical" fixture clips
+    * (0/1/3) for au02 — version DERIVED from the media fixture's own
+    * version (the r17 advisory: one bump invalidates both caches). */
+  private def afpIndexLoaded(s: SparkSession): String =
+    graft.Fixtures.ensure("media_afp_idx",
+      s"${graft.multimodal.MediaFixture.AfpVersion}a") { tmp =>
+      graft.multimodal.AudioHash.saveAfpIndex(
+        afpFixtureHashes(s).filter(col("id").isin(0, 1, 3)), tmp.toString,
+        nBands = 8)
+    }
+
   /** au01's closed-form pair oracle, shared VERBATIM with its
     * streaming twin st16 (the DhashPairsOracle discipline): DC and
     * gain copies of the period-8 clip at hamming 0, the
@@ -2243,6 +2254,30 @@ object ExtensionQueries {
             maxHamming = 5, nBands = 8)
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
           .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Incremental audio dedup against a PERSISTED fingerprint band
+      // index (au02 — the mm04 lifecycle for audio): history (clips
+      // 0/1/3) is decoded, fingerprinted, banded, and bucket-written
+      // ONCE; the nightly batch (2/4/5) is the only thing re-decoded,
+      // and the candidate join reads the index side exchange-free on
+      // its bucket key. Pairs = (indexed x new) + (new x new) — the
+      // all-history pair (0,1) must NOT re-emit. The index machinery
+      // is ImageHash's verbatim (hash-source-agnostic), banding
+      // geometry from the index sidecar.
+      "au02_audio_fingerprint_incremental",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(hamming AS INTEGER) AS hamming
+        |FROM (VALUES (0, 2, 0), (0, 5, 5), (1, 2, 0), (1, 5, 5), (2, 5, 5))
+        |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) => {
+        val hashes = afpFixtureHashes(s)
+        graft.multimodal.AudioHash.incrementalNearDupPairs(
+            hashes.filter(!col("id").isin(0, 1, 3)), afpIndexLoaded(s),
+            maxHamming = 5)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
+          .orderBy("idx_a", "idx_b")
+      }),
 
     GraftQuery(
       // Streaming audio dedup (st16): au01's fingerprints through the

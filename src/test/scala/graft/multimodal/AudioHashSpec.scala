@@ -120,6 +120,22 @@ class AudioHashSpec extends SparkSpec {
     }
   }
 
+  test("persisted index: incremental pairs == batch-involving pairs, history never re-emits") {
+    val hs = fixtureHashes.toSeq.sortBy(_._1)
+    val (history, batch) = hs.partition(h => Set(0, 1, 3)(h._1))
+    val dir = tmpDir("afp-idx")
+    AudioHash.saveAfpIndex(history.toDF("id", "afp"), dir, nBands = 8)
+    val got = AudioHash.incrementalNearDupPairs(
+        batch.toDF("id", "afp"), dir, maxHamming = 5)
+      .as[(Int, Int, Int)].collect().toSeq
+    val batchIds = batch.map(_._1).toSet
+    val expected = brute(hs, 5).filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(got == expected && got.nonEmpty)
+    // the history-history pair (0,1) must NOT re-emit
+    assert(brute(history, 5).nonEmpty)
+    assert(!got.contains((0, 1, 0)))
+  }
+
   test("streaming dedup replay converges to the batch answer on any chunking") {
     // st16: the SAME band-bucket state machine as images, over audio
     // fingerprints — gated by the identical pair set
