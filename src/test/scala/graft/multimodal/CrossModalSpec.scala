@@ -49,6 +49,20 @@ class CrossModalSpec extends SparkSpec {
     assert(got == Seq(("image", 99L), ("text", 1L)))
   }
 
+  test("plan: both modality branches stay hash-partitioned (no cartesian)") {
+    val docs = Seq((1L, deText("a"))).toDF("doc_id", "text")
+    val images = Seq((0, 0x0FL, 30, 30), (1, -1L, 30, 30))
+      .toDF("id", "dhash", "width", "height")
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val plan = CrossModal.curate(docs, images, Seq("de"), 0.5, 20L,
+          minPixels = 256, maxHamming = 3)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.graft.dedup.materialize", "local")
+  }
+
   test("guards: pixel floor validated") {
     val docs = Seq((1L, "t")).toDF("doc_id", "text")
     val images = Seq((0, 0L, 1, 1)).toDF("id", "dhash", "width", "height")

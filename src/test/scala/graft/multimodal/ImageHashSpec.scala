@@ -295,6 +295,21 @@ class ImageHashSpec extends SparkSpec {
     }
   }
 
+  test("plan: the offset sweep stays a banded equi-join (no cartesian, no NL join)") {
+    // the ±shift replication must land in the join KEY (aligned pos),
+    // never as a join condition a planner could only satisfy with a
+    // nested-loop — the mm06 scale contract
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val plan = ImageHash.videoNearDupPairsOffset(fixtureFrames, maxHamming = 3,
+          minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.graft.dedup.materialize", "local")
+  }
+
   test("videoNearDupPairs: fraction uses the LONGER video; misuse is loud") {
     // a 2-frame prefix copy of a 4-frame video: 2 matches = 2/4 of the
     // longer — at 1/2 it pairs, at 2/3 it must not (truncation is not
