@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *          tp01's machinery, not a re-implementation)
   *   image: pixel-floor quality gate → perceptual near-dup dedup
   *          ([[ImageHash.nearDupPairs]] — mm03's machinery)
+  *   audio: silence gate (RMS floor over the decoded features) →
+  *          perceptual near-dup dedup ([[AudioHash.nearDupPairs]] —
+  *          au01's machinery)
   *
   * Stage ORDER is the scale strategy, as everywhere in the dedup
   * family: the cheap map-side gates (pixel floor; text token floor
@@ -47,13 +50,44 @@ object CrossModal {
     val text = graft.operators.TrainingPipeline
       .curate(docs, langs, minQuality, minTokens)
       .select(lit("text").as("modality"), col("doc_id").cast("long").as("item_id"))
-    val gated = images
-      .filter(col("width").cast("long") * col("height") >= minPixels)
-      .select("id", "dhash")
-    val pairs = ImageHash.nearDupPairs(gated, maxHamming, nBands, maxBandBucket)
-    val img = gated
-      .join(pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
-      .select(lit("image").as("modality"), col("id").cast("long").as("item_id"))
+    val img = hashedSurvivors(
+      images.filter(col("width").cast("long") * col("height") >= minPixels)
+        .select("id", "dhash"),
+      "image", maxHamming, nBands, maxBandBucket)
     text.unionAll(img).orderBy("modality", "item_id")
+  }
+
+  /** The three-modality form: [[curate]] plus an audio branch —
+    * (id, afp, rms) rows through a silence gate (RMS floor over the
+    * decoded features: silent clips all fingerprint to 0L and are not
+    * training data — the flat-image sludge of the audio world) then
+    * au01's near-dup dedup under the same first-occurrence rule.
+    * `maxHamming`/`nBands` are per-modality: image and audio
+    * fingerprints live in different bit geometries. */
+  def curate(docs: DataFrame, images: DataFrame, audio: DataFrame,
+             langs: Seq[String], minQuality: Double, minTokens: Long,
+             minPixels: Long, minRms: Double,
+             imageMaxHamming: Int, audioMaxHamming: Int,
+             imageNBands: Int, audioNBands: Int,
+             maxBandBucket: Int): DataFrame = {
+    val textImages = curate(docs, images, langs, minQuality, minTokens,
+      minPixels, imageMaxHamming, imageNBands, maxBandBucket)
+    val au = hashedSurvivors(
+      audio.filter(col("rms") >= minRms)
+        .select(col("id"), col("afp").as("dhash")),
+      "audio", audioMaxHamming, audioNBands, maxBandBucket)
+    textImages.unionAll(au).orderBy("modality", "item_id")
+  }
+
+  /** One modality's near-dup survivor branch: banded pairs (mm03/au01
+    * machinery — hash-source-agnostic), then the first-occurrence drop
+    * rule (anything appearing as the higher id of a verified pair). */
+  private def hashedSurvivors(gated: DataFrame, modality: String,
+                              maxHamming: Int, nBands: Int,
+                              maxBandBucket: Int): DataFrame = {
+    val pairs = ImageHash.nearDupPairs(gated, maxHamming, nBands, maxBandBucket)
+    gated
+      .join(pairs.select(col("id_b").as("id")).distinct(), Seq("id"), "left_anti")
+      .select(lit(modality).as("modality"), col("id").cast("long").as("item_id"))
   }
 }

@@ -341,6 +341,24 @@ object ExtensionQueries {
       .unionAll(side(MediaFixture.ensure(), "img_(\\d+)\\.png", 10))
   }
 
+  /** The afp fixture as (id, afp, rms) rows for tp09's audio branch:
+    * fingerprints + the REAL decoded RMS feature (the silence gate's
+    * input). Square-wave amplitudes are dyadic, so rms is exact —
+    * 0.25/0.5 for the signal clips, 0 for the silent one. */
+  private def crossModalAudio(s: SparkSession): DataFrame = {
+    import graft.multimodal.{AudioHash, MediaFixture, Multimodal}
+    val dir = MediaFixture.ensureAfp()
+    val clips = Multimodal.readMedia(s, dir, "audio/wav", Some("*.wav"))
+    val ids = clips.toDF.select(col("media_id"),
+      regexp_extract(element_at(col("meta"), lit("path")), "afp_(\\d+)\\.wav", 1)
+        .cast("int").as("id"))
+    AudioHash.hashAudio(clips).toDF
+      .join(ids, "media_id")
+      .join(Multimodal.decodeAudio(clips).toDF.select("media_id", "rms"),
+        "media_id")
+      .select("id", "afp", "rms")
+  }
+
   /** mm03's closed-form pair oracle, shared VERBATIM with its
     * streaming twin st15 (the Sd02Oracle discipline — one SQL text, so
     * a fixture change cannot silently desynchronize the gates). */
@@ -1147,6 +1165,37 @@ object ExtensionQueries {
           t(s, d).documents, crossModalImages(s),
           langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L,
           minPixels = 256, maxHamming = 3)),
+
+    GraftQuery(
+      // THREE-modality curation (tp09 — tp08 plus the audio branch):
+      // audio clips go through a silence gate over the REAL decoded
+      // RMS feature (silent clips fingerprint to 0L — the flat-image
+      // sludge of the audio world, gated BEFORE the pairwise stage)
+      // and then au01's near-dup dedup under the same first-occurrence
+      // rule: the gain and DC copies (1, 2) and the one-window variant
+      // (5) drop as near-dups of clip 0, the silent clip (4) is gated,
+      // so audio survivors are the closed-form VALUES (0, 3). Each
+      // modality keeps its own band geometry (image 4 bands / hamming
+      // 3; audio 8 bands / hamming 5).
+      "tp09_crossmodal_curation_full",
+      Some(CurateCte +
+        """
+        |SELECT modality, item_id FROM (
+        |  SELECT 'text' AS modality, CAST(doc_id AS BIGINT) AS item_id FROM c
+        |  WHERE pred_lang IN ('en','de','fr') AND quality >= 0.5 AND n_tokens >= 20
+        |  UNION ALL
+        |  SELECT 'image' AS modality, CAST(x AS BIGINT) AS item_id
+        |  FROM (VALUES (0), (3), (5)) v(x)
+        |  UNION ALL
+        |  SELECT 'audio' AS modality, CAST(y AS BIGINT) AS item_id
+        |  FROM (VALUES (0), (3)) w(y)) u
+        |ORDER BY modality, item_id""".stripMargin),
+      (s, d) => graft.multimodal.CrossModal.curate(
+          t(s, d).documents, crossModalImages(s), crossModalAudio(s),
+          langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L,
+          minPixels = 256, minRms = 0.01,
+          imageMaxHamming = 3, audioMaxHamming = 5,
+          imageNBands = 4, audioNBands = 8, maxBandBucket = 1000000)),
 
     GraftQuery(
       // Deterministic hash sampling (the reproducible corpus-downsampling

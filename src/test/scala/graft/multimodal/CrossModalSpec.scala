@@ -49,6 +49,33 @@ class CrossModalSpec extends SparkSpec {
     assert(got == Seq(("image", 99L), ("text", 1L)))
   }
 
+  test("three modalities: audio goes through the silence gate then near-dup dedup") {
+    val docs = Seq((1L, deText("a"))).toDF("doc_id", "text")
+    val images = Seq((0, 0x0FL, 30, 30)).toDF("id", "dhash", "width", "height")
+    val audio = Seq(
+      (0, 0x33L, 0.25),  // clique {0,1}: keep 0
+      (1, 0x32L, 0.25),
+      (2, -1L, 0.30),    // far: keeps
+      (3, 0L, 0.0)       // silence: gated BEFORE the pair join
+    ).toDF("id", "afp", "rms")
+    val got = CrossModal.curate(docs, images, audio, langs = Seq("de"),
+        minQuality = 0.5, minTokens = 20L, minPixels = 256, minRms = 0.01,
+        imageMaxHamming = 3, audioMaxHamming = 5,
+        imageNBands = 4, audioNBands = 8, maxBandBucket = 1000000)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("audio", 0L), ("audio", 2L), ("image", 0L), ("text", 1L)))
+    // gate order: a silent flood under a tiny band cap never reaches
+    // the banded join (silence all hashes 0L — one bucket)
+    val flood = ((1 to 10).map(i => (i, 0L, 0.0)) :+ ((99, -1L, 0.5)))
+      .toDF("id", "afp", "rms")
+    val gated = CrossModal.curate(docs, images, flood, Seq("de"), 0.5, 20L,
+        minPixels = 256, minRms = 0.01, imageMaxHamming = 3,
+        audioMaxHamming = 5, imageNBands = 4, audioNBands = 8,
+        maxBandBucket = 5)
+      .as[(String, Long)].collect().toSeq
+    assert(gated == Seq(("audio", 99L), ("image", 0L), ("text", 1L)))
+  }
+
   test("plan: both modality branches stay hash-partitioned (no cartesian)") {
     val docs = Seq((1L, deText("a"))).toDF("doc_id", "text")
     val images = Seq((0, 0x0FL, 30, 30), (1, -1L, 30, 30))
