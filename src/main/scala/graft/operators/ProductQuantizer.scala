@@ -715,6 +715,99 @@ object ProductQuantizer {
     *
     * @return (vec_id, dist_u) top-`topK` by integer ADC distance
     *         ascending, vec_id tie-break, probe excluded */
+  /** BATCHED IVF-PQ search against a persisted index — the
+    * [[adcTopKIndexedBatch]] production shape with list pruning: N
+    * probes are scored in ONE pass over the UNION of their probed list
+    * partitions. Per-probe list ranking runs as one job over the
+    * kCoarse-row coarse table × the P-row probe batch and is collected
+    * (≤ P·nProbe (probe, list) pairs — bounded by the batch, the
+    * broadcast-model contract of every batched searcher here), so the
+    * code scan carries LITERAL partition filters for the probed-list
+    * UNION; each code row then joins only its own probes' per-list ADC
+    * tables (keyed probe × list × sub × cluster, broadcast — P·nProbe·
+    * m·kPq rows), and the per-probe top-k is a probe-keyed window. An
+    * empty probe frame returns an empty result (a batch of zero
+    * queries is a valid batch).
+    * @return (probe_id, vec_id, dist_u, rk), rk = 1..topK per probe */
+  def ivfPqTopKIndexedBatch(probes: DataFrame, path: String, topK: Int,
+                            nProbe: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = probes.sparkSession
+    val meta = readIvfPqMeta(path)
+    checkIvfPqWitness(path, meta, "ivfPqTopKIndexedBatch")
+    require(nProbe >= 1 && nProbe <= meta.kCoarse,
+      s"nProbe must be in [1, kCoarse=${meta.kCoarse}], got $nProbe")
+    val subDim = meta.d / meta.m
+    val coarse = spark.read.schema(CoarseSchema).parquet(s"$path/coarse")
+    val residCentroids = spark.read.schema(CentroidsSchema)
+      .parquet(s"$path/centroids")
+    val pv = quantizedLongForm(
+      probes.select(col("vec_id"),
+        when(size(col("embedding")) =!= meta.d, raise_error(concat(
+          lit("ivfPqTopKIndexedBatch: probe embedding of length "),
+          size(col("embedding")).cast("string"),
+          lit(s" does not match the index dimensionality d=${meta.d}"))))
+          .otherwise(col("embedding")).as("embedding")),
+      meta.unitScale)
+      .select(col("id").as("__pid"), col("dim"), col("x").as("px"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // per-probe nProbe nearest lists, collected: ≤ P·nProbe pairs,
+      // and the listing gives the LITERAL union the partition filter
+      // prunes on (the one-probe path's discipline, batched)
+      val wP = Window.partitionBy("__pid").orderBy(col("__cdist"), col("cluster"))
+      val probed = coarse.join(broadcast(pv), "dim")
+        .groupBy("__pid", "cluster")
+        .agg(sum((col("px") - col("c")) * (col("px") - col("c"))).as("__cdist"))
+        .withColumn("__rk", row_number().over(wP))
+        .filter(col("__rk") <= nProbe)
+        .select(col("__pid"), col("cluster").as("list_id"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)))
+      val lists = probed.map(_._2).distinct.toSeq
+      if (lists.isEmpty) {
+        // empty batch: empty result with the contract schema
+        return spark.range(0).select(col("id").as("probe_id"),
+          col("id").as("vec_id"), col("id").as("dist_u"),
+          col("id").cast("int").as("rk"))
+      }
+      val probedDf = spark.createDataFrame(
+        java.util.Arrays.asList(probed.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("__pid",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("list_id",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+      // per-(probe, list) residuals → ADC tables (P·nProbe·m·kPq rows);
+      // pv joins on (__pid, dim) — each probed (probe, list) pair takes
+      // the PROBE'S OWN vector against that list's centroid
+      val prx = coarse
+        .filter(col("cluster").isin(lists: _*))
+        .withColumnRenamed("cluster", "list_id")
+        .join(broadcast(probedDf), Seq("list_id"))
+        .join(broadcast(pv), Seq("__pid", "dim"))
+        .select(col("__pid"), col("list_id"),
+          (col("dim") / subDim).cast("int").as("sub"),
+          (col("dim") % subDim).cast("int").as("j"),
+          (col("px") - col("c")).as("rx"))
+      val table = prx
+        .join(broadcast(residCentroids), Seq("sub", "j"))
+        .groupBy("__pid", "list_id", "sub", "cluster")
+        .agg(sum((col("rx") - col("c")) * (col("rx") - col("c"))).as("pdist"))
+      val wT = Window.partitionBy("__pid").orderBy(col("dist_u"), col("vec_id"))
+      spark.read.schema(IvfPqCodesSchema).parquet(s"$path/codes")
+        .filter(col("list_id").isin(lists: _*)) // -> parquet PartitionFilters
+        .join(broadcast(table), Seq("list_id", "sub", "cluster"))
+        .filter(col("id") =!= col("__pid"))
+        .groupBy(col("__pid"), col("id").as("vec_id"))
+        .agg(sum("pdist").as("dist_u"))
+        .withColumn("rk", row_number().over(wT))
+        .filter(col("rk") <= topK)
+        .select(col("__pid").as("probe_id"), col("vec_id"), col("dist_u"),
+          col("rk").cast("int").as("rk"))
+    } finally pv.unpersist()
+  }
+
   def ivfPqTopKIndexed(probe: DataFrame, path: String, topK: Int,
                        nProbe: Int): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")

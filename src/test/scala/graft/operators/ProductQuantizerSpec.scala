@@ -335,6 +335,31 @@ class ProductQuantizerSpec extends SparkSpec {
         topK = 5, nProbe = 2))
   }
 
+  test("ivfPqTopKIndexedBatch equals N single-probe searches, per probe") {
+    val e = tables.embeddings
+    val path = tmpDir("ivfpqidx-batch")
+    ProductQuantizer.saveIvfPqIndex(e, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 2, kPq = 4, pqIterations = 1, path = path)
+    val probeIds = Seq(0L, 1L, 2L)
+    val batch = ProductQuantizer.ivfPqTopKIndexedBatch(
+        e.filter(col("vec_id").isin(probeIds: _*)).select("vec_id", "embedding"),
+        path, topK = 10, nProbe = 2)
+      .as[(Long, Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._4).map(r => (r._2, r._3)).toSeq).toMap
+    assert(batch.keySet == probeIds.toSet)
+    for (pid <- probeIds) {
+      val single = ProductQuantizer.ivfPqTopKIndexed(
+          e.filter(col("vec_id") === pid).select("vec_id", "embedding"),
+          path, topK = 10, nProbe = 2)
+        .as[(Long, Long)].collect().toSeq
+      assert(batch(pid) == single, s"probe $pid: batched != single")
+    }
+    // empty probe batch = empty result (a valid zero-query batch)
+    assert(ProductQuantizer.ivfPqTopKIndexedBatch(
+      e.filter(col("vec_id") === -999L).select("vec_id", "embedding"),
+      path, topK = 10, nProbe = 2).count() == 0)
+  }
+
   test("appendToIvfPqIndex: batch coarse-assigned + residual-encoded against the persisted geometry") {
     val e = tables.embeddings
     val hist = e.filter(col("vec_id") % 10 =!= 0)
