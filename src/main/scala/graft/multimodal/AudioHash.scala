@@ -108,54 +108,58 @@ object AudioHash {
     hash
   }
 
-  /** 64-bit fingerprint of an encoded clip (any PCM shape the JDK
-    * reads — WAV/AIFF/AU, signed 16-bit either endianness,
-    * signed/unsigned 8-bit, the [[Multimodal.Decoders.wav]] support
-    * matrix). Channels are SUMMED per frame (no divide — exact, and
-    * gain invariance makes the scale irrelevant). Undecodable bytes,
-    * compressed codecs, clips shorter than [[MinFrames]] or longer
-    * than [[MaxFrames]], and > [[MaxChannels]] channels throw
-    * IllegalArgumentException — route through the failure path (DLQ,
-    * A5) like undecodable images. */
-  def afp64(bytes: Array[Byte]): Long = {
+  /** Validated PCM frame stream — the decode + format-check core shared
+    * by the full-clip fingerprint ([[afp64]]) and the segment tier
+    * ([[afpSegments64]]), so one support matrix (WAV/AIFF/AU, signed
+    * 16-bit either endianness, signed/unsigned 8-bit — the
+    * [[Multimodal.Decoders.wav]] contract) and one set of loud
+    * IllegalArgumentException routes (DLQ, A5) cover both. Channels are
+    * SUMMED per frame (no divide — exact, and gain invariance makes the
+    * scale irrelevant). `readMix(dst, want)` fills `dst(0 until got)`
+    * with the next channel-summed frames through a bounded I/O buffer
+    * — memory per call is O(want), which is what lets the segment
+    * path hold one segment at a time. */
+  private final class PcmMixReader(bytes: Array[Byte]) {
     import javax.sound.sampled.{AudioFormat, AudioSystem, UnsupportedAudioFileException}
-    val ais =
+    private val ais =
       try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
       catch {
         case e: UnsupportedAudioFileException =>
           throw new IllegalArgumentException(
             s"no installed audio reader decodes this ${bytes.length}-byte payload", e)
       }
-    try {
-      val fmt = ais.getFormat
-      val enc = fmt.getEncoding
-      val bits = fmt.getSampleSizeInBits
-      val ok = (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
+    private val fmt = ais.getFormat
+    private val enc = fmt.getEncoding
+    private val bits = fmt.getSampleSizeInBits
+    private val pcmOk =
+      (enc == AudioFormat.Encoding.PCM_SIGNED && (bits == 16 || bits == 8)) ||
         (enc == AudioFormat.Encoding.PCM_UNSIGNED && bits == 8)
-      if (!ok) throw new IllegalArgumentException(
-        s"unsupported PCM shape: encoding=$enc bits=$bits")
-      val channels = fmt.getChannels
-      if (channels > MaxChannels) throw new IllegalArgumentException(
-        s"$channels channels exceeds $MaxChannels (exact integer energies " +
-          "would overflow); downmix upstream")
-      val nFrames = ais.getFrameLength
-      if (nFrames < 0) throw new IllegalArgumentException(
-        "audio stream declares no frame length (unknown data size header)")
-      if (nFrames < MinFrames) throw new IllegalArgumentException(
-        s"clip of $nFrames frames is shorter than the $MinFrames-frame " +
-          "fingerprint minimum")
-      if (nFrames > MaxFrames) throw new IllegalArgumentException(
-        s"clip of $nFrames frames exceeds $MaxFrames; split upstream")
-      // stream frames through a bounded buffer (the Decoders.wav
-      // discipline — memory tracks the buffer, not the clip), summing
-      // channels into one integer series
-      val frameBytes = fmt.getFrameSize
-      val sampleBytes = bits / 8
-      val mix = new Array[Long](nFrames.toInt)
-      val buf = new Array[Byte](frameBytes * 1024)
+    if (!pcmOk) { close(); throw new IllegalArgumentException(
+      s"unsupported PCM shape: encoding=$enc bits=$bits") }
+    private val channels = fmt.getChannels
+    if (channels > MaxChannels) { close(); throw new IllegalArgumentException(
+      s"$channels channels exceeds $MaxChannels (exact integer energies " +
+        "would overflow); downmix upstream") }
+    val nFrames: Long = ais.getFrameLength
+    if (nFrames < 0) { close(); throw new IllegalArgumentException(
+      "audio stream declares no frame length (unknown data size header)") }
+    private val frameBytes = fmt.getFrameSize
+    if (frameBytes <= 0) { close(); throw new IllegalArgumentException(
+      s"audio stream declares no frame size (getFrameSize=$frameBytes) — " +
+        "cannot walk PCM frames") } // NOT_SPECIFIED (-1) would corrupt the walk
+    private val sampleBytes = bits / 8
+    private val buf = new Array[Byte](frameBytes * 1024)
+
+    /** Fill `dst(0 until want)` with the next channel-summed frames;
+      * returns the count delivered (< want only at end of stream).
+      * AudioInputStream.read returns whole frames by contract, so no
+      * partial-frame carry is needed. */
+    def readMix(dst: Array[Long], want: Int): Int = {
       var frame = 0
-      var read = ais.read(buf)
-      while (read > 0) {
+      while (frame < want) {
+        val read = ais.read(buf, 0, // long math: want*frameBytes can pass Int.Max
+          math.min(buf.length.toLong, (want - frame).toLong * frameBytes).toInt)
+        if (read <= 0) return frame
         var off = 0
         while (off + frameBytes <= read) {
           var acc = 0L
@@ -171,16 +175,88 @@ object AudioHash {
               } else buf(i).toLong)
             c += 1
           }
-          mix(frame) = acc
+          dst(frame) = acc
           frame += 1
           off += frameBytes
         }
-        read = ais.read(buf)
       }
-      if (frame != nFrames) throw new IllegalArgumentException(
-        s"audio stream truncated: header declares $nFrames frames, read $frame")
+      frame
+    }
+
+    def close(): Unit = ais.close()
+  }
+
+  /** 64-bit fingerprint of a whole encoded clip. Undecodable bytes,
+    * compressed codecs, clips shorter than [[MinFrames]] or longer
+    * than [[MaxFrames]], and > [[MaxChannels]] channels throw
+    * IllegalArgumentException — route through the failure path (DLQ,
+    * A5) like undecodable images. Memory is O(frames) — the mix array,
+    * 8 B a frame, up to 2 GiB at MaxFrames — because the 8 TIME
+    * windows span the whole clip, so the full-clip fingerprint cannot
+    * stream (r18 advisory; the old comment claimed the I/O-buffer
+    * bound). The O(segFrames) alternative for long material is the
+    * segment tier ([[afpSegments64]]), which holds one segment at a
+    * time. */
+  def afp64(bytes: Array[Byte]): Long = {
+    val r = new PcmMixReader(bytes)
+    try {
+      if (r.nFrames < MinFrames) throw new IllegalArgumentException(
+        s"clip of ${r.nFrames} frames is shorter than the $MinFrames-frame " +
+          "fingerprint minimum")
+      if (r.nFrames > MaxFrames) throw new IllegalArgumentException(
+        s"clip of ${r.nFrames} frames exceeds $MaxFrames; split upstream " +
+          "(exact integer energies would overflow) or fingerprint segments " +
+          "(afpSegments64)")
+      val mix = new Array[Long](r.nFrames.toInt)
+      val got = r.readMix(mix, mix.length)
+      if (got != r.nFrames) throw new IllegalArgumentException(
+        s"audio stream truncated: header declares ${r.nFrames} frames, read $got")
       fingerprintSamples(mix)
-    } finally ais.close()
+    } finally r.close()
+  }
+
+  /** Per-SEGMENT fingerprints of an encoded clip (au03 — the r18
+    * directive): the PCM is cut into consecutive runs of exactly
+    * `segFrames` frames and each run fingerprinted independently with
+    * the SAME [[fingerprintSamples]] arithmetic — the
+    * [[ImageHash.FrameHash]] discipline applied to audio, giving the
+    * alignment sweep a position axis the clip-global hash lacks (a
+    * trimmed intro shifts every [[afp64]] window boundary; it shifts
+    * segment INDICES by a whole number, which the bounded offset sweep
+    * recovers).
+    *
+    * Segments must be EQUAL-length to be comparable at all — the
+    * window geometry of [[fingerprintSamples]] scales with its input
+    * length, so two different-length slices of identical audio hash
+    * differently — hence the fixed `segFrames` cut and the DROPPED
+    * under-length tail (a partial tail has no equal-length counterpart
+    * to pair with). Trim tolerance is therefore segment-GRANULAR:
+    * a copy trimmed by a whole number of segments realigns exactly;
+    * sub-segment trims still shift every boundary (the honest limit of
+    * this tier — sample-exact alignment would need overlapping
+    * segments at replication cost, out of scope). A clip shorter than
+    * one segment throws (too short for this tier — DLQ, like afp64's
+    * MinFrames). Memory is O(segFrames): one segment buffer, reused.
+    */
+  def afpSegments64(bytes: Array[Byte], segFrames: Int): Array[Long] = {
+    require(segFrames >= MinFrames,
+      s"segFrames=$segFrames is shorter than the $MinFrames-frame fingerprint minimum")
+    require(segFrames <= MaxFrames,
+      s"segFrames=$segFrames exceeds $MaxFrames (exact integer energies would overflow)")
+    val r = new PcmMixReader(bytes)
+    try {
+      if (r.nFrames < segFrames) throw new IllegalArgumentException(
+        s"clip of ${r.nFrames} frames is shorter than one $segFrames-frame " +
+          "segment — too short for the segment tier (afp64 covers short clips)")
+      val seg = new Array[Long](segFrames)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var got = r.readMix(seg, segFrames)
+      while (got == segFrames) {
+        out += fingerprintSamples(seg)
+        got = r.readMix(seg, segFrames)
+      }
+      out.toArray
+    } finally r.close()
   }
 
   /** Fingerprint a media Dataset. Per-row decode ([[afp64]] carries no
@@ -225,4 +301,67 @@ object AudioHash {
     ImageHash.incrementalNearDupPairs(
       newHashes.withColumnRenamed("afp", "dhash"), indexPath, maxHamming,
       maxBandBucket)
+
+  // ---- offset-tolerant segment tier (au03 — r18 directive #1) -------
+  // The clip-global fingerprint above is blind to trims: a copy with a
+  // stripped intro or an appended tail shifts every one of the 8
+  // window boundaries and misses — exactly the failure mode the
+  // aligned video matcher (mm05) had for trimmed clips, closed for
+  // video by mm06's bounded alignment sweep. The audio composition is
+  // the same two pieces: per-SEGMENT fingerprints ([[afpSegments64]] —
+  // the FrameHash shape over PCM) + [[ImageHash.videoNearDupPairsOffset]]
+  // over segment positions. The sweep machinery is position-source-
+  // agnostic (frame indices and segment indices are both just integer
+  // positions), so these delegate — an alignment fix lands on video
+  // and audio together.
+
+  case class SegmentHash(media_id: Long, seg_idx: Int, afp: Long)
+
+  /** Segment-fingerprint a media Dataset: flatMap 1→N, rows scale with
+    * clip length / segFrames (the [[ImageHash.hashFrames]] lifecycle —
+    * per-row decode, nothing to batch). */
+  def segmentHashes(items: Dataset[Multimodal.MediaItem],
+                    segFrames: Int): Dataset[SegmentHash] = {
+    implicit val enc = Encoders.product[SegmentHash]
+    items.mapPartitions { it =>
+      it.flatMap { m =>
+        afpSegments64(m.data, segFrames).iterator.zipWithIndex.map {
+          case (h, i) => SegmentHash(m.media_id, i, h)
+        }
+      }
+    }
+  }
+
+  /** ALIGNED segment-level near-dup pairs — the video matcher's exact
+    * frame-alignment semantics over audio segments (the au03 spec's
+    * miss-proof baseline; production trim tolerance is
+    * [[nearDupPairsOffset]]). Input (id, seg_idx, afp); output
+    * (id_a < id_b, n_matched), ordered. */
+  def segmentNearDupPairs(segs: DataFrame, maxHamming: Int,
+                          minMatchNum: Int, minMatchDen: Int, nBands: Int = 4,
+                          maxBandBucket: Int = 1000000): DataFrame =
+    ImageHash.videoNearDupPairs(
+      segs.withColumnRenamed("afp", "dhash")
+        .withColumnRenamed("seg_idx", "frame_idx"),
+      maxHamming, minMatchNum, minMatchDen, nBands, maxBandBucket)
+
+  /** OFFSET-TOLERANT audio near-dup pairs (au03): sweep a BOUNDED set
+    * of segment-index alignments in [−maxShift, maxShift] and qualify
+    * a pair on its BEST single shift matching ≥ minMatchNum/minMatchDen
+    * of the LONGER clip's segments — one consistent alignment, so a
+    * trimmed/rotated copy pairs and a shuffled remix (no single
+    * alignment) does not. Delegation carries mm06's whole scale shape:
+    * constant (2·maxShift+1)× replication with the aligned position in
+    * the join key, the band-bucket guard on TRUE positions
+    * pre-replication, never clip×clip. Output
+    * (id_a < id_b, n_matched, shift) — shift = segments of id_a's
+    * intro skipped (negative: id_b's) — ordered. */
+  def nearDupPairsOffset(segs: DataFrame, maxHamming: Int,
+                         minMatchNum: Int, minMatchDen: Int, maxShift: Int,
+                         nBands: Int = 4,
+                         maxBandBucket: Int = 1000000): DataFrame =
+    ImageHash.videoNearDupPairsOffset(
+      segs.withColumnRenamed("afp", "dhash")
+        .withColumnRenamed("seg_idx", "frame_idx"),
+      maxHamming, minMatchNum, minMatchDen, maxShift, nBands, maxBandBucket)
 }

@@ -310,4 +310,59 @@ object MediaFixture {
         writePcm16(new File(dir, s"afp_$i.wav"), AfpFrames, afpSample(i, _))
       }
     }
+
+  // ---- offset-tolerant audio segment fixture (au03) ------------------
+  // Multi-segment clips built from the afp waveforms above: each clip
+  // concatenates [[AfpSegFrames]]-frame SEGMENTS, every segment one of
+  // the afpSample patterns — so each segment's fingerprint is an
+  // already-pinned closed form (the dhashVidFrames discipline for
+  // audio). Segment "scenes", mutually > 3 bits apart at au03's
+  // maxHamming = 3:
+  //   x = pattern 0 (period-8 square)  hash 0x8787878787878787
+  //   y = pattern 3 (period-16 square) hash 0x7F7F7F7F7F7F7F7F (40 from x)
+  //   z = pattern 5 (window-7 swapped) hash 0x7F87878787878787 (5 from x,
+  //       35 from y)
+  // and pattern 2 (x at exactly 2x gain) hashes IDENTICALLY to x.
+  // Clips, under the au03 sweep (maxShift ±1, Hamming ≤ 3, 2-of-3
+  // longer-clip fraction):
+  //   0 [x, y, z]
+  //   1 [2x-gain x, y, z] — gain copy of 0: 3/3 at shift 0 (found by
+  //      the ALIGNED form too)
+  //   2 [y, z]            — clip 0 with its INTRO SEGMENT TRIMMED: 0
+  //      aligned matches (the aligned form must MISS it) but 2 at
+  //      shift +1 — 2·3 >= max(3,2)·2, so the sweep pairs it with 0/1.
+  //   3 [y, x, z] + tail  — clip 0 genuinely SHUFFLED: at most 1 match
+  //      at ANY single shift against each of 0/1/2 — never pairs. Its
+  //      100-frame sub-segment tail is dropped by the fixed-length cut
+  //      (a partial tail has no equal-length counterpart), proving the
+  //      tail-drop path through the oracle.
+  // Expected au03 pairs: (0,1,3,0) (0,2,2,+1) (1,2,2,+1); the aligned
+  // segment form finds exactly (0,1,3).
+  val AfpSegN = 4
+  private[graft] val AfpSegVersion = "v1"
+  /** One segment = one afp clip length, so segment hashes ARE the afp
+    * closed forms (window boundaries at multiples of 512, aligned to
+    * both square-wave periods). */
+  val AfpSegFrames: Int = AfpFrames
+
+  def afpSegPatterns(i: Int): Seq[Int] = i match {
+    case 0 => Seq(0, 3, 5)
+    case 1 => Seq(2, 3, 5)
+    case 2 => Seq(3, 5)
+    case 3 => Seq(3, 0, 5)
+    case _ => throw new IllegalArgumentException(s"no afp segment fixture $i")
+  }
+
+  /** Generate (once) and return the afp segment fixture directory. */
+  def ensureAfpSeg(): String =
+    graft.Fixtures.ensure("media_afp_seg", AfpSegVersion) { dir =>
+      (0 until AfpSegN).foreach { i =>
+        val pats = afpSegPatterns(i)
+        val tail = if (i == 3) 100 else 0 // sub-segment tail, must be dropped
+        writePcm16(new File(dir, s"afps_$i.wav"),
+          pats.length * AfpSegFrames + tail,
+          k => afpSample(pats((k / AfpSegFrames) min (pats.length - 1)),
+            k % AfpSegFrames))
+      }
+    }
 }

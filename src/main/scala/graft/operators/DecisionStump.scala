@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   * cumulative window is unpartitioned BY DESIGN: its input is one row
   * per distinct feature value — bounded by the domain (50 for a
   * quantity grid, ≤256 for a binned feature), never by row count —
-  * the cd01 adjudication class.
+  * the cd01 adjudication class. The bound is ENFORCED, not just
+  * contractual (r18 verdict: this was the one domain-bounded axis in
+  * the repo guarded by scaladoc alone): `maxDomain` is a loud cap on
+  * the histogram width, measured by the same map-side-combined
+  * aggregate that already computes the class totals and raised via
+  * the broadcast transport (the FuzzyJoin guard pattern — a count
+  * window here would sort the histogram it is trying to protect), so
+  * an unbinned int64 feature dies with a named remedy before the
+  * unpartitioned window sorts |domain| rows into one task.
   *
   * Cost exactness across engines: cost(t) =
   * posL·negL/nL + posR·negR/nR (minimizing this minimizes weighted
@@ -35,12 +43,14 @@ import org.apache.spark.sql.functions._
   */
 object DecisionStump {
 
-  def splitTable(df: DataFrame, featureCol: String, labelCol: String): DataFrame = {
+  def splitTable(df: DataFrame, featureCol: String, labelCol: String,
+                 maxDomain: Int = 65536): DataFrame = {
     val ft = df.schema(featureCol).dataType
     require(ft == org.apache.spark.sql.types.LongType ||
         ft == org.apache.spark.sql.types.IntegerType,
       s"$featureCol is $ft — bin or fix-point the feature to an integer " +
         "domain first (the histogram bound is the contract)")
+    require(maxDomain >= 1, s"maxDomain must be >= 1, got $maxDomain")
     // the histogram feeds both the prefix sums and the totals —
     // materialize the |domain|-row reduction so the data scan runs once
     TextDedup.withWorkingSet(
@@ -49,13 +59,26 @@ object DecisionStump {
           sum(when(col(labelCol), 1L).otherwise(0L)).as("np"))) { hist =>
     val cum = Window.orderBy("threshold")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // class totals as a 1-row broadcast (the Triangles stats pattern)
-    val totals = hist.agg(sum("n").as("__nt"), sum("np").as("__pt"))
+    // class totals as a 1-row broadcast (the Triangles stats pattern);
+    // the histogram WIDTH rides the same 1-row aggregate, and the raise
+    // sits UPSTREAM of the window so an over-wide domain dies in the
+    // scan feeding the sort, not after it
+    val totals = hist.agg(sum("n").as("__nt"), sum("np").as("__pt"),
+      count(lit(1)).as("__w"))
     hist
+      .crossJoin(broadcast(totals))
+      .withColumn("threshold",
+        when(col("__w") > maxDomain, raise_error(concat(
+          lit(s"DecisionStump.splitTable: $featureCol has "),
+          col("__w").cast("string"),
+          lit(s" distinct values, over maxDomain=$maxDomain; the cumulative " +
+            "window sorts the whole histogram in one task — bin the feature " +
+            "(quantile/width bins) or raise the cap deliberately"))))
+          .otherwise(col("threshold")))
       .select(col("threshold"),
         sum("n").over(cum).as("n_left"),
-        sum("np").over(cum).as("pos_left"))
-      .crossJoin(broadcast(totals))
+        sum("np").over(cum).as("pos_left"),
+        col("__nt"), col("__pt"))
       .filter(col("n_left") < col("__nt")) // empty right side: not a split
       .select(col("threshold"), col("n_left"), col("pos_left"),
         (col("__nt") - col("n_left")).as("n_right"),

@@ -70,4 +70,30 @@ object IndexWitness {
       s"$dir: data-file listing fingerprint $actual does not match the meta's " +
         s"$expected — $what; $hint")
   }
+
+  /** Meta formatVersion enforcement, shared by every persisted-index
+    * sidecar reader (PQ / IVF-PQ / semantic / inverted): the version is
+    * written into every meta but was never read back (r18 advisory), so
+    * an index written by a NEWER engine format would be silently
+    * misread — fields it knows nothing about dropped on the floor —
+    * rather than failing with a named message. Reads fail loudly in
+    * BOTH directions: older format → the named upgrade/rebuild hint;
+    * newer format → "upgrade the engine". An absent property predates
+    * versioned metas entirely (pre-v2) and gets the same upgrade hint.
+    */
+  def requireFormat(metaPath: String, props: java.util.Properties,
+                    current: Int, hint: String): Unit = {
+    val v = props.getProperty("formatVersion")
+    require(v != null,
+      s"$metaPath predates versioned index metas (this engine reads format " +
+        s"v$current) — index format upgraded; $hint")
+    val n = v.toInt
+    require(n >= current,
+      s"$metaPath is index meta format v$n; this engine reads v$current — " +
+        s"index format upgraded; $hint")
+    require(n <= current,
+      s"$metaPath is index meta format v$n; this engine reads v$current — " +
+        "the index was written by a NEWER engine; upgrade the engine (or " +
+        s"rebuild the index with this one: $hint)")
+  }
 }

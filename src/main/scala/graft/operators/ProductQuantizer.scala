@@ -157,11 +157,12 @@ object ProductQuantizer {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
-    // format migration first, so an old-but-valid index gets a NAMED
-    // upgrade message instead of a generic missing-property error
-    require(p.getProperty("dataFp") != null,
-      s"$path predates the file-listing witness (meta format v$MetaFormatVersion) " +
-        "— index format upgraded; rebuild with savePqIndex")
+    // format check first (BOTH directions — r18 advisory: the version
+    // was written but never read back, so a newer-format index would be
+    // silently misread), so any mismatch gets a NAMED message instead
+    // of a generic missing-property error
+    IndexWitness.requireFormat(s"$path/$MetaFile", p, MetaFormatVersion,
+      "rebuild with savePqIndex")
     def prop(k: String): String = {
       val v = p.getProperty(k)
       require(v != null, s"$path/$MetaFile is missing '$k' — corrupt; rebuild")
@@ -173,11 +174,20 @@ object ProductQuantizer {
   }
 
   /** The loud pre-query/pre-append staleness check: filesystem-metadata
-    * fingerprint only, NO Spark job over the index (r16 advisory). */
+    * fingerprint only, NO Spark job over the index (r16 advisory). Crash
+    * windows (r18 advisory — the old hint suggested re-running the
+    * append, which cannot work here): an append that dies BEFORE its
+    * parquet commit leaves only hidden `_temporary` files, which the
+    * fingerprint excludes — this check passes and a re-run recovers
+    * silently. This error therefore fires only in the POST-commit
+    * window (data files visible, meta write lost), where re-running the
+    * append hits this same check — the hint names the one real remedy. */
   private def checkWitness(path: String, meta: PqIndexMeta, who: String): Unit =
     IndexWitness.check(path, meta.dataFp,
-      s"$who found a stale index from an interrupted build or append",
-      "rebuild with savePqIndex (or re-run the interrupted appendToPqIndex)")
+      s"$who found a stale index: data files committed without their meta " +
+        "(an append crashed after its parquet commit, before the meta write)",
+      "re-running the append would refuse this same state — rebuild with " +
+        "savePqIndex to re-bless the index")
 
   /** Fit + persist: `codes/` (N·m rows) and `centroids/`, with an
     * atomic meta carrying the parameters and the file-listing witness.
@@ -564,14 +574,22 @@ object ProductQuantizer {
   private val IvfPqCodesSchema = "id long, sub int, cluster int, list_id int"
   private val CoarseSchema = "cluster int, dim int, c long"
 
+  /** IVF-PQ meta format: v3 added `listCounts` — per-list code-row
+    * counts, the drift signal [[appendToIvfPqIndex]]'s skew witness
+    * reads (r18 directive #3: coarse geometry is frozen on append by
+    * contract, so under corpus drift the lists skew and nProbe pruning
+    * quietly degrades; the counts make that loud). */
+  private val IvfPqMetaFormatVersion = 3
+
   final case class IvfPqIndexMeta(d: Int, m: Int, kCoarse: Int,
                                   coarseIterations: Int, kPq: Int,
                                   pqIterations: Int, unitScale: Long,
-                                  codeRows: Long, dataFp: String)
+                                  codeRows: Long, dataFp: String,
+                                  listCounts: Map[Int, Long])
 
   private def writeIvfPqMeta(path: String, meta: IvfPqIndexMeta): Unit = {
     val p = new java.util.Properties()
-    p.setProperty("formatVersion", MetaFormatVersion.toString)
+    p.setProperty("formatVersion", IvfPqMetaFormatVersion.toString)
     p.setProperty("d", meta.d.toString); p.setProperty("m", meta.m.toString)
     p.setProperty("kCoarse", meta.kCoarse.toString)
     p.setProperty("coarseIterations", meta.coarseIterations.toString)
@@ -580,6 +598,10 @@ object ProductQuantizer {
     p.setProperty("unitScale", meta.unitScale.toString)
     p.setProperty("codeRows", meta.codeRows.toString)
     p.setProperty("dataFp", meta.dataFp)
+    // kCoarse entries, list:count ascending — small by the same contract
+    // that makes the coarse table broadcastable
+    p.setProperty("listCounts", meta.listCounts.toSeq.sorted
+      .map { case (l, c) => s"$l:$c" }.mkString(","))
     val dir = java.nio.file.Paths.get(path)
     val tmp = java.nio.file.Files.createTempFile(dir, "." + IvfPqMetaFile, ".tmp")
     val out = java.nio.file.Files.newOutputStream(tmp)
@@ -597,22 +619,35 @@ object ProductQuantizer {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
+    // format check first, BOTH directions (r18 advisory) — a v2 index
+    // (pre-listCounts) gets the named rebuild hint, a v4+ one the
+    // upgrade-the-engine hint
+    IndexWitness.requireFormat(s"$path/$IvfPqMetaFile", p, IvfPqMetaFormatVersion,
+      "rebuild with saveIvfPqIndex")
     def prop(k: String): String = {
       val v = p.getProperty(k)
       require(v != null, s"$path/$IvfPqMetaFile is missing '$k' — corrupt; rebuild")
       v
     }
+    val listCounts = prop("listCounts").split(',').filter(_.nonEmpty).map { e =>
+      val Array(l, c) = e.split(':')
+      l.toInt -> c.toLong
+    }.toMap
     IvfPqIndexMeta(prop("d").toInt, prop("m").toInt, prop("kCoarse").toInt,
       prop("coarseIterations").toInt, prop("kPq").toInt,
       prop("pqIterations").toInt, prop("unitScale").toLong,
-      prop("codeRows").toLong, prop("dataFp"))
+      prop("codeRows").toLong, prop("dataFp"), listCounts)
   }
 
+  /** See [[checkWitness]] for the crash-window adjudication (this error
+    * fires only post-commit, where a re-run cannot recover). */
   private def checkIvfPqWitness(path: String, meta: IvfPqIndexMeta,
                                 who: String): Unit =
     IndexWitness.check(path, meta.dataFp,
-      s"$who found a stale index from an interrupted build or append",
-      "rebuild with saveIvfPqIndex (or re-run the interrupted appendToIvfPqIndex)")
+      s"$who found a stale index: data files committed without their meta " +
+        "(an append crashed after its parquet commit, before the meta write)",
+      "re-running the append would refuse this same state — rebuild with " +
+        "saveIvfPqIndex to re-bless the index")
 
   /** Fit + persist the IVF-PQ model: `coarse/` (kCoarse·d centroid
     * rows), `centroids/` (the m·kPq·(d/m) residual codebooks), and

@@ -257,6 +257,21 @@ object ExtensionQueries {
     AudioHash.hashAudio(clips).toDF.join(ids, "media_id").select("id", "afp")
   }
 
+  /** The afp SEGMENT fixture as an (id, seg_idx, afp) frame — real
+    * listing -> WAV decode -> per-segment fingerprint, ids from the
+    * fixture file names (the dhashVidFixtureFrames discipline). au03's
+    * input. */
+  private def afpSegFixtureHashes(s: SparkSession): DataFrame = {
+    import graft.multimodal.{AudioHash, MediaFixture, Multimodal}
+    val dir = MediaFixture.ensureAfpSeg()
+    val clips = Multimodal.readMedia(s, dir, "audio/wav", Some("*.wav"))
+    val ids = clips.toDF.select(col("media_id"),
+      regexp_extract(element_at(col("meta"), lit("path")), "afps_(\\d+)\\.wav", 1)
+        .cast("int").as("id"))
+    AudioHash.segmentHashes(clips, MediaFixture.AfpSegFrames).toDF
+      .join(ids, "media_id").select("id", "seg_idx", "afp")
+  }
+
   /** The dHash video fixture as an (id, frame_idx, dhash) frame — real
     * listing -> GIF frame decode -> per-frame hash, ids from the
     * fixture file names. Shared by mm05/mm06/st17. */
@@ -2327,6 +2342,36 @@ object ExtensionQueries {
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
           .orderBy("idx_a", "idx_b")
       }),
+
+    GraftQuery(
+      // OFFSET-TOLERANT audio near-dup (au03, AudioHash
+      // .nearDupPairsOffset — r18 directive #1): au01's clip-GLOBAL
+      // fingerprint misses a copy with a trimmed intro (every window
+      // boundary shifts — the failure mode mm05 had for video, closed
+      // by mm06), so this tier cuts the PCM into fixed-length SEGMENTS
+      // (afpSegments64 — the FrameHash discipline over audio, memory
+      // O(segFrames)) and runs mm06's bounded alignment sweep over
+      // segment positions VERBATIM (position-source-agnostic — one
+      // sweep for video frames and audio segments). The fixture clips
+      // are concatenations of the pinned afp square waves, so every
+      // segment hash is a closed form: the gain-scaled copy pairs at
+      // shift 0 (3/3), the intro-trimmed copy pairs at shift +1 (2
+      // matches, which the ALIGNED form misses — asserted in
+      // AudioHashSpec), the shuffled remix shares no single alignment
+      // and never pairs, and the sub-segment tail on clip 3 is
+      // dropped by the fixed-length cut without disturbing its
+      // segment hashes (derivation in the MediaFixture comment).
+      "au03_audio_fingerprint_offset",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
+        |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (1, 2, 2, 1))
+        |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) =>
+        graft.multimodal.AudioHash.nearDupPairsOffset(afpSegFixtureHashes(s),
+            maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
+            col("n_matched"), col("shift"))
+          .orderBy("idx_a", "idx_b")),
 
     GraftQuery(
       // Streaming audio dedup (st16): au01's fingerprints through the

@@ -136,6 +136,79 @@ class AudioHashSpec extends SparkSpec {
     assert(!got.contains((0, 1, 0)))
   }
 
+  // ---- offset-tolerant segment tier (au03) --------------------------
+
+  // expected segment hashes per clip: each segment is a pinned afp
+  // pattern (derivation in the MediaFixture afp-segment comment)
+  private val patternHash = Map(
+    0 -> 0x8787878787878787L, 2 -> 0x8787878787878787L,
+    3 -> 0x7F7F7F7F7F7F7F7FL, 5 -> 0x7F87878787878787L)
+
+  private lazy val segFixture: Map[Int, Seq[Long]] = {
+    val dir = MediaFixture.ensureAfpSeg()
+    (0 until MediaFixture.AfpSegN).map { i =>
+      val bytes = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, s"afps_$i.wav"))
+      i -> AudioHash.afpSegments64(bytes, MediaFixture.AfpSegFrames).toSeq
+    }.toMap
+  }
+
+  test("segment fingerprints equal the pinned per-pattern closed forms") {
+    (0 until MediaFixture.AfpSegN).foreach { i =>
+      val expected = MediaFixture.afpSegPatterns(i).map(patternHash)
+      assert(segFixture(i) == expected, s"clip $i")
+    }
+    // clip 3's 100-frame sub-segment tail is DROPPED by the fixed cut:
+    // 3 full segments, hashes undisturbed
+    assert(segFixture(3).length == 3)
+  }
+
+  test("gain invariance holds per segment (clip 1 == clip 0 hash-for-hash)") {
+    assert(segFixture(1) == segFixture(0))
+  }
+
+  test("aligned segment matching MISSES the trimmed copy; the sweep catches it") {
+    val segs = segFixture.toSeq.flatMap { case (id, hs) =>
+      hs.zipWithIndex.map { case (h, p) => (id, p, h) }
+    }.toDF("id", "seg_idx", "afp")
+    // aligned form: only the full-length gain copy pairs
+    val aligned = AudioHash.segmentNearDupPairs(segs, maxHamming = 3,
+      minMatchNum = 2, minMatchDen = 3).as[(Int, Int, Long)].collect().toSeq
+    assert(aligned == Seq((0, 1, 3L)))
+    // the ±1 sweep additionally pairs the intro-trimmed copy at shift
+    // +1; the shuffled remix (clip 3) shares no single alignment and
+    // never pairs
+    val swept = AudioHash.nearDupPairsOffset(segs, maxHamming = 3,
+      minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+      .as[(Int, Int, Long, Int)].collect().toSeq
+    assert(swept == Seq((0, 1, 3L, 0), (0, 2, 2L, 1), (1, 2, 2L, 1)))
+  }
+
+  test("segmentHashes runs the distributed per-segment decode end-to-end") {
+    val dir = MediaFixture.ensureAfpSeg()
+    val items = Multimodal.readMedia(spark, dir, "audio/wav", Some("*.wav"))
+    val byPath = items.collect().map(m =>
+      m.meta("path").split('/').last -> m.media_id).toMap
+    val got = AudioHash.segmentHashes(items, MediaFixture.AfpSegFrames)
+      .collect().groupBy(_.media_id)
+      .map { case (mid, rows) => mid -> rows.sortBy(_.seg_idx).map(_.afp).toSeq }
+    (0 until MediaFixture.AfpSegN).foreach { i =>
+      assert(got(byPath(s"afps_$i.wav")) == segFixture(i), s"clip $i")
+    }
+  }
+
+  test("segment tier guards: bad segFrames, too-short clip (DLQ path)") {
+    val dir = MediaFixture.ensureAfp()
+    val bytes = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "afp_0.wav"))
+    // segFrames below the fingerprint minimum / over the overflow bound
+    intercept[IllegalArgumentException](AudioHash.afpSegments64(bytes, 10))
+    // a clip shorter than one segment is too short for this tier
+    val e = intercept[IllegalArgumentException](
+      AudioHash.afpSegments64(bytes, MediaFixture.AfpFrames + 1))
+    assert(e.getMessage.contains("shorter than one"), e.getMessage)
+  }
+
   test("streaming dedup replay converges to the batch answer on any chunking") {
     // st16: the SAME band-bucket state machine as images, over audio
     // fingerprints — gated by the identical pair set

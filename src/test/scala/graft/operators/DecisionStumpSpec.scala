@@ -35,6 +35,19 @@ class DecisionStumpSpec extends SparkSpec {
     assert(e.getMessage.contains("integer"))
   }
 
+  test("splitTable raises loudly on an unbinned (over-wide) domain") {
+    // the r18-verdict guard: an unbinned int64 feature used to funnel
+    // |domain| rows into the unpartitioned cumulative window on
+    // contract alone — now it dies named before the window sorts
+    val wide = (1L to 10L).map(v => (v, v % 2 == 0)).toDF("x", "y")
+    val e = intercept[Exception](
+      DecisionStump.splitTable(wide, "x", "y", maxDomain = 5).collect())
+    assert(e.getMessage.contains("maxDomain"), e.getMessage)
+    // at the cap it still runs (10 distinct values, maxDomain = 10)
+    assert(DecisionStump.splitTable(wide, "x", "y", maxDomain = 10)
+      .collect().length == 9)
+  }
+
   test("splitTable on testdata: left+right always reconcile to totals") {
     val df = tables.lineitem.select(
       floor(col("l_quantity") + 0.5).cast("long").as("qty"),
