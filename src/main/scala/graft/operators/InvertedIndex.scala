@@ -110,12 +110,11 @@ object InvertedIndex {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
-    // format migration first: an index from before the file-listing
-    // witness gets a NAMED upgrade message, not a generic
-    // missing-property error (r17 advisory)
-    require(p.getProperty("dataFp") != null,
-      s"$path predates the file-listing witness (meta format " +
-        s"v$MetaFormatVersion) — index format upgraded; $hint")
+    // format check first, BOTH directions (r18 advisory: the version
+    // was written but never read back, so a newer-format index would be
+    // silently misread): old/absent → NAMED upgrade message; newer →
+    // upgrade-the-engine message
+    IndexWitness.requireFormat(s"$path/$MetaFile", p, MetaFormatVersion, hint)
     def prop(k: String): String = {
       val v = p.getProperty(k)
       require(v != null, s"$path/$MetaFile is missing '$k' — corrupt or " +

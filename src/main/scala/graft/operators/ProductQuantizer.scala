@@ -669,14 +669,30 @@ object ProductQuantizer {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     residCentroids.select(col("sub"), col("cluster"), col("j"), col("c"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    codes
+    // the code frame feeds the write AND the meta stats (total +
+    // per-list counts): persist it and count the persisted frame — the
+    // appendToIvfPqIndex pattern — instead of re-reading the whole
+    // codes/ directory after the write (r18 verdict: one extra full
+    // scan at build time, cosmetic at 1M codes, real at 10B)
+    val withList = codes
       .join(coarseAssign.select(col("id"), col("cluster").as("list_id")), "id")
       .select(col("id"), col("sub"), col("cluster"), col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
-    val n = emb.sparkSession.read.parquet(s"$path/codes").count()
-    writeIvfPqMeta(path, IvfPqIndexMeta(d, m, kCoarse, coarseIterations,
-      kPq, pqIterations, unitScale, n, IndexWitness.fingerprint(path)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      withList.write.mode("overwrite").partitionBy("list_id").parquet(s"$path/codes")
+      val counts = listCountsOf(withList)
+      writeIvfPqMeta(path, IvfPqIndexMeta(d, m, kCoarse, coarseIterations,
+        kPq, pqIterations, unitScale, counts.values.sum,
+        IndexWitness.fingerprint(path), counts))
+    } finally withList.unpersist()
   }
+
+  /** Per-list code-row counts of a (…, list_id) code frame — ≤ kCoarse
+    * rows collected, bounded by the same contract that makes the coarse
+    * centroid table broadcastable. */
+  private def listCountsOf(codes: DataFrame): Map[Int, Long] =
+    codes.groupBy("list_id").agg(count(lit(1)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
 
   /** Append NEW vectors into a persisted IVF-PQ index (the
     * [[appendToPqIndex]] lifecycle): each batch vector is
@@ -686,9 +702,24 @@ object ProductQuantizer {
     * parquet-appended into their list partitions; the witness is
     * re-fingerprinted last. Scale shape: one batch-sized pass against
     * two broadcast centroid tables — the corpus codes are never read,
-    * never re-fit. Contract: `newEmb` vec_ids are new to the index. */
-  def appendToIvfPqIndex(newEmb: DataFrame, path: String): Unit = {
+    * never re-fit. Contract: `newEmb` vec_ids are new to the index.
+    *
+    * LIST-SKEW witness (r18 directive #3): freezing the coarse geometry
+    * on append is the right call for nightly batches (tomorrow's
+    * queries must score today's corpus and the batch under ONE
+    * quantizer), but under corpus drift the frozen lists skew — new
+    * vectors pile into a few lists — and nProbe pruning quietly
+    * degrades toward a full scan of the fat lists. The meta's per-list
+    * counts make that loud: after merging the batch's counts, if
+    * `max(list) / (total / kCoarse)` exceeds `maxListSkew`, the append
+    * REFUSES (before writing anything) and names the remedy — re-fit
+    * the coarse geometry with saveIvfPqIndex over the full corpus.
+    * Empty lists drag the mean down BY DESIGN: lists dying while
+    * others fatten is exactly what drift looks like. */
+  def appendToIvfPqIndex(newEmb: DataFrame, path: String,
+                         maxListSkew: Double = 16.0): Unit = {
     val spark = newEmb.sparkSession
+    require(maxListSkew >= 1.0, s"maxListSkew must be >= 1, got $maxListSkew")
     val meta = readIvfPqMeta(path)
     checkIvfPqWitness(path, meta, "appendToIvfPqIndex")
     val coarse = spark.read.schema(CoarseSchema).parquet(s"$path/coarse")
@@ -730,10 +761,24 @@ object ProductQuantizer {
       .select(col("id"), col("sub"), col("m.cluster").as("cluster"), col("list_id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // skew witness BEFORE the write: a refused append leaves the
+      // index untouched (the caller still holds the batch; the remedy
+      // re-ingests it through the rebuild)
+      val merged = (meta.listCounts.toSeq ++ listCountsOf(codes).toSeq)
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val total = merged.values.sum
+      val mean = total.toDouble / meta.kCoarse
+      val (fatList, fatCount) = merged.maxBy(_._2)
+      require(fatCount <= maxListSkew * mean,
+        f"appendToIvfPqIndex: list $fatList would hold $fatCount code rows, " +
+          f"${fatCount / mean}%.1f× the kCoarse=${meta.kCoarse} mean " +
+          f"($mean%.1f) — over maxListSkew=$maxListSkew. The coarse geometry " +
+          "is frozen on append and the corpus has drifted away from it; " +
+          "nProbe pruning is degrading. Re-fit with saveIvfPqIndex over the " +
+          "full corpus (including this batch), or raise the cap deliberately")
       codes.write.mode("append").partitionBy("list_id").parquet(s"$path/codes")
-      val added = codes.count()
-      writeIvfPqMeta(path, meta.copy(codeRows = meta.codeRows + added,
-        dataFp = IndexWitness.fingerprint(path)))
+      writeIvfPqMeta(path, meta.copy(codeRows = total,
+        dataFp = IndexWitness.fingerprint(path), listCounts = merged))
     } finally codes.unpersist()
   }
 
@@ -762,11 +807,17 @@ object ProductQuantizer {
     * tables (keyed probe × list × sub × cluster, broadcast — P·nProbe·
     * m·kPq rows), and the per-probe top-k is a probe-keyed window. An
     * empty probe frame returns an empty result (a batch of zero
-    * queries is a valid batch).
+    * queries is a valid batch). `maxProbes` is the loud cap on P — the
+    * driver-collect and broadcast axes both scale with it (r18
+    * advisory: an accidentally unfiltered probe frame, e.g. the whole
+    * corpus, used to drive an unbounded collect; every other
+    * driver-side axis here carries a named cap) — counted from the
+    * already-persisted probe projection, no extra pass.
     * @return (probe_id, vec_id, dist_u, rk), rk = 1..topK per probe */
   def ivfPqTopKIndexedBatch(probes: DataFrame, path: String, topK: Int,
-                            nProbe: Int): DataFrame = {
+                            nProbe: Int, maxProbes: Int = 10000): DataFrame = {
     require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(maxProbes >= 1, s"maxProbes must be >= 1, got $maxProbes")
     val spark = probes.sparkSession
     val meta = readIvfPqMeta(path)
     checkIvfPqWitness(path, meta, "ivfPqTopKIndexedBatch")
@@ -787,6 +838,15 @@ object ProductQuantizer {
       .select(col("id").as("__pid"), col("dim"), col("x").as("px"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // P from the persisted projection (d rows per probe) — this count
+      // also materializes the persist the stages below reuse
+      val nProbes = pv.count() / meta.d
+      require(nProbes <= maxProbes,
+        s"ivfPqTopKIndexedBatch: $nProbes probe rows exceed maxProbes=" +
+          s"$maxProbes — the per-probe list ranking collects P·nProbe pairs " +
+          "to the driver and broadcasts P·nProbe·m·kPq ADC rows; an " +
+          "unfiltered probe frame (the whole corpus?) would be unbounded. " +
+          "Batch the probes, or raise the cap deliberately")
       // per-probe nProbe nearest lists, collected: ≤ P·nProbe pairs,
       // and the listing gives the LITERAL union the partition filter
       // prunes on (the one-probe path's discipline, batched)

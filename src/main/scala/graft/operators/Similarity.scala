@@ -249,12 +249,12 @@ object Similarity {
     val p = new java.util.Properties()
     val in = java.nio.file.Files.newInputStream(f)
     try p.load(in) finally in.close()
-    // format migration first: a pre-witness index gets a NAMED upgrade
-    // message, not a generic missing-property error (r17 advisory)
-    require(p.getProperty("dataFp") != null,
-      s"$path predates the file-listing witness (meta format " +
-        s"v$SemMetaFormatVersion) — index format upgraded; rebuild with " +
-        "saveSemanticIndex")
+    // format check first, BOTH directions (r18 advisory: the version
+    // was written but never read back, so a newer-format index would be
+    // silently misread): old/absent → NAMED upgrade message; newer →
+    // upgrade-the-engine message
+    IndexWitness.requireFormat(s"$path/$SemMetaFile", p, SemMetaFormatVersion,
+      "rebuild with saveSemanticIndex")
     def prop(k: String): String = {
       val v = p.getProperty(k)
       require(v != null, s"$path/$SemMetaFile is missing '$k' — corrupt; rebuild")

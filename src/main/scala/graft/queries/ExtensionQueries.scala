@@ -130,7 +130,8 @@ object ExtensionQueries {
     * query reads the two tiny centroid tables plus ONLY the probed
     * list partitions of the code table. */
   private def ivfPqIndexLoaded(s: SparkSession, dir: String): String =
-    corpusFixture(dir, "embeddings", "ivfpqidx") { tmp =>
+    // formatVer b: ivf-pq meta v3 (per-list counts for the skew witness)
+    corpusFixture(dir, "embeddings", "ivfpqidx", formatVer = "b") { tmp =>
       graft.operators.ProductQuantizer.saveIvfPqIndex(
         t(s, dir).embeddings.select("vec_id", "embedding"),
         d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
@@ -144,7 +145,8 @@ object ExtensionQueries {
     * PERSISTED geometry, the corpus never re-fit, the new code rows
     * landing in their list partitions. */
   private def ivfPqIndexIncremental(s: SparkSession, dir: String): String =
-    corpusFixture(dir, "embeddings", "ivfpqidxinc") { tmp =>
+    // formatVer b: ivf-pq meta v3 (per-list counts for the skew witness)
+    corpusFixture(dir, "embeddings", "ivfpqidxinc", formatVer = "b") { tmp =>
       val e = t(s, dir).embeddings.select("vec_id", "embedding")
       graft.operators.ProductQuantizer.saveIvfPqIndex(
         e.filter(col("vec_id") % 10 =!= 0),

@@ -416,6 +416,101 @@ class ProductQuantizerSpec extends SparkSpec {
     assert(e1.getMessage.contains("stale"), e1.getMessage)
   }
 
+  private def loadIvfPqProps(path: String): java.util.Properties = {
+    val p = new java.util.Properties()
+    val in = java.nio.file.Files.newInputStream(
+      java.nio.file.Paths.get(path, "_graft_ivfpq_index.properties"))
+    try p.load(in) finally in.close()
+    p
+  }
+
+  private def storeIvfPqProps(path: String, p: java.util.Properties): Unit = {
+    val out = java.nio.file.Files.newOutputStream(
+      java.nio.file.Paths.get(path, "_graft_ivfpq_index.properties"))
+    try p.store(out, "test rewrite") finally out.close()
+  }
+
+  test("ivf-pq meta: per-list counts recorded at save and merged on append") {
+    val e = tables.embeddings
+    val hist = e.filter(col("vec_id") % 10 =!= 0)
+    val night = e.filter(col("vec_id") % 10 === 0)
+    val path = tmpDir("ivfpqidx-counts")
+    ProductQuantizer.saveIvfPqIndex(hist, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 2, kPq = 4, pqIterations = 1, path = path)
+    def counts(): Map[Int, Long] =
+      loadIvfPqProps(path).getProperty("listCounts").split(',')
+        .filter(_.nonEmpty).map { s =>
+          val Array(l, c) = s.split(':'); l.toInt -> c.toLong }.toMap
+    val atSave = counts()
+    // counts agree with the actual partitioned code table, per list
+    def actual(): Map[Int, Long] = spark.read.parquet(s"$path/codes")
+      .groupBy("list_id").count().as[(Int, Long)].collect().toMap
+    assert(atSave == actual())
+    assert(atSave.values.sum.toString ==
+      loadIvfPqProps(path).getProperty("codeRows"))
+    ProductQuantizer.appendToIvfPqIndex(night, path)
+    assert(counts() == actual(), "append must merge, not replace, the counts")
+  }
+
+  test("appendToIvfPqIndex: list-skew witness refuses a drifted batch, index untouched") {
+    val e = tables.embeddings
+    val hist = e.filter(col("vec_id") % 10 =!= 0)
+    val night = e.filter(col("vec_id") % 10 === 0)
+    val path = tmpDir("ivfpqidx-skew")
+    ProductQuantizer.saveIvfPqIndex(hist, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 2, kPq = 4, pqIterations = 1, path = path)
+    val before = loadIvfPqProps(path).getProperty("codeRows")
+    // with the cap at its floor, any max > mean (lists are never exactly
+    // uniform) trips the witness — the unit-gate stand-in for drift
+    val e1 = intercept[IllegalArgumentException](
+      ProductQuantizer.appendToIvfPqIndex(night, path, maxListSkew = 1.0))
+    assert(e1.getMessage.contains("maxListSkew") &&
+      e1.getMessage.contains("saveIvfPqIndex"), e1.getMessage)
+    // the refusal happened BEFORE any write: meta unchanged, witness
+    // still green, searches still run
+    assert(loadIvfPqProps(path).getProperty("codeRows") == before)
+    assert(ProductQuantizer.ivfPqTopKIndexed(
+      e.filter(col("vec_id") === 1L).select("vec_id", "embedding"),
+      path, topK = 5, nProbe = 2).count() == 5)
+    // and the default cap admits the same (undrifted) batch
+    ProductQuantizer.appendToIvfPqIndex(night, path)
+  }
+
+  test("ivf-pq meta format is enforced BOTH directions (r18 advisory)") {
+    val e = tables.embeddings
+    val path = tmpDir("ivfpqidx-fmt")
+    ProductQuantizer.saveIvfPqIndex(e, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 1, kPq = 4, pqIterations = 1, path = path)
+    val probe = e.filter(col("vec_id") === 0L).select("vec_id", "embedding")
+    // an OLDER format (a pre-listCounts v2 index) → named upgrade hint
+    val p = loadIvfPqProps(path)
+    p.setProperty("formatVersion", "2")
+    storeIvfPqProps(path, p)
+    val eOld = intercept[IllegalArgumentException](
+      ProductQuantizer.ivfPqTopKIndexed(probe, path, topK = 5, nProbe = 2))
+    assert(eOld.getMessage.contains("format upgraded") &&
+      eOld.getMessage.contains("saveIvfPqIndex"), eOld.getMessage)
+    // a NEWER format (written by a future engine) → upgrade-the-engine,
+    // never a silent misread
+    p.setProperty("formatVersion", "99")
+    storeIvfPqProps(path, p)
+    val eNew = intercept[IllegalArgumentException](
+      ProductQuantizer.ivfPqTopKIndexed(probe, path, topK = 5, nProbe = 2))
+    assert(eNew.getMessage.contains("NEWER engine"), eNew.getMessage)
+  }
+
+  test("ivfPqTopKIndexedBatch: maxProbes caps the driver-collect axis loudly") {
+    val e = tables.embeddings
+    val path = tmpDir("ivfpqidx-maxp")
+    ProductQuantizer.saveIvfPqIndex(e, d = 64, m = 4, kCoarse = 4,
+      coarseIterations = 1, kPq = 4, pqIterations = 1, path = path)
+    val eCap = intercept[IllegalArgumentException](
+      ProductQuantizer.ivfPqTopKIndexedBatch(
+        e.filter(col("vec_id").isin(0L, 1L, 2L)).select("vec_id", "embedding"),
+        path, topK = 5, nProbe = 2, maxProbes = 2))
+    assert(eCap.getMessage.contains("maxProbes"), eCap.getMessage)
+  }
+
   test("determinism: codes and top-k invariant under input partitioning") {
     val e = tables.embeddings
     def run(df: org.apache.spark.sql.DataFrame) =
