@@ -205,6 +205,26 @@ object InvertedIndex {
     } finally batch.unpersist()
   }
 
+  /** Compact the small files nightly [[appendToIndex]] runs accrete in
+    * the term-bucket partitions (ix01 — the [[ProductQuantizer
+    * .compactPqIndex]] lifecycle for retrieval): witness first (a stale
+    * index must not be rewritten into "clean" files — rebuild it),
+    * compact every over-fragmented `term_bucket=` leaf, re-bless the
+    * meta. Posting CONTENT and the maintained corpus stats are
+    * untouched — BM25 scores are hash-identical pre/post (spec-gated).
+    * Crash between swap and re-bless = the loud witness-stale state =
+    * rebuild, same window as an interrupted append. */
+  def compactIndex(spark: SparkSession, path: String,
+                   targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[graft.ingest.Compaction.CompactionStats] = {
+    val meta = verifyIndex(spark, path, "nothing to compact")
+    val stats = graft.ingest.Compaction.compactPartitioned(
+      spark, path, targetFileBytes)
+    if (stats.exists(_.compacted))
+      writeMeta(path, meta.copy(dataFp = IndexWitness.fingerprint(path)))
+    stats
+  }
+
   /** Open a [[saveIndex]] directory: the partitioned posting table plus
     * its metadata. Fails LOUDLY on a foreign directory. */
   def loadIndex(spark: SparkSession, path: String): (DataFrame, IndexMeta) = {

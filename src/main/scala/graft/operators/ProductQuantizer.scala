@@ -184,10 +184,11 @@ object ProductQuantizer {
     * append hits this same check — the hint names the one real remedy. */
   private def checkWitness(path: String, meta: PqIndexMeta, who: String): Unit =
     IndexWitness.check(path, meta.dataFp,
-      s"$who found a stale index: data files committed without their meta " +
-        "(an append crashed after its parquet commit, before the meta write)",
-      "re-running the append would refuse this same state — rebuild with " +
-        "savePqIndex to re-bless the index")
+      s"$who found a stale index: data files changed without their meta (an " +
+        "append or compaction crashed after its file commit, before the meta " +
+        "re-bless)",
+      "re-running the append/compaction would refuse this same state — " +
+        "rebuild with savePqIndex to re-bless the index")
 
   /** Fit + persist: `codes/` (N·m rows) and `centroids/`, with an
     * atomic meta carrying the parameters and the file-listing witness.
@@ -255,6 +256,34 @@ object ProductQuantizer {
       writeMeta(path, meta.copy(codeRows = meta.codeRows + added,
         dataFp = IndexWitness.fingerprint(path)))
     } finally codes.unpersist()
+  }
+
+  /** Compact the small files the nightly append lifecycle accretes
+    * (ix01 — r18 directive #2): [[appendToPqIndex]] parquet-appends one
+    * batch-sized file set per night into `codes/`, so after N nights
+    * every search opens N small files and footer overhead creeps into
+    * probe latency. This composes [[graft.ingest.Compaction.compactLeaf]]
+    * with the witness/meta discipline: witness first (a STALE index
+    * must not be compacted — the inconsistency would be rewritten into
+    * "clean" files; rebuild first), rewrite `codes/` into
+    * ~targetFileBytes files, then re-fingerprint and re-bless the meta
+    * atomically. Row CONTENT is untouched — searches are
+    * hash-identical pre/post (spec-gated); only the listing changes,
+    * which is exactly what the witness re-bless is for. A crash
+    * between the file swap and the meta write leaves the loud
+    * witness-stale state every later call reports (rebuild — same
+    * window as an interrupted append). No-op (and no meta touch) when
+    * already compact. */
+  def compactPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024)
+      : graft.ingest.Compaction.CompactionStats = {
+    val meta = readMeta(path)
+    checkWitness(path, meta, "compactPqIndex")
+    val stats = graft.ingest.Compaction.compactLeaf(
+      spark, s"$path/codes", targetFileBytes)
+    if (stats.compacted)
+      writeMeta(path, meta.copy(dataFp = IndexWitness.fingerprint(path)))
+    stats
   }
 
   /** The probe→ADC-lookup-table projection shared by the one-probe and
@@ -644,10 +673,11 @@ object ProductQuantizer {
   private def checkIvfPqWitness(path: String, meta: IvfPqIndexMeta,
                                 who: String): Unit =
     IndexWitness.check(path, meta.dataFp,
-      s"$who found a stale index: data files committed without their meta " +
-        "(an append crashed after its parquet commit, before the meta write)",
-      "re-running the append would refuse this same state — rebuild with " +
-        "saveIvfPqIndex to re-bless the index")
+      s"$who found a stale index: data files changed without their meta (an " +
+        "append or compaction crashed after its file commit, before the meta " +
+        "re-bless)",
+      "re-running the append/compaction would refuse this same state — " +
+        "rebuild with saveIvfPqIndex to re-bless the index")
 
   /** Fit + persist the IVF-PQ model: `coarse/` (kCoarse·d centroid
     * rows), `centroids/` (the m·kPq·(d/m) residual codebooks), and
@@ -780,6 +810,27 @@ object ProductQuantizer {
       writeIvfPqMeta(path, meta.copy(codeRows = total,
         dataFp = IndexWitness.fingerprint(path), listCounts = merged))
     } finally codes.unpersist()
+  }
+
+  /** [[compactPqIndex]] for the list-partitioned IVF-PQ layout: every
+    * nightly [[appendToIvfPqIndex]] drops one file set into EACH list
+    * partition it touches, so per-list file counts grow with append
+    * count and the probe's nProbe-pruned scan pays N footer opens per
+    * probed list. Walks the `codes/` partition tree
+    * ([[graft.ingest.Compaction.compactPartitioned]]), compacting every
+    * over-fragmented `list_id=` leaf, then re-blesses the witness.
+    * Same contract as [[compactPqIndex]]: witness-checked first,
+    * content-identical, crash window = witness-stale = rebuild. */
+  def compactIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[graft.ingest.Compaction.CompactionStats] = {
+    val meta = readIvfPqMeta(path)
+    checkIvfPqWitness(path, meta, "compactIvfPqIndex")
+    val stats = graft.ingest.Compaction.compactPartitioned(
+      spark, s"$path/codes", targetFileBytes)
+    if (stats.exists(_.compacted))
+      writeIvfPqMeta(path, meta.copy(dataFp = IndexWitness.fingerprint(path)))
+    stats
   }
 
   /** IVF-PQ search against a PERSISTED index — [[ivfPqTopK]] with the

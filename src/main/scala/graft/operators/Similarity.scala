@@ -331,6 +331,27 @@ object Similarity {
       dataFp = IndexWitness.fingerprint(path)))
   }
 
+  /** Compact the small files nightly [[appendToSemanticIndex]] runs
+    * accrete in the cluster partitions (ix01 — the
+    * [[ProductQuantizer.compactPqIndex]] lifecycle): witness first,
+    * compact every over-fragmented `cluster=` leaf of `corpus/`,
+    * re-bless the meta. Corpus CONTENT and the maintained row count are
+    * untouched — incremental dedup answers are hash-identical pre/post
+    * (spec-gated). Crash between swap and re-bless = the loud
+    * witness-stale state = rebuild. */
+  def compactSemanticIndex(spark: org.apache.spark.sql.SparkSession,
+                           path: String,
+                           targetFileBytes: Long = 128L * 1024 * 1024)
+      : Seq[graft.ingest.Compaction.CompactionStats] = {
+    val meta = readSemMeta(path)
+    checkSemWitness(path, meta, "compactSemanticIndex")
+    val stats = graft.ingest.Compaction.compactPartitioned(
+      spark, s"$path/corpus", targetFileBytes)
+    if (stats.exists(_.compacted))
+      writeSemMeta(path, meta.copy(dataFp = IndexWitness.fingerprint(path)))
+    stats
+  }
+
   /** Open a persisted semantic index for composition OUTSIDE the batch
     * dedup path (the st14 streaming replay): meta + centroid and corpus
     * frames, witness-checked loudly up front. */

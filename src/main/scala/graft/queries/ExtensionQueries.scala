@@ -124,6 +124,28 @@ object ExtensionQueries {
         e.filter(col("vec_id") % 10 === 0), tmp.toString)
     }
 
+  /** pq05's incremental index built in THREE nightly appends and then
+    * COMPACTED (ix01 — the maintenance lifecycle): content identical to
+    * [[pqIndexIncremental]] — per-row encoding against the persisted
+    * codebooks is batch-split-invariant, so pq05's oracle gates it
+    * VERBATIM — but the file layout is the maintained one. Generation
+    * asserts the compaction actually collapsed files, so the entry
+    * can never silently degrade into re-testing the fragmented path. */
+  private def pqIndexCompacted(s: SparkSession, dir: String): String =
+    corpusFixture(dir, "embeddings", "pqidxcompact") { tmp =>
+      val e = t(s, dir).embeddings.select("vec_id", "embedding")
+      graft.operators.ProductQuantizer.savePqIndex(
+        e.filter(col("vec_id") % 10 =!= 0),
+        d = 64, m = 4, k = 4, iterations = 2, path = tmp.toString)
+      Seq(0, 10, 20).foreach { n =>
+        graft.operators.ProductQuantizer.appendToPqIndex(
+          e.filter(col("vec_id") % 30 === n), tmp.toString)
+      }
+      val stats = graft.operators.ProductQuantizer.compactPqIndex(s, tmp.toString)
+      require(stats.compacted && stats.filesAfter < stats.filesBefore,
+        s"ix01 fixture expected a real compaction, got $stats")
+    }
+
   /** Persisted IVF-PQ index over the full embedding corpus for pq06,
     * via the shared [[corpusFixture]] discipline — the fit (coarse
     * k-means + residual codebooks) is amortized into the fixture; the
@@ -163,6 +185,49 @@ object ExtensionQueries {
     * residuals against the after-one-update centroids, residual
     * codebooks (1 iteration), 2-of-4 list probing, per-list ADC
     * tables, candidate sums, probe id 0 excluded. */
+  /** pq05's full append-lifecycle recomputation (historical Lloyd,
+    * batch argmin against the persisted centroids, ADC over the code
+    * UNION), shared VERBATIM with ix01 (the IvfPqOracle discipline):
+    * compaction is pure layout maintenance, so the compacted index
+    * must hash-match the exact same SQL text as the fragmented one. */
+  private val PqAppendOracle =
+    """WITH v AS (SELECT vec_id AS id,
+        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 <> 0),
+        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+        |c0 AS (SELECT v.sub, init.cl, v.j, v.x AS c FROM v JOIN init USING (id)),
+        |a1 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c0 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+        |c1u AS (SELECT s1.sub, s1.cl, v.j, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+        |  FROM v JOIN s1 ON s1.id = v.id AND s1.sub = v.sub GROUP BY 1, 2, 3),
+        |c1 AS (SELECT c0.sub, c0.cl, c0.j, COALESCE(c1u.c, c0.c) AS c
+        |  FROM c0 LEFT JOIN c1u ON c1u.sub = c0.sub AND c1u.cl = c0.cl AND c1u.j = c0.j),
+        |a2 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+        |  FROM v JOIN c1 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
+        |s2 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+        |vb AS (SELECT vec_id AS id,
+        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
+        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 = 0),
+        |ab AS (SELECT vb.id, vb.sub, c.cl, CAST(SUM((vb.x - c.c) * (vb.x - c.c)) AS BIGINT) AS dist
+        |  FROM vb JOIN c1 c ON c.sub = vb.sub AND c.j = vb.j GROUP BY 1, 2, 3),
+        |sb AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ab) WHERE rn = 1),
+        |codes AS (SELECT * FROM s2 UNION ALL SELECT * FROM sb),
+        |pt AS (SELECT c1.sub, c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS pdist
+        |  FROM c1 JOIN (SELECT sub, j, x FROM vb WHERE id = 0) p
+        |    ON p.sub = c1.sub AND p.j = c1.j
+        |  GROUP BY 1, 2),
+        |adc AS (SELECT codes.id AS vec_id, CAST(SUM(pt.pdist) AS BIGINT) AS dist_u
+        |  FROM codes JOIN pt ON pt.sub = codes.sub AND pt.cl = codes.cl
+        |  WHERE codes.id <> 0 GROUP BY 1)
+        |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin
+
   private val IvfPqOracle =
     """WITH v AS (SELECT vec_id AS id, i,
       |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
@@ -3839,46 +3904,35 @@ object ExtensionQueries {
       // ADC over the UNION of code sets, probe id 0 (itself an
       // appended vector) excluded.
       "pq05_pq_append",
-      Some("""WITH v AS (SELECT vec_id AS id,
-        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
-        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
-        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 <> 0),
-        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
-        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
-        |c0 AS (SELECT v.sub, init.cl, v.j, v.x AS c FROM v JOIN init USING (id)),
-        |a1 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c0 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
-        |s1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
-        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
-        |c1u AS (SELECT s1.sub, s1.cl, v.j, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
-        |  FROM v JOIN s1 ON s1.id = v.id AND s1.sub = v.sub GROUP BY 1, 2, 3),
-        |c1 AS (SELECT c0.sub, c0.cl, c0.j, COALESCE(c1u.c, c0.c) AS c
-        |  FROM c0 LEFT JOIN c1u ON c1u.sub = c0.sub AND c1u.cl = c0.cl AND c1u.j = c0.j),
-        |a2 AS (SELECT v.id, v.sub, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c1 c ON c.sub = v.sub AND c.j = v.j GROUP BY 1, 2, 3),
-        |s2 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
-        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
-        |vb AS (SELECT vec_id AS id,
-        |    CAST((i - 1) // 16 AS INTEGER) AS sub, CAST((i - 1) % 16 AS INTEGER) AS j,
-        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
-        |  FROM embeddings, unnest(range(1, 65)) AS r(i) WHERE vec_id % 10 = 0),
-        |ab AS (SELECT vb.id, vb.sub, c.cl, CAST(SUM((vb.x - c.c) * (vb.x - c.c)) AS BIGINT) AS dist
-        |  FROM vb JOIN c1 c ON c.sub = vb.sub AND c.j = vb.j GROUP BY 1, 2, 3),
-        |sb AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
-        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ab) WHERE rn = 1),
-        |codes AS (SELECT * FROM s2 UNION ALL SELECT * FROM sb),
-        |pt AS (SELECT c1.sub, c1.cl, CAST(SUM((p.x - c1.c) * (p.x - c1.c)) AS BIGINT) AS pdist
-        |  FROM c1 JOIN (SELECT sub, j, x FROM vb WHERE id = 0) p
-        |    ON p.sub = c1.sub AND p.j = c1.j
-        |  GROUP BY 1, 2),
-        |adc AS (SELECT codes.id AS vec_id, CAST(SUM(pt.pdist) AS BIGINT) AS dist_u
-        |  FROM codes JOIN pt ON pt.sub = codes.sub AND pt.cl = codes.cl
-        |  WHERE codes.id <> 0 GROUP BY 1)
-        |SELECT vec_id, dist_u FROM adc ORDER BY dist_u, vec_id LIMIT 10""".stripMargin),
+      Some(PqAppendOracle),
       (s, d) => graft.operators.ProductQuantizer.adcTopKIndexed(
           t(s, d).embeddings.filter(col("vec_id") === 0L)
             .select("vec_id", "embedding"),
           pqIndexIncremental(s, d), topK = 10)),
+
+    GraftQuery(
+      // Persisted-index COMPACTION under the witness (ix01,
+      // ProductQuantizer.compactPqIndex — r18 directive #2): every
+      // nightly append parquet-appends a batch-sized file set, so
+      // after N nights probe latency pays N footer opens; the
+      // maintenance pass rewrites the code table into ~target-sized
+      // files, then re-fingerprints and re-blesses the meta atomically
+      // — a stale index REFUSES compaction (never rewritten into
+      // "clean" files), and an interrupted compaction leaves the loud
+      // witness-stale state. Compaction is pure LAYOUT maintenance:
+      // this entry searches an index built with three nightly appends
+      // and then compacted (fixture asserts files actually collapsed),
+      // gated by pq05's oracle text VERBATIM — hash-identical answers
+      // from the maintained layout. The per-family sweep (IVF-PQ lists,
+      // inverted-index term buckets, semantic clusters) is gated in
+      // IndexCompactionSpec; band indexes are save-once bucketed
+      // tables with no append lifecycle — nothing to compact there.
+      "ix01_index_compaction",
+      Some(PqAppendOracle),
+      (s, d) => graft.operators.ProductQuantizer.adcTopKIndexed(
+          t(s, d).embeddings.filter(col("vec_id") === 0L)
+            .select("vec_id", "embedding"),
+          pqIndexCompacted(s, d), topK = 10)),
 
     GraftQuery(
       // 2-D skyline / Pareto frontier (operators/Skyline): parts that
