@@ -50,6 +50,33 @@ object TextAnalysis {
         round4(col("stop0")).as("stop_ratio"),
         round4(least(lit(1.0), col("n_tokens") / lit(100.0)) * (lit(1.0) - col("stop0"))).as("quality"))
 
+  /** Per-ROW twin of the [[languageId]] + [[qualityScore]] gate
+    * arithmetic (st18): the batch forms aggregate an exploded token
+    * stream, but a document's gates are pure functions of its OWN text,
+    * so on a stream they run as stateless column arithmetic — a pure
+    * projection, the bandRows discipline applied to text gates — ahead
+    * of any keyed state. Same integer token counts (size/filter over
+    * the shared [[graft.functions.tokens]] split), same IEEE divisions
+    * in the same order, so the values are bit-identical to the batch
+    * aggregates (tp09's oracle gates the composition through st18).
+    * Returns struct(n_tokens LONG, pred_lang STRING, quality DOUBLE).
+    */
+  def rowGates(text: Column): Column = {
+    val tk = tokens(text)
+    val n = size(tk)
+    val rThe = size(filter(tk, w => w === "the")).cast("double") / n.cast("double")
+    val rA = size(filter(tk, w => w === "a")).cast("double") / n.cast("double")
+    val stop0 = size(filter(tk, w => w === "the" || w === "a")).cast("double") /
+      n.cast("double")
+    struct(
+      n.cast("long").as("n_tokens"),
+      when(rThe >= 0.05, "en").when(rA >= 0.05, "es")
+        .when(rThe >= 0.02, "de").when(rA >= 0.02, "fr")
+        .otherwise("zh").as("pred_lang"),
+      round4(least(lit(1.0), n.cast("double") / lit(100.0)) * (lit(1.0) - stop0))
+        .as("quality"))
+  }
+
   /** Top-k terms per document by TF-IDF.
     *
     * Plan shape: one token explode → (doc, term) count → term

@@ -441,6 +441,22 @@ object ExtensionQueries {
       .select("id", "afp", "rms")
   }
 
+  /** tp09's full three-modality survivor oracle — tp01's curation CTE
+    * plus the closed-form image/audio survivor VALUES — shared VERBATIM
+    * with its streaming twin st18 (the DhashPairsOracle discipline). */
+  private val CrossModalFullOracle = CurateCte +
+    """
+    |SELECT modality, item_id FROM (
+    |  SELECT 'text' AS modality, CAST(doc_id AS BIGINT) AS item_id FROM c
+    |  WHERE pred_lang IN ('en','de','fr') AND quality >= 0.5 AND n_tokens >= 20
+    |  UNION ALL
+    |  SELECT 'image' AS modality, CAST(x AS BIGINT) AS item_id
+    |  FROM (VALUES (0), (3), (5)) v(x)
+    |  UNION ALL
+    |  SELECT 'audio' AS modality, CAST(y AS BIGINT) AS item_id
+    |  FROM (VALUES (0), (3)) w(y)) u
+    |ORDER BY modality, item_id""".stripMargin
+
   /** mm03's closed-form pair oracle, shared VERBATIM with its
     * streaming twin st15 (the Sd02Oracle discipline — one SQL text, so
     * a fixture change cannot silently desynchronize the gates). */
@@ -1260,24 +1276,36 @@ object ExtensionQueries {
       // modality keeps its own band geometry (image 4 bands / hamming
       // 3; audio 8 bands / hamming 5).
       "tp09_crossmodal_curation_full",
-      Some(CurateCte +
-        """
-        |SELECT modality, item_id FROM (
-        |  SELECT 'text' AS modality, CAST(doc_id AS BIGINT) AS item_id FROM c
-        |  WHERE pred_lang IN ('en','de','fr') AND quality >= 0.5 AND n_tokens >= 20
-        |  UNION ALL
-        |  SELECT 'image' AS modality, CAST(x AS BIGINT) AS item_id
-        |  FROM (VALUES (0), (3), (5)) v(x)
-        |  UNION ALL
-        |  SELECT 'audio' AS modality, CAST(y AS BIGINT) AS item_id
-        |  FROM (VALUES (0), (3)) w(y)) u
-        |ORDER BY modality, item_id""".stripMargin),
+      Some(CrossModalFullOracle),
       (s, d) => graft.multimodal.CrossModal.curate(
           t(s, d).documents, crossModalImages(s), crossModalAudio(s),
           langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L,
           minPixels = 256, minRms = 0.01,
           imageMaxHamming = 3, audioMaxHamming = 5,
           imageNBands = 4, audioNBands = 8, maxBandBucket = 1000000)),
+
+    GraftQuery(
+      // STREAMING cross-modal curation (st18, StreamReplay
+      // .crossModalCurateReplay — r18 directive #7): tp09 ON INGEST.
+      // Three modality streams run inside ONE streaming query behind a
+      // unified survivor stream — text through per-row gate
+      // projections (TextAnalysis.rowGates, bit-identical to the batch
+      // aggregates) then first-occurrence exact-dedup state; images
+      // and audio through their gates and st15/st16's band-bucket
+      // state machine at their own band geometries — all Append-mode,
+      // one checkpoint, one sink. Pair events roll up at the
+      // collection boundary into the first-occurrence drop rule (the
+      // nightly roll-up, the videoDedupReplay discipline).
+      // Chunking-invariant, so tp09's oracle gates st18 VERBATIM.
+      "st18_stream_crossmodal_curation",
+      Some(CrossModalFullOracle),
+      (s, d) => graft.streaming.StreamReplay.crossModalCurateReplay(
+          s, t(s, d).documents, crossModalImages(s), crossModalAudio(s),
+          langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L,
+          minPixels = 256, minRms = 0.01,
+          imageMaxHamming = 3, audioMaxHamming = 5,
+          imageNBands = 4, audioNBands = 8, nChunks = 3)
+        .orderBy("modality", "item_id")),
 
     GraftQuery(
       // Deterministic hash sampling (the reproducible corpus-downsampling

@@ -65,6 +65,33 @@ object StatefulOps {
       }
   }
 
+  /** First-occurrence admission per key — exact dedup ON INGEST, the
+    * A4 transformer-drop convention as keyed state (st18's text
+    * branch): the first batch that touches a key emits ONE row —
+    * `pick`-reduced over that batch's rows for the key, so the
+    * within-batch winner is deterministic whatever the iterator order —
+    * and every later row of the key is dropped. Across batches this is
+    * first-ARRIVAL semantics (Append mode cannot retract); feeding
+    * key-ordered batches makes it equal the batch MIN-per-key rule,
+    * which is the replay harness's convention (and on real ingest,
+    * "first crawl wins" IS the production dedup contract). State is one
+    * boolean per key — memory scales with key cardinality, never
+    * stream length. */
+  def firstByKeyStream[K: Encoder, T: Encoder](events: Dataset[T])(
+      key: T => K, pick: (T, T) => T): Dataset[T] = {
+    implicit val stEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    events.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, T](OutputMode.Append(),
+        GroupStateTimeout.NoTimeout) {
+        (_: K, it: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(it.reduce(pick))
+          }
+      }
+  }
+
   /** Deterministic bounded admission — the determinism-first variant of
     * [[rateLimit]] (VERDICT r9 #8): per key, the k SMALLEST ids win
     * across the whole stream, whatever order they arrive in. Append

@@ -1203,6 +1203,146 @@ object StreamReplay {
     * (information only accumulates), and return the final stage per
     * user. One harness for [[funnelReplay]] and [[funnelTtlReplay]] so
     * the protocol cannot drift. */
+  /** Streaming CROSS-MODAL curation (st18 — r18 directive #7): tp09's
+    * three-modality pipeline ON INGEST — documents, hashed images, and
+    * fingerprinted audio arrive as three streams and run through their
+    * OWN streaming machinery inside ONE streaming query, behind one
+    * unified survivor stream:
+    *
+    *   text:  per-row gate projections
+    *          ([[graft.operators.TextAnalysis.rowGates]] — pure column
+    *          arithmetic, bit-identical to the batch aggregates) run
+    *          BEFORE the keyed state (the map-side-gates-first scale
+    *          lesson), then first-occurrence exact dedup
+    *          ([[StatefulOps.firstByKeyStream]] keyed by text) emits
+    *          each survivor the moment it arrives;
+    *   image: pixel-floor gate (stateless filter) → the SHARED banding
+    *          projection → st15's band-bucket state machine
+    *          ([[StatefulOps.dhashDedupStream]]) emitting verified
+    *          pairs;
+    *   audio: RMS silence gate → the same state machine at audio's own
+    *          band geometry (st16).
+    *
+    * All three stateful branches are Append-mode, so their UNION is one
+    * legal streaming query (Spark's multiple-stateful-operator
+    * contract) — one checkpoint, one sink, the operational shape an
+    * ingest-time curation user runs. Pair events roll up at the
+    * collection boundary into the first-occurrence survivor rule (a
+    * gated item drops iff it appears as the HIGHER id of a verified
+    * pair) — the nightly roll-up, exactly as videoDedupReplay's
+    * fraction gate. Text emission is first-arrival; id-ordered feeding
+    * makes that the batch MIN rule, and pair emission is
+    * arrival-order-invariant, so tp09's oracle gates the result
+    * VERBATIM on any chunking.
+    * Returns (modality, item_id), ordered. */
+  def crossModalCurateReplay(spark: SparkSession, docs: DataFrame,
+                             images: DataFrame, audio: DataFrame,
+                             langs: Seq[String], minQuality: Double,
+                             minTokens: Long, minPixels: Long, minRms: Double,
+                             imageMaxHamming: Int, audioMaxHamming: Int,
+                             imageNBands: Int, audioNBands: Int,
+                             nChunks: Int = 3): DataFrame = {
+    import graft.multimodal.ImageHash
+    import org.apache.spark.sql.Encoders
+    val docRows = docs.select(col("doc_id").cast("long"), col("text"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .collect().sortBy(_._1)
+    val imgRows = images.select(col("id").cast("long"), col("dhash").cast("long"),
+        col("width").cast("long"), col("height").cast("long"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.scalaLong))
+      .collect().sortBy(_._1)
+    val auRows = audio.select(col("id").cast("long"), col("afp").cast("long"),
+        col("rms").cast("double"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaDouble))
+      .collect().sortBy(_._1)
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    import replay.implicits._
+    val msText = MemoryStream[(Long, String)]
+    val msImg = MemoryStream[(Long, Long, Long, Long)]
+    val msAu = MemoryStream[(Long, Long, Double)]
+
+    val textOut = graft.streaming.StatefulOps.firstByKeyStream(
+        msText.toDF.toDF("doc_id", "text")
+          .withColumn("g", graft.operators.TextAnalysis.rowGates(col("text")))
+          .filter(col("g.pred_lang").isin(langs: _*) &&
+            col("g.quality") >= minQuality && col("g.n_tokens") >= minTokens)
+          .select(col("doc_id").cast("long"), col("text"))
+          .as[(Long, String)])(
+        _._2, (a, b) => if (a._1 <= b._1) a else b)
+      .map { case (id, _) => ("text", id, -1L) }
+    val imgOut = StatefulOps.dhashDedupStream(
+        ImageHash.bandRows(
+          msImg.toDF.toDF("id", "dhash", "width", "height")
+            .filter(col("width") * col("height") >= minPixels)
+            .select("id", "dhash"), imageNBands)
+          .select(col("band").cast("int"), col("bv").cast("long"),
+            col("id").cast("long"), col("dhash").cast("long"))
+          .as[(Int, Long, Long, Long)], imageMaxHamming)
+      .map { case (a, b, _) => ("image", a, b) }
+    val auOut = StatefulOps.dhashDedupStream(
+        ImageHash.bandRows(
+          msAu.toDF.toDF("id", "afp", "rms")
+            .filter(col("rms") >= minRms)
+            .select(col("id"), col("afp").as("dhash")), audioNBands)
+          .select(col("band").cast("int"), col("bv").cast("long"),
+            col("id").cast("long"), col("dhash").cast("long"))
+          .as[(Int, Long, Long, Long)], audioMaxHamming)
+      .map { case (a, b, _) => ("audio", a, b) }
+    val unified = textOut.toDF("modality", "a", "b")
+      .unionAll(imgOut.toDF("modality", "a", "b"))
+      .unionAll(auOut.toDF("modality", "a", "b"))
+
+    val name = s"st_xmodalreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = unified.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        val dc = chunked(docRows, nChunks)
+        val ic = chunked(imgRows, nChunks)
+        val ac = chunked(auRows, nChunks)
+        (0 until math.max(dc.length, math.max(ic.length, ac.length))).foreach { i =>
+          if (i < dc.length && dc(i).nonEmpty) msText.addData(dc(i).toSeq)
+          if (i < ic.length && ic(i).nonEmpty) msImg.addData(ic(i).toSeq)
+          if (i < ac.length && ac(i).nonEmpty) msAu.addData(ac(i).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      // nightly roll-up: the first-occurrence survivor rule over the
+      // unified event stream — text events ARE survivors; a gated
+      // image/audio item drops iff it appears as some pair's higher id
+      val events = replay.table(name)
+        .as[(String, Long, Long)].collect()
+      val textSurv = events.collect { case ("text", id, _) => id }.toSet
+      val imgDrop = events.collect { case ("image", _, b) => b }.toSet
+      val auDrop = events.collect { case ("audio", _, b) => b }.toSet
+      val out =
+        (textSurv.toSeq.map(("text", _)) ++
+          imgRows.collect { case (id, _, w, h)
+            if w * h >= minPixels && !imgDrop(id) => ("image", id) } ++
+          auRows.collect { case (id, _, rms)
+            if rms >= minRms && !auDrop(id) => ("audio", id) })
+          .sortBy(p => (p._1, p._2))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("modality",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("item_id",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   private def runFunnelCapture(spark: SparkSession,
                                staged: Dataset[(Long, Int)],
                                batches: Seq[() => Unit]): DataFrame = {

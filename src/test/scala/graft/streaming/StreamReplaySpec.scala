@@ -172,6 +172,56 @@ class StreamReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming cross-modal curation equals batch tp09 on any chunking") {
+    import graft.multimodal.CrossModal
+    val docs = tables.documents.select("doc_id", "text")
+    // synthetic media rows with every branch behavior planted: a
+    // near-dup pair (ids 1,2 at hamming 0), a gated item (id 3 under
+    // the pixel floor / silent), an isolated survivor (id 4)
+    val images = Seq(
+      (1L, 0x1111L, 100L, 100L), (2L, 0x1111L, 64L, 80L),
+      (3L, 0x2222L, 10L, 10L), (4L, -1L, 50L, 50L))
+      .toDF("id", "dhash", "width", "height")
+    val audio = Seq(
+      (1L, 0x5555L, 0.5), (2L, 0x5555L, 0.25),
+      (3L, 0x7777L, 0.0), (4L, 0x0F0FL, 0.5))
+      .toDF("id", "afp", "rms")
+    val batch = CrossModal.curate(docs, images, audio,
+        langs = Seq("en", "de", "fr"), minQuality = 0.5, minTokens = 20L,
+        minPixels = 256, minRms = 0.01,
+        imageMaxHamming = 3, audioMaxHamming = 5,
+        imageNBands = 4, audioNBands = 8, maxBandBucket = 1000000)
+      .as[(String, Long)].collect().toSeq
+    assert(batch.count(_._1 == "image") == 2 && batch.count(_._1 == "audio") == 2,
+      s"planted behaviors must all fire, got $batch")
+    for (n <- Seq(2, 4)) {
+      val streamed = StreamReplay.crossModalCurateReplay(spark, docs, images,
+          audio, langs = Seq("en", "de", "fr"), minQuality = 0.5,
+          minTokens = 20L, minPixels = 256, minRms = 0.01,
+          imageMaxHamming = 3, audioMaxHamming = 5,
+          imageNBands = 4, audioNBands = 8, nChunks = n)
+        .as[(String, Long)].collect().toSeq
+      assert(streamed == batch, s"nChunks=$n: ${streamed.size} != ${batch.size}")
+    }
+  }
+
+  test("firstByKeyStream within-batch winner is pick-reduced, not iterator-ordered") {
+    // two rows of one key in ONE chunk: the emitted row must be the
+    // pick-winner (min id), whatever order the group iterator yields
+    val docs = Seq((7L, "same text here"), (3L, "same text here"),
+      (9L, "other text entirely")).toDF("doc_id", "text")
+    val images = Seq((1L, 0x1L, 100L, 100L)).toDF("id", "dhash", "width", "height")
+    val audio = Seq((1L, 0x1L, 0.5)).toDF("id", "afp", "rms")
+    val got = StreamReplay.crossModalCurateReplay(spark, docs, images, audio,
+        langs = Seq("en", "de", "fr", "es", "zh"), minQuality = 0.0,
+        minTokens = 1L, minPixels = 1, minRms = 0.0,
+        imageMaxHamming = 3, audioMaxHamming = 5,
+        imageNBands = 4, audioNBands = 8, nChunks = 2)
+      .filter(col("modality") === "text")
+      .as[(String, Long)].collect().toSeq
+    assert(got.map(_._2) == Seq(3L, 9L), got.toString)
+  }
+
   test("semanticDropStream drops a retroactive victim: a LATER lower-id near-dup dooms an earlier row") {
     import graft.operators.Similarity
     // corpus far away; batch: id 20 arrives in chunk 1, its lower-id
