@@ -258,6 +258,18 @@ object ProductQuantizer {
     } finally codes.unpersist()
   }
 
+  /** Witness-check a persisted PQ index and return its meta — the
+    * [[InvertedIndex.verifyIndex]] maintenance hook for this family:
+    * run after any suspected interrupted append/compaction before
+    * trusting searches, or to read the maintained stats without
+    * touching the index (no Spark job — the witness is filesystem
+    * metadata). */
+  def verifyPqIndex(path: String): PqIndexMeta = {
+    val meta = readMeta(path)
+    checkWitness(path, meta, "verifyPqIndex")
+    meta
+  }
+
   /** Compact the small files the nightly append lifecycle accretes
     * (ix01 — r18 directive #2): [[appendToPqIndex]] parquet-appends one
     * batch-sized file set per night into `codes/`, so after N nights
@@ -810,6 +822,17 @@ object ProductQuantizer {
       writeIvfPqMeta(path, meta.copy(codeRows = total,
         dataFp = IndexWitness.fingerprint(path), listCounts = merged))
     } finally codes.unpersist()
+  }
+
+  /** [[verifyPqIndex]] for the IVF-PQ family. The returned meta carries
+    * the per-list code counts (v3), so an operator can READ the
+    * list-skew drift signal — `max(listCounts) / (codeRows / kCoarse)`
+    * — on a schedule instead of discovering it when an append refuses;
+    * zero Spark jobs either way. */
+  def verifyIvfPqIndex(path: String): IvfPqIndexMeta = {
+    val meta = readIvfPqMeta(path)
+    checkIvfPqWitness(path, meta, "verifyIvfPqIndex")
+    meta
   }
 
   /** [[compactPqIndex]] for the list-partitioned IVF-PQ layout: every

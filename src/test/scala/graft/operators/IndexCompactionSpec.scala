@@ -46,6 +46,8 @@ class IndexCompactionSpec extends SparkSpec {
       "compaction must not change search results")
     // already compact: no-op, and the witness still admits appends
     assert(!ProductQuantizer.compactPqIndex(spark, path).compacted)
+    // the maintenance hook blesses the compacted layout (zero Spark jobs)
+    assert(ProductQuantizer.verifyPqIndex(path).codeRows > 0)
     ProductQuantizer.appendToPqIndex(
       e.withColumn("vec_id", col("vec_id") + 100000L), path)
   }

@@ -450,6 +450,9 @@ class ProductQuantizerSpec extends SparkSpec {
       loadIvfPqProps(path).getProperty("codeRows"))
     ProductQuantizer.appendToIvfPqIndex(night, path)
     assert(counts() == actual(), "append must merge, not replace, the counts")
+    // the maintenance hook exposes the same counts without a Spark job
+    val meta = ProductQuantizer.verifyIvfPqIndex(path)
+    assert(meta.listCounts == actual() && meta.codeRows == actual().values.sum)
   }
 
   test("appendToIvfPqIndex: list-skew witness refuses a drifted batch, index untouched") {
