@@ -382,6 +382,15 @@ object ExtensionQueries {
       |FROM (VALUES (0, 1, 0), (0, 2, 0), (0, 5, 5), (1, 2, 0), (1, 5, 5), (2, 5, 5))
       |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin
 
+  /** au03's closed-form offset-sweep oracle (derivation in the
+    * MediaFixture afp-segment comment), shared VERBATIM with its
+    * streaming twin st19 (the DhashPairsOracle discipline). */
+  private val AfpOffsetOracle =
+    """SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+      |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
+      |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (1, 2, 2, 1))
+      |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin
+
   /** tp01's curation derivation (exact dedup -> stopword language ID ->
     * composite quality -> gates), shared VERBATIM with the cross-modal
     * tp08 (one SQL text, the BandCte discipline). Ends at CTE `c` =
@@ -2457,14 +2466,38 @@ object ExtensionQueries {
       // dropped by the fixed-length cut without disturbing its
       // segment hashes (derivation in the MediaFixture comment).
       "au03_audio_fingerprint_offset",
-      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
-        |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
-        |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (1, 2, 2, 1))
-        |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin),
+      Some(AfpOffsetOracle),
       (s, d) =>
         graft.multimodal.AudioHash.nearDupPairsOffset(afpSegFixtureHashes(s),
             maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
+            col("n_matched"), col("shift"))
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // STREAMING offset-tolerant dedup (st19, StreamReplay
+      // .offsetDedupReplay): au03's bounded alignment sweep ON INGEST —
+      // the trim tolerance st17's aligned state machine lacks. Each
+      // arriving segment is registered in its band bucket at its TRUE
+      // position (B role) and at each aligned position pos = idx − s
+      // (A role) — mm06's constant-factor replication folded into the
+      // STATE key, so state stays bounded by per-(shifted)-position
+      // buckets. Verified matches emit in batch orientation (A-id <
+      // B-id, shift = id_a's intro skip) the moment the second member
+      // arrives; the best-single-shift + fraction gate is the roll-up
+      // over distinct events. Chunking-invariant; au03's oracle gates
+      // it VERBATIM. Position sources are interchangeable — the same
+      // operator is the trim-tolerant video ingest form.
+      "st19_stream_audio_offset",
+      Some(AfpOffsetOracle),
+      (s, d) =>
+        graft.streaming.StreamReplay.offsetDedupReplay(
+            s, afpSegFixtureHashes(s)
+              .withColumnRenamed("afp", "dhash"),
+            maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1,
+            nChunks = 3)
+          .select(col("id_a").cast("int").as("idx_a"),
+            col("id_b").cast("int").as("idx_b"),
             col("n_matched"), col("shift"))
           .orderBy("idx_a", "idx_b")),
 

@@ -561,6 +561,72 @@ object StatefulOps {
       }
   }
 
+  /** Streaming OFFSET-TOLERANT segment/frame matching (st19) —
+    * [[videoDhashDedupStream]] with mm06's bounded alignment sweep
+    * folded into the STATE key: each arriving item is registered in
+    * its bucket twice over — once in the B role at its TRUE position,
+    * and (2·maxShift+1)× in the A role at each ALIGNED position
+    * `pos = idx − s` — exactly the batch replication of
+    * [[graft.multimodal.ImageHash.videoNearDupPairsOffset]], so state
+    * stays bounded by per-(shifted)-position buckets at a constant
+    * (2·maxShift+2)× of the aligned form's, never item×item. A
+    * verified match emits the moment its second member arrives, in
+    * batch-identical orientation: only A-role-id < B-role-id pairs
+    * emit (the batch's `id_a < id_b` filter over the replicated side),
+    * so `shift` always means "segments of id_a's intro skipped". The
+    * best-single-shift + match-fraction gate is a finite roll-up over
+    * distinct (id_a, id_b, shift, pos) events, applied by the consumer
+    * ([[StreamReplay.offsetDedupReplay]]) — the nightly roll-up, the
+    * st17 discipline. Arrival-order-invariant like the aligned form.
+    *
+    * Input rows: (pos, band, bv, id, dhash, isA, shift) — the role
+    * replication is a pure projection the caller builds in-stream.
+    * Output: (id_a, id_b, shift, pos) verified match events. */
+  def offsetDhashDedupStream(rows: Dataset[(Int, Int, Long, Long, Long, Boolean, Int)],
+                             maxHamming: Int): Dataset[(Long, Long, Int, Int)] = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    implicit val outEnc: Encoder[(Long, Long, Int, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaInt, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[(Int, Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong)
+    // state per bucket: A-role residents (id, dhash, shift) and B-role
+    // residents (id, dhash)
+    implicit val stEnc: Encoder[(Seq[(Long, Long, Int)], Seq[(Long, Long)])] =
+      Encoders.kryo[(Seq[(Long, Long, Int)], Seq[(Long, Long)])]
+    rows.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState[(Seq[(Long, Long, Int)], Seq[(Long, Long)]),
+        (Long, Long, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (key: (Int, Int, Long), it: Iterator[(Int, Int, Long, Long, Long, Boolean, Int)],
+         state: GroupState[(Seq[(Long, Long, Int)], Seq[(Long, Long)])]) =>
+          val (oldA, oldB) = state.getOption.getOrElse((Seq.empty, Seq.empty))
+          val oldAKeys = oldA.iterator.map(r => (r._1, r._3)).toSet
+          val oldBIds = oldB.iterator.map(_._1).toSet
+          val rowsSeq = it.toSeq
+          val newA = rowsSeq.filter(_._6).map(r => (r._4, r._5, r._7))
+            .distinct.filterNot(r => oldAKeys((r._1, r._3))).sortBy(r => (r._1, r._3))
+          val newB = rowsSeq.filterNot(_._6).map(r => (r._4, r._5))
+            .distinct.filterNot(r => oldBIds(r._1)).sortBy(_._1)
+          if (newA.isEmpty && newB.isEmpty) Iterator.empty
+          else {
+            state.update((oldA ++ newA, oldB ++ newB))
+            val out = Seq.newBuilder[(Long, Long, Int, Int)]
+            // batch orientation: emit only A-id < B-id, once per
+            // (A, B, shift) meeting in this bucket
+            def score(a: (Long, Long, Int), b: (Long, Long)): Unit = {
+              if (a._1 < b._1 &&
+                  java.lang.Long.bitCount(a._2 ^ b._2) <= maxHamming)
+                out += ((a._1, b._1, a._3, key._1))
+            }
+            for (a <- newA; b <- oldB) score(a, b)
+            for (b <- newB; a <- oldA) score(a, b)
+            for (a <- newA; b <- newB) score(a, b)
+            out.result().iterator
+          }
+      }
+  }
+
   def lshCandidateStream(bands: Dataset[(Int, String, Long)]): Dataset[(Long, Long)] = {
     implicit val outEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     implicit val keyEnc: Encoder[(Int, String)] = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)

@@ -1203,6 +1203,115 @@ object StreamReplay {
     * (information only accumulates), and return the final stage per
     * user. One harness for [[funnelReplay]] and [[funnelTtlReplay]] so
     * the protocol cannot drift. */
+  /** Replays an (id, seg_idx, dhash) position-hash batch through
+    * STREAMING offset-tolerant near-dup matching (st19,
+    * [[StatefulOps.offsetDhashDedupStream]]) — au03's bounded
+    * alignment sweep ON INGEST, and equally the trim-tolerant form
+    * st17 lacks for video (position sources are interchangeable). The
+    * role replication (each item registered at its true position in
+    * the B role and at each aligned position in the A role) is a pure
+    * in-stream projection over the SHARED banding rows; verified
+    * match events stream out, and the best-single-shift +
+    * match-fraction gate of
+    * [[graft.multimodal.ImageHash.videoNearDupPairsOffset]] is applied
+    * over the DISTINCT events at the collection boundary in the exact
+    * integer form of the batch operator — so au03's oracle gates the
+    * result VERBATIM on any chunking.
+    * Returns (id_a, id_b, n_matched, shift), ordered. */
+  def offsetDedupReplay(spark: SparkSession, segs: DataFrame,
+                        maxHamming: Int, minMatchNum: Int, minMatchDen: Int,
+                        maxShift: Int, nBands: Int = 4,
+                        nChunks: Int = 3): DataFrame = {
+    import graft.multimodal.ImageHash
+    require(maxShift >= 0, s"maxShift must be >= 0, got $maxShift")
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must divide 64 and be >= 2, got $nBands")
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"maxHamming must be in [0, nBands) for guaranteed recall, " +
+        s"got maxHamming=$maxHamming nBands=$nBands")
+    require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
+      s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
+    val rows = segs.select(col("id").cast("long"),
+        col("seg_idx").cast("int"), col("dhash").cast("long"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sortBy(r => (r._1, r._2))
+    val chunks = chunked(rows, nChunks)
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    import replay.implicits._
+    val ms = MemoryStream[(Long, Int, Long)]
+    // shared banding projection (seg_idx rides the col("*") carry),
+    // then the role replication: B at the true position, A at each
+    // aligned position pos = seg_idx − s (a pure projection — the
+    // batch operator's constant-factor replication, in-stream)
+    val roles = ImageHash.bandRows(
+        ms.toDF.toDF("id", "seg_idx", "dhash"), nBands)
+      .select(col("id"), col("seg_idx"), col("dhash"), col("band"), col("bv"),
+        explode(concat(
+          array(struct(lit(false).as("isA"), lit(0).as("shift"))),
+          transform(sequence(lit(-maxShift), lit(maxShift)),
+            s => struct(lit(true).as("isA"), s.cast("int").as("shift")))))
+          .as("role"))
+      .select(
+        when(col("role.isA"), col("seg_idx") - col("role.shift"))
+          .otherwise(col("seg_idx")).cast("int").as("pos"),
+        col("band").cast("int"), col("bv").cast("long"),
+        col("id").cast("long"), col("dhash").cast("long"),
+        col("role.isA").as("isA"), col("role.shift").cast("int").as("shift"))
+      .as[(Int, Int, Long, Long, Long, Boolean, Int)]
+    val stream = StatefulOps.offsetDhashDedupStream(roles, maxHamming)
+      .toDF("id_a", "id_b", "shift", "pos")
+
+    val name = s"st_offreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = stream.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        chunks.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch.toSeq); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      // the nightly roll-up: distinct matched-(position, shift) events →
+      // per-shift counts → best single shift (ties → smaller shift) →
+      // the exact integer fraction gate over the LONGER clip
+      val events = replay.table(name)
+        .as[(Long, Long, Int, Int)].collect().toSet
+      val nSegs = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val counts = events.groupBy(e => (e._1, e._2, e._3)).view
+        .mapValues(_.size.toLong)
+      val best = counts.keys.groupBy(k => (k._1, k._2)).map { case (pair, ks) =>
+        val (n, shift) = ks.map(k => (counts((pair._1, pair._2, k._3)), k._3))
+          .maxBy { case (n, s) => (n, -s) }
+        (pair._1, pair._2, n, shift)
+      }
+      val out = best.filter { case (a, b, n, _) =>
+        n * minMatchDen >= math.max(nSegs(a), nSegs(b)) * minMatchNum
+      }.toSeq.sortBy(p => (p._1, p._2))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_matched",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("shift",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Streaming CROSS-MODAL curation (st18 — r18 directive #7): tp09's
     * three-modality pipeline ON INGEST — documents, hashed images, and
     * fingerprinted audio arrive as three streams and run through their

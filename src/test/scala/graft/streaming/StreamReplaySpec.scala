@@ -205,6 +205,35 @@ class StreamReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming offset-tolerant dedup equals the batch sweep on any chunking") {
+    import graft.multimodal.ImageHash
+    // three mutually-far segment hashes (8 bits apart pairwise) + a
+    // 1-bit re-encode; clips plant every sweep behavior: 1 = trimmed
+    // intro (pairs at +1), 2 = shuffle (never pairs), 3 = aligned
+    // re-encode of 0 (pairs at 0) which is also clip 1 minus ITS intro
+    // seen from the other side (pairs at −1 — negative-shift coverage)
+    val (h0, h1, h2) = (0x1111L, 0x2222L, 0x4444L)
+    val segs = Seq(
+      (0L, 0, h0), (0L, 1, h1), (0L, 2, h2),
+      (1L, 0, h1), (1L, 1, h2),
+      (2L, 0, h1), (2L, 1, h0), (2L, 2, h2),
+      (3L, 0, h0 ^ 1L), (3L, 1, h1 ^ 1L), (3L, 2, h2 ^ 1L))
+      .toDF("id", "seg_idx", "dhash")
+    val batch = ImageHash.videoNearDupPairsOffset(
+        segs.withColumnRenamed("seg_idx", "frame_idx"),
+        maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(batch == Seq((0L, 1L, 2L, 1), (0L, 3L, 3L, 0), (1L, 3L, 2L, -1)),
+      s"fixture relations drifted: $batch")
+    for (n <- Seq(2, 4)) {
+      val streamed = StreamReplay.offsetDedupReplay(spark, segs,
+          maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1,
+          nChunks = n)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(streamed == batch, s"nChunks=$n: $streamed != $batch")
+    }
+  }
+
   test("firstByKeyStream within-batch winner is pick-reduced, not iterator-ordered") {
     // two rows of one key in ONE chunk: the emitted row must be the
     // pick-winner (min id), whatever order the group iterator yields
