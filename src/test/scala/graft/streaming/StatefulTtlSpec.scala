@@ -298,6 +298,73 @@ class StatefulTtlSpec extends SparkSpec {
 
   // ----------------------------------------------------------- zscore
 
+  test("firstByKeyStreamTtl equals firstByKeyStream inside the horizon") {
+    val rows = Seq((7L, "a"), (3L, "a"), (9L, "b"), (5L, "a"), (2L, "c"), (4L, "b"))
+    // untimed reference, same chunking
+    implicit val ctx = spark.sqlContext
+    val msRef = MemoryStream[(Long, String)]
+    val nameRef = s"ttl_fk_ref_${System.nanoTime()}"
+    val qRef = StatefulOps.firstByKeyStream(msRef.toDS())(
+        _._2, (a, b) => if (a._1 <= b._1) a else b)
+      .toDF("id", "k").writeStream.outputMode("append")
+      .format("memory").queryName(nameRef).start()
+    try {
+      rows.grouped(2).foreach { b => msRef.addData(b); qRef.processAllAvailable() }
+    } finally qRef.stop()
+    val want = spark.table(nameRef).as[(Long, String)].collect().toSet
+    assert(want == Set((3L, "a"), (9L, "b"), (2L, "c")),
+      s"untimed reference moved: $want")
+    for ((label, prov) <- providers) withProvider(prov) {
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      val name = s"ttl_fk_in_${label}_${System.nanoTime()}"
+      val q = StatefulOps.firstByKeyStreamTtl(ms.toDS(),
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("id", "k").writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        rows.grouped(2).foreach { b =>
+          ms.addData(b.map { case (id, k) => (id, k, new Timestamp(id)) })
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(name).as[(Long, String)].collect().toSet
+      assert(got == want, s"provider=$label: $got != $want")
+    }
+  }
+
+  test("firstByKeyStreamTtl re-admits a key after the horizon (seen-bit evicted)") {
+    val hour = 3600L * 1000
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Long, String, Timestamp)]
+      val name = s"ttl_fk_ev_${label}_${System.nanoTime()}"
+      val q = StatefulOps.firstByKeyStreamTtl(ms.toDS(),
+          delayThreshold = "1 second", horizonMs = 60L * 1000)
+        .toDF("id", "k").writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        ms.addData(Seq((1L, "x", new Timestamp(10000)))) // admitted
+        q.processAllAvailable()
+        ms.addData(Seq((2L, "wm", new Timestamp(3 * hour)))) // watermark advance
+        q.processAllAvailable()
+        ms.addData(Seq((3L, "gc", new Timestamp(3 * hour)))) // x times out (no data)
+        q.processAllAvailable()
+        // x re-arrives past the horizon: the seen-bit is gone, so the
+        // activity-window contract re-admits it
+        ms.addData(Seq((4L, "x", new Timestamp(3 * hour + 1000))))
+        q.processAllAvailable()
+        // inside-horizon duplicate is still dropped
+        ms.addData(Seq((5L, "x", new Timestamp(3 * hour + 2000))))
+        q.processAllAvailable()
+      } finally q.stop()
+      val xs = spark.table(name)
+        .filter(org.apache.spark.sql.functions.col("k") === "x")
+        .as[(Long, String)].collect().toSeq.sorted
+      assert(xs == Seq((1L, "x"), (4L, "x")),
+        s"provider=$label: expected re-admission exactly once, got $xs")
+    }
+  }
+
   test("rollingZscoreStreamTtl matches the batch hand case across split batches") {
     for ((label, prov) <- providers) withProvider(prov) {
       implicit val ctx = spark.sqlContext
