@@ -345,6 +345,31 @@ object AudioHash {
         .withColumnRenamed("seg_idx", "frame_idx"),
       maxHamming, minMatchNum, minMatchDen, nBands, maxBandBucket)
 
+  /** Persisted SEGMENT band index (au04 — the [[saveAfpIndex]]
+    * lifecycle for the offset-tolerant tier): a nightly crawl should
+    * not re-decode and re-segment history to get trim tolerance. Input
+    * carries (id, seg_idx, afp); machinery is
+    * [[ImageHash.saveFrameIndex]] verbatim (position-source-agnostic). */
+  def saveSegmentIndex(segs: DataFrame, path: String, nBands: Int = 4,
+                       nBuckets: Int = 8, maxBandBucket: Int = 1000000): Unit =
+    ImageHash.saveFrameIndex(
+      segs.withColumnRenamed("afp", "dhash")
+        .withColumnRenamed("seg_idx", "frame_idx"),
+      path, nBands, nBuckets, maxBandBucket)
+
+  /** Offset-tolerant near-dup pairs INVOLVING a new batch of segment
+    * fingerprints, against a [[saveSegmentIndex]] corpus: (indexed ×
+    * new) + (new × new), never (indexed × indexed) — au04, the au02
+    * lifecycle for the trim-tolerant tier. */
+  def incrementalNearDupPairsOffset(newSegs: DataFrame, indexPath: String,
+                                    maxHamming: Int, minMatchNum: Int,
+                                    minMatchDen: Int, maxShift: Int,
+                                    maxBandBucket: Int = 1000000): DataFrame =
+    ImageHash.incrementalNearDupPairsOffset(
+      newSegs.withColumnRenamed("afp", "dhash")
+        .withColumnRenamed("seg_idx", "frame_idx"),
+      indexPath, maxHamming, minMatchNum, minMatchDen, maxShift, maxBandBucket)
+
   /** OFFSET-TOLERANT audio near-dup pairs (au03): sweep a BOUNDED set
     * of segment-index alignments in [−maxShift, maxShift] and qualify
     * a pair on its BEST single shift matching ≥ minMatchNum/minMatchDen

@@ -198,6 +198,33 @@ object ImageHash {
     hashes.select(col("*"), posexplode(array(bands: _*)).as(Seq("band", "bv")))
   }
 
+  /** The per-POSITION form of [[bandGuarded]] — ONE definition of the
+    * flat-frame flood cap shared by the aligned matcher, the offset
+    * sweep, and the frame-index writer (it was inlined per operator
+    * before au04): bucket width is counted per (frame position, band,
+    * value), the blocked join's quadratic axis when alignment is part
+    * of the key. Same transport (map-side-combined aggregate +
+    * broadcast raise, firing before any pair row materializes). */
+  private def frameBandGuarded(rows: DataFrame, maxBandBucket: Int,
+                               who: String): DataFrame = {
+    require(maxBandBucket >= 1, s"maxBandBucket must be >= 1, got $maxBandBucket")
+    val offend = rows.groupBy("frame_idx", "band", "bv")
+      .agg(count(lit(1)).as("__w"))
+      .filter(col("__w") > maxBandBucket)
+    rows.join(broadcast(offend), Seq("frame_idx", "band", "bv"), "left")
+      .withColumn("id",
+        when(col("__w").isNotNull, raise_error(concat(
+          lit(s"ImageHash.$who: frame position "),
+          col("frame_idx").cast("string"), lit(" band "),
+          col("band").cast("string"), lit(" value "),
+          col("bv").cast("string"), lit(" holds "), col("__w").cast("string"),
+          lit(s" frames, over maxBandBucket=$maxBandBucket; drop flat-frame " +
+            "sludge (title cards, black frames, silence) upstream or raise " +
+            "the cap deliberately"))))
+          .otherwise(col("id")))
+      .select("id", "frame_idx", "dhash", "band", "bv")
+  }
+
   /** Band-bucket width cap: map-side-combined aggregate + broadcast
     * raise (band keys are low-cardinality — the r17 FuzzyJoin guard
     * transport), firing before any pair row materializes. */
@@ -257,23 +284,9 @@ object ImageHash {
     requireRecall(maxHamming, nBands)
     require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
       s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
-    require(maxBandBucket >= 1, s"maxBandBucket must be >= 1, got $maxBandBucket")
-    val rows = bandRows(frames.select("id", "frame_idx", "dhash"), nBands)
-    val offend = rows.groupBy("frame_idx", "band", "bv")
-      .agg(count(lit(1)).as("__w"))
-      .filter(col("__w") > maxBandBucket)
-    val g = rows.join(broadcast(offend), Seq("frame_idx", "band", "bv"), "left")
-      .withColumn("id",
-        when(col("__w").isNotNull, raise_error(concat(
-          lit("ImageHash.videoNearDupPairs: frame position "),
-          col("frame_idx").cast("string"), lit(" band "),
-          col("band").cast("string"), lit(" value "),
-          col("bv").cast("string"), lit(" holds "), col("__w").cast("string"),
-          lit(s" frames, over maxBandBucket=$maxBandBucket; drop flat-frame " +
-            "sludge (title cards, black frames) upstream or raise the cap " +
-            "deliberately"))))
-          .otherwise(col("id")))
-      .select("id", "frame_idx", "dhash", "band", "bv")
+    val g = frameBandGuarded(
+      bandRows(frames.select("id", "frame_idx", "dhash"), nBands),
+      maxBandBucket, "videoNearDupPairs")
     // g feeds both self-join sides AND the per-video frame counts:
     // working-set materialization keeps the decode -> frame-hash ->
     // band -> guard prefix at ONE evaluation (the r17 fuzzy-join
@@ -343,22 +356,9 @@ object ImageHash {
     require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
       s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
     require(maxShift >= 0, s"maxShift must be >= 0, got $maxShift")
-    require(maxBandBucket >= 1, s"maxBandBucket must be >= 1, got $maxBandBucket")
-    val rows = bandRows(frames.select("id", "frame_idx", "dhash"), nBands)
-    val offend = rows.groupBy("frame_idx", "band", "bv")
-      .agg(count(lit(1)).as("__w"))
-      .filter(col("__w") > maxBandBucket)
-    val g = rows.join(broadcast(offend), Seq("frame_idx", "band", "bv"), "left")
-      .withColumn("id",
-        when(col("__w").isNotNull, raise_error(concat(
-          lit("ImageHash.videoNearDupPairsOffset: frame position "),
-          col("frame_idx").cast("string"), lit(" band "),
-          col("band").cast("string"), lit(" value "),
-          col("bv").cast("string"), lit(" holds "), col("__w").cast("string"),
-          lit(s" frames, over maxBandBucket=$maxBandBucket; drop flat-frame " +
-            "sludge upstream or raise the cap deliberately"))))
-          .otherwise(col("id")))
-      .select("id", "frame_idx", "dhash", "band", "bv")
+    val g = frameBandGuarded(
+      bandRows(frames.select("id", "frame_idx", "dhash"), nBands),
+      maxBandBucket, "videoNearDupPairsOffset")
     graft.operators.TextDedup.withWorkingSet(g) { gw =>
       // side a replicated per shift; join key is the ALIGNED position
       val a = gw
@@ -424,6 +424,10 @@ object ImageHash {
     val props = graft.operators.Layout.pathTableProps(path).getOrElse(sys.error(
       s"$path has no path-table metadata — not a graft dHash band index; " +
         "rebuild with ImageHash.saveDhashIndex"))
+    require(!props.get("dhashFrameIndex").contains("true"),
+      s"$path is a FRAME-level band index (saveFrameIndex) — its rows are " +
+        "per-position hashes, not per-clip; query it with " +
+        "incrementalNearDupPairsOffset, not the clip-level incremental join")
     props.getOrElse("dhashNBands", sys.error(
       s"$path is a bucketed path table but not a dHash band index " +
         "(no dhashNBands property) — refusing to misread a foreign index")).toInt
@@ -466,6 +470,138 @@ object ImageHash {
         .filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b", "ha", "hb")
       verified(oldNew.unionAll(newNew), maxHamming)
+    }
+  }
+
+  // ---- persisted FRAME/SEGMENT band index (au04) ---------------------
+  // The saveDhashIndex lifecycle for POSITION-hash corpora (video
+  // frames, audio segments): a nightly crawl should not re-fingerprint
+  // last month's clips to get TRIM-TOLERANT matching either. The index
+  // persists the per-position banded projection (id, frame_idx, dhash,
+  // band, bv) bucketed by band bucket — the candidate join reads the
+  // index side exchange-free; the aligned position is an extra equi-key
+  // inside the bucket — plus a per-id frame-count table (`counts/`),
+  // because the offset sweep's fraction gate needs the LONGER side's
+  // length and counting it from the index per query would re-scan the
+  // corpus nightly. Sidecar marker `dhashFrameIndex` keeps the clip-
+  // and frame-level indexes from misreading each other. Save-once like
+  // the clip index (params + counts, written counts-last so a crash
+  // mid-build fails loudly on the missing table).
+
+  /** Write the per-position banded projection + per-id frame counts of
+    * `frames` (id, frame_idx, dhash) to `path`. The per-position width
+    * cap runs at save time, as in [[saveDhashIndex]]. */
+  def saveFrameIndex(frames: DataFrame, path: String, nBands: Int = 4,
+                     nBuckets: Int = 8, maxBandBucket: Int = 1000000): Unit = {
+    require(nBands >= 2 && 64 % nBands == 0,
+      s"nBands must divide 64 and be >= 2, got $nBands")
+    val rows = frameBandGuarded(
+        bandRows(frames.select("id", "frame_idx", "dhash"), nBands),
+        maxBandBucket, "saveFrameIndex")
+      .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
+    graft.operators.Layout.saveBucketedPath(rows, s"$path/bands", "bucket",
+      nBuckets, extraProps = Map("dhashNBands" -> nBands.toString,
+        "dhashFrameIndex" -> "true"))
+    frames.groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+  }
+
+  private def loadFrameIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String): (DataFrame, DataFrame, Int) = {
+    val props = graft.operators.Layout.pathTableProps(s"$path/bands")
+      .getOrElse(sys.error(
+        s"$path has no bands/ path-table metadata — not a graft frame band " +
+          "index; rebuild with saveFrameIndex"))
+    require(props.get("dhashFrameIndex").contains("true"),
+      s"$path/bands is a CLIP-level band index — query it with the " +
+        "clip-level incremental join, not the offset sweep")
+    val nBands = props.getOrElse("dhashNBands", sys.error(
+      s"$path/bands has no dhashNBands property — foreign index")).toInt
+    val bands = graft.operators.Layout.loadBucketedPath(spark, s"$path/bands")._1
+    require(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "counts")),
+      s"$path has no counts/ table — the build crashed between the bands and " +
+        "counts writes; rebuild with saveFrameIndex")
+    (bands, spark.read.parquet(s"$path/counts"), nBands)
+  }
+
+  /** OFFSET-TOLERANT near-dup pairs INVOLVING a new batch of
+    * position-hashes, against a [[saveFrameIndex]] corpus (au04):
+    * [[videoNearDupPairsOffset]]'s sweep semantics restricted to
+    * (indexed × new) + (new × new) — never (indexed × indexed), those
+    * were emitted at build time. The NEW side alone is replicated, in
+    * BOTH roles: as the A side at pos = idx − s, and — for pairs where
+    * the INDEXED clip is the A side — as the B probe at pos = idx + s
+    * (old.idx − s = new.idx ⟺ old.idx = new.idx + s, so the indexed
+    * side is never replicated and never re-read beyond the candidate
+    * join). Frame counts for the fraction gate come from the index's
+    * own counts/ table, never a corpus re-scan. Output
+    * (id_a < id_b, n_matched, shift) at the best single shift,
+    * ordered — exactly the full sweep's rows for pairs involving the
+    * batch (spec-gated). */
+  def incrementalNearDupPairsOffset(newFrames: DataFrame, indexPath: String,
+                                    maxHamming: Int, minMatchNum: Int,
+                                    minMatchDen: Int, maxShift: Int,
+                                    maxBandBucket: Int = 1000000): DataFrame = {
+    val spark = newFrames.sparkSession
+    val (idx, oldCounts, nBands) = loadFrameIndex(spark, indexPath)
+    requireRecall(maxHamming, nBands)
+    require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
+      s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
+    require(maxShift >= 0, s"maxShift must be >= 0, got $maxShift")
+    val shifts = explode(sequence(lit(-maxShift), lit(maxShift))).as("shift")
+    graft.operators.TextDedup.withWorkingSet(
+      frameBandGuarded(
+          bandRows(newFrames.select("id", "frame_idx", "dhash"), nBands),
+          maxBandBucket, "incrementalNearDupPairsOffset")
+        .withColumn("bucket", concat_ws("#", col("band"), col("bv")))) { nb =>
+      val idxA = idx.select(col("id").as("id_o"), col("dhash").as("ho"),
+        col("frame_idx").as("pos"), col("bucket"))
+      // new as the A side (its intro skipped): aligned position in the key
+      val nA = nb.select(col("id").as("id_n"), col("dhash").as("hn"),
+          col("frame_idx"), col("bucket"), shifts)
+        .select(col("id_n"), col("hn"), col("shift"),
+          (col("frame_idx") - col("shift")).as("pos"), col("bucket"))
+      // new as the B PROBE for indexed-side-A pairs: old.idx = new.idx + s
+      val nBp = nb.select(col("id").as("id_n"), col("dhash").as("hn"),
+          col("frame_idx"), col("bucket"), shifts)
+        .select(col("id_n"), col("hn"), col("shift"),
+          (col("frame_idx") + col("shift")).as("pos"), col("bucket"))
+      val nB = nb.select(col("id").as("id_b"), col("dhash").as("hb"),
+        col("frame_idx").as("pos"), col("bucket"))
+      // batch orientation (id_a < id_b; shift = id_a's intro skip) per branch
+      val newOld = nA.join(idxA, Seq("bucket", "pos"))
+        .filter(col("id_n") < col("id_o"))
+        .select(col("id_n").as("id_a"), col("id_o").as("id_b"), col("shift"),
+          col("pos"), col("hn").as("ha"), col("ho").as("hb"))
+      val oldNew = nBp.join(idxA, Seq("bucket", "pos"))
+        .filter(col("id_o") < col("id_n"))
+        .select(col("id_o").as("id_a"), col("id_n").as("id_b"), col("shift"),
+          col("pos"), col("ho").as("ha"), col("hn").as("hb"))
+      val newNew = nA.join(nB, Seq("bucket", "pos"))
+        .filter(col("id_n") < col("id_b"))
+        .select(col("id_n").as("id_a"), col("id_b"), col("shift"), col("pos"),
+          col("hn").as("ha"), col("hb"))
+      val matched = newOld.unionAll(oldNew).unionAll(newNew)
+        .distinct() // multi-band collisions, once per (pair, shift, pos)
+        .filter(bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+        .groupBy("id_a", "id_b", "shift")
+        .agg(count(lit(1)).as("n"))
+      val nFrames = oldCounts.select(col("id"), col("n_frames").cast("long"))
+        .unionAll(nb.groupBy(col("id"))
+          .agg((count(lit(1)) / nBands).cast("long").as("n_frames")))
+      matched
+        .groupBy("id_a", "id_b")
+        .agg(max(struct(col("n"), (-col("shift")).as("__ns"))).as("m"))
+        .select(col("id_a"), col("id_b"), col("m.n").as("n_matched"),
+          (-col("m.__ns")).cast("int").as("shift"))
+        .join(nFrames.select(col("id").as("id_a"), col("n_frames").as("__na")),
+          Seq("id_a"))
+        .join(nFrames.select(col("id").as("id_b"), col("n_frames").as("__nb")),
+          Seq("id_b"))
+        .filter(col("n_matched") * minMatchDen >=
+          greatest(col("__na"), col("__nb")) * minMatchNum)
+        .select("id_a", "id_b", "n_matched", "shift")
+        .orderBy("id_a", "id_b")
     }
   }
 }

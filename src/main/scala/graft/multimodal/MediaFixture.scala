@@ -332,14 +332,21 @@ object MediaFixture {
   //      aligned matches (the aligned form must MISS it) but 2 at
   //      shift +1 — 2·3 >= max(3,2)·2, so the sweep pairs it with 0/1.
   //   3 [y, x, z] + tail  — clip 0 genuinely SHUFFLED: at most 1 match
-  //      at ANY single shift against each of 0/1/2 — never pairs. Its
-  //      100-frame sub-segment tail is dropped by the fixed-length cut
-  //      (a partial tail has no equal-length counterpart), proving the
-  //      tail-drop path through the oracle.
-  // Expected au03 pairs: (0,1,3,0) (0,2,2,+1) (1,2,2,+1); the aligned
-  // segment form finds exactly (0,1,3).
-  val AfpSegN = 4
-  private[graft] val AfpSegVersion = "v1"
+  //      at ANY single shift against each of the others — never pairs.
+  //      Its 100-frame sub-segment tail is dropped by the fixed-length
+  //      cut (a partial tail has no equal-length counterpart), proving
+  //      the tail-drop path through the oracle.
+  //   4 [DC-shifted x, y, z] — a DC copy of clip 0 (pattern 1 hashes
+  //      identically to x): pairs with 0 and 1 at shift 0 (3/3) and
+  //      with the trimmed clip 2 at shift −1 (2 matches, seen from the
+  //      full clip's side) — the NEGATIVE-shift coverage, and the
+  //      history-resident pair (0,4) the au04 incremental gate proves
+  //      non-re-emitting.
+  // Expected au03 pairs: (0,1,3,0) (0,2,2,+1) (0,4,3,0) (1,2,2,+1)
+  // (1,4,3,0) (2,4,2,−1); the aligned segment form finds exactly
+  // (0,1,3) (0,4,3) (1,4,3).
+  val AfpSegN = 5
+  private[graft] val AfpSegVersion = "v2" // v2: clip 4 (DC copy) for au04
   /** One segment = one afp clip length, so segment hashes ARE the afp
     * closed forms (window boundaries at multiples of 512, aligned to
     * both square-wave periods). */
@@ -350,6 +357,7 @@ object MediaFixture {
     case 1 => Seq(2, 3, 5)
     case 2 => Seq(3, 5)
     case 3 => Seq(3, 0, 5)
+    case 4 => Seq(1, 3, 5)
     case _ => throw new IllegalArgumentException(s"no afp segment fixture $i")
   }
 

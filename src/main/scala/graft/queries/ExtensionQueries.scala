@@ -339,6 +339,16 @@ object ExtensionQueries {
       .join(ids, "media_id").select("id", "seg_idx", "afp")
   }
 
+  /** Persisted segment band index over the "historical" segment clips
+    * (0/3/4) for au04 — version DERIVED from the segment fixture's own
+    * version (the r17 advisory: one bump invalidates both caches). */
+  private def afpSegIndexLoaded(s: SparkSession): String =
+    graft.Fixtures.ensure("media_afp_seg_idx",
+      s"${graft.multimodal.MediaFixture.AfpSegVersion}a") { tmp =>
+      graft.multimodal.AudioHash.saveSegmentIndex(
+        afpSegFixtureHashes(s).filter(col("id").isin(0, 3, 4)), tmp.toString)
+    }
+
   /** The dHash video fixture as an (id, frame_idx, dhash) frame — real
     * listing -> GIF frame decode -> per-frame hash, ids from the
     * fixture file names. Shared by mm05/mm06/st17. */
@@ -388,7 +398,8 @@ object ExtensionQueries {
   private val AfpOffsetOracle =
     """SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
       |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
-      |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (1, 2, 2, 1))
+      |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (0, 4, 3, 0), (1, 2, 2, 1),
+      |  (1, 4, 3, 0), (2, 4, 2, -1))
       |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin
 
   /** tp01's curation derivation (exact dedup -> stopword language ID ->
@@ -2473,6 +2484,37 @@ object ExtensionQueries {
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
             col("n_matched"), col("shift"))
           .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Incremental OFFSET-TOLERANT dedup against a PERSISTED segment
+      // band index (au04 — the au02 lifecycle for the trim-tolerant
+      // tier): history (clips 0/3/4, including the (0,4) DC-copy pair
+      // emitted at build) is decoded, segmented, banded, and
+      // bucket-written ONCE; the nightly batch (1/2) is the only thing
+      // re-fingerprinted. Only the NEW side is replicated — in both
+      // sweep roles (as the A side at pos = idx − s, and as the B
+      // probe at pos = idx + s for pairs where the INDEXED clip's
+      // intro is skipped) — so the index is never replicated or
+      // re-scanned beyond the candidate join, and the fraction gate's
+      // clip lengths come from the index's own counts/ table. Pairs =
+      // (indexed × new) + (new × new); the all-history pair (0,4)
+      // must NOT re-emit — the oracle is au03's minus exactly that
+      // row.
+      "au04_audio_offset_incremental",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
+        |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (1, 2, 2, 1), (1, 4, 3, 0),
+        |  (2, 4, 2, -1))
+        |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) => {
+        val segs = afpSegFixtureHashes(s)
+        graft.multimodal.AudioHash.incrementalNearDupPairsOffset(
+            segs.filter(col("id").isin(1, 2)), afpSegIndexLoaded(s),
+            maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
+            col("n_matched"), col("shift"))
+          .orderBy("idx_a", "idx_b")
+      }),
 
     GraftQuery(
       // STREAMING offset-tolerant dedup (st19, StreamReplay

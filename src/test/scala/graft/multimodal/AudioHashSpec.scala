@@ -2,6 +2,7 @@ package graft.multimodal
 
 import graft.SparkSpec
 import graft.multimodal.Multimodal.MediaItem
+import org.apache.spark.sql.functions.{col, first}
 
 class AudioHashSpec extends SparkSpec {
   import spark.implicits._
@@ -141,7 +142,8 @@ class AudioHashSpec extends SparkSpec {
   // expected segment hashes per clip: each segment is a pinned afp
   // pattern (derivation in the MediaFixture afp-segment comment)
   private val patternHash = Map(
-    0 -> 0x8787878787878787L, 2 -> 0x8787878787878787L,
+    0 -> 0x8787878787878787L, 1 -> 0x8787878787878787L,
+    2 -> 0x8787878787878787L,
     3 -> 0x7F7F7F7F7F7F7F7FL, 5 -> 0x7F87878787878787L)
 
   private lazy val segFixture: Map[Int, Seq[Long]] = {
@@ -163,25 +165,57 @@ class AudioHashSpec extends SparkSpec {
     assert(segFixture(3).length == 3)
   }
 
-  test("gain invariance holds per segment (clip 1 == clip 0 hash-for-hash)") {
+  test("gain/DC invariance holds per segment (clips 1 and 4 == clip 0 hash-for-hash)") {
     assert(segFixture(1) == segFixture(0))
+    assert(segFixture(4) == segFixture(0))
   }
 
+  private def segDf = segFixture.toSeq.flatMap { case (id, hs) =>
+    hs.zipWithIndex.map { case (h, p) => (id, p, h) }
+  }.toDF("id", "seg_idx", "afp")
+
   test("aligned segment matching MISSES the trimmed copy; the sweep catches it") {
-    val segs = segFixture.toSeq.flatMap { case (id, hs) =>
-      hs.zipWithIndex.map { case (h, p) => (id, p, h) }
-    }.toDF("id", "seg_idx", "afp")
-    // aligned form: only the full-length gain copy pairs
-    val aligned = AudioHash.segmentNearDupPairs(segs, maxHamming = 3,
+    // aligned form: only the full-length gain/DC copies pair
+    val aligned = AudioHash.segmentNearDupPairs(segDf, maxHamming = 3,
       minMatchNum = 2, minMatchDen = 3).as[(Int, Int, Long)].collect().toSeq
-    assert(aligned == Seq((0, 1, 3L)))
-    // the ±1 sweep additionally pairs the intro-trimmed copy at shift
-    // +1; the shuffled remix (clip 3) shares no single alignment and
-    // never pairs
-    val swept = AudioHash.nearDupPairsOffset(segs, maxHamming = 3,
+    assert(aligned == Seq((0, 1, 3L), (0, 4, 3L), (1, 4, 3L)))
+    // the ±1 sweep additionally pairs the intro-trimmed copy (at +1
+    // against the full clips, −1 seen from clip 4's side of the id
+    // order); the shuffled remix (clip 3) shares no single alignment
+    // and never pairs
+    val swept = AudioHash.nearDupPairsOffset(segDf, maxHamming = 3,
       minMatchNum = 2, minMatchDen = 3, maxShift = 1)
       .as[(Int, Int, Long, Int)].collect().toSeq
-    assert(swept == Seq((0, 1, 3L, 0), (0, 2, 2L, 1), (1, 2, 2L, 1)))
+    assert(swept == Seq((0, 1, 3L, 0), (0, 2, 2L, 1), (0, 4, 3L, 0),
+      (1, 2, 2L, 1), (1, 4, 3L, 0), (2, 4, 2L, -1)))
+  }
+
+  test("au04: incremental offset pairs == full sweep restricted to the batch; history never re-emits") {
+    val dir = tmpDir("afp-seg-idx")
+    AudioHash.saveSegmentIndex(segDf.filter(col("id").isin(0, 3, 4)), dir)
+    val got = AudioHash.incrementalNearDupPairsOffset(
+        segDf.filter(col("id").isin(1, 2)), dir,
+        maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+      .as[(Int, Int, Long, Int)].collect().toSeq
+    val full = AudioHash.nearDupPairsOffset(segDf, maxHamming = 3,
+      minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+      .as[(Int, Int, Long, Int)].collect().toSeq
+    val batchIds = Set(1, 2)
+    assert(got == full.filter(p => batchIds(p._1) || batchIds(p._2)))
+    // the all-history pair (0,4) was emitted at build time, not here
+    assert(full.exists(p => p._1 == 0 && p._2 == 4) &&
+      !got.exists(p => p._1 == 0 && p._2 == 4))
+    // clip- and frame-level indexes refuse each other
+    val e1 = intercept[Exception](AudioHash.incrementalNearDupPairs(
+      segDf.select(col("id"), col("afp")), s"$dir/bands", maxHamming = 3))
+    assert(e1.getMessage.contains("FRAME-level"), e1.getMessage)
+    val clipDir = tmpDir("afp-clip-idx")
+    AudioHash.saveAfpIndex(
+      segDf.groupBy("id").agg(first("afp").as("afp")), clipDir)
+    val e2 = intercept[Exception](AudioHash.incrementalNearDupPairsOffset(
+      segDf.filter(col("id").isin(1, 2)), clipDir,
+      maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1))
+    assert(e2.getMessage.contains("bands"), e2.getMessage)
   }
 
   test("segmentHashes runs the distributed per-segment decode end-to-end") {
