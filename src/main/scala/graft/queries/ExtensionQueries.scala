@@ -363,6 +363,17 @@ object ExtensionQueries {
       .join(ids, "media_id").select("id", "frame_idx", "dhash")
   }
 
+  /** Persisted frame band index over the "historical" dHash videos
+    * (0/3/4/6) for mm07 — version DERIVED from the media fixture's own
+    * version (the r17 advisory discipline). */
+  private def dhashVidIndexLoaded(s: SparkSession): String =
+    graft.Fixtures.ensure("media_dhash_vid_idx",
+      s"${graft.multimodal.MediaFixture.DhashVersion}a") { tmp =>
+      graft.multimodal.ImageHash.saveFrameIndex(
+        dhashVidFixtureFrames(s).filter(col("id").isin(0, 3, 4, 6)),
+        tmp.toString)
+    }
+
   /** mm05's closed-form pair oracle, shared VERBATIM with its
     * streaming twin st17 (the DhashPairsOracle discipline). */
   private val DhashVidPairsOracle =
@@ -2371,6 +2382,33 @@ object ExtensionQueries {
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
             col("n_matched"), col("shift"))
           .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // Incremental offset-tolerant VIDEO matching against a PERSISTED
+      // frame band index (mm07 — au04's machinery over video frames,
+      // position sources interchangeable by construction): history
+      // (vids 0/3/4/6, including the rotation pair (0,3) emitted at
+      // build) is frame-hashed and bucket-written ONCE; the nightly
+      // batch (1/2/5 — the re-encodes and the trimmed-intro copy) is
+      // the only thing re-decoded. Pairs = (indexed × new) +
+      // (new × new): every mm06 row involving the batch, and the
+      // all-history rotation pair (0,3) must NOT re-emit — the oracle
+      // is mm06's minus exactly that row.
+      "mm07_video_offset_incremental",
+      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+        |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
+        |FROM (VALUES (0, 1, 3, 0), (0, 2, 3, 0), (0, 5, 2, 1), (1, 2, 3, 0),
+        |  (1, 3, 2, -1), (1, 5, 2, 1), (2, 3, 2, -1), (2, 5, 2, 1))
+        |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin),
+      (s, d) => {
+        val frames = dhashVidFixtureFrames(s)
+        graft.multimodal.ImageHash.incrementalNearDupPairsOffset(
+            frames.filter(col("id").isin(1, 2, 5)), dhashVidIndexLoaded(s),
+            maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
+            col("n_matched"), col("shift"))
+          .orderBy("idx_a", "idx_b")
+      }),
 
     GraftQuery(
       // Streaming video dedup (st17, StreamReplay.videoDedupReplay —
