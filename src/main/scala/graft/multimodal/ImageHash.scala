@@ -506,8 +506,11 @@ object ImageHash {
       .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
   }
 
-  private def loadFrameIndex(spark: org.apache.spark.sql.SparkSession,
-                             path: String): (DataFrame, DataFrame, Int) = {
+  /** Open a [[saveFrameIndex]] directory: (bands, counts, nBands) —
+    * package-visible for the streaming twin (st20), which joins the
+    * stream side against the static bands table. */
+  private[graft] def loadFrameIndex(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): (DataFrame, DataFrame, Int) = {
     val props = graft.operators.Layout.pathTableProps(s"$path/bands")
       .getOrElse(sys.error(
         s"$path has no bands/ path-table metadata — not a graft frame band " +

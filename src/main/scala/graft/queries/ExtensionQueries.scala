@@ -413,6 +413,16 @@ object ExtensionQueries {
       |  (1, 4, 3, 0), (2, 4, 2, -1))
       |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin
 
+  /** au04's closed-form incremental-sweep oracle — au03's VALUES minus
+    * exactly the all-history pair (0,4) — shared VERBATIM with its
+    * streaming twin st20 (the DhashPairsOracle discipline). */
+  private val AfpOffsetIncOracle =
+    """SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+      |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
+      |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (1, 2, 2, 1), (1, 4, 3, 0),
+      |  (2, 4, 2, -1))
+      |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin
+
   /** tp01's curation derivation (exact dedup -> stopword language ID ->
     * composite quality -> gates), shared VERBATIM with the cross-modal
     * tp08 (one SQL text, the BandCte discipline). Ends at CTE `c` =
@@ -2539,11 +2549,7 @@ object ExtensionQueries {
       // must NOT re-emit — the oracle is au03's minus exactly that
       // row.
       "au04_audio_offset_incremental",
-      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
-        |  CAST(n_matched AS BIGINT) AS n_matched, CAST(shift AS INTEGER) AS shift
-        |FROM (VALUES (0, 1, 3, 0), (0, 2, 2, 1), (1, 2, 2, 1), (1, 4, 3, 0),
-        |  (2, 4, 2, -1))
-        |t(idx_a, idx_b, n_matched, shift) ORDER BY idx_a, idx_b""".stripMargin),
+      Some(AfpOffsetIncOracle),
       (s, d) => {
         val segs = afpSegFixtureHashes(s)
         graft.multimodal.AudioHash.incrementalNearDupPairsOffset(
@@ -2553,6 +2559,32 @@ object ExtensionQueries {
             col("n_matched"), col("shift"))
           .orderBy("idx_a", "idx_b")
       }),
+
+    GraftQuery(
+      // STREAMING incremental offset-tolerant dedup against the
+      // PERSISTED segment index (st20, StreamReplay
+      // .incrementalOffsetDedupReplay): au04 ON INGEST — the
+      // composition an ingest-time trim-tolerant dedup user runs. The
+      // (indexed × new) candidates come from two STREAM-STATIC
+      // equi-joins against the bands table (stateless — the index
+      // never enters state), the (new × new) candidates from st19's
+      // state machine, all behind one Append-mode query; the fraction
+      // gate's history lengths come from the index's counts/ table.
+      // Chunking-invariant; au04's oracle gates it VERBATIM — history
+      // pairs provably never re-emit on the stream either.
+      "st20_stream_audio_offset_incremental",
+      Some(AfpOffsetIncOracle),
+      (s, d) =>
+        graft.streaming.StreamReplay.incrementalOffsetDedupReplay(
+            s, afpSegFixtureHashes(s).filter(col("id").isin(1, 2))
+              .withColumnRenamed("afp", "dhash"),
+            afpSegIndexLoaded(s),
+            maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1,
+            nChunks = 3)
+          .select(col("id_a").cast("int").as("idx_a"),
+            col("id_b").cast("int").as("idx_b"),
+            col("n_matched"), col("shift"))
+          .orderBy("idx_a", "idx_b")),
 
     GraftQuery(
       // STREAMING offset-tolerant dedup (st19, StreamReplay

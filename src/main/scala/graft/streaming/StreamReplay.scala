@@ -1312,6 +1312,135 @@ object StreamReplay {
     }
   }
 
+  /** Replays a NEW batch of (id, seg_idx, dhash) position-hashes
+    * through STREAMING incremental offset-tolerant matching against a
+    * PERSISTED [[graft.multimodal.ImageHash.saveFrameIndex]] corpus
+    * (st20 — au04 ON INGEST, the composition an ingest-time
+    * trim-tolerant dedup user runs): the in-stream role replication is
+    * [[offsetDedupReplay]]'s, the (indexed × new) candidates come from
+    * two STREAM-STATIC equi-joins against the bands table (stateless —
+    * the index side never enters state), and the (new × new)
+    * candidates from [[StatefulOps.offsetDhashDedupStream]] — all
+    * three branches unioned behind one Append-mode query. The
+    * best-shift + fraction gate rolls up distinct events at the
+    * collection boundary, with the INDEXED side's clip lengths from
+    * the index's own counts/ table (never a corpus re-scan).
+    * Chunking-invariant; au04's oracle gates it VERBATIM.
+    * Returns (id_a, id_b, n_matched, shift), ordered. */
+  def incrementalOffsetDedupReplay(spark: SparkSession, newSegs: DataFrame,
+                                   indexPath: String, maxHamming: Int,
+                                   minMatchNum: Int, minMatchDen: Int,
+                                   maxShift: Int, nChunks: Int = 3): DataFrame = {
+    import graft.multimodal.ImageHash
+    require(maxShift >= 0, s"maxShift must be >= 0, got $maxShift")
+    require(minMatchDen >= 1 && minMatchNum >= 1 && minMatchNum <= minMatchDen,
+      s"match fraction must satisfy 1 <= num <= den, got $minMatchNum/$minMatchDen")
+    val rows = newSegs.select(col("id").cast("long"),
+        col("seg_idx").cast("int"), col("dhash").cast("long"))
+      .as(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt,
+        org.apache.spark.sql.Encoders.scalaLong))
+      .collect().sortBy(r => (r._1, r._2))
+    val chunks = chunked(rows, nChunks)
+    val replay = replaySession(spark)
+    val (idx, oldCounts, nBands) = ImageHash.loadFrameIndex(replay, indexPath)
+    require(maxHamming >= 0 && maxHamming < nBands,
+      s"maxHamming must be in [0, nBands) for guaranteed recall, " +
+        s"got maxHamming=$maxHamming nBands=$nBands")
+    val idxA = idx.select(col("id").cast("long").as("id_o"),
+      col("dhash").as("ho"), col("frame_idx").as("pos"), col("bucket"))
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    import replay.implicits._
+    val ms = MemoryStream[(Long, Int, Long)]
+    val banded = ImageHash.bandRows(
+        ms.toDF.toDF("id", "seg_idx", "dhash"), nBands)
+      .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
+    val shifts = explode(sequence(lit(-maxShift), lit(maxShift))).as("shift")
+    val nA = banded.select(col("id").as("id_n"), col("dhash").as("hn"),
+        col("seg_idx"), col("bucket"), shifts)
+      .select(col("id_n"), col("hn"), col("shift"),
+        (col("seg_idx") - col("shift")).as("pos"), col("bucket"))
+    val nBp = banded.select(col("id").as("id_n"), col("dhash").as("hn"),
+        col("seg_idx"), col("bucket"), shifts)
+      .select(col("id_n"), col("hn"), col("shift"),
+        (col("seg_idx") + col("shift")).as("pos"), col("bucket"))
+    // (indexed × new): two stream-static equi-joins, batch orientation
+    val newOld = nA.join(idxA, Seq("bucket", "pos"))
+      .filter(col("id_n") < col("id_o") &&
+        bit_count(col("hn").bitwiseXOR(col("ho"))) <= maxHamming)
+      .select(col("id_n").as("id_a"), col("id_o").as("id_b"),
+        col("shift"), col("pos"))
+    val oldNew = nBp.join(idxA, Seq("bucket", "pos"))
+      .filter(col("id_o") < col("id_n") &&
+        bit_count(col("hn").bitwiseXOR(col("ho"))) <= maxHamming)
+      .select(col("id_o").as("id_a"), col("id_n").as("id_b"),
+        col("shift"), col("pos"))
+    // (new × new): the st19 state machine over the batch's roles
+    val roles = banded
+      .select(col("id"), col("dhash"), col("seg_idx"), col("band"), col("bv"),
+        explode(concat(
+          array(struct(lit(false).as("isA"), lit(0).as("shift"))),
+          transform(sequence(lit(-maxShift), lit(maxShift)),
+            s => struct(lit(true).as("isA"), s.cast("int").as("shift")))))
+          .as("role"))
+      .select(
+        when(col("role.isA"), col("seg_idx") - col("role.shift"))
+          .otherwise(col("seg_idx")).cast("int").as("pos"),
+        col("band").cast("int"), col("bv").cast("long"),
+        col("id").cast("long"), col("dhash").cast("long"),
+        col("role.isA").as("isA"), col("role.shift").cast("int").as("shift"))
+      .as[(Int, Int, Long, Long, Long, Boolean, Int)]
+    val newNew = StatefulOps.offsetDhashDedupStream(roles, maxHamming)
+      .toDF("id_a", "id_b", "shift", "pos")
+    val unified = newOld.unionAll(oldNew).unionAll(newNew)
+
+    val name = s"st_incoffreplay_${runSeq.incrementAndGet()}"
+    val cp = java.nio.file.Files.createTempDirectory(s"$name-cp").toString
+    try {
+      val q = unified.writeStream.outputMode("append")
+        .format("memory").queryName(name)
+        .option("checkpointLocation", cp)
+        .start()
+      try {
+        chunks.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch.toSeq); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      val events = replay.table(name)
+        .as[(Long, Long, Int, Int)].collect().toSet
+      val nSegs = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap ++
+        oldCounts.select(col("id").cast("long"), col("n_frames").cast("long"))
+          .as[(Long, Long)].collect().toMap
+      val counts = events.groupBy(e => (e._1, e._2, e._3)).view
+        .mapValues(_.size.toLong)
+      val best = counts.keys.groupBy(k => (k._1, k._2)).map { case (pair, ks) =>
+        val (n, shift) = ks.map(k => (counts((pair._1, pair._2, k._3)), k._3))
+          .maxBy { case (n, s) => (n, -s) }
+        (pair._1, pair._2, n, shift)
+      }
+      val out = best.filter { case (a, b, n, _) =>
+        n * minMatchDen >= math.max(nSegs(a), nSegs(b)) * minMatchNum
+      }.toSeq.sortBy(p => (p._1, p._2))
+      spark.createDataFrame(
+        java.util.Arrays.asList(out.map(p =>
+          org.apache.spark.sql.Row(p._1, p._2, p._3, p._4)): _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id_a",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("id_b",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("n_matched",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("shift",
+            org.apache.spark.sql.types.IntegerType, nullable = false))))
+    } finally {
+      try replay.catalog.dropTempView(name) catch { case _: Exception => () }
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
+
   /** Streaming CROSS-MODAL curation (st18 — r18 directive #7): tp09's
     * three-modality pipeline ON INGEST — documents, hashed images, and
     * fingerprinted audio arrive as three streams and run through their

@@ -310,6 +310,25 @@ class ImageHashSpec extends SparkSpec {
     } finally spark.conf.set("spark.graft.dedup.materialize", "local")
   }
 
+  test("plan: the incremental offset sweep stays a banded equi-join too (au04/mm07)") {
+    // same contract as the inline sweep: both role replications land in
+    // the join KEY (bucket, aligned pos); the index side must join on
+    // its bucket without a cartesian/NL fallback
+    spark.conf.set("spark.graft.dedup.materialize", "none")
+    try {
+      val dir = tmpDir("imghash-fidx-plan")
+      ImageHash.saveFrameIndex(
+        fixtureFrames.filter(org.apache.spark.sql.functions.col("id") <= 2), dir)
+      val plan = ImageHash.incrementalNearDupPairsOffset(
+          fixtureFrames.filter(org.apache.spark.sql.functions.col("id") > 2), dir,
+          maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("Join"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    } finally spark.conf.set("spark.graft.dedup.materialize", "local")
+  }
+
   test("videoNearDupPairs: fraction uses the LONGER video; misuse is loud") {
     // a 2-frame prefix copy of a 4-frame video: 2 matches = 2/4 of the
     // longer — at 1/2 it pairs, at 2/3 it must not (truncation is not

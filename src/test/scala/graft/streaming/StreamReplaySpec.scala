@@ -234,6 +234,43 @@ class StreamReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming incremental offset dedup equals the batch au04 answer on any chunking") {
+    import graft.multimodal.ImageHash
+    val (h0, h1, h2) = (0x1111L, 0x2222L, 0x4444L)
+    val segs = Seq(
+      (0L, 0, h0), (0L, 1, h1), (0L, 2, h2),
+      (1L, 0, h1), (1L, 1, h2),
+      (2L, 0, h1), (2L, 1, h0), (2L, 2, h2),
+      (3L, 0, h0 ^ 1L), (3L, 1, h1 ^ 1L), (3L, 2, h2 ^ 1L))
+      .toDF("id", "seg_idx", "dhash")
+    // history {0, 3} holds a pair of its own (the aligned re-encode);
+    // the batch {1, 2} carries the trim and the shuffle
+    val dir = tmpDir("st20-fidx")
+    ImageHash.saveFrameIndex(segs.filter(col("id").isin(0L, 3L))
+      .withColumnRenamed("seg_idx", "frame_idx"), dir)
+    val batch = segs.filter(col("id").isin(1L, 2L))
+    val want = ImageHash.incrementalNearDupPairsOffset(
+        batch.withColumnRenamed("seg_idx", "frame_idx"), dir,
+        maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(want == Seq((0L, 1L, 2L, 1), (1L, 3L, 2L, -1)),
+      s"batch incremental reference moved: $want")
+    for (n <- Seq(2, 4)) {
+      val streamed = StreamReplay.incrementalOffsetDedupReplay(spark, batch,
+          dir, maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1,
+          nChunks = n)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(streamed == want, s"nChunks=$n: $streamed != $want")
+    }
+    // the all-history pair (0,3) exists in the full sweep but must not
+    // re-emit on the stream
+    assert(ImageHash.videoNearDupPairsOffset(
+        segs.withColumnRenamed("seg_idx", "frame_idx"),
+        maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+      .as[(Long, Long, Long, Int)].collect()
+      .exists(p => p._1 == 0L && p._2 == 3L))
+  }
+
   test("firstByKeyStream within-batch winner is pick-reduced, not iterator-ordered") {
     // two rows of one key in ONE chunk: the emitted row must be the
     // pick-winner (min id), whatever order the group iterator yields
