@@ -669,6 +669,72 @@ object StatefulOps {
       }
   }
 
+  /** [[offsetDhashDedupStream]] under event-time TTL — the production
+    * form for an unbounded segment/frame firehose (the
+    * [[dhashDedupStreamTtl]] contract applied to the offset tier):
+    * bucket state evicts `horizonMs` past the bucket's last-seen event
+    * time, so state tracks the trim-tolerant dedup horizon the service
+    * guarantees rather than ingest history. Inside the horizon the
+    * emitted match events equal [[offsetDhashDedupStream]]'s (gated in
+    * StatefulTtlSpec); after eviction a re-arriving copy is NOT
+    * matched against forgotten history — the deliberate
+    * activity-window semantics of the whole TTL family. Input adds the
+    * event-time column: (pos, band, bv, id, dhash, isA, shift, ts). */
+  def offsetDhashDedupStreamTtl(
+      rows: Dataset[(Int, Int, Long, Long, Long, Boolean, Int, java.sql.Timestamp)],
+      maxHamming: Int, delayThreshold: String,
+      horizonMs: Long): Dataset[(Long, Long, Int, Int)] = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(Long, Long, Int, Int)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+        Encoders.scalaInt, Encoders.scalaInt)
+    implicit val keyEnc: Encoder[(Int, Int, Long)] =
+      Encoders.tuple(Encoders.scalaInt, Encoders.scalaInt, Encoders.scalaLong)
+    implicit val stEnc: Encoder[(Seq[(Long, Long, Int)], Seq[(Long, Long)], Long)] =
+      Encoders.kryo[(Seq[(Long, Long, Int)], Seq[(Long, Long)], Long)]
+    rows.withWatermark("_8", delayThreshold)
+      .groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState[(Seq[(Long, Long, Int)], Seq[(Long, Long)], Long),
+        (Long, Long, Int, Int)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, Int, Long),
+         it: Iterator[(Int, Int, Long, Long, Long, Boolean, Int, java.sql.Timestamp)],
+         state: GroupState[(Seq[(Long, Long, Int)], Seq[(Long, Long)], Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rowsSeq = it.toSeq
+            val (oldA, oldB, lastSeen0) =
+              state.getOption.getOrElse((Seq.empty, Seq.empty, Long.MinValue))
+            val oldAKeys = oldA.iterator.map(r => (r._1, r._3)).toSet
+            val oldBIds = oldB.iterator.map(_._1).toSet
+            val newA = rowsSeq.filter(_._6).map(r => (r._4, r._5, r._7))
+              .distinct.filterNot(r => oldAKeys((r._1, r._3))).sortBy(r => (r._1, r._3))
+            val newB = rowsSeq.filterNot(_._6).map(r => (r._4, r._5))
+              .distinct.filterNot(r => oldBIds(r._1)).sortBy(_._1)
+            val lastSeen = math.max(lastSeen0,
+              rowsSeq.iterator.map(_._8.getTime).max)
+            if (newA.nonEmpty || newB.nonEmpty || lastSeen != lastSeen0)
+              state.update((oldA ++ newA, oldB ++ newB, lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            if (newA.isEmpty && newB.isEmpty) Iterator.empty
+            else {
+              val out = Seq.newBuilder[(Long, Long, Int, Int)]
+              def score(a: (Long, Long, Int), b: (Long, Long)): Unit = {
+                if (a._1 < b._1 &&
+                    java.lang.Long.bitCount(a._2 ^ b._2) <= maxHamming)
+                  out += ((a._1, b._1, a._3, key._1))
+              }
+              for (a <- newA; b <- oldB) score(a, b)
+              for (b <- newB; a <- oldA) score(a, b)
+              for (a <- newA; b <- newB) score(a, b)
+              out.result().iterator
+            }
+          }
+      }
+  }
+
   def lshCandidateStream(bands: Dataset[(Int, String, Long)]): Dataset[(Long, Long)] = {
     implicit val outEnc: Encoder[(Long, Long)] = Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
     implicit val keyEnc: Encoder[(Int, String)] = Encoders.tuple(Encoders.scalaInt, Encoders.STRING)

@@ -298,6 +298,95 @@ class StatefulTtlSpec extends SparkSpec {
 
   // ----------------------------------------------------------- zscore
 
+  // ------------------------------------------------ offset dedup (st19)
+
+  /** The st19 role replication over (id, seg_idx, dhash) rows, built
+    * driver-side: B at the true position, A at each shift in ±1 —
+    * 4-band geometry (16-bit band values). */
+  private def offsetRoles(segs: Seq[(Long, Int, Long)])
+      : Seq[(Int, Int, Long, Long, Long, Boolean, Int)] =
+    for {
+      (id, idx, h) <- segs
+      band <- 0 until 4
+      bv = (h >>> (band * 16)) & 0xFFFFL
+      (isA, shift, pos) <- Seq((false, 0, idx)) ++
+        (-1 to 1).map(s => (true, s, idx - s))
+    } yield (pos, band, bv, id, h, isA, shift)
+
+  test("offsetDhashDedupStreamTtl equals offsetDhashDedupStream inside the horizon") {
+    // the st19 synthetic set: trim pairs at +1, re-encode at 0/−1
+    val (h0, h1, h2) = (0x1111L, 0x2222L, 0x4444L)
+    val segs = Seq(
+      (0L, 0, h0), (0L, 1, h1), (0L, 2, h2),
+      (1L, 0, h1), (1L, 1, h2),
+      (3L, 0, h0 ^ 1L), (3L, 1, h1 ^ 1L), (3L, 2, h2 ^ 1L))
+    val roles = offsetRoles(segs)
+    implicit val ctx = spark.sqlContext
+    val msRef = MemoryStream[(Int, Int, Long, Long, Long, Boolean, Int)]
+    val nameRef = s"ttl_off_ref_${System.nanoTime()}"
+    val qRef = StatefulOps.offsetDhashDedupStream(msRef.toDS(), maxHamming = 3)
+      .toDF("id_a", "id_b", "shift", "pos")
+      .writeStream.outputMode("append").format("memory").queryName(nameRef).start()
+    try {
+      roles.grouped(roles.size / 3 + 1).foreach { b =>
+        msRef.addData(b); qRef.processAllAvailable()
+      }
+    } finally qRef.stop()
+    val want = spark.table(nameRef).distinct()
+      .as[(Long, Long, Int, Int)].collect().toSet
+    assert(want.nonEmpty && want.exists(_._3 == 1), s"reference moved: $want")
+    for ((label, prov) <- providers) withProvider(prov) {
+      val ms = MemoryStream[(Int, Int, Long, Long, Long, Boolean, Int, Timestamp)]
+      val name = s"ttl_off_in_${label}_${System.nanoTime()}"
+      val q = StatefulOps.offsetDhashDedupStreamTtl(ms.toDS(), maxHamming = 3,
+          delayThreshold = "1 hour", horizonMs = 3600L * 1000)
+        .toDF("id_a", "id_b", "shift", "pos")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      try {
+        roles.grouped(roles.size / 3 + 1).foreach { b =>
+          ms.addData(b.map(r => (r._1, r._2, r._3, r._4, r._5, r._6, r._7,
+            new Timestamp(1000))))
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val got = spark.table(name).distinct()
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == want, s"provider=$label: $got != $want")
+    }
+  }
+
+  test("offsetDhashDedupStreamTtl forgets history past the horizon, matches inside it") {
+    val hour = 3600L * 1000
+    for ((label, prov) <- providers) withProvider(prov) {
+      implicit val ctx = spark.sqlContext
+      val ms = MemoryStream[(Int, Int, Long, Long, Long, Boolean, Int, Timestamp)]
+      val name = s"ttl_off_ev_${label}_${System.nanoTime()}"
+      val q = StatefulOps.offsetDhashDedupStreamTtl(ms.toDS(), maxHamming = 3,
+          delayThreshold = "1 second", horizonMs = 60L * 1000)
+        .toDF("id_a", "id_b", "shift", "pos")
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      def feed(segs: Seq[(Long, Int, Long)], ts: Long): Unit = {
+        ms.addData(offsetRoles(segs).map(r =>
+          (r._1, r._2, r._3, r._4, r._5, r._6, r._7, new Timestamp(ts))))
+        q.processAllAvailable()
+      }
+      try {
+        feed(Seq((1L, 0, 0xABCDL)), 10000)
+        feed(Seq((90L, 500, 0x9999L)), 3 * hour) // watermark advance
+        feed(Seq((91L, 600, 0x8888L)), 3 * hour) // GC pass evicts id 1's buckets
+        // a copy of 1 arrives past the horizon: history is forgotten
+        feed(Seq((2L, 0, 0xABCDL)), 3 * hour + 1000)
+        // a copy INSIDE the horizon still matches
+        feed(Seq((3L, 0, 0xABCDL)), 3 * hour + 2000)
+      } finally q.stop()
+      val got = spark.table(name).distinct()
+        .filter(org.apache.spark.sql.functions.col("id_a") < 10)
+        .as[(Long, Long, Int, Int)].collect().toSet
+      assert(got == Set((2L, 3L, 0, 0)),
+        s"provider=$label: expected only the inside-horizon pair, got $got")
+    }
+  }
+
   test("firstByKeyStreamTtl equals firstByKeyStream inside the horizon") {
     val rows = Seq((7L, "a"), (3L, "a"), (9L, "b"), (5L, "a"), (2L, "c"), (4L, "b"))
     // untimed reference, same chunking
