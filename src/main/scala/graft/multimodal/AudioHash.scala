@@ -250,11 +250,22 @@ object AudioHash {
           "segment — too short for the segment tier (afp64 covers short clips)")
       val seg = new Array[Long](segFrames)
       val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var total = 0L
       var got = r.readMix(seg, segFrames)
+      total += got
       while (got == segFrames) {
         out += fingerprintSamples(seg)
         got = r.readMix(seg, segFrames)
+        total += got
       }
+      // A short final read is EITHER the legitimate sub-segment tail
+      // (stream complete: cumulative frames == the header's count, the
+      // remainder < segFrames has no equal-length counterpart to pair
+      // with) OR a stream cut mid-data — which afp64 already routes to
+      // the DLQ loudly and this tier used to conflate with the tail
+      // (r19 advisory): fewer segment hashes, silently.
+      if (total != r.nFrames) throw new IllegalArgumentException(
+        s"audio stream truncated: header declares ${r.nFrames} frames, read $total")
       out.toArray
     } finally r.close()
   }

@@ -499,11 +499,24 @@ object ImageHash {
         bandRows(frames.select("id", "frame_idx", "dhash"), nBands),
         maxBandBucket, "saveFrameIndex")
       .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
-    graft.operators.Layout.saveBucketedPath(rows, s"$path/bands", "bucket",
-      nBuckets, extraProps = Map("dhashNBands" -> nBands.toString,
-        "dhashFrameIndex" -> "true"))
-    frames.groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    // the banded frame feeds BOTH writes (bands table + per-id counts):
+    // persisted for the duration so the decode → fingerprint → band →
+    // guard prefix evaluates ONCE (r19 advisory — the counts aggregate
+    // was a second action on unpersisted input, re-decoding the whole
+    // corpus at nightly-crawl scale), honoring MaterializeConf like
+    // every other dedup working set. Counts derive from the banded rows
+    // themselves (each frame contributes exactly nBands band rows) —
+    // the same count(*)/nBands denominator the query paths use.
+    val eager = graft.operators.TextDedup.eagerMode(frames.sparkSession)
+    if (eager) rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.operators.Layout.saveBucketedPath(rows, s"$path/bands", "bucket",
+        nBuckets, extraProps = Map("dhashNBands" -> nBands.toString,
+          "dhashFrameIndex" -> "true"))
+      rows.groupBy(col("id"))
+        .agg((count(lit(1)) / nBands).cast("long").as("n_frames"))
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
+    } finally if (eager) rows.unpersist()
   }
 
   /** Open a [[saveFrameIndex]] directory: (bands, counts, nBands) —

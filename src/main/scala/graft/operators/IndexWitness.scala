@@ -27,34 +27,18 @@ package graft.operators
   * hidden DIRECTORIES too, so a leaf-name-only check would bake a
   * stray temp tree into a save-time fingerprint and then fail every
   * later query as "stale" even though the visible data matches (r17
-  * advisory). Local-filesystem `java.nio` walk,
-  * consistent with the meta sidecar I/O beside it; the production
-  * mapping is the same listing through the object store's LIST call —
-  * still metadata-priced, still no data scan.
+  * advisory). The walk goes through [[MetaIO.listDataFiles]] — the
+  * Hadoop `FileSystem` listing, so the witness prices as one LIST call
+  * on `file:`, `hdfs:`, and `s3a:` alike (r19 directive #3; the old
+  * `java.nio` walk made every persisted index local-FS-only) — still
+  * metadata-priced, still no data scan.
   */
 object IndexWitness {
 
   /** Fingerprint of `dir`'s visible data files: sha-256 over the
     * sorted `relativePath|byteSize` listing. */
   def fingerprint(dir: String): String = {
-    val root = java.nio.file.Paths.get(dir)
-    require(java.nio.file.Files.isDirectory(root),
-      s"$dir is not a directory — cannot fingerprint an index that is not there")
-    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
-    val stream = java.nio.file.Files.walk(root)
-    try {
-      stream.forEach { p =>
-        if (java.nio.file.Files.isRegularFile(p)) {
-          val rel = root.relativize(p)
-          val hidden = (0 until rel.getNameCount).exists { i =>
-            val seg = rel.getName(i).toString
-            seg.startsWith("_") || seg.startsWith(".")
-          }
-          if (!hidden)
-            entries += s"$rel|${java.nio.file.Files.size(p)}"
-        }
-      }
-    } finally stream.close()
+    val entries = MetaIO.listDataFiles(dir).map { case (rel, len) => s"$rel|$len" }
     val md = java.security.MessageDigest.getInstance("SHA-256")
     entries.sorted.foreach(e => md.update((e + "\n").getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
@@ -87,7 +71,13 @@ object IndexWitness {
     require(v != null,
       s"$metaPath predates versioned index metas (this engine reads format " +
         s"v$current) — index format upgraded; $hint")
-    val n = v.toInt
+    // toIntOption, not toInt: a corrupt/non-numeric version must die with
+    // the named corrupt-meta message every other sidecar field gets, not a
+    // bare NumberFormatException (r19 advisory)
+    val parsed = v.toIntOption
+    require(parsed.isDefined,
+      s"$metaPath has a non-numeric formatVersion '$v' — corrupt index meta; $hint")
+    val n = parsed.get
     require(n >= current,
       s"$metaPath is index meta format v$n; this engine reads v$current — " +
         s"index format upgraded; $hint")

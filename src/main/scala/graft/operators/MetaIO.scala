@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+
+/** Index-metadata I/O through the Hadoop `FileSystem` API — the r19
+  * directive #3 fix for the `java.nio` local-FS assumption that every
+  * persisted-index sidecar (PQ / IVF-PQ / semantic / inverted / band),
+  * the [[IndexWitness]] listing walk, and the frame index's `counts/`
+  * existence check shared: on an object-store path (`s3a://…`) those
+  * died with a bare `NoSuchFileException`, so the index family was
+  * local-only in practice even though every DATA read/write already
+  * went through Spark (which is Hadoop-FS-native). Routing the sidecar
+  * verbs through the same `FileSystem` the data uses makes a persisted
+  * index deployable wherever its parquet lives — `file:`, `hdfs:`,
+  * `s3a:` — with unchanged semantics (spec-gated through an explicit
+  * `file:`-scheme lifecycle in MetaIOSpec).
+  *
+  * Scope is METADATA-priced operations only: properties sidecars of a
+  * few hundred bytes, existence probes, and the recursive data-file
+  * LISTING the witness fingerprints — never data pages. The atomic
+  * publish idiom is write-temp + `FileContext.rename(OVERWRITE)`:
+  * atomic on HDFS and POSIX; on S3A a rename is copy+delete, but the
+  * object is still published all-or-nothing (PUT is atomic) — the
+  * non-atomic window is between delete and copy of a REPLACED sidecar,
+  * the same window every Hadoop-on-S3 metadata writer has, and the
+  * crash result is the loud missing/stale-meta state, never a torn
+  * file.
+  *
+  * The Hadoop `Configuration` comes from the active `SparkSession` when
+  * one exists (so `fs.s3a.*`/credential settings flow through), else a
+  * fresh default — enough for `file:`-scheme fixture work in bare unit
+  * tests.
+  */
+object MetaIO {
+
+  def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
+  /** Resolve `path` against its owning FileSystem; the returned Path is
+    * fully qualified (scheme + authority), the string form every
+    * catalog LOCATION / writer `path` option should use so save and
+    * load land on the same files whatever the working scheme. */
+  def resolve(path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  def qualified(path: String): String = resolve(path)._2.toString
+
+  def exists(path: String): Boolean = {
+    val (fs, p) = resolve(path)
+    fs.exists(p)
+  }
+
+  def isDirectory(path: String): Boolean = {
+    val (fs, p) = resolve(path)
+    fs.isDirectory(p)
+  }
+
+  def mkdirs(path: String): Unit = {
+    val (fs, p) = resolve(path)
+    fs.mkdirs(p)
+  }
+
+  def deleteIfExists(path: String): Unit = {
+    val (fs, p) = resolve(path)
+    if (fs.exists(p)) fs.delete(p, false)
+  }
+
+  def deleteRecursively(path: String): Unit = {
+    val (fs, p) = resolve(path)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Atomic-overwrite directory/file move (`src` onto `dst`), the swap
+    * primitive for compaction rewrites. */
+  def renameOverwrite(src: String, dst: String): Unit = {
+    val (_, s) = resolve(src)
+    val (_, d) = resolve(dst)
+    FileContext.getFileContext(d.toUri, hadoopConf())
+      .rename(s, d, Options.Rename.OVERWRITE)
+  }
+
+  /** Load a properties sidecar, or None when absent. */
+  def readProps(path: String): Option[java.util.Properties] = {
+    val (fs, p) = resolve(path)
+    if (!fs.exists(p)) None
+    else {
+      val props = new java.util.Properties()
+      val in = fs.open(p)
+      try props.load(in) finally in.close()
+      Some(props)
+    }
+  }
+
+  /** Publish a properties sidecar at `dir/name` atomically: write to a
+    * hidden temp name in the same directory, then rename-overwrite into
+    * place — a reader never observes a torn sidecar, and a crash
+    * leaves either the old meta or the new one (or a stray dot-file the
+    * hidden-entry convention already ignores). */
+  def writePropsAtomic(dir: String, name: String,
+                       props: java.util.Properties, comment: String): Unit = {
+    val (fs, d) = resolve(dir)
+    val tmp = new Path(d, s".$name.${System.nanoTime()}.tmp")
+    val out = fs.create(tmp, true)
+    try props.store(out, comment) finally out.close()
+    FileContext.getFileContext(d.toUri, hadoopConf())
+      .rename(tmp, new Path(d, name), Options.Rename.OVERWRITE)
+  }
+
+  /** Recursive listing of VISIBLE data files under `dir`:
+    * (relative path, byte size), hidden entries (any path segment
+    * starting with `_` or `.`) excluded — Spark's own data-file
+    * visibility rule, shared with [[IndexWitness.fingerprint]]. One
+    * LIST-priced walk, no data pages. */
+  def listDataFiles(dir: String): Seq[(String, Long)] = {
+    val (fs, root) = resolve(dir)
+    require(fs.isDirectory(root),
+      s"$dir is not a directory — cannot list an index that is not there")
+    val rootUri = root.toUri
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = rootUri.relativize(st.getPath.toUri).getPath
+      val hidden = rel.split('/')
+        .exists(seg => seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) out += ((rel, st.getLen))
+    }
+    out.toSeq
+  }
+
+  /** Count + total bytes of visible `.parquet` files DIRECTLY under
+    * `dir` (non-recursive) — the compaction no-op test for flat table
+    * dirs (bucketed path tables, counts tables). */
+  def parquetLeafStats(dir: String): (Int, Long) = {
+    val (fs, p) = resolve(dir)
+    val files = fs.listStatus(p).filter(s => s.isFile &&
+      s.getPath.getName.endsWith(".parquet") &&
+      !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+    (files.length, files.map(_.getLen).sum)
+  }
+}

@@ -267,9 +267,19 @@ object Similarity {
   /** Loud staleness check — filesystem-metadata fingerprint only, no
     * Spark job over the corpus (r16 advisory). */
   private def checkSemWitness(path: String, meta: SemIndexMeta, who: String): Unit =
+    // Two-crash-window adjudication (the corrected ProductQuantizer
+    // wording, r19 verdict): a crash BEFORE the corpus append commits
+    // leaves the listing matching the old meta — no staleness, a re-run
+    // just works. This error fires only in the POST-commit window
+    // (files landed, meta re-bless lost), where appendToSemanticIndex's
+    // own pre-append check would refuse the same state — so the honest
+    // hint is rebuild, never "re-run the append".
     IndexWitness.check(path, meta.dataFp,
-      s"$who found a stale index from an interrupted build or append",
-      "rebuild with saveSemanticIndex (or re-run the interrupted append)")
+      s"$who found a stale index: corpus files changed without their meta (an " +
+        "append or compaction crashed after its file commit, before the meta " +
+        "re-bless)",
+      "re-running the append/compaction would refuse this same state — " +
+        "rebuild with saveSemanticIndex to re-bless the index")
 
   /** Fit + persist the semantic index: `centroids/` (the k·d rows the
     * corpus assignments were computed against —

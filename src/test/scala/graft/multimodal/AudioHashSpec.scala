@@ -243,6 +243,26 @@ class AudioHashSpec extends SparkSpec {
     assert(e.getMessage.contains("shorter than one"), e.getMessage)
   }
 
+  test("segment tier routes a TRUNCATED stream to the DLQ, not a short tail (r19 advisory)") {
+    val dir = MediaFixture.ensureAfp()
+    val full = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "afp_0.wav"))
+    // chop PCM data off the END: the RIFF header still declares the full
+    // frame count, so the reader's stream ends early — a cut-mid-data
+    // clip, exactly what afp64 already throws on
+    val cut = java.util.Arrays.copyOf(full, full.length - 64)
+    val seg = MediaFixture.AfpFrames / 2 // 2 declared segments, data ends in #2
+    val e = intercept[IllegalArgumentException](AudioHash.afpSegments64(cut, seg))
+    assert(e.getMessage.contains("truncated"), e.getMessage)
+    // the whole-clip path agrees (shared DLQ contract)
+    val e2 = intercept[IllegalArgumentException](AudioHash.afp64(cut))
+    assert(e2.getMessage.contains("truncated"), e2.getMessage)
+    // and a complete stream with a genuine sub-segment REMAINDER still
+    // yields the full segments, silently dropping only the tail
+    val odd = MediaFixture.AfpFrames / 3 // 3 segments + a remainder
+    assert(AudioHash.afpSegments64(full, odd).length == 3)
+  }
+
   test("streaming dedup replay converges to the batch answer on any chunking") {
     // st16: the SAME band-bucket state machine as images, over audio
     // fingerprints — gated by the identical pair set

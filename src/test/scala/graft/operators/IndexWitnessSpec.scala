@@ -63,6 +63,32 @@ class IndexWitnessSpec extends AnyFunSuite {
         "invalidate the fingerprint it records)")
   }
 
+  test("requireFormat: absent, old, new, and CORRUPT versions all get named messages") {
+    val props = new java.util.Properties()
+    val e0 = intercept[IllegalArgumentException](
+      IndexWitness.requireFormat("/idx/meta", props, 3, "rebuild with saveX"))
+    assert(e0.getMessage.contains("predates versioned index metas") &&
+      e0.getMessage.contains("rebuild with saveX"))
+    props.setProperty("formatVersion", "2")
+    val eOld = intercept[IllegalArgumentException](
+      IndexWitness.requireFormat("/idx/meta", props, 3, "rebuild with saveX"))
+    assert(eOld.getMessage.contains("index format upgraded"))
+    props.setProperty("formatVersion", "4")
+    val eNew = intercept[IllegalArgumentException](
+      IndexWitness.requireFormat("/idx/meta", props, 3, "rebuild with saveX"))
+    assert(eNew.getMessage.contains("NEWER engine"))
+    // corrupt version: the named corrupt-meta message, not a bare
+    // NumberFormatException (r19 advisory)
+    props.setProperty("formatVersion", "v3!")
+    val eBad = intercept[IllegalArgumentException](
+      IndexWitness.requireFormat("/idx/meta", props, 3, "rebuild with saveX"))
+    assert(eBad.getMessage.contains("/idx/meta") &&
+      eBad.getMessage.contains("non-numeric formatVersion 'v3!'") &&
+      eBad.getMessage.contains("rebuild with saveX"), eBad.getMessage)
+    props.setProperty("formatVersion", "3")
+    IndexWitness.requireFormat("/idx/meta", props, 3, "rebuild with saveX")
+  }
+
   test("check() is loud on mismatch with the caller's idiom, silent on match") {
     val d = tmp()
     write(d, "part-0.parquet", "AAAA")
