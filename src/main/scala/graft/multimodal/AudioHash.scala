@@ -313,6 +313,22 @@ object AudioHash {
       newHashes.withColumnRenamed("afp", "dhash"), indexPath, maxHamming,
       maxBandBucket)
 
+  /** Append a batch's SURVIVORS into a [[saveAfpIndex]] corpus — the
+    * nightly lifecycle step after [[incrementalNearDupPairs]] (r19
+    * directive #1; machinery is [[ImageHash.appendToDhashIndex]]
+    * verbatim, hash-source-agnostic). Contract: ids new to the index. */
+  def appendToAfpIndex(newHashes: DataFrame, indexPath: String,
+                       maxBandBucket: Int = 1000000): Unit =
+    ImageHash.appendToDhashIndex(
+      newHashes.withColumnRenamed("afp", "dhash"), indexPath, maxBandBucket)
+
+  /** Compact a [[saveAfpIndex]] corpus after nightly appends (r19
+    * directive #2; [[ImageHash.compactDhashIndex]] verbatim). */
+  def compactAfpIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String)
+      : graft.ingest.Compaction.CompactionStats =
+    ImageHash.compactDhashIndex(spark, indexPath)
+
   // ---- offset-tolerant segment tier (au03 — r18 directive #1) -------
   // The clip-global fingerprint above is blind to trims: a copy with a
   // stripped intro or an appended tail shifts every one of the 8
@@ -367,6 +383,25 @@ object AudioHash {
       segs.withColumnRenamed("afp", "dhash")
         .withColumnRenamed("seg_idx", "frame_idx"),
       path, nBands, nBuckets, maxBandBucket)
+
+  /** Append a batch's SURVIVOR segments into a [[saveSegmentIndex]]
+    * corpus (r19 directive #1 — the au05 gate): bands bucketed-append +
+    * per-id segment counts append + parent re-bless, all
+    * [[ImageHash.appendToFrameIndex]] verbatim (position-source-
+    * agnostic). Contract: ids new to the index. */
+  def appendToSegmentIndex(newSegs: DataFrame, indexPath: String,
+                           maxBandBucket: Int = 1000000): Unit =
+    ImageHash.appendToFrameIndex(
+      newSegs.withColumnRenamed("afp", "dhash")
+        .withColumnRenamed("seg_idx", "frame_idx"),
+      indexPath, maxBandBucket)
+
+  /** Compact a [[saveSegmentIndex]] corpus after nightly appends (r19
+    * directive #2; [[ImageHash.compactFrameIndex]] verbatim). */
+  def compactSegmentIndex(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String)
+      : Seq[graft.ingest.Compaction.CompactionStats] =
+    ImageHash.compactFrameIndex(spark, indexPath)
 
   /** Offset-tolerant near-dup pairs INVOLVING a new batch of segment
     * fingerprints, against a [[saveSegmentIndex]] corpus: (indexed ×

@@ -410,6 +410,47 @@ object ImageHash {
     * caller-side mismatch cannot exist. The width cap runs at save
     * time: an over-wide bucket would make every future incremental
     * query quadratic, so it dies here, named, instead. */
+  /** dHash index sidecar format: v2 added the [[graft.operators.IndexWitness]]
+    * fingerprint + append lifecycle (r19 directive #1; shared by the
+    * clip- and frame-level indexes and, via delegation, the audio
+    * family). */
+  val DhashIndexFormatVersion = 2
+
+  /** Witness + meta re-bless shared by the save/append/compact steps of
+    * BOTH index shapes: caller props plus the CURRENT data fingerprint
+    * of `fpRoot` (the clip index's own dir; the frame index's PARENT,
+    * covering bands/ and counts/ together so a crash between the two
+    * appends is loud), published last. */
+  private def blessDhashIndex(sidecarPath: String, fpRoot: String,
+                              props: Map[String, String]): Unit =
+    graft.operators.Layout.rewritePathTableProps(sidecarPath,
+      props + ("formatVersion" -> DhashIndexFormatVersion.toString,
+        "dataFp" -> graft.operators.IndexWitness.fingerprint(fpRoot)))
+
+  /** Loud staleness check — the two-crash-window adjudication (fires
+    * only post-commit, where a re-run would refuse the same state). */
+  private def checkDhashWitness(sidecarPath: String, fpRoot: String,
+                                who: String): Unit = {
+    val fp = graft.operators.Layout.pathTableProps(sidecarPath)
+      .flatMap(_.get("dataFp")).getOrElse(sys.error(
+        s"$sidecarPath has no dataFp in its sidecar — the build crashed " +
+          "before the witness bless; rebuild the index"))
+    graft.operators.IndexWitness.check(fpRoot, fp,
+      s"$who found a stale index: data files changed without their meta (an " +
+        "append or compaction crashed after its file commit, before the meta " +
+        "re-bless)",
+      "re-running the append/compaction would refuse this same state — " +
+        "rebuild the index to re-bless it")
+  }
+
+  private def requireIndexFormat(path: String,
+                                 props: Map[String, String]): Unit = {
+    val pj = new java.util.Properties()
+    props.foreach { case (k, v) => pj.setProperty(k, v) }
+    graft.operators.IndexWitness.requireFormat(s"$path (dHash index sidecar)",
+      pj, DhashIndexFormatVersion, "rebuild the index with its save function")
+  }
+
   def saveDhashIndex(hashes: DataFrame, path: String, nBands: Int = 4,
                      nBuckets: Int = 8, maxBandBucket: Int = 1000000): Unit = {
     require(nBands >= 2 && 64 % nBands == 0,
@@ -417,13 +458,52 @@ object ImageHash {
     val rows = bandGuarded(bandRows(hashes, nBands), maxBandBucket, "saveDhashIndex")
       .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
     graft.operators.Layout.saveBucketedPath(rows, path, "bucket", nBuckets,
-      extraProps = Map("dhashNBands" -> nBands.toString))
+      extraProps = Map("dhashNBands" -> nBands.toString,
+        "formatVersion" -> DhashIndexFormatVersion.toString))
+    blessDhashIndex(path, path, Map("dhashNBands" -> nBands.toString))
+  }
+
+  /** Append a batch's band rows into a [[saveDhashIndex]] corpus — the
+    * nightly lifecycle step after [[incrementalNearDupPairs]] (r19
+    * directive #1): band with the index's OWN persisted geometry,
+    * bucketed-append under the existing spec (candidate joins stay
+    * exchange-free on the index side), re-bless the witness last. The
+    * width cap runs on the BATCH (the save-time cap already blessed
+    * history; a flat-image flood in tonight's batch still dies loudly
+    * before it lands). Contract: ids new to the index — survivors of
+    * the batch dedup (the appendToSemanticIndex contract). */
+  def appendToDhashIndex(newHashes: DataFrame, indexPath: String,
+                         maxBandBucket: Int = 1000000): Unit = {
+    val nBands = readIndexMeta(indexPath)
+    checkDhashWitness(indexPath, indexPath, "appendToDhashIndex")
+    val rows = bandGuarded(bandRows(newHashes, nBands), maxBandBucket,
+        "appendToDhashIndex")
+      .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
+    graft.operators.Layout.appendBucketedPath(rows, indexPath)
+    blessDhashIndex(indexPath, indexPath, Map("dhashNBands" -> nBands.toString))
+  }
+
+  /** Compact the per-night small files [[appendToDhashIndex]] accretes
+    * (r19 directive #2): witness first, one file per bucket through the
+    * BUCKETED writer ([[graft.operators.Layout.compactBucketedPath]]),
+    * re-bless. Rows untouched — incremental pairs hash identically
+    * pre/post (spec-gated). */
+  def compactDhashIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String)
+      : graft.ingest.Compaction.CompactionStats = {
+    val nBands = readIndexMeta(indexPath)
+    checkDhashWitness(indexPath, indexPath, "compactDhashIndex")
+    val stats = graft.operators.Layout.compactBucketedPath(spark, indexPath)
+    if (stats.compacted)
+      blessDhashIndex(indexPath, indexPath, Map("dhashNBands" -> nBands.toString))
+    stats
   }
 
   private def readIndexMeta(path: String): Int = {
     val props = graft.operators.Layout.pathTableProps(path).getOrElse(sys.error(
       s"$path has no path-table metadata — not a graft dHash band index; " +
         "rebuild with ImageHash.saveDhashIndex"))
+    requireIndexFormat(path, props)
     require(!props.get("dhashFrameIndex").contains("true"),
       s"$path is a FRAME-level band index (saveFrameIndex) — its rows are " +
         "per-position hashes, not per-clip; query it with " +
@@ -443,6 +523,7 @@ object ImageHash {
                               maxHamming: Int,
                               maxBandBucket: Int = 1000000): DataFrame = {
     val nBands = readIndexMeta(indexPath)
+    checkDhashWitness(indexPath, indexPath, "incrementalNearDupPairs")
     requireRecall(maxHamming, nBands)
     val idx = graft.operators.Layout.loadBucketedPath(
       newHashes.sparkSession, indexPath)._1
@@ -512,11 +593,67 @@ object ImageHash {
     try {
       graft.operators.Layout.saveBucketedPath(rows, s"$path/bands", "bucket",
         nBuckets, extraProps = Map("dhashNBands" -> nBands.toString,
-          "dhashFrameIndex" -> "true"))
+          "dhashFrameIndex" -> "true",
+          "formatVersion" -> DhashIndexFormatVersion.toString))
       rows.groupBy(col("id"))
         .agg((count(lit(1)) / nBands).cast("long").as("n_frames"))
         .coalesce(1).write.mode("overwrite").parquet(s"$path/counts")
     } finally if (eager) rows.unpersist()
+    // fingerprint covers bands/ AND counts/ (the parent): a crash
+    // between the two writes, or between an append's two halves, is the
+    // loud witness-stale state instead of a silently count-less index
+    blessDhashIndex(s"$path/bands", path, Map("dhashNBands" -> nBands.toString,
+      "dhashFrameIndex" -> "true"))
+  }
+
+  /** Append a batch's position-band rows + per-id frame counts into a
+    * [[saveFrameIndex]] corpus — the nightly lifecycle step after
+    * [[incrementalNearDupPairsOffset]] (r19 directive #1, the au05/mm08
+    * gate): band with the index's OWN geometry, bucketed-append the
+    * bands (exchange-free candidate joins preserved), append the
+    * batch's count rows into `counts/` — ids are NEW by contract
+    * (survivors), so the per-id count table stays one-row-per-id
+    * without a rewrite of history — then re-bless the parent
+    * fingerprint last. A crash between the two appends leaves the loud
+    * witness-stale state, never a bands/counts mismatch the fraction
+    * gate would silently mis-evaluate. */
+  def appendToFrameIndex(newFrames: DataFrame, indexPath: String,
+                         maxBandBucket: Int = 1000000): Unit = {
+    val spark = newFrames.sparkSession
+    val (_, _, nBands) = loadFrameIndex(spark, indexPath) // format+witness+counts checks
+    val rows = frameBandGuarded(
+        bandRows(newFrames.select("id", "frame_idx", "dhash"), nBands),
+        maxBandBucket, "appendToFrameIndex")
+      .withColumn("bucket", concat_ws("#", col("band"), col("bv")))
+    val eager = graft.operators.TextDedup.eagerMode(spark)
+    if (eager) rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.operators.Layout.appendBucketedPath(rows, s"$indexPath/bands")
+      rows.groupBy(col("id"))
+        .agg((count(lit(1)) / nBands).cast("long").as("n_frames"))
+        .coalesce(1).write.mode("append").parquet(s"$indexPath/counts")
+    } finally if (eager) rows.unpersist()
+    blessDhashIndex(s"$indexPath/bands", indexPath,
+      Map("dhashNBands" -> nBands.toString, "dhashFrameIndex" -> "true"))
+  }
+
+  /** Compact both tables of a [[saveFrameIndex]] corpus after nightly
+    * appends (r19 directive #2): bands through the BUCKETED writer,
+    * `counts/` as a flat leaf rewrite, witness first / re-bless last.
+    * Returns (bands, counts) stats. */
+  def compactFrameIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String,
+                        countsTargetBytes: Long = 128L * 1024 * 1024)
+      : Seq[graft.ingest.Compaction.CompactionStats] = {
+    val (_, _, nBands) = loadFrameIndex(spark, indexPath)
+    val bandStats = graft.operators.Layout.compactBucketedPath(
+      spark, s"$indexPath/bands")
+    val countStats = graft.ingest.Compaction.compactLeaf(
+      spark, s"$indexPath/counts", countsTargetBytes)
+    if (bandStats.compacted || countStats.compacted)
+      blessDhashIndex(s"$indexPath/bands", indexPath,
+        Map("dhashNBands" -> nBands.toString, "dhashFrameIndex" -> "true"))
+    Seq(bandStats, countStats)
   }
 
   /** Open a [[saveFrameIndex]] directory: (bands, counts, nBands) —
@@ -528,15 +665,17 @@ object ImageHash {
       .getOrElse(sys.error(
         s"$path has no bands/ path-table metadata — not a graft frame band " +
           "index; rebuild with saveFrameIndex"))
+    requireIndexFormat(s"$path/bands", props)
     require(props.get("dhashFrameIndex").contains("true"),
       s"$path/bands is a CLIP-level band index — query it with the " +
         "clip-level incremental join, not the offset sweep")
     val nBands = props.getOrElse("dhashNBands", sys.error(
       s"$path/bands has no dhashNBands property — foreign index")).toInt
-    val bands = graft.operators.Layout.loadBucketedPath(spark, s"$path/bands")._1
-    require(java.nio.file.Files.exists(java.nio.file.Paths.get(path, "counts")),
+    require(graft.operators.MetaIO.exists(s"$path/counts"),
       s"$path has no counts/ table — the build crashed between the bands and " +
         "counts writes; rebuild with saveFrameIndex")
+    checkDhashWitness(s"$path/bands", path, "loadFrameIndex")
+    val bands = graft.operators.Layout.loadBucketedPath(spark, s"$path/bands")._1
     (bands, spark.read.parquet(s"$path/counts"), nBands)
   }
 

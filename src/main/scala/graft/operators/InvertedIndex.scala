@@ -94,22 +94,14 @@ object InvertedIndex {
     p.setProperty("totalTokens", meta.totalTokens.toString)
     p.setProperty("postingRows", meta.postingRows.toString)
     p.setProperty("dataFp", meta.dataFp)
-    val dir = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Files.createTempFile(dir, "." + MetaFile, ".tmp")
-    val out = java.nio.file.Files.newOutputStream(tmp)
-    try p.store(out, "graft inverted index") finally out.close()
-    java.nio.file.Files.move(tmp, dir.resolve(MetaFile),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.writePropsAtomic(path, MetaFile, p, "graft inverted index")
   }
 
   private def readMeta(path: String, hint: String): IndexMeta = {
-    val f = java.nio.file.Paths.get(path, MetaFile)
-    require(java.nio.file.Files.exists(f),
+    val pOpt = MetaIO.readProps(s"$path/${MetaFile}")
+    require(pOpt.isDefined,
       s"$path has no $MetaFile — not a graft inverted index; $hint")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
+    val p = pOpt.get
     // format check first, BOTH directions (r18 advisory: the version
     // was written but never read back, so a newer-format index would be
     // silently misread): old/absent → NAMED upgrade message; newer →
@@ -156,8 +148,8 @@ object InvertedIndex {
     // Old meta deleted before the overwrite, new meta last: a crash
     // mid-rebuild leaves a loud no-meta state (the savePqIndex
     // ordering discipline).
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, MetaFile))
+    MetaIO.mkdirs(path)
+    MetaIO.deleteIfExists(s"$path/${MetaFile}")
     buildPostings(docs)
       .withColumn("term_bucket", termBucket(col("term"), nBuckets))
       .write.mode("overwrite").partitionBy("term_bucket").parquet(path)

@@ -118,7 +118,7 @@ object Layout {
 
   private def pathTableName(path: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(new java.io.File(path).getAbsolutePath.getBytes("UTF-8"))
+      .digest(MetaIO.qualified(path).getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
     s"graft_path_tbl_$digest"
   }
@@ -126,18 +126,13 @@ object Layout {
   /** The sidecar properties of a path table, or None if `path` is not
     * one (no metadata file). Extra application properties appear under
     * their original keys; the reserved keys are `schemaDdl`,
-    * `bucketCol`, `nBuckets`. */
-  def pathTableProps(path: String): Option[Map[String, String]] = {
-    val f = java.nio.file.Paths.get(path, PathTableMetaFile)
-    if (!java.nio.file.Files.exists(f)) None
-    else {
-      val p = new java.util.Properties()
-      val in = java.nio.file.Files.newInputStream(f)
-      try p.load(in) finally in.close()
+    * `bucketCol`, `nBuckets`. Sidecar I/O rides [[MetaIO]] (Hadoop
+    * FileSystem), so path tables work on any scheme the data does. */
+  def pathTableProps(path: String): Option[Map[String, String]] =
+    MetaIO.readProps(s"$path/$PathTableMetaFile").map { p =>
       import scala.jdk.CollectionConverters._
-      Some(p.asScala.toMap)
+      p.asScala.toMap
     }
-  }
 
   /** Write `df` to `path` bucketed+sorted by `bucketCol`, with the
     * schema/bucket spec (plus caller `extraProps`, e.g. fingerprint
@@ -158,7 +153,7 @@ object Layout {
       spark.sql(s"DROP TABLE IF EXISTS $table")
       df.write.mode("overwrite")
         .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-        .option("path", new java.io.File(path).getAbsolutePath)
+        .option("path", MetaIO.qualified(path))
         .saveAsTable(table)
       // the registration was only scaffolding for the bucketed writer
       // (the dir may be atomically renamed by a fixture publisher right
@@ -169,9 +164,8 @@ object Layout {
       p.setProperty("bucketCol", bucketCol)
       p.setProperty("nBuckets", nBuckets.toString)
       extraProps.foreach { case (k, v) => p.setProperty(k, v) }
-      val f = java.nio.file.Paths.get(path, PathTableMetaFile)
-      val out = java.nio.file.Files.newOutputStream(f)
-      try p.store(out, "graft bucketed path table") finally out.close()
+      MetaIO.writePropsAtomic(path, PathTableMetaFile, p,
+        "graft bucketed path table")
     }
 
   /** Open a [[saveBucketedPath]] directory as the bucketed catalog
@@ -188,7 +182,7 @@ object Layout {
           "rebuild with Layout.saveBucketedPath"))
       val table = pathTableName(path)
       if (!spark.catalog.tableExists(table)) {
-        val loc = new java.io.File(path).getAbsolutePath
+        val loc = MetaIO.qualified(path)
         spark.sql(
           s"""CREATE TABLE $table (${props("schemaDdl")})
              |USING PARQUET
@@ -199,4 +193,128 @@ object Layout {
       val reserved = Set("schemaDdl", "bucketCol", "nBuckets")
       (spark.table(table), props.filterNot { case (k, _) => reserved(k) })
     }
+
+  /** Re-publish a path table's sidecar with `extraProps` replacing the
+    * caller-owned properties (reserved schema/bucket keys preserved
+    * verbatim) — the meta re-bless step of the band-index append/
+    * compaction lifecycle. Atomic publish via [[MetaIO]]. */
+  def rewritePathTableProps(path: String, extraProps: Map[String, String]): Unit =
+    catalogLock.synchronized {
+      val existing = pathTableProps(path).getOrElse(sys.error(
+        s"$path has no $PathTableMetaFile — not a graft bucketed path table"))
+      val reserved = Set("schemaDdl", "bucketCol", "nBuckets")
+      val clash = extraProps.keySet.intersect(reserved)
+      require(clash.isEmpty,
+        s"extraProps may not use reserved key(s): ${clash.mkString(", ")}")
+      val p = new java.util.Properties()
+      reserved.foreach { k =>
+        // pathTableProps strips nothing, so reserved keys are present
+        p.setProperty(k, existing.getOrElse(k, sys.error(
+          s"$path sidecar is missing reserved key '$k' — corrupt; rebuild")))
+      }
+      extraProps.foreach { case (k, v) => p.setProperty(k, v) }
+      MetaIO.writePropsAtomic(path, PathTableMetaFile, p,
+        "graft bucketed path table")
+    }
+
+  /** Append rows into an existing [[saveBucketedPath]] table under its
+    * OWN bucket spec — the write half of the nightly band-index append
+    * lifecycle (r19 directive #1). The insert plans against the
+    * registered bucketed catalog table, so the new files carry proper
+    * bucket ids (Spark's bucketed write: each task emits at most one
+    * file per bucket it holds) and every later bucket-key equi-join
+    * keeps reading the index side exchange-free; multiple files per
+    * bucket are native to bucketed scans. Input must carry exactly the
+    * saved schema's columns (any order — the insert is arranged by
+    * NAME against the sidecar DDL, loudly, because `insertInto` itself
+    * is positional and a silent misorder would corrupt the index). */
+  def appendBucketedPath(df: DataFrame, path: String): Unit = {
+    val props = pathTableProps(path).getOrElse(sys.error(
+      s"$path has no $PathTableMetaFile — not a graft bucketed path table; " +
+        "build with Layout.saveBucketedPath before appending"))
+    val saved = org.apache.spark.sql.types.StructType.fromDDL(props("schemaDdl"))
+    val missing = saved.fieldNames.toSet -- df.columns.toSet
+    val extra = df.columns.toSet -- saved.fieldNames.toSet
+    require(missing.isEmpty && extra.isEmpty,
+      s"appendBucketedPath: batch schema (${df.columns.sorted.mkString(", ")}) " +
+        s"does not match the index's (${saved.fieldNames.sorted.mkString(", ")}) " +
+        s"— refusing a positional insert that would scramble columns")
+    val table = {
+      // registration is idempotent; loadBucketedPath owns the lock
+      loadBucketedPath(df.sparkSession, path)
+      pathTableName(path)
+    }
+    df.select(saved.fieldNames.map(col): _*).write.mode("append").insertInto(table)
+    // the appended files are new to this table's in-session file-listing
+    // cache; refresh so a same-session reader sees them
+    df.sparkSession.catalog.refreshTable(table)
+  }
+
+  /** Rewrite a [[saveBucketedPath]] table into ONE file per bucket —
+    * small-file maintenance for the nightly append lifecycle (each
+    * append lands ≤ nBuckets new files, so after N nights a bucket
+    * scan opens N files and footer overhead creeps in — the ix01
+    * failure mode for the band-index family). The rewrite must go
+    * through the BUCKETED writer (a plain [[graft.ingest.Compaction]]
+    * leaf rewrite would scramble rows across bucket ids and silently
+    * break every later bucketed join), so: read the table, repartition
+    * by the bucket column into nBuckets tasks — Spark's repartition
+    * hash IS the bucket-id hash, so each task holds exactly one
+    * bucket's rows and the bucketed writer emits exactly one file per
+    * non-empty bucket — rewrite into a sibling temp dir via
+    * [[saveBucketedPath]] (same spec, same extraProps), then swap the
+    * directories and drop the stale catalog entries. Returns
+    * (filesBefore, filesAfter, bytes, compacted); no-op at ≤ nBuckets
+    * files. NOT atomic for concurrent readers (the Compaction caveat);
+    * run in the maintenance window like every layout rewrite. */
+  def compactBucketedPath(spark: org.apache.spark.sql.SparkSession, path: String)
+      : graft.ingest.Compaction.CompactionStats = {
+    val props = pathTableProps(path).getOrElse(sys.error(
+      s"$path has no $PathTableMetaFile — not a graft bucketed path table"))
+    val nBuckets = props("nBuckets").toInt
+    val bucketCol = props("bucketCol")
+    val reserved = Set("schemaDdl", "bucketCol", "nBuckets")
+    val (filesBefore, bytes) = MetaIO.parquetLeafStats(path)
+    if (filesBefore <= nBuckets)
+      return graft.ingest.Compaction.CompactionStats(
+        path, filesBefore, filesBefore, bytes, compacted = false)
+    // Read the files as PLAIN parquet (pinned sidecar schema, no footer
+    // job), NOT through the bucketed catalog table: the table scan
+    // advertises HashPartitioning(bucket, n), so the planner eliminates
+    // the repartition below as redundant and THEN disables the bucketed
+    // scan as unneeded — leaving size-coalesced partitions that mix
+    // buckets, and a rewrite that never collapses (measured: 32 → 11
+    // files instead of 32 → nBuckets). A plain scan has no partitioning
+    // to mis-plan against. AQE is paused for this one write for the
+    // same reason at runtime: with no write-declared distribution, its
+    // local-shuffle-read rewrite would unravel the repartition's
+    // clustering. Each surviving repartition task holds exactly one
+    // bucket id (repartition's hash IS the bucket-id hash), so the
+    // bucketed writer emits ONE file per non-empty bucket.
+    val saved = org.apache.spark.sql.types.StructType.fromDDL(props("schemaDdl"))
+    val df = spark.read.schema(saved).parquet(MetaIO.qualified(path))
+    val tmp = s"$path.compact-tmp"
+    MetaIO.deleteRecursively(tmp)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try
+      saveBucketedPath(df.repartition(nBuckets, col(bucketCol)), tmp, bucketCol,
+        nBuckets, extraProps = props.filterNot { case (k, _) => reserved(k) })
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    catalogLock.synchronized {
+      // swap: old tree out of the way, rewrite in, stale registrations
+      // dropped (both names — the path's digest table now points at new
+      // files, the tmp digest at a gone dir)
+      spark.sql(s"DROP TABLE IF EXISTS ${pathTableName(path)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${pathTableName(tmp)}")
+      val old = s"$path.compact-old"
+      MetaIO.deleteRecursively(old)
+      MetaIO.renameOverwrite(path, old)
+      MetaIO.renameOverwrite(tmp, path)
+      MetaIO.deleteRecursively(old)
+    }
+    val (filesAfter, _) = MetaIO.parquetLeafStats(path)
+    graft.ingest.Compaction.CompactionStats(
+      path, filesBefore, filesAfter, bytes, compacted = true)
+  }
 }

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 /** Index-metadata I/O through the Hadoop `FileSystem` API — the r19
   * directive #3 fix for the `java.nio` local-FS assumption that every
@@ -19,13 +19,12 @@ import org.apache.hadoop.fs.{FileContext, FileSystem, Options, Path}
   * Scope is METADATA-priced operations only: properties sidecars of a
   * few hundred bytes, existence probes, and the recursive data-file
   * LISTING the witness fingerprints — never data pages. The atomic
-  * publish idiom is write-temp + `FileContext.rename(OVERWRITE)`:
-  * atomic on HDFS and POSIX; on S3A a rename is copy+delete, but the
-  * object is still published all-or-nothing (PUT is atomic) — the
-  * non-atomic window is between delete and copy of a REPLACED sidecar,
-  * the same window every Hadoop-on-S3 metadata writer has, and the
-  * crash result is the loud missing/stale-meta state, never a torn
-  * file.
+  * publish idiom is write-temp + [[renameOverwrite]]: one atomic
+  * rename on POSIX; on stores that refuse an existing destination the
+  * fallback is delete-then-rename, whose crash window leaves the loud
+  * MISSING-meta state every reader names — never a torn file (on S3A a
+  * rename is copy+delete, but each object still appears
+  * all-or-nothing: PUT is atomic).
   *
   * The Hadoop `Configuration` comes from the active `SparkSession` when
   * one exists (so `fs.s3a.*`/credential settings flow through), else a
@@ -42,10 +41,22 @@ object MetaIO {
   /** Resolve `path` against its owning FileSystem; the returned Path is
     * fully qualified (scheme + authority), the string form every
     * catalog LOCATION / writer `path` option should use so save and
-    * load land on the same files whatever the working scheme. */
+    * load land on the same files whatever the working scheme.
+    *
+    * On the local scheme the CHECKSUM wrapper is unwrapped to the raw
+    * filesystem: sidecars are a few hundred bytes (a `.crc` sibling per
+    * meta buys nothing), an operator legitimately edits/repairs a
+    * sidecar with a text editor (a stale `.crc` would then fail every
+    * read with a bare ChecksumException), and the previous `java.nio`
+    * implementation these verbs replaced was raw too — behavior
+    * preserved. Real stores (HDFS block checksums, S3 ETags) verify
+    * integrity internally. */
   def resolve(path: String): (FileSystem, Path) = {
     val p = new Path(path)
-    val fs = p.getFileSystem(hadoopConf())
+    val fs = p.getFileSystem(hadoopConf()) match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case o => o
+    }
     (fs, fs.makeQualified(p))
   }
 
@@ -76,13 +87,19 @@ object MetaIO {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Atomic-overwrite directory/file move (`src` onto `dst`), the swap
-    * primitive for compaction rewrites. */
+  /** Overwriting directory/file move (`src` onto `dst`), the swap /
+    * publish primitive: plain rename first (one atomic op on POSIX and
+    * HDFS when dst is absent or an overwritable file), falling back to
+    * delete-then-rename where the FS refuses an existing dst — that
+    * window's crash state is a loudly MISSING target (the no-meta /
+    * no-dir states every reader names), never a torn one. */
   def renameOverwrite(src: String, dst: String): Unit = {
-    val (_, s) = resolve(src)
+    val (fs, s) = resolve(src)
     val (_, d) = resolve(dst)
-    FileContext.getFileContext(d.toUri, hadoopConf())
-      .rename(s, d, Options.Rename.OVERWRITE)
+    if (!fs.rename(s, d)) {
+      if (fs.exists(d)) fs.delete(d, true)
+      require(fs.rename(s, d), s"rename $s -> $d failed")
+    }
   }
 
   /** Load a properties sidecar, or None when absent. */
@@ -108,8 +125,7 @@ object MetaIO {
     val tmp = new Path(d, s".$name.${System.nanoTime()}.tmp")
     val out = fs.create(tmp, true)
     try props.store(out, comment) finally out.close()
-    FileContext.getFileContext(d.toUri, hadoopConf())
-      .rename(tmp, new Path(d, name), Options.Rename.OVERWRITE)
+    renameOverwrite(tmp.toString, new Path(d, name).toString)
   }
 
   /** Recursive listing of VISIBLE data files under `dir`:

@@ -141,22 +141,14 @@ object ProductQuantizer {
     p.setProperty("unitScale", meta.unitScale.toString)
     p.setProperty("codeRows", meta.codeRows.toString)
     p.setProperty("dataFp", meta.dataFp)
-    val dir = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Files.createTempFile(dir, "." + MetaFile, ".tmp")
-    val out = java.nio.file.Files.newOutputStream(tmp)
-    try p.store(out, "graft pq index") finally out.close()
-    java.nio.file.Files.move(tmp, dir.resolve(MetaFile),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.writePropsAtomic(path, MetaFile, p, "graft pq index")
   }
 
   private def readMeta(path: String): PqIndexMeta = {
-    val f = java.nio.file.Paths.get(path, MetaFile)
-    require(java.nio.file.Files.exists(f),
+    val pOpt = MetaIO.readProps(s"$path/${MetaFile}")
+    require(pOpt.isDefined,
       s"$path has no $MetaFile — not a graft pq index; build with savePqIndex")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
+    val p = pOpt.get
     // format check first (BOTH directions — r18 advisory: the version
     // was written but never read back, so a newer-format index would be
     // silently misread), so any mismatch gets a NAMED message instead
@@ -199,8 +191,8 @@ object ProductQuantizer {
   def savePqIndex(emb: DataFrame, d: Int, m: Int, k: Int, iterations: Int,
                   path: String, unitScale: Long = 1000000L): Unit = {
     val (codes, centroids) = fitCodes(emb, d, m, k, iterations, unitScale)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, MetaFile))
+    MetaIO.mkdirs(path)
+    MetaIO.deleteIfExists(s"$path/${MetaFile}")
     codes.write.mode("overwrite").parquet(s"$path/codes")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     val n = emb.sparkSession.read.parquet(s"$path/codes").count()
@@ -643,23 +635,15 @@ object ProductQuantizer {
     // that makes the coarse table broadcastable
     p.setProperty("listCounts", meta.listCounts.toSeq.sorted
       .map { case (l, c) => s"$l:$c" }.mkString(","))
-    val dir = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Files.createTempFile(dir, "." + IvfPqMetaFile, ".tmp")
-    val out = java.nio.file.Files.newOutputStream(tmp)
-    try p.store(out, "graft ivf-pq index") finally out.close()
-    java.nio.file.Files.move(tmp, dir.resolve(IvfPqMetaFile),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.writePropsAtomic(path, IvfPqMetaFile, p, "graft ivf-pq index")
   }
 
   private def readIvfPqMeta(path: String): IvfPqIndexMeta = {
-    val f = java.nio.file.Paths.get(path, IvfPqMetaFile)
-    require(java.nio.file.Files.exists(f),
+    val pOpt = MetaIO.readProps(s"$path/${IvfPqMetaFile}")
+    require(pOpt.isDefined,
       s"$path has no $IvfPqMetaFile — not a graft ivf-pq index; build with " +
         "saveIvfPqIndex")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
+    val p = pOpt.get
     // format check first, BOTH directions (r18 advisory) — a v2 index
     // (pre-listCounts) gets the named rebuild hint, a v4+ one the
     // upgrade-the-engine hint
@@ -705,8 +689,8 @@ object ProductQuantizer {
                      unitScale: Long = 1000000L): Unit = {
     val (coarseAssign, coarseCentroids, codes, residCentroids) =
       ivfPqFit(emb, d, m, kCoarse, coarseIterations, kPq, pqIterations, unitScale)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, IvfPqMetaFile))
+    MetaIO.mkdirs(path)
+    MetaIO.deleteIfExists(s"$path/${IvfPqMetaFile}")
     coarseCentroids.select(col("cluster"), col("dim"), col("c"))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/coarse")
     residCentroids.select(col("sub"), col("cluster"), col("j"), col("c"))

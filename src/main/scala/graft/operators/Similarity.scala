@@ -233,22 +233,14 @@ object Similarity {
     p.setProperty("unitScale", m.unitScale.toString)
     p.setProperty("corpusRows", m.corpusRows.toString)
     p.setProperty("dataFp", m.dataFp)
-    val dir = java.nio.file.Paths.get(path)
-    val tmp = java.nio.file.Files.createTempFile(dir, "." + SemMetaFile, ".tmp")
-    val out = java.nio.file.Files.newOutputStream(tmp)
-    try p.store(out, "graft semantic index") finally out.close()
-    java.nio.file.Files.move(tmp, dir.resolve(SemMetaFile),
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    MetaIO.writePropsAtomic(path, SemMetaFile, p, "graft semantic index")
   }
 
   private def readSemMeta(path: String): SemIndexMeta = {
-    val f = java.nio.file.Paths.get(path, SemMetaFile)
-    require(java.nio.file.Files.exists(f),
+    val pOpt = MetaIO.readProps(s"$path/${SemMetaFile}")
+    require(pOpt.isDefined,
       s"$path has no $SemMetaFile — not a graft semantic index; build with saveSemanticIndex")
-    val p = new java.util.Properties()
-    val in = java.nio.file.Files.newInputStream(f)
-    try p.load(in) finally in.close()
+    val p = pOpt.get
     // format check first, BOTH directions (r18 advisory: the version
     // was written but never read back, so a newer-format index would be
     // silently misread): old/absent → NAMED upgrade message; newer →
@@ -309,8 +301,8 @@ object Similarity {
     // last: a crash mid-rebuild leaves a loud no-meta state, never an
     // old meta over new data (r16 advice — a changed unitScale/k with
     // coinciding row counts would otherwise mis-quantize silently).
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
-    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path, SemMetaFile))
+    MetaIO.mkdirs(path)
+    MetaIO.deleteIfExists(s"$path/${SemMetaFile}")
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     checked
       .join(assign.select(col("id").as("vec_id"), col("cluster")), "vec_id")

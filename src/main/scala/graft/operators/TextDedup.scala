@@ -226,6 +226,12 @@ object TextDedup {
     */
   final case class BandIndexMeta(numHashes: Int, rowsPerBand: Int, nBuckets: Int)
 
+  /** Band-index sidecar format: v2 added the [[IndexWitness]]
+    * fingerprint + append lifecycle (r19 directive #1) — a v1 index
+    * predates `formatVersion` entirely and gets the named rebuild
+    * message via [[IndexWitness.requireFormat]]. */
+  val BandIndexFormatVersion = 2
+
   /** Read the persisted fingerprint parameters; fails LOUDLY on a
     * pre-metadata or foreign directory instead of silently joining with
     * mismatched band keys. */
@@ -235,11 +241,43 @@ object TextDedup {
       s"$path has no path-table metadata — not a graft band index " +
         "(or written by a pre-metadata version); rebuild with saveBandIndex")
     val props = propsOpt.get
+    val pj = new java.util.Properties()
+    props.foreach { case (k, v) => pj.setProperty(k, v) }
+    IndexWitness.requireFormat(s"$path (band index sidecar)", pj,
+      BandIndexFormatVersion, "rebuild with saveBandIndex")
     def get(k: String): Int = {
       require(props.contains(k), s"band index metadata at $path is missing '$k'")
       props(k).toInt
     }
     BandIndexMeta(get("numHashes"), get("rowsPerBand"), get("nBuckets"))
+  }
+
+  /** The witness + meta re-bless shared by save/append/compact: the
+    * caller props plus the CURRENT data-file fingerprint, published
+    * last — a crash before this leaves either a fingerprint-less
+    * sidecar (save) or the stale old fingerprint (append/compact),
+    * both loud on the next read. */
+  private def blessBandIndex(path: String, meta: BandIndexMeta): Unit =
+    Layout.rewritePathTableProps(path, Map(
+      "formatVersion" -> BandIndexFormatVersion.toString,
+      "numHashes" -> meta.numHashes.toString,
+      "rowsPerBand" -> meta.rowsPerBand.toString,
+      "dataFp" -> IndexWitness.fingerprint(path)))
+
+  /** Loud staleness check before every index read/append/compact —
+    * the [[ProductQuantizer]] two-crash-window adjudication: this only
+    * fires post-commit (files landed, meta re-bless lost), where a
+    * re-run would refuse the same state. */
+  private def checkBandWitness(path: String, who: String): Unit = {
+    val fp = Layout.pathTableProps(path).flatMap(_.get("dataFp")).getOrElse(
+      sys.error(s"$path has no dataFp in its sidecar — the build crashed " +
+        "before the witness bless; rebuild with saveBandIndex"))
+    IndexWitness.check(path, fp,
+      s"$who found a stale index: band files changed without their meta (an " +
+        "append or compaction crashed after its file commit, before the meta " +
+        "re-bless)",
+      "re-running the append/compaction would refuse this same state — " +
+        "rebuild with saveBandIndex to re-bless the index")
   }
 
   /** Persist the LSH band index of a corpus: the (band_id, band_key,
@@ -266,14 +304,59 @@ object TextDedup {
       .withColumn("bucket", concat_ws("#", col("band_id"), col("band_key")))
     Layout.saveBucketedPath(bands, path, "bucket", nBuckets,
       extraProps = Map(
+        "formatVersion" -> BandIndexFormatVersion.toString,
         "numHashes" -> numHashes.toString,
         "rowsPerBand" -> rowsPerBand.toString))
+    blessBandIndex(path, BandIndexMeta(numHashes, rowsPerBand, nBuckets))
+  }
+
+  /** Append a batch's band rows into a persisted [[saveBandIndex]]
+    * corpus — the lifecycle step after [[incrementalCandidatePairs]]
+    * (r19 directive #1, the [[Similarity.appendToSemanticIndex]]
+    * discipline for the minhash family): fingerprint the batch with the
+    * index's OWN persisted parameters (a caller-side mismatch cannot
+    * exist), bucketed-append under the existing spec so nightly
+    * candidate joins stay exchange-free on the index side, re-bless the
+    * witness last. The pre-append witness check makes a previously-
+    * interrupted append fail loudly before compounding. Contract: rows
+    * are SURVIVORS of the batch dedup with doc_ids new to the index —
+    * re-appending an indexed doc_id would double its band rows and
+    * double-emit its pairs (the appendToSemanticIndex contract). */
+  def appendToBandIndex(newDocs: DataFrame, indexPath: String): Unit = {
+    val meta = readBandIndexMeta(indexPath)
+    checkBandWitness(indexPath, "appendToBandIndex")
+    val bands = bandRows(
+        minhashSignaturesNoShuffle(newDocs, numHashes = meta.numHashes),
+        meta.rowsPerBand)
+      .withColumn("bucket", concat_ws("#", col("band_id"), col("band_key")))
+    Layout.appendBucketedPath(bands, indexPath)
+    blessBandIndex(indexPath, meta)
+  }
+
+  /** Compact the per-night small files [[appendToBandIndex]] accretes
+    * (r19 directive #2 — the [[ProductQuantizer.compactPqIndex]]
+    * lifecycle for the band-index family): witness first (a stale index
+    * must never be rewritten into "clean" files), rewrite to one file
+    * per bucket through the BUCKETED writer
+    * ([[Layout.compactBucketedPath]] — bucket ids preserved, candidate
+    * joins stay exchange-free), re-bless the meta. Band rows are
+    * untouched, so incremental candidates hash identically pre/post
+    * (spec-gated). */
+  def compactBandIndex(spark: SparkSession, indexPath: String)
+      : graft.ingest.Compaction.CompactionStats = {
+    val meta = readBandIndexMeta(indexPath)
+    checkBandWitness(indexPath, "compactBandIndex")
+    val stats = Layout.compactBucketedPath(spark, indexPath)
+    if (stats.compacted) blessBandIndex(indexPath, meta)
+    stats
   }
 
   /** Open a [[saveBandIndex]] directory as the bucketed catalog table
-    * the candidate join consumes ([[Layout.loadBucketedPath]]). */
+    * the candidate join consumes ([[Layout.loadBucketedPath]]),
+    * witness-checked loudly up front. */
   def loadBandIndex(spark: SparkSession, path: String): DataFrame = {
     readBandIndexMeta(path) // band-specific loud failure on foreign dirs
+    checkBandWitness(path, "loadBandIndex")
     Layout.loadBucketedPath(spark, path)._1
   }
 

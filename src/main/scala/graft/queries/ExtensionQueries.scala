@@ -278,7 +278,7 @@ object ExtensionQueries {
     * (doc_id % 10 != 0) for dd11, via the shared [[corpusFixture]]
     * discipline. */
   private def bandIndexLoaded(s: SparkSession, d: String): String =
-    corpusFixture(d, "documents", "bandidx", formatVer = "c") { tmp =>
+    corpusFixture(d, "documents", "bandidx", formatVer = "d") { tmp =>
       TextDedup.saveBandIndex(
         t(s, d).documents.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text"),
         tmp.toString)
@@ -306,9 +306,44 @@ object ExtensionQueries {
     // index format generation), so one fixture bump invalidates both the
     // image cache and this index cache (r17 advisory)
     graft.Fixtures.ensure("media_dhash_idx",
-      s"${graft.multimodal.MediaFixture.DhashVersion}a") { tmp =>
+      s"${graft.multimodal.MediaFixture.DhashVersion}b") { tmp =>
       graft.multimodal.ImageHash.saveDhashIndex(
         dhashFixtureHashes(s).filter(!col("id").isin(1, 2)), tmp.toString)
+    }
+
+  /** dd13/mm08/au05's three-generation index lifecycle (r19 directive
+    * #1): day-0 built with save, day-1 APPENDED under the witness, the
+    * tree compacted — so the day-2 oracle query exercises appended
+    * bands (and, for the segment form, appended counts) plus the
+    * maintained file layout, gated by the save-once entry's oracle
+    * VERBATIM (append + compaction must be answer-invariant). */
+  private def bandIndexAppended(s: SparkSession, d: String): String =
+    corpusFixture(d, "documents", "bandidxapp", formatVer = "a") { tmp =>
+      val docs = t(s, d).documents.select("doc_id", "text")
+      TextDedup.saveBandIndex(
+        docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 10 =!= 5),
+        tmp.toString)
+      TextDedup.appendToBandIndex(docs.filter(col("doc_id") % 10 === 5),
+        tmp.toString)
+      val stats = TextDedup.compactBandIndex(s, tmp.toString)
+      require(stats.compacted && stats.filesAfter < stats.filesBefore,
+        s"dd13 fixture expected a real compaction, got $stats")
+    }
+
+  /** mm08's appended dHash index: day-0 = all but images 0/1/2,
+    * day-1 = image 0 appended (the hub of every mm04 pair — the
+    * oracle answer EXISTS only if the appended rows are really in the
+    * index), maintenance compaction best-effort (tiny fixture may
+    * already be compact; dd13 asserts the collapse). */
+  private def dhashIndexAppended(s: SparkSession): String =
+    graft.Fixtures.ensure("media_dhash_idx_app",
+      s"${graft.multimodal.MediaFixture.DhashVersion}a") { tmp =>
+      val h = dhashFixtureHashes(s)
+      graft.multimodal.ImageHash.saveDhashIndex(
+        h.filter(!col("id").isin(0, 1, 2)), tmp.toString)
+      graft.multimodal.ImageHash.appendToDhashIndex(
+        h.filter(col("id") === 0), tmp.toString)
+      graft.multimodal.ImageHash.compactDhashIndex(s, tmp.toString)
     }
 
   /** The afp fixture corpus as an (id, afp) frame — real listing ->
@@ -344,9 +379,25 @@ object ExtensionQueries {
     * version (the r17 advisory: one bump invalidates both caches). */
   private def afpSegIndexLoaded(s: SparkSession): String =
     graft.Fixtures.ensure("media_afp_seg_idx",
-      s"${graft.multimodal.MediaFixture.AfpSegVersion}a") { tmp =>
+      s"${graft.multimodal.MediaFixture.AfpSegVersion}b") { tmp =>
       graft.multimodal.AudioHash.saveSegmentIndex(
         afpSegFixtureHashes(s).filter(col("id").isin(0, 3, 4)), tmp.toString)
+    }
+
+  /** au05's appended SEGMENT index: day-0 = clips 3/4, day-1 = clip 0
+    * appended (both its band rows AND its counts/ rows — the fraction
+    * gate for every (0, batch) pair reads clip 0's length from the
+    * APPENDED counts, so a dropped counts append breaks the oracle),
+    * maintenance compaction best-effort. */
+  private def afpSegIndexAppended(s: SparkSession): String =
+    graft.Fixtures.ensure("media_afp_seg_idx_app",
+      s"${graft.multimodal.MediaFixture.AfpSegVersion}a") { tmp =>
+      val segs = afpSegFixtureHashes(s)
+      graft.multimodal.AudioHash.saveSegmentIndex(
+        segs.filter(col("id").isin(3, 4)), tmp.toString)
+      graft.multimodal.AudioHash.appendToSegmentIndex(
+        segs.filter(col("id") === 0), tmp.toString)
+      graft.multimodal.AudioHash.compactSegmentIndex(s, tmp.toString)
     }
 
   /** The dHash video fixture as an (id, frame_idx, dhash) frame — real
@@ -368,7 +419,7 @@ object ExtensionQueries {
     * version (the r17 advisory discipline). */
   private def dhashVidIndexLoaded(s: SparkSession): String =
     graft.Fixtures.ensure("media_dhash_vid_idx",
-      s"${graft.multimodal.MediaFixture.DhashVersion}a") { tmp =>
+      s"${graft.multimodal.MediaFixture.DhashVersion}b") { tmp =>
       graft.multimodal.ImageHash.saveFrameIndex(
         dhashVidFixtureFrames(s).filter(col("id").isin(0, 3, 4, 6)),
         tmp.toString)
@@ -387,7 +438,7 @@ object ExtensionQueries {
     * version (the r17 advisory: one bump invalidates both caches). */
   private def afpIndexLoaded(s: SparkSession): String =
     graft.Fixtures.ensure("media_afp_idx",
-      s"${graft.multimodal.MediaFixture.AfpVersion}a") { tmp =>
+      s"${graft.multimodal.MediaFixture.AfpVersion}b") { tmp =>
       graft.multimodal.AudioHash.saveAfpIndex(
         afpFixtureHashes(s).filter(col("id").isin(0, 1, 3)), tmp.toString,
         nBands = 8)
@@ -581,6 +632,26 @@ object ExtensionQueries {
       |band AS (
       |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
       |  FROM sig GROUP BY doc_id, seed // 4)""".stripMargin
+
+  /** dd11's incremental-candidates oracle (every band pair involving a
+    * new-batch doc), shared VERBATIM with dd13 (the ix01 discipline:
+    * append + compaction are answer-invariant, so one SQL text gates
+    * the save-once index and the appended + compacted one — they
+    * cannot silently desynchronize). */
+  private val BandIncOracle = BandCte +
+    """
+      |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+      |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** mm04's closed-form incremental-pairs oracle, shared VERBATIM with
+    * mm08 (the BandIncOracle discipline). */
+  private val DhashIncOracle =
+    """SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
+      |  CAST(hamming AS INTEGER) AS hamming
+      |FROM (VALUES (0, 1, 0), (0, 2, 1), (1, 2, 1))
+      |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin
 
   /** Shared oracle CTE: the strictly-after funnel stage chain
     * (view → click → purchase, each stage's earliest time strictly
@@ -856,15 +927,29 @@ object ExtensionQueries {
       // oracle recomputes the full band self-join and keeps exactly the
       // pairs involving a new doc.
       "dd11_incremental_candidates",
-      Some(BandCte +
-        """
-        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |FROM band a JOIN band b ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-        |WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      Some(BandIncOracle),
       (s, d) => TextDedup.incrementalCandidatePairs(
           t(s, d).documents.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
           bandIndexLoaded(s, d))
+        .orderBy("doc_a", "doc_b")),
+
+    GraftQuery(
+      // Band-index APPEND lifecycle (dd13 — r19 directive #1): the
+      // day-2 nightly query against an index whose day-1 slice entered
+      // via appendToBandIndex (banded with the index's OWN persisted
+      // parameters, bucketed-appended under the witness, meta
+      // re-blessed last) and whose tree was then COMPACTED back to one
+      // file per bucket through the bucketed writer (directive #2; the
+      // fixture asserts the file collapse). Day-2 candidates must be
+      // IDENTICAL to dd11's against a save-once index over the same
+      // corpus — append and compaction are answer-invariant — so
+      // dd11's oracle gates this VERBATIM; history (day-0 × day-1)
+      // pairs never re-emit because the index side never self-joins.
+      "dd13_band_index_append",
+      Some(BandIncOracle),
+      (s, d) => TextDedup.incrementalCandidatePairs(
+          t(s, d).documents.filter(col("doc_id") % 10 === 0).select("doc_id", "text"),
+          bandIndexAppended(s, d))
         .orderBy("doc_a", "doc_b")),
 
     GraftQuery(
@@ -2561,6 +2646,28 @@ object ExtensionQueries {
       }),
 
     GraftQuery(
+      // Segment-index APPEND lifecycle (au05 — dd13 for the
+      // trim-tolerant tier, and the counts-merge witness): clip 0 —
+      // party to every history×batch row of au04's oracle — enters the
+      // index via appendToSegmentIndex, which must land BOTH its band
+      // rows and its counts/ rows: the offset sweep's fraction gate
+      // reads the longer side's length from the index's counts table,
+      // so a dropped counts append silently kills the (0,1)/(0,2)
+      // rows. au04's oracle gates it VERBATIM (append + maintenance
+      // compaction answer-invariant).
+      "au05_segment_index_append",
+      Some(AfpOffsetIncOracle),
+      (s, d) => {
+        val segs = afpSegFixtureHashes(s)
+        graft.multimodal.AudioHash.incrementalNearDupPairsOffset(
+            segs.filter(col("id").isin(1, 2)), afpSegIndexAppended(s),
+            maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"),
+            col("n_matched"), col("shift"))
+          .orderBy("idx_a", "idx_b")
+      }),
+
+    GraftQuery(
       // STREAMING incremental offset-tolerant dedup against the
       // PERSISTED segment index (st20, StreamReplay
       // .incrementalOffsetDedupReplay): au04 ON INGEST — the
@@ -2641,14 +2748,27 @@ object ExtensionQueries {
       // comes from the index sidecar; recall stays exact
       // (maxHamming < nBands, pigeonhole).
       "mm04_image_dhash_incremental",
-      Some("""SELECT CAST(idx_a AS INTEGER) AS idx_a, CAST(idx_b AS INTEGER) AS idx_b,
-        |  CAST(hamming AS INTEGER) AS hamming
-        |FROM (VALUES (0, 1, 0), (0, 2, 1), (1, 2, 1))
-        |t(idx_a, idx_b, hamming) ORDER BY idx_a, idx_b""".stripMargin),
+      Some(DhashIncOracle),
       (s, d) =>
         graft.multimodal.ImageHash.incrementalNearDupPairs(
             dhashFixtureHashes(s).filter(col("id").isin(1, 2)),
             dhashIndexLoaded(s), maxHamming = 3)
+          .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
+          .orderBy("idx_a", "idx_b")),
+
+    GraftQuery(
+      // dHash-index APPEND lifecycle (mm08 — dd13 for the image
+      // family): image 0 — the hub of every mm04 pair — enters the
+      // index via appendToDhashIndex instead of the initial build, so
+      // every oracle row (0,1) (0,2) exists ONLY if the appended band
+      // rows really joined; (1,2) is new×new. mm04's oracle gates it
+      // VERBATIM (append + maintenance compaction answer-invariant).
+      "mm08_image_index_append",
+      Some(DhashIncOracle),
+      (s, d) =>
+        graft.multimodal.ImageHash.incrementalNearDupPairs(
+            dhashFixtureHashes(s).filter(col("id").isin(1, 2)),
+            dhashIndexAppended(s), maxHamming = 3)
           .select(col("id_a").as("idx_a"), col("id_b").as("idx_b"), col("hamming"))
           .orderBy("idx_a", "idx_b")),
 
