@@ -633,6 +633,63 @@ object ExtensionQueries {
       |  SELECT doc_id, seed // 4 AS band_id, string_agg(CAST(sig AS VARCHAR), '|' ORDER BY seed) AS band_key
       |  FROM sig GROUP BY doc_id, seed // 4)""".stripMargin
 
+  /** pq08's full batched-IVFADC recomputation (3 probes x top-10),
+    * shared VERBATIM with its streaming twin st21 (the BandIncOracle
+    * discipline: ANN-on-ingest must answer exactly like the batch
+    * searcher on any chunking). */
+  private val IvfPqBatchOracle = """WITH v AS (SELECT vec_id AS id, i,
+    |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
+    |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
+    |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+    |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
+    |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
+    |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+    |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
+    |s1 AS (SELECT id, cl FROM (SELECT id, cl,
+    |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
+    |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
+    |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
+    |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
+    |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
+    |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
+    |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
+    |s2 AS (SELECT id, cl FROM (SELECT id, cl,
+    |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
+    |rv AS (SELECT v.id, CAST((v.i - 1) // 16 AS INTEGER) AS sub,
+    |    CAST((v.i - 1) % 16 AS INTEGER) AS j, v.x - c1.c AS x
+    |  FROM v JOIN s2 ON s2.id = v.id JOIN c1 ON c1.cl = s2.cl AND c1.i = v.i),
+    |rinit AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
+    |  FROM (SELECT DISTINCT id FROM rv ORDER BY id LIMIT 4)),
+    |rc0 AS (SELECT rv.sub, rinit.cl, rv.j, rv.x AS c FROM rv JOIN rinit USING (id)),
+    |ra1 AS (SELECT rv.id, rv.sub, c.cl, CAST(SUM((rv.x - c.c) * (rv.x - c.c)) AS BIGINT) AS dist
+    |  FROM rv JOIN rc0 c ON c.sub = rv.sub AND c.j = rv.j GROUP BY 1, 2, 3),
+    |rs1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
+    |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ra1) WHERE rn = 1),
+    |pb AS (SELECT id AS pid, i, x FROM v WHERE id IN (0, 1, 2)),
+    |pcd AS (SELECT pb.pid, c1.cl, CAST(SUM((pb.x - c1.c) * (pb.x - c1.c)) AS BIGINT) AS cdist
+    |  FROM c1 JOIN pb ON pb.i = c1.i GROUP BY 1, 2),
+    |pl AS (SELECT pid, cl AS cc FROM (SELECT pid, cl,
+    |    row_number() OVER (PARTITION BY pid ORDER BY cdist, cl) AS rn FROM pcd) WHERE rn <= 2),
+    |prx AS (SELECT pb.pid, c1.cl AS cc, CAST((c1.i - 1) // 16 AS INTEGER) AS sub,
+    |    CAST((c1.i - 1) % 16 AS INTEGER) AS j, pb.x - c1.c AS rx
+    |  FROM c1 JOIN pl ON pl.cc = c1.cl JOIN pb ON pb.pid = pl.pid AND pb.i = c1.i),
+    |tbl AS (SELECT prx.pid, prx.cc, rc0.sub, rc0.cl,
+    |    CAST(SUM((prx.rx - rc0.c) * (prx.rx - rc0.c)) AS BIGINT) AS pdist
+    |  FROM prx JOIN rc0 ON rc0.sub = prx.sub AND rc0.j = prx.j GROUP BY 1, 2, 3, 4),
+    |cand AS (SELECT pl.pid, rs1.id, s2.cl AS cc, rs1.sub, rs1.cl
+    |  FROM rs1 JOIN s2 ON s2.id = rs1.id
+    |  JOIN pl ON pl.cc = s2.cl
+    |  WHERE rs1.id <> pl.pid),
+    |adc AS (SELECT cand.pid AS probe_id, cand.id AS vec_id, CAST(SUM(tbl.pdist) AS BIGINT) AS dist_u
+    |  FROM cand JOIN tbl ON tbl.pid = cand.pid AND tbl.cc = cand.cc
+    |    AND tbl.sub = cand.sub AND tbl.cl = cand.cl
+    |  GROUP BY 1, 2),
+    |rk AS (SELECT probe_id, vec_id, dist_u,
+    |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dist_u, vec_id) AS INTEGER) AS rk
+    |  FROM adc)
+    |SELECT probe_id, vec_id, dist_u, rk FROM rk WHERE rk <= 10
+    |ORDER BY probe_id, rk""".stripMargin
+
   /** dd11's incremental-candidates oracle (every band pair involving a
     * new-batch doc), shared VERBATIM with dd13 (the ix01 discipline:
     * append + compaction are answer-invariant, so one SQL text gates
@@ -3997,63 +4054,31 @@ object ExtensionQueries {
       // pq03's stack with per-probe list ranking, per-(probe, list)
       // tables, and a PARTITION BY probe_id ranking.
       "pq08_ivfpq_batched",
-      Some("""WITH v AS (SELECT vec_id AS id, i,
-        |    CAST(FLOOR(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x
-        |  FROM embeddings, unnest(range(1, 65)) AS r(i)),
-        |init AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
-        |  FROM (SELECT DISTINCT id FROM v ORDER BY id LIMIT 4)),
-        |c0 AS (SELECT init.cl, v.i, v.x AS c FROM v JOIN init USING (id)),
-        |a1 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c0 c ON c.i = v.i GROUP BY 1, 2),
-        |s1 AS (SELECT id, cl FROM (SELECT id, cl,
-        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a1) WHERE rn = 1),
-        |c1u AS (SELECT s1.cl, v.i, CAST(SUM(v.x) AS BIGINT) // COUNT(*) AS c
-        |  FROM v JOIN s1 USING (id) GROUP BY 1, 2),
-        |c1 AS (SELECT c0.cl, c0.i, COALESCE(c1u.c, c0.c) AS c
-        |  FROM c0 LEFT JOIN c1u ON c1u.cl = c0.cl AND c1u.i = c0.i),
-        |a2 AS (SELECT v.id, c.cl, CAST(SUM((v.x - c.c) * (v.x - c.c)) AS BIGINT) AS dist
-        |  FROM v JOIN c1 c ON c.i = v.i GROUP BY 1, 2),
-        |s2 AS (SELECT id, cl FROM (SELECT id, cl,
-        |    row_number() OVER (PARTITION BY id ORDER BY dist, cl) AS rn FROM a2) WHERE rn = 1),
-        |rv AS (SELECT v.id, CAST((v.i - 1) // 16 AS INTEGER) AS sub,
-        |    CAST((v.i - 1) % 16 AS INTEGER) AS j, v.x - c1.c AS x
-        |  FROM v JOIN s2 ON s2.id = v.id JOIN c1 ON c1.cl = s2.cl AND c1.i = v.i),
-        |rinit AS (SELECT id, CAST(ROW_NUMBER() OVER (ORDER BY id) - 1 AS INTEGER) AS cl
-        |  FROM (SELECT DISTINCT id FROM rv ORDER BY id LIMIT 4)),
-        |rc0 AS (SELECT rv.sub, rinit.cl, rv.j, rv.x AS c FROM rv JOIN rinit USING (id)),
-        |ra1 AS (SELECT rv.id, rv.sub, c.cl, CAST(SUM((rv.x - c.c) * (rv.x - c.c)) AS BIGINT) AS dist
-        |  FROM rv JOIN rc0 c ON c.sub = rv.sub AND c.j = rv.j GROUP BY 1, 2, 3),
-        |rs1 AS (SELECT id, sub, cl FROM (SELECT id, sub, cl,
-        |    row_number() OVER (PARTITION BY id, sub ORDER BY dist, cl) AS rn FROM ra1) WHERE rn = 1),
-        |pb AS (SELECT id AS pid, i, x FROM v WHERE id IN (0, 1, 2)),
-        |pcd AS (SELECT pb.pid, c1.cl, CAST(SUM((pb.x - c1.c) * (pb.x - c1.c)) AS BIGINT) AS cdist
-        |  FROM c1 JOIN pb ON pb.i = c1.i GROUP BY 1, 2),
-        |pl AS (SELECT pid, cl AS cc FROM (SELECT pid, cl,
-        |    row_number() OVER (PARTITION BY pid ORDER BY cdist, cl) AS rn FROM pcd) WHERE rn <= 2),
-        |prx AS (SELECT pb.pid, c1.cl AS cc, CAST((c1.i - 1) // 16 AS INTEGER) AS sub,
-        |    CAST((c1.i - 1) % 16 AS INTEGER) AS j, pb.x - c1.c AS rx
-        |  FROM c1 JOIN pl ON pl.cc = c1.cl JOIN pb ON pb.pid = pl.pid AND pb.i = c1.i),
-        |tbl AS (SELECT prx.pid, prx.cc, rc0.sub, rc0.cl,
-        |    CAST(SUM((prx.rx - rc0.c) * (prx.rx - rc0.c)) AS BIGINT) AS pdist
-        |  FROM prx JOIN rc0 ON rc0.sub = prx.sub AND rc0.j = prx.j GROUP BY 1, 2, 3, 4),
-        |cand AS (SELECT pl.pid, rs1.id, s2.cl AS cc, rs1.sub, rs1.cl
-        |  FROM rs1 JOIN s2 ON s2.id = rs1.id
-        |  JOIN pl ON pl.cc = s2.cl
-        |  WHERE rs1.id <> pl.pid),
-        |adc AS (SELECT cand.pid AS probe_id, cand.id AS vec_id, CAST(SUM(tbl.pdist) AS BIGINT) AS dist_u
-        |  FROM cand JOIN tbl ON tbl.pid = cand.pid AND tbl.cc = cand.cc
-        |    AND tbl.sub = cand.sub AND tbl.cl = cand.cl
-        |  GROUP BY 1, 2),
-        |rk AS (SELECT probe_id, vec_id, dist_u,
-        |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dist_u, vec_id) AS INTEGER) AS rk
-        |  FROM adc)
-        |SELECT probe_id, vec_id, dist_u, rk FROM rk WHERE rk <= 10
-        |ORDER BY probe_id, rk""".stripMargin),
+      Some(IvfPqBatchOracle),
       (s, d) => graft.operators.ProductQuantizer.ivfPqTopKIndexedBatch(
           t(s, d).embeddings.filter(col("vec_id").isin(0L, 1L, 2L))
             .select("vec_id", "embedding"),
           ivfPqIndexLoaded(s, d), topK = 10, nProbe = 2)
         .orderBy("probe_id", "rk")),
+
+    GraftQuery(
+      // ANN search ON INGEST (st21 — r19 directive #5, StreamReplay
+      // .annSearchReplay): retrieval's production shape — a stream of
+      // probe vectors answered top-k per probe against the PERSISTED
+      // IVF-PQ index, which never leaves disk. Each micro-batch runs
+      // the pq08 batched searcher inside foreachBatch (the micro-batch
+      // IS the bounded probe set maxProbes caps), carrying its whole
+      // scale shape per batch: broadcast coarse list ranking, LITERAL
+      // partition filters for the probed-list union on the codes scan,
+      // per-(probe, list) broadcast ADC tables, probe-keyed top-k.
+      // Per-probe independence makes the union chunking-invariant, so
+      // pq08's oracle gates st21 VERBATIM.
+      "st21_stream_ann_search",
+      Some(IvfPqBatchOracle),
+      (s, d) => graft.streaming.StreamReplay.annSearchReplay(
+          s, t(s, d).embeddings.filter(col("vec_id").isin(0L, 1L, 2L))
+            .select("vec_id", "embedding"),
+          ivfPqIndexLoaded(s, d), topK = 10, nProbe = 2, nChunks = 3)),
 
     GraftQuery(
       // IVF-PQ index APPEND lifecycle (pq07, ProductQuantizer

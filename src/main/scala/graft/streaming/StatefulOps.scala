@@ -65,6 +65,52 @@ object StatefulOps {
       }
   }
 
+  /** [[latestByKeyStream]] with event-time state eviction — the
+    * production form for UNBOUNDED key domains (r19 directive #6: the
+    * one stateful op whose state had no bounded twin — a CDC
+    * compaction over an open-ended entity space otherwise keeps one
+    * incumbent per key forever). A key idle past `horizonMs` has its
+    * incumbent REMOVED: the entity is considered closed, and a record
+    * arriving after the horizon starts a fresh version lineage — so a
+    * LOWER version re-arriving post-eviction is accepted as the new
+    * incumbent (the memory/recall trade stated rather than hidden,
+    * the [[firstByKeyStreamTtl]] contract). Inside the horizon,
+    * identical to the untimed form (spec-pinned, both state-store
+    * providers). Rows: (key, version, ts); emits (key, version) when
+    * the incumbent IMPROVES (Update mode, emit-on-change — the
+    * changelog-amplification discipline of the untimed form; the
+    * timeout refresh on stale batches is a state write but never an
+    * emission). Standard watermark caveats: late rows drop; eviction
+    * is lazy. */
+  def latestByKeyStreamTtl(events: Dataset[(String, Long, java.sql.Timestamp)],
+                           delayThreshold: String,
+                           horizonMs: Long): Dataset[(String, Long)] = {
+    require(horizonMs > 0, s"horizonMs must be positive, got $horizonMs")
+    implicit val outEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val stEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    events.withWatermark("_3", delayThreshold)
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (String, Long)](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, Long, java.sql.Timestamp)],
+         state: GroupState[(Long, Long)]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val rows = it.toSeq
+            val (curVer, seen0) = state.getOption.getOrElse((Long.MinValue, Long.MinValue))
+            val ver = math.max(curVer, rows.iterator.map(_._2).max)
+            val lastSeen = math.max(seen0, rows.iterator.map(_._3.getTime).max)
+            state.update((ver, lastSeen))
+            state.setTimeoutTimestamp(
+              math.max(lastSeen + horizonMs, state.getCurrentWatermarkMs() + 1))
+            if (ver != curVer) Iterator.single((key, ver)) else Iterator.empty
+          }
+      }
+  }
+
   /** First-occurrence admission per key — exact dedup ON INGEST, the
     * A4 transformer-drop convention as keyed state (st18's text
     * branch): the first batch that touches a key emits ONE row —

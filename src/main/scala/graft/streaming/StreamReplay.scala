@@ -1613,4 +1613,62 @@ object StreamReplay {
       new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
     }
   }
+
+  /** Replays a stream of probe vectors through ANN SEARCH against the
+    * PERSISTED IVF-PQ index (st21 — r19 directive #5, retrieval's
+    * production shape: a query/ingest stream answered top-k per probe
+    * while the index stays on disk). Each micro-batch of probes runs
+    * [[graft.operators.ProductQuantizer.ivfPqTopKIndexedBatch]] inside
+    * `foreachBatch` — the micro-batch IS the bounded probe set the
+    * batched searcher's contract wants (`maxProbes` caps the per-batch
+    * driver-collect axis exactly as in pq08), so every batch carries
+    * pq06/pq08's whole scale shape: per-probe list ranking over the
+    * broadcast coarse table, LITERAL partition filters for the probed
+    * list union on the codes scan, per-(probe, list) broadcast ADC
+    * tables, probe-keyed top-k. Per-probe results are independent, so
+    * the union over micro-batches equals the one-batch answer on ANY
+    * chunking — pq08's oracle gates st21 VERBATIM. Returns
+    * (probe_id, vec_id, dist_u, rk), ordered by (probe_id, rk). */
+  def annSearchReplay(spark: SparkSession, probes: DataFrame,
+                      indexPath: String, topK: Int, nProbe: Int,
+                      nChunks: Int = 3, maxProbes: Int = 10000): DataFrame = {
+    import spark.implicits._
+    val rows = probes
+      .select(col("vec_id").cast("long"),
+        col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    val chunks = chunked(rows, nChunks)
+    val replay = replaySession(spark)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = replay.sqlContext
+    val ms = MemoryStream[(Long, Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Int)]
+    val cp = java.nio.file.Files.createTempDirectory("st_annreplay-cp").toString
+    try {
+      val q = ms.toDF().toDF("vec_id", "embedding")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", cp)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                         _: Long) =>
+          val rs = graft.operators.ProductQuantizer.ivfPqTopKIndexedBatch(
+              batch, indexPath, topK, nProbe, maxProbes)
+            .select(col("probe_id").cast("long"), col("vec_id").cast("long"),
+              col("dist_u").cast("long"), col("rk").cast("int"))
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+          results.synchronized { results ++= rs }
+          ()
+        }
+        .start()
+      try {
+        chunks.foreach { batch =>
+          if (batch.nonEmpty) { ms.addData(batch.toSeq); q.processAllAvailable() }
+        }
+      } finally q.stop()
+      results.toSeq.toDF("probe_id", "vec_id", "dist_u", "rk")
+        .orderBy("probe_id", "rk")
+    } finally {
+      new scala.reflect.io.Directory(new java.io.File(cp)).deleteRecursively()
+    }
+  }
 }

@@ -348,6 +348,28 @@ class StreamReplaySpec extends SparkSpec {
       s"caller conf changed mid-replay: observed $distinct (expected only $before)")
   }
 
+  test("streaming ANN search equals the batched indexed search on any chunking") {
+    // st21: per-probe independence — the union of per-micro-batch
+    // top-k answers must equal the one-batch pq08 answer whatever the
+    // probe chunking, INCLUDING every integer distance and rank.
+    val emb = tables.embeddings.select("vec_id", "embedding")
+    val idx = tmpDir("annreplay-idx") + "/idx"
+    graft.operators.ProductQuantizer.saveIvfPqIndex(
+      emb, d = 64, m = 4, kCoarse = 4, coarseIterations = 2,
+      kPq = 4, pqIterations = 1, path = idx)
+    val probes = emb.filter(col("vec_id").isin(0L, 1L, 2L, 3L, 4L))
+    val want = graft.operators.ProductQuantizer.ivfPqTopKIndexedBatch(
+        probes, idx, topK = 5, nProbe = 2)
+      .orderBy("probe_id", "rk")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    for (nChunks <- Seq(2, 4)) {
+      val got = StreamReplay.annSearchReplay(spark, probes, idx,
+          topK = 5, nProbe = 2, nChunks = nChunks)
+        .as[(Long, Long, Long, Int)].collect().toSeq
+      assert(got == want, s"nChunks=$nChunks diverged from the batch searcher")
+    }
+  }
+
   test("the late subset is genuinely displaced (the replay is not a trivial ordered feed)") {
     // The displacement predicate (event_id % 13 == 0) must select a
     // non-empty subset of the testdata, or the late-data path is
