@@ -244,10 +244,29 @@ object Layout {
       loadBucketedPath(df.sparkSession, path)
       pathTableName(path)
     }
-    df.select(saved.fieldNames.map(col): _*).write.mode("append").insertInto(table)
+    // Bucket-ALIGN the batch before the insert: without it every append
+    // writes up to (shuffle tasks × nBuckets) files — measured 257/night
+    // at 32 tasks × 8 buckets, 5,397 files and a 4× nightly-query
+    // slowdown after 20 nights (Round20BandIndexProbe) — exactly the
+    // small-file failure mode the compaction lifecycle exists to kill.
+    // repartition's hash IS the bucket-id hash, so each task holds one
+    // bucket and the bucketed writer emits ≤ nBuckets files per append;
+    // serializing a NIGHTLY BATCH's write into nBuckets tasks is cheap
+    // (the batch is the small side by definition — the initial build
+    // keeps its parallel write). AQE is paused for the one insert or
+    // its local-shuffle-read rewrite unravels the alignment (the
+    // compactBucketedPath adjudication).
+    val spark = df.sparkSession
+    val nBuckets = props("nBuckets").toInt
+    val aligned = df.select(saved.fieldNames.map(col): _*)
+      .repartition(nBuckets, col(props("bucketCol")))
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try aligned.write.mode("append").insertInto(table)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     // the appended files are new to this table's in-session file-listing
     // cache; refresh so a same-session reader sees them
-    df.sparkSession.catalog.refreshTable(table)
+    spark.catalog.refreshTable(table)
   }
 
   /** Rewrite a [[saveBucketedPath]] table into ONE file per bucket —

@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   *     the curve (asserted: mean of nights 16–20 ≤ 2× mean of nights
   *     1–5 — generous because local wall-clock is noisy; the printed
   *     series is the record);
-  *   - **bounded file count after maintenance** (the ix01 failure
-  *     mode): 20 appends grow bands/ by ≤ nBuckets files per night
-  *     and counts/ by 1; `compactFrameIndex` collapses bands/ back to
-  *     one file per bucket and counts/ to a byte-derived bound,
+  *   - **bounded file count** (the ix01 failure mode): every append
+  *     adds at most nBuckets band files + 1 counts file (the
+  *     bucket-aligned insert — the un-aligned first run of this probe
+  *     measured 257 files/night and a 4.08× nightly-query slowdown by
+  *     night 20), and the WEEKLY `compactFrameIndex` collapses the
+  *     week's growth back to one file per bucket + one counts file,
   *     however many nights preceded;
-  *   - **answer invariance**: night-20's query repeated after
-  *     compaction must be row-identical.
+  *   - **maintained-layout answers**: night-21 on the fully compacted
+  *     tree must find its 1,000 planted copies with the exact closed
+  *     form (9/10 matches at shift +1) — content-asserted per row.
   *
   * Honest adjudication (the Round19SegIndexProbe discipline): both
   * sides start from already-fingerprinted hashes, so the measured
@@ -81,7 +84,7 @@ object Round20BandIndexProbe {
     println(f"PROBE20B saveFrameIndex: 1M position hashes indexed in $tBuild%.1f s (once)")
 
     val nightly = scala.collection.mutable.ArrayBuffer.empty[Double]
-    var lastRows: Seq[String] = Nil
+    var prevFiles = MetaIO.listDataFiles(dir).size
     (1 to 20).foreach { n =>
       val batch = nightBatch(n)
       val (rows, tQ) = timed {
@@ -94,9 +97,20 @@ object Round20BandIndexProbe {
       val (_, tA) = timed(ImageHash.appendToFrameIndex(batch, dir))
       nightly += tQ
       val files = MetaIO.listDataFiles(dir).size
+      // the first structural claim: an append adds at most nBuckets
+      // band files + 1 counts file (the bucket-aligned insert — the
+      // first run of this probe measured 257 files/night without it)
+      assert(files - prevFiles <= 8 + 1,
+        s"night $n grew the tree by ${files - prevFiles} files — append is not bucket-aligned")
+      // weekly maintenance: compaction no-ops when already compact,
+      // collapses the week's appends otherwise
+      val wk = if (n % 5 == 0) {
+        val stats = ImageHash.compactFrameIndex(spark, dir)
+        s" [weekly compact: ${stats.map(s => s"${s.filesBefore}->${s.filesAfter}").mkString(", ")}]"
+      } else ""
+      prevFiles = MetaIO.listDataFiles(dir).size
       println(f"PROBE20B night $n%2d: query $tQ%5.2f s, append $tA%5.2f s, " +
-        f"${rows.length} pairs, $files data files")
-      if (n == 20) lastRows = rows.map(_.toString).toSeq.sorted
+        f"${rows.length} pairs, $files data files$wk")
     }
     val early = nightly.take(5).sum / 5
     val late = nightly.takeRight(5).sum / 5
@@ -110,23 +124,28 @@ object Round20BandIndexProbe {
     val filesAfter = MetaIO.listDataFiles(dir).size
     println(f"PROBE20B compactFrameIndex: $filesBefore -> $filesAfter data files " +
       f"in $tC%.1f s (${stats.map(s => s"${s.filesBefore}->${s.filesAfter}").mkString(", ")})")
-    assert(filesAfter < filesBefore / 3,
-      s"maintenance must collapse the 20-night growth, got $filesBefore -> $filesAfter")
+    assert(filesAfter <= 8 + 1,
+      s"post-maintenance tree must be one file per bucket + counts, got $filesAfter")
 
-    // answer invariance through the maintained layout
+    // night-21 on the fully maintained tree: every pair row's content
+    // is asserted (1,000 trimmed copies, 9/10 matches at shift +1 —
+    // the same closed form as every prior night), so the maintained
+    // layout provably answers like the fresh one. (A REPEAT of night
+    // 20's own query would violate the append contract — its ids are
+    // now in counts/, so the fraction-gate join would see them twice;
+    // exact pre/post-compaction row identity is pinned in
+    // BandIndexLifecycleSpec for all three families.)
     val (rowsPost, tPost) = timed {
-      ImageHash.incrementalNearDupPairsOffset(nightBatch(20), dir,
+      ImageHash.incrementalNearDupPairsOffset(nightBatch(21), dir,
           maxHamming = 3, minMatchNum = 2, minMatchDen = 3, maxShift = 1)
         .collect()
     }
-    // night-20's batch is itself in the index by now, but its indexed
-    // copy is invisible to the repeat query: every candidate of a batch
-    // row against its own indexed twin carries EQUAL ids, which pair
-    // generation excludes — so the rows must be IDENTICAL to the
-    // pre-append, pre-compaction night-20 answer
-    assert(rowsPost.map(_.toString).toSeq.sorted == lastRows,
-      "post-compaction repeat of night-20's query must be row-identical")
-    println(f"PROBE20B post-compaction query: $tPost%.2f s, ${rowsPost.length} rows, row-identical")
+    assert(rowsPost.length == nBatch / 2 &&
+      rowsPost.forall(r => r.getLong(2) == 9L && r.getInt(3) == 1),
+      s"night-21 on the maintained tree must find its ${nBatch / 2} planted " +
+        s"copies at 9/10, shift +1 — got ${rowsPost.length}")
+    println(f"PROBE20B night-21 on the maintained tree: $tPost%.2f s, " +
+      f"${rowsPost.length} pairs, all 9/10 at shift +1")
     spark.stop()
   }
 }
