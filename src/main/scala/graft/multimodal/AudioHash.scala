@@ -325,9 +325,10 @@ object AudioHash {
   /** Compact a [[saveAfpIndex]] corpus after nightly appends (r19
     * directive #2; [[ImageHash.compactDhashIndex]] verbatim). */
   def compactAfpIndex(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String)
+                      indexPath: String,
+                      targetFileBytes: Long = 128L * 1024 * 1024)
       : graft.ingest.Compaction.CompactionStats =
-    ImageHash.compactDhashIndex(spark, indexPath)
+    ImageHash.compactDhashIndex(spark, indexPath, targetFileBytes)
 
   // ---- offset-tolerant segment tier (au03 — r18 directive #1) -------
   // The clip-global fingerprint above is blind to trims: a copy with a
@@ -399,9 +400,10 @@ object AudioHash {
   /** Compact a [[saveSegmentIndex]] corpus after nightly appends (r19
     * directive #2; [[ImageHash.compactFrameIndex]] verbatim). */
   def compactSegmentIndex(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String)
+                          indexPath: String,
+                          targetFileBytes: Long = 128L * 1024 * 1024)
       : Seq[graft.ingest.Compaction.CompactionStats] =
-    ImageHash.compactFrameIndex(spark, indexPath)
+    ImageHash.compactFrameIndex(spark, indexPath, targetFileBytes)
 
   /** Offset-tolerant near-dup pairs INVOLVING a new batch of segment
     * fingerprints, against a [[saveSegmentIndex]] corpus: (indexed ×

@@ -489,11 +489,13 @@ object ImageHash {
     * re-bless. Rows untouched — incremental pairs hash identically
     * pre/post (spec-gated). */
   def compactDhashIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String)
+                        indexPath: String,
+                        targetFileBytes: Long = 128L * 1024 * 1024)
       : graft.ingest.Compaction.CompactionStats = {
     val nBands = readIndexMeta(indexPath)
     checkDhashWitness(indexPath, indexPath, "compactDhashIndex")
-    val stats = graft.operators.Layout.compactBucketedPath(spark, indexPath)
+    val stats = graft.operators.Layout.compactBucketedPath(spark, indexPath,
+      targetFileBytes)
     if (stats.compacted)
       blessDhashIndex(indexPath, indexPath, Map("dhashNBands" -> nBands.toString))
     stats
@@ -643,13 +645,13 @@ object ImageHash {
     * Returns (bands, counts) stats. */
   def compactFrameIndex(spark: org.apache.spark.sql.SparkSession,
                         indexPath: String,
-                        countsTargetBytes: Long = 128L * 1024 * 1024)
+                        targetFileBytes: Long = 128L * 1024 * 1024)
       : Seq[graft.ingest.Compaction.CompactionStats] = {
     val (_, _, nBands) = loadFrameIndex(spark, indexPath)
     val bandStats = graft.operators.Layout.compactBucketedPath(
-      spark, s"$indexPath/bands")
+      spark, s"$indexPath/bands", targetFileBytes)
     val countStats = graft.ingest.Compaction.compactLeaf(
-      spark, s"$indexPath/counts", countsTargetBytes)
+      spark, s"$indexPath/counts", targetFileBytes)
     if (bandStats.compacted || countStats.compacted)
       blessDhashIndex(s"$indexPath/bands", indexPath,
         Map("dhashNBands" -> nBands.toString, "dhashFrameIndex" -> "true"))

@@ -269,32 +269,43 @@ object Layout {
     spark.catalog.refreshTable(table)
   }
 
-  /** Rewrite a [[saveBucketedPath]] table into ONE file per bucket —
-    * small-file maintenance for the nightly append lifecycle (each
-    * append lands ≤ nBuckets new files, so after N nights a bucket
-    * scan opens N files and footer overhead creeps in — the ix01
-    * failure mode for the band-index family). The rewrite must go
-    * through the BUCKETED writer (a plain [[graft.ingest.Compaction]]
-    * leaf rewrite would scramble rows across bucket ids and silently
-    * break every later bucketed join), so: read the table, repartition
-    * by the bucket column into nBuckets tasks — Spark's repartition
-    * hash IS the bucket-id hash, so each task holds exactly one
-    * bucket's rows and the bucketed writer emits exactly one file per
-    * non-empty bucket — rewrite into a sibling temp dir via
-    * [[saveBucketedPath]] (same spec, same extraProps), then swap the
-    * directories and drop the stale catalog entries. Returns
-    * (filesBefore, filesAfter, bytes, compacted); no-op at ≤ nBuckets
-    * files. NOT atomic for concurrent readers (the Compaction caveat);
-    * run in the maintenance window like every layout rewrite. */
-  def compactBucketedPath(spark: org.apache.spark.sql.SparkSession, path: String)
+  /** Rewrite a [[saveBucketedPath]] table into ~targetFileBytes files
+    * per bucket — small-file maintenance for the nightly append
+    * lifecycle (each append lands ≤ nBuckets new files, so after N
+    * nights a bucket scan opens N files and footer overhead creeps in
+    * — the ix01 failure mode for the band-index family). The rewrite
+    * must go through the BUCKETED writer (a plain
+    * [[graft.ingest.Compaction]] leaf rewrite would scramble rows
+    * across bucket ids and silently break every later bucketed join),
+    * so: read the files, repartition by the bucket column into
+    * k·nBuckets tasks where k = ⌈bytes / (targetFileBytes·nBuckets)⌉ —
+    * repartition's hash IS the bucket-id hash, and when nBuckets
+    * divides the partition count, `pmod(h, k·nBuckets) mod nBuckets =
+    * pmod(h, nBuckets)`, so EVERY task still holds keys of exactly one
+    * bucket and the writer emits k files per non-empty bucket. One
+    * file per bucket on a small index; bounded ~target-size files on a
+    * big one (a 1 TB / 32-bucket index must not become 32 × 32 GB
+    * monoliths — the write would also serialize into 32 tasks).
+    * Rewrite lands in a sibling temp dir via [[saveBucketedPath]]
+    * (same spec, same extraProps), then the directories swap and the
+    * stale catalog entries drop. Returns (filesBefore, filesAfter,
+    * bytes, compacted); no-op at ≤ k·nBuckets files. NOT atomic for
+    * concurrent readers (the Compaction caveat); run in the
+    * maintenance window like every layout rewrite. */
+  def compactBucketedPath(spark: org.apache.spark.sql.SparkSession, path: String,
+                          targetFileBytes: Long = 128L * 1024 * 1024)
       : graft.ingest.Compaction.CompactionStats = {
+    require(targetFileBytes > 0)
     val props = pathTableProps(path).getOrElse(sys.error(
       s"$path has no $PathTableMetaFile — not a graft bucketed path table"))
     val nBuckets = props("nBuckets").toInt
     val bucketCol = props("bucketCol")
     val reserved = Set("schemaDdl", "bucketCol", "nBuckets")
     val (filesBefore, bytes) = MetaIO.parquetLeafStats(path)
-    if (filesBefore <= nBuckets)
+    val filesPerBucket = math.max(1L,
+      math.ceil(bytes.toDouble / (targetFileBytes.toDouble * nBuckets)).toLong)
+    val want = (filesPerBucket * nBuckets).toInt
+    if (filesBefore <= want)
       return graft.ingest.Compaction.CompactionStats(
         path, filesBefore, filesBefore, bytes, compacted = false)
     // Read the files as PLAIN parquet (pinned sidecar schema, no footer
@@ -317,7 +328,7 @@ object Layout {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try
-      saveBucketedPath(df.repartition(nBuckets, col(bucketCol)), tmp, bucketCol,
+      saveBucketedPath(df.repartition(want, col(bucketCol)), tmp, bucketCol,
         nBuckets, extraProps = props.filterNot { case (k, _) => reserved(k) })
     finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     catalogLock.synchronized {

@@ -13,8 +13,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * went through Spark (which is Hadoop-FS-native). Routing the sidecar
   * verbs through the same `FileSystem` the data uses makes a persisted
   * index deployable wherever its parquet lives — `file:`, `hdfs:`,
-  * `s3a:` — with unchanged semantics (spec-gated through an explicit
-  * `file:`-scheme lifecycle in MetaIOSpec).
+  * `s3a:` — with unchanged semantics (spec-gated: BandIndexLifecycleSpec runs a
+  * full text-index lifecycle through an explicit `file:`-scheme URI).
   *
   * Scope is METADATA-priced operations only: properties sidecars of a
   * few hundred bytes, existence probes, and the recursive data-file

@@ -342,11 +342,12 @@ object TextDedup {
     * joins stay exchange-free), re-bless the meta. Band rows are
     * untouched, so incremental candidates hash identically pre/post
     * (spec-gated). */
-  def compactBandIndex(spark: SparkSession, indexPath: String)
+  def compactBandIndex(spark: SparkSession, indexPath: String,
+                       targetFileBytes: Long = 128L * 1024 * 1024)
       : graft.ingest.Compaction.CompactionStats = {
     val meta = readBandIndexMeta(indexPath)
     checkBandWitness(indexPath, "compactBandIndex")
-    val stats = Layout.compactBucketedPath(spark, indexPath)
+    val stats = Layout.compactBucketedPath(spark, indexPath, targetFileBytes)
     if (stats.compacted) blessBandIndex(indexPath, meta)
     stats
   }

@@ -110,6 +110,39 @@ class LayoutSpec extends SparkSpec {
     assert(zAvgX < 0.6 * (n - 1), s"z-order files must bound x too, got $zAvgX")
   }
 
+  test("compactBucketedPath honors targetFileBytes: k files per bucket, all bucket-pure") {
+    // ~big-index regime in miniature: the rewrite must NOT collapse to
+    // one monolith per bucket when a bucket exceeds the target — it
+    // writes k = ceil(bytes / (target * nBuckets)) files per bucket,
+    // every file still single-bucket (repartition into a MULTIPLE of
+    // nBuckets preserves pmod alignment), so bucketed joins stay
+    // exchange-free through maintenance at any index size.
+    val path = tmpDir("bucket-ktarget") + "/idx"
+    val df = (0 until 20000).map(i => (i.toLong, s"k${i % 97}", "x" * 40))
+      .toDF("id", "bucket", "pad")
+    Layout.saveBucketedPath(df, path, "bucket", 2)
+    Layout.appendBucketedPath(
+      (20000 until 21000).map(i => (i.toLong, s"k${i % 97}", "x" * 40))
+        .toDF("id", "bucket", "pad"), path)
+    val (files0, bytes) = MetaIO.parquetLeafStats(path)
+    val target = bytes / 7 // forces k = ceil(7 / 2) = 4 files per bucket
+    val before = Layout.loadBucketedPath(spark, path)._1
+      .select("id").as[Long].collect().sorted.toSeq
+    val stats = Layout.compactBucketedPath(spark, path, target)
+    assert(stats.compacted, s"expected a rewrite, got $stats (files0=$files0)")
+    assert(stats.filesAfter > 2 && stats.filesAfter <= 8,
+      s"expected multiple bucket-pure files per bucket (k*n in (2, 8]), got $stats")
+    // every file carries exactly one bucket id suffix, k files each
+    val suffixes = MetaIO.listDataFiles(path).map(_._1)
+      .map(n => "_(\\d{5})".r.findFirstMatchIn(n).get.group(1))
+    assert(suffixes.toSet.size == 2 &&
+      suffixes.groupBy(identity).values.forall(_.size == stats.filesAfter / 2),
+      s"files must spread evenly across buckets, got $suffixes")
+    val after = Layout.loadBucketedPath(spark, path)._1
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(after == before, "compaction must not change rows")
+  }
+
   test("salted join equals the plain join") {
     val plain = tables.orders.join(tables.customer, $"o_custkey" === $"c_custkey")
       .groupBy("c_nationkey").count().orderBy("c_nationkey")
