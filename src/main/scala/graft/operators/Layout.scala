@@ -239,6 +239,17 @@ object Layout {
       s"appendBucketedPath: batch schema (${df.columns.sorted.mkString(", ")}) " +
         s"does not match the index's (${saved.fieldNames.sorted.mkString(", ")}) " +
         s"— refusing a positional insert that would scramble columns")
+    // types too: insertInto CASTS positionally and silently, so a
+    // drifted batch type (long id written as the index's int, truncated)
+    // must die here, named, not in the files
+    val drifted = saved.fields.flatMap { f =>
+      df.schema.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(g => s"${f.name}: batch ${g.dataType.sql} vs index ${f.dataType.sql}")
+    }
+    require(drifted.isEmpty,
+      s"appendBucketedPath: batch column type(s) drifted from the index's " +
+        s"(${drifted.mkString("; ")}) — refusing a silent positional cast")
     val table = {
       // registration is idempotent; loadBucketedPath owns the lock
       loadBucketedPath(df.sparkSession, path)

@@ -141,6 +141,15 @@ class LayoutSpec extends SparkSpec {
     val after = Layout.loadBucketedPath(spark, path)._1
       .select("id").as[Long].collect().sorted.toSeq
     assert(after == before, "compaction must not change rows")
+
+    // append refuses schema drift loudly: wrong column set AND a
+    // same-name type drift (insertInto would cast it silently)
+    val eCols = intercept[IllegalArgumentException](Layout.appendBucketedPath(
+      Seq((1L, "k1")).toDF("id", "bucket"), path))
+    assert(eCols.getMessage.contains("scramble columns"), eCols.getMessage)
+    val eType = intercept[IllegalArgumentException](Layout.appendBucketedPath(
+      Seq((1, "k1", "p")).toDF("id", "bucket", "pad"), path)) // id INT, index LONG
+    assert(eType.getMessage.contains("silent positional cast"), eType.getMessage)
   }
 
   test("salted join equals the plain join") {
