@@ -266,15 +266,24 @@ object Layout {
     // (the batch is the small side by definition — the initial build
     // keeps its parallel write). AQE is paused for the one insert or
     // its local-shuffle-read rewrite unravels the alignment (the
-    // compactBucketedPath adjudication).
+    // compactBucketedPath adjudication). The batch plan is bound to the
+    // caller's session, so the pause must touch THAT session's conf —
+    // taken under catalogLock so two concurrent maintenance writes
+    // cannot interleave their save/restore (the second would capture
+    // "false" as the previous value and strand the session without AQE
+    // — the StreamReplay conf-leak lesson); unrelated queries planned
+    // in the window lose AQE briefly, the documented maintenance
+    // caveat.
     val spark = df.sparkSession
     val nBuckets = props("nBuckets").toInt
     val aligned = df.select(saved.fieldNames.map(col): _*)
       .repartition(nBuckets, col(props("bucketCol")))
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try aligned.write.mode("append").insertInto(table)
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    catalogLock.synchronized {
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try aligned.write.mode("append").insertInto(table)
+      finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
     // the appended files are new to this table's in-session file-listing
     // cache; refresh so a same-session reader sees them
     spark.catalog.refreshTable(table)
@@ -326,22 +335,24 @@ object Layout {
     // scan as unneeded — leaving size-coalesced partitions that mix
     // buckets, and a rewrite that never collapses (measured: 32 → 11
     // files instead of 32 → nBuckets). A plain scan has no partitioning
-    // to mis-plan against. AQE is paused for this one write for the
+    // to mis-plan against. AQE must be OFF for this one write for the
     // same reason at runtime: with no write-declared distribution, its
     // local-shuffle-read rewrite would unravel the repartition's
-    // clustering. Each surviving repartition task holds exactly one
-    // bucket id (repartition's hash IS the bucket-id hash), so the
-    // bucketed writer emits ONE file per non-empty bucket.
+    // clustering — so the whole rewrite runs on a CHILD session
+    // (newSession: own conf, shared catalog/context) instead of
+    // toggling the caller's conf, which a concurrently planned query
+    // would observe (the StreamReplay conf-isolation lesson). Each
+    // repartition task holds exactly one bucket id (repartition's hash
+    // IS the bucket-id hash), so the bucketed writer emits exactly
+    // k files per non-empty bucket.
     val saved = org.apache.spark.sql.types.StructType.fromDDL(props("schemaDdl"))
-    val df = spark.read.schema(saved).parquet(MetaIO.qualified(path))
+    val maint = spark.newSession()
+    maint.conf.set("spark.sql.adaptive.enabled", "false")
+    val df = maint.read.schema(saved).parquet(MetaIO.qualified(path))
     val tmp = s"$path.compact-tmp"
     MetaIO.deleteRecursively(tmp)
-    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try
-      saveBucketedPath(df.repartition(want, col(bucketCol)), tmp, bucketCol,
-        nBuckets, extraProps = props.filterNot { case (k, _) => reserved(k) })
-    finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    saveBucketedPath(df.repartition(want, col(bucketCol)), tmp, bucketCol,
+      nBuckets, extraProps = props.filterNot { case (k, _) => reserved(k) })
     catalogLock.synchronized {
       // swap: old tree out of the way, rewrite in, stale registrations
       // dropped (both names — the path's digest table now points at new
