@@ -55,38 +55,39 @@ object Baskets {
       val keptRaw = bs.join(
         itemSupp.filter(col("n_item") >= minSupport).select("item"),
         Seq("item"), "left_semi")
-      // Width guard on the POST-PRUNE basket (the width that actually
-      // drives C(k,2)): a count over the basket-partitioned window,
-      // which hash-partitions on basket_id — the very partitioning the
-      // self-join below consumes, so the guard costs a sort within the
-      // shuffle the join pays for regardless. raise_error names the
-      // offending basket so the fix (truncate upstream) is actionable.
-      val wB = Window.partitionBy("basket_id")
-      val guarded = keptRaw
-        .withColumn("__w", count(lit(1)).over(wB))
-        .withColumn("item",
-          when(col("__w") > maxBasketWidth, raise_error(concat(
-            lit(s"Baskets: basket '"), col("basket_id").cast("string"),
-            lit(s"' has "), col("__w").cast("string"),
-            lit(s" frequent items, over maxBasketWidth=$maxBasketWidth; " +
-              "the pair self-join is quadratic in basket width — " +
-              "truncate giant baskets upstream (e.g. top-w by support) " +
-              "or raise the cap deliberately"))))
-            .otherwise(col("item")))
-        .select("basket_id", "item")
-      // Nested working set: the guarded frame feeds BOTH sides of the
-      // self-join — materializing it runs the prune + width check once
-      // instead of once per side (measured: the unmaterialized form
-      // cost rec01 ~1.26x at sf0.1).
-      TextDedup.withWorkingSet(guarded) { kept =>
-        val pairSupp = kept.select(col("basket_id"), col("item").as("item_a"))
-          .join(kept.select(col("basket_id"), col("item").as("item_b")), "basket_id")
-          .filter(col("item_a") < col("item_b"))
-          .groupBy("item_a", "item_b")
-          .agg(count(lit(1)).as("n_pair"))
-          .filter(col("n_pair") >= minSupport)
-        f(bs, itemSupp, pairSupp)
-      }
+      // Pair generation rides ONE basket-keyed shuffle: collect each
+      // basket's (distinct, pruned) items into a sorted array, then
+      // emit C(k,2) ordered pairs IN-ROW with generators — item_a <
+      // item_b by the sort, exactly the rows the former self-join
+      // produced. vs the r20 shape (width-guard window + basket-keyed
+      // self-join): one Exchange instead of a window sort + join that
+      // re-shuffled the kept set per side, no nested working-set
+      // persist, and the width guard is a size() check on the
+      // assembled array instead of a windowed count (r21 measured:
+      // ar01/rec01/fp01 job count drops ~25 -> ~17). At scale the
+      // quadratic axis is unchanged — C(k,2) pairs per basket, capped
+      // by the same loud maxBasketWidth refusal.
+      val arrs = keptRaw.groupBy("basket_id")
+        .agg(sort_array(collect_list(col("item"))).as("__items"))
+      val guarded = arrs.withColumn("__items",
+        when(size(col("__items")) > maxBasketWidth, raise_error(concat(
+          lit(s"Baskets: basket '"), col("basket_id").cast("string"),
+          lit(s"' has "), size(col("__items")).cast("string"),
+          lit(s" frequent items, over maxBasketWidth=$maxBasketWidth; " +
+            "the pair stage is quadratic in basket width — " +
+            "truncate giant baskets upstream (e.g. top-w by support) " +
+            "or raise the cap deliberately"))))
+          .otherwise(col("__items")))
+      val pairSupp = guarded
+        .select(col("__items"), posexplode(col("__items")).as(Seq("__i", "item_a")))
+        // slice is 1-based: partners strictly after position __i (0-based)
+        // keep item_a < item_b without a filter.
+        .select(col("item_a"),
+          explode(expr("slice(__items, __i + 2, size(__items) - __i - 1)")).as("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).as("n_pair"))
+        .filter(col("n_pair") >= minSupport)
+      f(bs, itemSupp, pairSupp)
     }
   }
 
@@ -120,15 +121,25 @@ object Baskets {
                        maxBasketWidth: Int = DefaultMaxBasketWidth): DataFrame =
     withPrunedPairs(baskets, minSupport, maxBasketWidth) { (bs, itemSupp, pairSupp) =>
       val nBaskets = bs.select("basket_id").distinct().count() // 1 scalar
+      // Join the item supports BEFORE mirroring, then emit both rule
+      // directions with ONE generator: the r20 unionAll-of-two-selects
+      // shape evaluated the whole pairSupp subtree (the quadratic pair
+      // stage) once per branch — explode over the joined row reuses a
+      // single evaluation and halves the item-support joins (2, not 4).
       val rules = pairSupp
-        .select(col("item_a").as("antecedent"), col("item_b").as("consequent"),
-          col("n_pair"))
-        .unionAll(pairSupp.select(col("item_b"), col("item_a"), col("n_pair")))
+        .join(itemSupp.select(col("item").as("item_a"), col("n_item").as("na")),
+          Seq("item_a"))
+        .join(itemSupp.select(col("item").as("item_b"), col("n_item").as("nb")),
+          Seq("item_b"))
+        .select(col("n_pair"), explode(array(
+          struct(col("item_a").as("antecedent"), col("item_b").as("consequent"),
+            col("na").as("n_ant"), col("nb").as("n_cons")),
+          struct(col("item_b").as("antecedent"), col("item_a").as("consequent"),
+            col("nb").as("n_ant"), col("na").as("n_cons")))).as("__r"))
+        .select(col("__r.antecedent").as("antecedent"),
+          col("__r.consequent").as("consequent"), col("n_pair"),
+          col("__r.n_ant").as("n_ant"), col("__r.n_cons").as("n_cons"))
       rules
-        .join(itemSupp.select(col("item").as("antecedent"),
-          col("n_item").as("n_ant")), Seq("antecedent"))
-        .join(itemSupp.select(col("item").as("consequent"),
-          col("n_item").as("n_cons")), Seq("consequent"))
         .select(col("antecedent"), col("consequent"), col("n_pair"),
           col("n_ant"), col("n_cons"),
           graft.functions.roundFp(
@@ -159,17 +170,24 @@ object Baskets {
                     maxBasketWidth: Int = DefaultMaxBasketWidth): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     withPrunedPairs(baskets, minSupport, maxBasketWidth) { (_, itemSupp, pairSupp) =>
-      val directed = pairSupp
-        .select(col("item_a").as("item"), col("item_b").as("neighbor"), col("n_pair"))
-        .unionAll(pairSupp.select(col("item_b"), col("item_a"), col("n_pair")))
-      val scored = directed
-        .join(itemSupp.select(col("item"), col("n_item").as("n_a")), Seq("item"))
-        .join(itemSupp.select(col("item").as("neighbor"), col("n_item").as("n_b")),
-          Seq("neighbor"))
-        .select(col("item"), col("neighbor"), col("n_pair"),
+      // Same single-evaluation mirroring as [[associationRules]]: join
+      // supports once, explode both directions (sim is symmetric, so
+      // it is computed BEFORE the mirror — one division per pair, not
+      // two, and the quadratic pair stage is evaluated once).
+      val scored = pairSupp
+        .join(itemSupp.select(col("item").as("item_a"), col("n_item").as("n_a")),
+          Seq("item_a"))
+        .join(itemSupp.select(col("item").as("item_b"), col("n_item").as("n_b")),
+          Seq("item_b"))
+        .select(col("n_pair"),
           graft.functions.roundFp(
             col("n_pair").cast("double") / sqrt((col("n_a") * col("n_b")).cast("double")),
-            6).as("sim"))
+            6).as("sim"),
+          explode(array(
+            struct(col("item_a").as("item"), col("item_b").as("neighbor")),
+            struct(col("item_b").as("item"), col("item_a").as("neighbor")))).as("__d"))
+        .select(col("__d.item").as("item"), col("__d.neighbor").as("neighbor"),
+          col("n_pair"), col("sim"))
       val w = Window.partitionBy("item").orderBy(col("sim").desc, col("neighbor"))
       scored.withColumn("rk", row_number().over(w).cast("long"))
         .filter(col("rk") <= k)

@@ -50,28 +50,42 @@ object PageRank {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .transform(TextDedup.roundCheckpoint)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // Fold the (static) out-degree into the edge table ONCE, as the
+    // ready-made contribution denominator: the r20 loop re-joined
+    // `outdeg` to the edges every round — a per-iteration join (and its
+    // exchanges) for a value that never changes (guide §2.4: remove
+    // shuffles outright). One extra long per edge row buys
+    // one-join-per-round iterations.
+    val e2 = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .select(col("src"), col("dst"),
+        (lit(dampDen) * col("outdeg")).as("den"))
       .transform(TextDedup.roundCheckpoint)
     val base = Unit6 * (dampDen - dampNum) / dampDen
-    var ranks = nodes.withColumn("rank_u", lit(Unit6))
+    // Iterate on the SPARSE inflow table instead of the full rank
+    // vector: rank_k(v) = base + inflow_k(v) with inflow absent ≡ 0
+    // (exact integer identity), so the per-round `nodes LEFT JOIN
+    // inflow` materialization of r20 is deferred to the single final
+    // projection. Per round: ONE src-keyed left join + one dst-keyed
+    // aggregation — half the r20 round's joins.
+    var inflow: Option[DataFrame] = None
     for (_ <- 1 to iterations) {
-      val inflow = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("node"),
-          expr(s"(rank_u * $dampNum) DIV ($dampDen * outdeg)").as("c"))
-        .groupBy("node")
-        .agg(sum("c").as("inflow"))
-      // Per-round materialization truncates the lineage (the dd08
-      // discipline): without it the plan doubles per iteration and the
-      // optimizer re-plans the whole history each round.
-      ranks = nodes
-        .join(inflow, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank_u"))
-        .transform(TextDedup.roundCheckpoint)
+      val contribs = inflow match {
+        case None => // round 1: every rank is exactly Unit6
+          e2.select(col("dst").as("node"),
+            expr(s"($Unit6 * $dampNum) DIV den").as("c"))
+        case Some(inf) =>
+          e2.join(inf.withColumnRenamed("node", "src"), Seq("src"), "left")
+            .withColumn("rank_u", lit(base) + coalesce(col("inflow"), lit(0L)))
+            .select(col("dst").as("node"),
+              expr(s"(rank_u * $dampNum) DIV den").as("c"))
+      }
+      inflow = Some(contribs.groupBy("node").agg(sum("c").as("inflow"))
+        .transform(TextDedup.roundCheckpoint))
     }
-    ranks
+    nodes
+      .join(inflow.get, Seq("node"), "left")
+      .select(col("node"),
+        (lit(base) + coalesce(col("inflow"), lit(0L))).as("rank_u"))
   }
 
   /** WEIGHTED, PERSONALIZED PageRank (random walk with restart) — the
@@ -131,7 +145,12 @@ object PageRank {
       .union(e.select(col("dst").as("node")))
       .union(rs.select(col("node"))).distinct()
       .transform(TextDedup.roundCheckpoint)
-    val wdeg = e.groupBy("src").agg(sum("w").as("wdeg"))
+    // Weighted-degree folded into the edge table once, as the ready
+    // denominator — the same remove-the-static-join move as
+    // [[pagerankMicro]] (guide §2.4).
+    val e2 = e.join(e.groupBy("src").agg(sum("w").as("wdeg")), "src")
+      .select(col("src"), col("dst"), col("w"),
+        (lit(dampDen) * col("wdeg")).as("den"))
       .transform(TextDedup.roundCheckpoint)
     // 1-row (|S|, ΣP) broadcast — the Quality/TimeSeries totals pattern
     val tot = rs.agg(count(lit(1)).as("ns"), sum("p").as("pp"))
@@ -140,27 +159,30 @@ object PageRank {
       .select(col("node"),
         expr(s"(ns * $Unit6 * $dampDiff * p) DIV ($dampDen * pp)").as("base_u"))
       .transform(TextDedup.roundCheckpoint)
-    var ranks = nodes
-      .join(rs.crossJoin(broadcast(tot)), Seq("node"), "left")
-      .select(col("node"),
-        coalesce(expr(s"(ns * $Unit6 * p) DIV pp"), lit(0L)).as("rank_u"))
+    // The rank state stays SPARSE: a node absent from `rankS` has rank
+    // exactly 0 and 0 contributes exactly 0 through the integer
+    // division, so the full-node-set left joins of the r20 loop (nodes
+    // ⋈ base ⋈ inflow every round) collapse to one sparse full-outer
+    // join per round plus a single final projection over `nodes`.
+    var rankS = rs.crossJoin(broadcast(tot))
+      .select(col("node"), expr(s"(ns * $Unit6 * p) DIV pp").as("rank_u"))
       .transform(TextDedup.roundCheckpoint)
     for (_ <- 1 to iterations) {
-      val inflow = e
-        .join(ranks.withColumnRenamed("node", "src"), "src")
-        .join(wdeg, "src")
+      val inflow = e2
+        .join(rankS.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
-          expr(s"(rank_u * $dampNum * w) DIV ($dampDen * wdeg)").as("c"))
+          expr(s"(rank_u * $dampNum * w) DIV den").as("c"))
         .groupBy("node")
         .agg(sum("c").as("inflow"))
-      ranks = nodes
-        .join(baseDf, Seq("node"), "left")
-        .join(inflow, Seq("node"), "left")
+      rankS = baseDf
+        .join(inflow, Seq("node"), "full")
         .select(col("node"),
           (coalesce(col("base_u"), lit(0L)) +
             coalesce(col("inflow"), lit(0L))).as("rank_u"))
         .transform(TextDedup.roundCheckpoint)
     }
-    ranks
+    nodes
+      .join(rankS, Seq("node"), "left")
+      .select(col("node"), coalesce(col("rank_u"), lit(0L)).as("rank_u"))
   }
 }

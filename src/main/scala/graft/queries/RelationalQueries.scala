@@ -225,8 +225,18 @@ object RelationalQueries {
       "q12_approx_distinct",
       Some("SELECT COUNT(DISTINCT user_id) AS n_exact, CAST(1 AS BOOLEAN) AS within_5pct FROM events"),
       (s, d) => t(s, d).events
+        // Dedup FIRST, then count + sketch the distinct set: a
+        // countDistinct mixed with a non-distinct agg plans as
+        // Expand x2 over every event row; the pre-distinct form is two
+        // plain aggregates over the (much smaller) distinct set, with
+        // map-side partial dedup before the exchange (guide §2.3).
+        // The HLL sketch is duplicate-insensitive, so approx over the
+        // distinct set is the IDENTICAL estimator.
+        .select("user_id").distinct()
         .agg(
-          countDistinct("user_id").as("n_exact"),
+          // count(col), not count(*): countDistinct ignored NULLs, and
+          // distinct() would keep a NULL row if one ever appeared.
+          count(col("user_id")).as("n_exact"),
           // rsd 1% — the default 5% rsd means ~1-sigma error AT the 5%
           // acceptance band; 1% keeps the sketch well inside it
           approx_count_distinct(col("user_id"), 0.01).as("approx"))
