@@ -127,19 +127,24 @@ object Profile {
       df.groupBy(col(groupCol), col(valueCol).as("__v"))
         .agg(count(lit(1)).as("__c"))) { hist =>
       val med = histMedian(hist, groupCol, "__v")
-      val adHist = hist.join(broadcast(med), Seq(groupCol))
-        .groupBy(col(groupCol), col("med"), col("__n"),
-          abs(col("__v") - col("med")).as("__ad"))
-        .agg(sum("__c").as("__c"))
-      val mad = histMedian(
-        adHist.select(col(groupCol), col("__ad").as("__v"), col("__c")),
-        groupCol, "__v")
-        .select(col(groupCol), col("med").as("mad"))
-      adHist.join(broadcast(mad), Seq(groupCol))
-        .groupBy(col(groupCol), col("med"), col("mad"))
-        .agg(sum(when(col("__ad") > lit(k) * col("mad"), col("__c"))
-            .otherwise(lit(0L))).as("n_outliers"),
-          first(col("__n")).as("n"))
+      // The deviation histogram feeds BOTH the MAD median and the final
+      // outlier count — a nested working set evaluates the (histogram-
+      // sized) join + aggregate once instead of once per consumer.
+      TextDedup.withWorkingSet(
+        hist.join(broadcast(med), Seq(groupCol))
+          .groupBy(col(groupCol), col("med"), col("__n"),
+            abs(col("__v") - col("med")).as("__ad"))
+          .agg(sum("__c").as("__c"))) { adHist =>
+        val mad = histMedian(
+          adHist.select(col(groupCol), col("__ad").as("__v"), col("__c")),
+          groupCol, "__v")
+          .select(col(groupCol), col("med").as("mad"))
+        adHist.join(broadcast(mad), Seq(groupCol))
+          .groupBy(col(groupCol), col("med"), col("mad"))
+          .agg(sum(when(col("__ad") > lit(k) * col("mad"), col("__c"))
+              .otherwise(lit(0L))).as("n_outliers"),
+            first(col("__n")).as("n"))
+      }
     }
   }
 }

@@ -50,7 +50,12 @@ object ShortestPath {
         .join(visited.select("node"), Seq("node"), "left_anti")
         .withColumn("hop", lit(h.toLong))
         .transform(TextDedup.roundCheckpoint)
-      visited = visited.unionAll(frontier).transform(TextDedup.roundCheckpoint)
+      // visited stays a LAZY union of the per-round checkpointed
+      // frontiers: every leaf is already materialized and the union
+      // plan is flat (maxHops leaves), so re-checkpointing the union
+      // — an O(|visited|) rewrite EVERY round, r20's shape — bought
+      // nothing (guide §1.2: don't compute things you throw away).
+      visited = visited.unionAll(frontier)
     }
     visited
   }
@@ -97,12 +102,15 @@ object ShortestPath {
         .transform(TextDedup.roundCheckpoint)
       // Next frontier = nodes whose label improved this round (new
       // nodes, or a strictly smaller distance) — only they can improve
-      // a neighbor next round.
+      // a neighbor next round. NOT checkpointed (r21): it is consumed
+      // exactly once (next round's relaxation join) and both of its
+      // inputs are already-materialized round leaves, so the old
+      // per-round materialization rewrote O(|V|) rows to save a single
+      // lazy join evaluation.
       frontier = merged.join(
           dist.select(col("node"), col("dist").as("__old")), Seq("node"), "left")
         .filter(col("__old").isNull || col("dist") < col("__old"))
         .select("node", "dist")
-        .transform(TextDedup.roundCheckpoint)
       dist = merged
     }
     dist

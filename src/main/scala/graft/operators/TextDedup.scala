@@ -493,8 +493,15 @@ object TextDedup {
     */
   def cappedJaccardPairs(docs: DataFrame, maxDocFraction: Double = 0.01,
                          threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    // The RAW shingle set gets its own working set: [[dropStopShingles]]
+    // reads it three times (the nDocs count, the document-frequency
+    // aggregate, the join back) and each read is the full explode +
+    // distinct over every document — the dominant cost of the entry.
+    // Persisting it first runs that explode once (r21: dd09 shingle
+    // stage 3x -> 1x).
+    withWorkingSet(shingleSet(docs, n = shingleN)) { raw =>
     withWorkingSet(
-      dropStopShingles(shingleSet(docs, n = shingleN), maxDocFraction)) { sh =>
+      dropStopShingles(raw, maxDocFraction)) { sh =>
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.select(col("doc_id").as("doc_a"), col("s"))
         .join(sh.select(col("doc_id").as("doc_b"), col("s")), Seq("s"))
@@ -509,6 +516,7 @@ object TextDedup {
         .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
           round4(col("jac")).as("jaccard"))
         .orderBy("doc_a", "doc_b")
+    }
     }
   }
 

@@ -39,43 +39,52 @@ object Triangles {
       .filter(col("a") =!= col("b"))
       .distinct()
     TextDedup.withWorkingSet(und) { e =>
-      val deg = e.select(col("a").as("n"))
-        .unionAll(e.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      // orient lower-(deg, id) → higher; carry the head's (deg, id) so
-      // the wedge stage can order out-neighbors without another join
-      val da = deg.select(col("n").as("a"), col("deg").as("da"))
-      val db = deg.select(col("n").as("b"), col("deg").as("db"))
-      val aFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val oriented = e.join(da, "a").join(db, "b")
-        .select(
-          when(aFirst, col("a")).otherwise(col("b")).as("u"),
-          when(aFirst, col("b")).otherwise(col("a")).as("v"),
-          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      TextDedup.withWorkingSet(oriented) { o =>
-        val wedges = o.select(col("u"), col("v"), col("dv"))
-          .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
-          .filter(col("dv") < col("dw") ||
-            (col("dv") === col("dw") && col("v") < col("w")))
-          .select(col("v"), col("w"))
-        val triangles = wedges.join(
-          o.select(col("u").as("v"), col("v").as("w")),
-          Seq("v", "w"), "left_semi")
-        // 1-row stats frames, combined by broadcast cross joins
-        val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
-        val nEdges = e.agg(count(lit(1)).as("n_edges"))
-        val nWedges = deg.agg(
-          coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L)).as("n_wedges"))
-        val nTris = triangles.agg(count(lit(1)).as("n_triangles"))
-        nNodes.crossJoin(broadcast(nEdges))
-          .crossJoin(broadcast(nWedges))
-          .crossJoin(broadcast(nTris))
-          .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
-            col("n_triangles"),
-            roundFp(when(col("n_wedges") > 0,
-              (col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double")),
-              6).as("gcc"))
+      // The degree table feeds BOTH orientation joins and the node/wedge
+      // stats — its own working set evaluates the union+aggregate once
+      // instead of once per consumer (r21; was 3-4 passes over e).
+      TextDedup.withWorkingSet(
+        e.select(col("a").as("n"))
+          .unionAll(e.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))) { deg =>
+        // orient lower-(deg, id) → higher; carry the head's (deg, id) so
+        // the wedge stage can order out-neighbors without another join
+        val da = deg.select(col("n").as("a"), col("deg").as("da"))
+        val db = deg.select(col("n").as("b"), col("deg").as("db"))
+        val aFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val oriented = e.join(da, "a").join(db, "b")
+          .select(
+            when(aFirst, col("a")).otherwise(col("b")).as("u"),
+            when(aFirst, col("b")).otherwise(col("a")).as("v"),
+            when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        TextDedup.withWorkingSet(oriented) { o =>
+          // Wedge generation stays a self-join: the in-row array form
+          // (the Baskets r21 move) was MEASURED 3-4x SLOWER here —
+          // slice-per-position over O(√m)-wide hub neighbor arrays
+          // copies O(outdeg²) elements per tail, where basket arrays
+          // are a few items wide. Kept shape, documented measurement.
+          val wedges = o.select(col("u"), col("v"), col("dv"))
+            .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
+            .filter(col("dv") < col("dw") ||
+              (col("dv") === col("dw") && col("v") < col("w")))
+            .select(col("v"), col("w"))
+          val triangles = wedges.join(
+            o.select(col("u").as("v"), col("v").as("w")),
+            Seq("v", "w"), "left_semi")
+          // 1-row stats frames, combined by broadcast cross joins; the
+          // node and wedge counts ride ONE aggregate over deg.
+          val nodeWedge = deg.agg(count(lit(1)).as("n_nodes"),
+            coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L)).as("n_wedges"))
+          val nEdges = e.agg(count(lit(1)).as("n_edges"))
+          val nTris = triangles.agg(count(lit(1)).as("n_triangles"))
+          nodeWedge.crossJoin(broadcast(nEdges))
+            .crossJoin(broadcast(nTris))
+            .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+              col("n_triangles"),
+              roundFp(when(col("n_wedges") > 0,
+                (col("n_triangles") * 3).cast("double") / col("n_wedges").cast("double")),
+                6).as("gcc"))
+        }
       }
     }
   }
@@ -101,39 +110,47 @@ object Triangles {
       .filter(col("a") =!= col("b"))
       .distinct()
     TextDedup.withWorkingSet(und) { e =>
-      val deg = e.select(col("a").as("n"))
-        .unionAll(e.select(col("b").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      val da = deg.select(col("n").as("a"), col("deg").as("da"))
-      val db = deg.select(col("n").as("b"), col("deg").as("db"))
-      val aFirst = col("da") < col("db") ||
-        (col("da") === col("db") && col("a") < col("b"))
-      val oriented = e.join(da, "a").join(db, "b")
-        .select(
-          when(aFirst, col("a")).otherwise(col("b")).as("u"),
-          when(aFirst, col("b")).otherwise(col("a")).as("v"),
-          when(aFirst, col("db")).otherwise(col("da")).as("dv"))
-      TextDedup.withWorkingSet(oriented) { o =>
-        val wedges = o.select(col("u"), col("v"), col("dv"))
-          .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
-          .filter(col("dv") < col("dw") ||
-            (col("dv") === col("dw") && col("v") < col("w")))
-          .select(col("u"), col("v"), col("w"))
-        // oriented edges are already distinct (und is distinct, the
-        // orientation is a bijection) — a plain inner join attributes
-        // each wedge-closure exactly once
-        val triangles = wedges.join(
-          o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
-        val perNode = triangles
-          .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
-          .groupBy("n").agg(count(lit(1)).as("n_tri"))
-        deg.filter(col("deg") >= 2)
-          .join(perNode, Seq("n"), "left")
-          .select(col("n").as("node"), col("deg"),
-            coalesce(col("n_tri"), lit(0L)).as("n_tri"))
-          .withColumn("lcc", roundFp(
-            (col("n_tri") * 2).cast("double") /
-              (col("deg") * (col("deg") - 1)).cast("double"), 6))
+      // Nested deg working set + in-row wedge generation: the same two
+      // r21 moves as [[triangleStats]] (deg feeds the orientation joins
+      // AND the final deg>=2 projection; the sorted out-neighbor array
+      // replaces the o ⋈ o self-join at identical wedge multiset).
+      TextDedup.withWorkingSet(
+        e.select(col("a").as("n"))
+          .unionAll(e.select(col("b").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("deg"))) { deg =>
+        val da = deg.select(col("n").as("a"), col("deg").as("da"))
+        val db = deg.select(col("n").as("b"), col("deg").as("db"))
+        val aFirst = col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b"))
+        val oriented = e.join(da, "a").join(db, "b")
+          .select(
+            when(aFirst, col("a")).otherwise(col("b")).as("u"),
+            when(aFirst, col("b")).otherwise(col("a")).as("v"),
+            when(aFirst, col("db")).otherwise(col("da")).as("dv"))
+        TextDedup.withWorkingSet(oriented) { o =>
+          // Self-join wedges, as in [[triangleStats]] (the in-row array
+          // form measured 3-4x slower on hub-width neighbor arrays).
+          val wedges = o.select(col("u"), col("v"), col("dv"))
+            .join(o.select(col("u"), col("v").as("w"), col("dv").as("dw")), "u")
+            .filter(col("dv") < col("dw") ||
+              (col("dv") === col("dw") && col("v") < col("w")))
+            .select(col("u"), col("v"), col("w"))
+          // oriented edges are already distinct (und is distinct, the
+          // orientation is a bijection) — a plain inner join attributes
+          // each wedge-closure exactly once
+          val triangles = wedges.join(
+            o.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+          val perNode = triangles
+            .select(explode(array(col("u"), col("v"), col("w"))).as("n"))
+            .groupBy("n").agg(count(lit(1)).as("n_tri"))
+          deg.filter(col("deg") >= 2)
+            .join(perNode, Seq("n"), "left")
+            .select(col("n").as("node"), col("deg"),
+              coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+            .withColumn("lcc", roundFp(
+              (col("n_tri") * 2).cast("double") /
+                (col("deg") * (col("deg") - 1)).cast("double"), 6))
+        }
       }
     }
   }

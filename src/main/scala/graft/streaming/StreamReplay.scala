@@ -36,7 +36,7 @@ import org.apache.spark.sql.functions._
   * ==Child-session lifetime==
   * Replays share ONE cached `spark.newSession()` child per parent
   * session (same SparkContext, isolated conf/catalog) holding the
-  * 8-partition shuffle override — Spark has no per-session close, so
+  * bounded-replay shuffle override — Spark has no per-session close, so
   * a per-call child would accrue catalog/listener registrations until
   * the SparkContext stops (it did, harness-bounded, through r15; the
   * cache removed that accrual plus the per-call SessionState clone).
@@ -49,6 +49,11 @@ import org.apache.spark.sql.functions._
 object StreamReplay {
 
   private val runSeq = new AtomicInteger(0)
+
+  /** Caller-side override for the replay child's shuffle/state
+    * partition count (default 4 — see the measured ladder at the set
+    * site). Set on the PARENT session before the first replay. */
+  val ReplayPartitionsConf = "spark.graft.replay.shufflePartitions"
 
   /** One replay child session per parent session + state-store conf
     * snapshot (r15 verdict: the per-call `newSession()` accrual was the
@@ -63,7 +68,7 @@ object StreamReplay {
   private val sessionCache =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, (Map[String, String], SparkSession)]()
 
-  /** The per-replay child session, in ONE place: 8-partition shuffle
+  /** The per-replay child session, in ONE place: the bounded-replay shuffle
     * override (see the partition-count comment at the first call site)
     * plus propagation of the caller's state-store configuration.
     * `newSession()` does NOT inherit the parent's RUNTIME conf (only
@@ -87,12 +92,24 @@ object StreamReplay {
     // context can never run a replay again).
     sessionCache.keySet.removeIf(s => s.sparkContext.isStopped)
     val ssConf = spark.conf.getAll
-      .filter { case (k, _) => k.startsWith("spark.sql.streaming.stateStore.") }
+      .filter { case (k, _) => k.startsWith("spark.sql.streaming.stateStore.") ||
+        k == ReplayPartitionsConf }
     sessionCache.compute(spark, (_, cached) =>
       if (cached != null && cached._1 == ssConf) cached
       else {
         val replay = spark.newSession()
-        replay.conf.set("spark.sql.shuffle.partitions", "8")
+        // Bounded-replay shuffle partitions: each micro-batch pays one
+        // state-store round trip (delta-file create + rename per store)
+        // PER partition, and the replay protocol's chunks are small by
+        // construction — fixed per-partition cost dominates. r18
+        // measured 32 -> 8 as a 4x overhead cut; r21 re-measured the
+        // ladder at sf0.1 (floors, st02/st03/st01/st04): 8 -> 4 gives
+        // another -21/-23/-2/-11 %, 4 -> 2 is flat-to-worse. Overridable
+        // for replays of bigger fixtures; the production form is the
+        // same operator over readStream on the caller's session, where
+        // the session's own partitioning applies.
+        replay.conf.set("spark.sql.shuffle.partitions",
+          spark.conf.getOption(ReplayPartitionsConf).getOrElse("4"))
         // NO-DATA micro-batches off (r17 verdict #4, measured): every
         // processAllAvailable otherwise runs a data batch PLUS a
         // no-data watermark batch, and each batch costs ~1 s of fixed
@@ -171,9 +188,10 @@ object StreamReplay {
 
     // Each micro-batch pays one state-store round trip PER shuffle
     // partition; for a bounded replay that fixed cost dominates (the
-    // data per batch is small), so the stateful stages run at 8
-    // partitions instead of the session's 32 — a 4× cut in pure
-    // overhead. The override lives in a CHILD session
+    // data per batch is small), so the stateful stages run at the
+    // [[replaySession]] partition count (default 4; measured ladder at
+    // the set site) instead of the session's 32. The override lives in
+    // a CHILD session
     // (`spark.newSession()`: same SparkContext, isolated conf/catalog),
     // so queries planned concurrently on the caller's session never see
     // it (VERDICT r7 #5 / ADVICE r7). The partitioning of the RESULT is
