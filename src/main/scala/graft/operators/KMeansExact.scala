@@ -81,7 +81,7 @@ object KMeansExact {
         .select(col("cluster"), col("dim"), col("x").as("c"))
         .localCheckpoint(true)
       var assign: DataFrame = null
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         usedCentroids = centroids
         val dists = v.join(broadcast(centroids), "dim")
           .groupBy(col("id"), col("cluster"))
@@ -92,16 +92,22 @@ object KMeansExact {
           .select(col("id"), col("m.cluster").as("cluster"),
             col("m.dist_u").as("dist_u"))
           .localCheckpoint(true)
-        // exact integer mean per surviving cluster; empty clusters keep
-        // their previous centroid (left join + coalesce)
-        val updated = v.join(assign.select("id", "cluster"), "id")
-          .groupBy("cluster", "dim")
-          .agg(expr("sum(x) DIV count(1)").as("c_new"))
-        centroids = centroids
-          .join(updated, Seq("cluster", "dim"), "left")
-          .select(col("cluster"), col("dim"),
-            coalesce(col("c_new"), col("c")).as("c"))
-          .localCheckpoint(true)
+        // The fit returns (last assignment, centroids USED for it): the
+        // final round's centroid update was computed — and eagerly
+        // checkpointed — only to be discarded. Skip it (r21; one full
+        // join + aggregate + checkpoint saved per fit).
+        if (i < iterations) {
+          // exact integer mean per surviving cluster; empty clusters
+          // keep their previous centroid (left join + coalesce)
+          val updated = v.join(assign.select("id", "cluster"), "id")
+            .groupBy("cluster", "dim")
+            .agg(expr("sum(x) DIV count(1)").as("c_new"))
+          centroids = centroids
+            .join(updated, Seq("cluster", "dim"), "left")
+            .select(col("cluster"), col("dim"),
+              coalesce(col("c_new"), col("c")).as("c"))
+            .localCheckpoint(true)
+        }
       }
       assign.select(col("id"), col("cluster").cast("int").as("cluster"),
         col("dist_u"))

@@ -84,7 +84,7 @@ object ProductQuantizer {
         .transform(TextDedup.roundCheckpoint)
       var codes: DataFrame = null
       var used: DataFrame = null
-      for (_ <- 1 to iterations) {
+      for (i <- 1 to iterations) {
         used = centroids
         val dists = vw.join(broadcast(centroids), Seq("sub", "j"))
           .groupBy(col("id"), col("sub"), col("cluster"))
@@ -94,14 +94,20 @@ object ProductQuantizer {
           .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
           .select(col("id"), col("sub"), col("m.cluster").as("cluster"))
           .transform(TextDedup.roundCheckpoint)
-        val updated = vw.join(codes, Seq("id", "sub"))
-          .groupBy("sub", "cluster", "j")
-          .agg(expr("sum(x) DIV count(1)").as("c_new"))
-        centroids = centroids
-          .join(updated, Seq("sub", "cluster", "j"), "left")
-          .select(col("sub"), col("cluster"), col("j"),
-            coalesce(col("c_new"), col("c")).as("c"))
-          .transform(TextDedup.roundCheckpoint)
+        // The returned pair is (last assignment, centroids USED for it):
+        // the final round's centroid update would be computed — and
+        // eagerly materialized — only to be thrown away. Skip it (r21;
+        // one full join + aggregate + checkpoint saved per fit).
+        if (i < iterations) {
+          val updated = vw.join(codes, Seq("id", "sub"))
+            .groupBy("sub", "cluster", "j")
+            .agg(expr("sum(x) DIV count(1)").as("c_new"))
+          centroids = centroids
+            .join(updated, Seq("sub", "cluster", "j"), "left")
+            .select(col("sub"), col("cluster"), col("j"),
+              coalesce(col("c_new"), col("c")).as("c"))
+            .transform(TextDedup.roundCheckpoint)
+        }
       }
       (codes, used)
     } finally if (eagerHere) vw.unpersist()
