@@ -30,14 +30,21 @@ object PlanDump {
     var jobs = false
     val names = scala.collection.mutable.ListBuffer.empty[String]
     var i = 0
+    def operand(flag: String): String = {
+      if (i + 1 >= args.length)
+        sys.error(s"PlanDump: $flag needs a value " +
+          "(usage: [--sf DIR] [--formatted] [--save DIR] [--suffix S] " +
+          "[--time N] [--cpus N] [--lazy] [--jobs] <query names...>)")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--sf" => sf = args(i + 1); i += 2
+        case "--sf" => sf = operand("--sf"); i += 2
         case "--formatted" => formatted = true; i += 1
-        case "--save" => saveDir = Some(args(i + 1)); i += 2
-        case "--suffix" => suffix = args(i + 1); i += 2
-        case "--time" => timeN = args(i + 1).toInt; i += 2
-        case "--cpus" => cpus = args(i + 1); i += 2
+        case "--save" => saveDir = Some(operand("--save")); i += 2
+        case "--suffix" => suffix = operand("--suffix"); i += 2
+        case "--time" => timeN = operand("--time").toInt; i += 2
+        case "--cpus" => cpus = operand("--cpus"); i += 2
         case "--lazy" => lazyMode = true; i += 1
         case "--jobs" => jobs = true; i += 1
         case n => names += n; i += 1
@@ -54,7 +61,9 @@ object PlanDump {
     // Same warm-up as Bench: JVM/codegen/file-index outside measurements.
     SparkEntry.queries("q01_scan")(spark, sf).collect()
     for (name <- names) {
-      val q = SparkEntry.allQueries.find(_.name == name).get
+      val q = SparkEntry.allQueries.find(_.name == name).getOrElse(
+        sys.error(s"PlanDump: unknown query '$name' — names are the " +
+          "SparkEntry.queries keys (e.g. q01_scan, dd09_capped_jaccard)"))
       println(s"===== $name =====")
       val df = q.run(spark, sf)
       val plan =

@@ -16,17 +16,17 @@ import org.apache.spark.sql.functions._
   *     BEFORE any pairing — the Apriori monotonicity lever (a pair's
   *     support cannot exceed either item's), which is what keeps the
   *     within-basket self-join sized by frequent items only;
-  *  3. the pairing is a basket-keyed self-join (C(k,2) pairs per
-  *     basket of k frequent items — quadratic in basket WIDTH, the
-  *     skew axis: one pathological giant basket of 10^6 frequent
-  *     items would emit ~5*10^11 pair rows from a single join key.
-  *     That axis is ENFORCED, not just documented: every entry point
-  *     takes `maxBasketWidth` and raise_errors per offending basket
-  *     (the qgramJoin loud-precondition discipline,
-  *     FuzzyJoin.qgramJoin) — the check is a count over a
-  *     basket-partitioned window, so it rides the exact same
-  *     hashpartitioning(basket_id) exchange the self-join needs
-  *     anyway (no extra scan, no extra shuffle);
+  *  3. pairing rides ONE basket-keyed aggregate: each basket's pruned
+  *     items are collected into a sorted array and the C(k,2) ordered
+  *     pairs are emitted IN-ROW (posexplode + strict-suffix slice) —
+  *     quadratic in basket WIDTH, the skew axis: one pathological
+  *     giant basket of 10^6 frequent items would emit ~5*10^11 pair
+  *     rows. That axis is ENFORCED, not just documented: every entry
+  *     point takes `maxBasketWidth` and raise_errors per offending
+  *     basket (the qgramJoin loud-precondition discipline,
+  *     FuzzyJoin.qgramJoin) — the check is a size() guard on the
+  *     assembled array, riding the same hashpartitioning(basket_id)
+  *     exchange the collect needs anyway (no extra scan or shuffle);
   *  4. one (item_a, item_b) hash aggregate + the support filter.
   *
   * Everything is exact integer counting; nothing collects.

@@ -71,8 +71,11 @@ object PageRank {
     for (_ <- 1 to iterations) {
       val contribs = inflow match {
         case None => // round 1: every rank is exactly Unit6
+          // The product is computed in Scala as a Long BEFORE the SQL is
+          // built: interpolating both factors as int literals would
+          // overflow 32-bit for dampNum > 2147 (r21 advisory).
           e2.select(col("dst").as("node"),
-            expr(s"($Unit6 * $dampNum) DIV den").as("c"))
+            expr(s"${Unit6 * dampNum}L DIV den").as("c"))
         case Some(inf) =>
           e2.join(inf.withColumnRenamed("node", "src"), Seq("src"), "left")
             .withColumn("rank_u", lit(base) + coalesce(col("inflow"), lit(0L)))

@@ -110,10 +110,10 @@ object Triangles {
       .filter(col("a") =!= col("b"))
       .distinct()
     TextDedup.withWorkingSet(und) { e =>
-      // Nested deg working set + in-row wedge generation: the same two
-      // r21 moves as [[triangleStats]] (deg feeds the orientation joins
-      // AND the final deg>=2 projection; the sorted out-neighbor array
-      // replaces the o ⋈ o self-join at identical wedge multiset).
+      // Nested deg working set, as in [[triangleStats]] (deg feeds the
+      // orientation joins AND the final deg>=2 projection). Wedges keep
+      // the o ⋈ o self-join: the in-row sorted-neighbor-array form was
+      // MEASURED 3-4x slower on hub-wide arrays (r21) — do not re-try.
       TextDedup.withWorkingSet(
         e.select(col("a").as("n"))
           .unionAll(e.select(col("b").as("n")))
