@@ -25,13 +25,14 @@ import org.apache.spark.sql.functions._
   * upstream). A cluster that loses all members keeps its previous
   * centroid (documented Lloyd convention).
   *
-  * Scale shape, per iteration: the quantized long-form (id, dim, x)
-  * frame — materialized ONCE for all iterations — joins the k·d
-  * centroid rows (broadcast: tiny) and reduces through one
-  * (id, cluster) hash aggregate + one id-keyed argmin + one
-  * (cluster, dim) centroid aggregate. Cost is the unavoidable N·d·k
-  * products of brute-force Lloyd; no driver participation, no
-  * collect. Overflow bounds: |x| ≤ unitScale, so per-dim squares stay
+  * Scale shape, per iteration: the quantized ARRAY frame (id, xs[d])
+  * — built in-row, materialized ONCE for all iterations — crosses the
+  * 1-row broadcast of all k centroid arrays; the assignment is a pure
+  * projection (argmin in-row over the k arrays), and the only
+  * exchange is the (cluster, dim) centroid-update aggregate, which is
+  * partial-aggregated map-side to ≤ k·d rows per task. Cost is the
+  * unavoidable N·d·k products of brute-force Lloyd; no driver
+  * participation, no collect. Overflow bounds: |x| ≤ unitScale, so per-dim squares stay
   * under 4·unitScale² and row sums under d·4·unitScale² (d=64 at
   * unitScale=10^6 → 2.6·10^14, safe); centroid sums need
   * unitScale·N_cluster < 2^63.
@@ -60,12 +61,15 @@ object KMeansExact {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     require(unitScale >= 1, s"unitScale must be >= 1, got $unitScale")
     var usedCentroids: DataFrame = null
-    // Quantized long form (id, dim, x): feeds every iteration's
-    // assignment AND the final distance projection — materialize once.
+    // Quantized ARRAY form (id, xs[d]), built IN-ROW from the vector
+    // column — no posexplode, no shuffle (r22; the long form shuffled
+    // N·d rows through a ×k broadcast-join blowup and TWO hash
+    // aggregates per iteration). Feeds every iteration's assignment
+    // AND the update explode — materialize once.
     val assigned = TextDedup.withWorkingSet(
-      vectors.select(col("id"), posexplode(col("vec")).as(Seq("dim", "__v")))
-        .select(col("id"), col("dim"),
-          floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
+      vectors.select(col("id"), expr(
+        s"transform(vec, __v -> CAST(FLOOR(CAST(__v AS DOUBLE) * $unitScale + 0.5) AS BIGINT))")
+        .as("xs"))
     ) { v =>
       // init: the k smallest ids, re-labeled 0..k-1 in id order. The
       // single-partition window runs on the k-row LIMIT result only —
@@ -76,30 +80,63 @@ object KMeansExact {
             .cast("int"))
       require(smallK.count() == k,
         s"k-means needs at least k=$k vectors")
+      // centroids stay LONG-FORM (cluster, dim, c) between rounds — the
+      // returned model artifact; the loop derives the k-row broadcast
+      // array form from it per round (two aggregates over k·d rows).
       var centroids = v
         .join(broadcast(smallK), "id")
-        .select(col("cluster"), col("dim"), col("x").as("c"))
+        .select(col("cluster"), posexplode(col("xs")).as(Seq("dim", "c")))
         .localCheckpoint(true)
       var assign: DataFrame = null
       for (i <- 1 to iterations) {
         usedCentroids = centroids
-        val dists = v.join(broadcast(centroids), "dim")
-          .groupBy(col("id"), col("cluster"))
-          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("dist_u"))
-        assign = dists
-          .groupBy("id")
-          .agg(min(struct(col("dist_u"), col("cluster"))).as("m"))
-          .select(col("id"), col("m.cluster").as("cluster"),
+        // 1-row (cents: array<struct<cluster, cs[d]>>) broadcast; the
+        // assignment is then a pure projection over the persisted
+        // array frame: per row, Σ(x−c)² per centroid via zip_with +
+        // aggregate, argmin via array_min over (dist, cluster) structs
+        // — EXACTLY min(struct(dist_u, cluster))'s lexicographic
+        // tie-break (lowest dist, then lowest cluster id). No row
+        // blowup, no per-iteration exchange (guide §2.4).
+        val cents0 = centroids.groupBy("cluster")
+          .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("__dc"))
+          .select(struct(col("cluster"),
+            expr("transform(__dc, p -> p.c)").as("cs")).as("cen"))
+          .agg(collect_list(col("cen")).as("cents"))
+        // The global collect_list is a k-row model reduce with an
+        // Exchange SinglePartition. In eager mode it executes inside
+        // this round's materialization and never leaks (no extra job).
+        // In LAZY mode the returned lineage would carry it into every
+        // downstream plan — and the sd01/sd02 plan gate rightly forbids
+        // single-partition stages there (corpus-sized ones are
+        // stuck-reducer bugs; this one is k rows) — so it is pinned
+        // eagerly HERE, the same conf-independent discipline as the
+        // per-round centroid checkpoints above.
+        val cents = if (TextDedup.eagerMode(centroids.sparkSession)) cents0
+                    else cents0.localCheckpoint(true)
+        assign = v.crossJoin(broadcast(cents))
+          .select(col("id"), col("xs"), expr(
+            """array_min(transform(cents, cen -> named_struct(
+              |  'dist_u', aggregate(zip_with(xs, cen.cs, (x, c) -> (x - c) * (x - c)),
+              |                      0L, (a, b) -> a + b),
+              |  'cluster', cen.cluster)))""".stripMargin).as("m"))
+          .select(col("id"), col("xs"), col("m.cluster").as("cluster"),
             col("m.dist_u").as("dist_u"))
-          .localCheckpoint(true)
         // The fit returns (last assignment, centroids USED for it): the
         // final round's centroid update was computed — and eagerly
         // checkpointed — only to be discarded. Skip it (r21; one full
-        // join + aggregate + checkpoint saved per fit).
+        // join + aggregate + checkpoint saved per fit). The assignment
+        // itself stays LAZY: it is a map-only projection consumed once
+        // (by the update below, or by the working set's final
+        // materialization), so the per-round localCheckpoint of the r21
+        // shape bought nothing.
         if (i < iterations) {
           // exact integer mean per surviving cluster; empty clusters
-          // keep their previous centroid (left join + coalesce)
-          val updated = v.join(assign.select("id", "cluster"), "id")
+          // keep their previous centroid (left join + coalesce). The
+          // assignment carries xs, so the update needs NO join back to
+          // the vector frame (the r21 shape paid an (id)-keyed join of
+          // two corpus-sized frames per round).
+          val updated = assign
+            .select(col("cluster"), posexplode(col("xs")).as(Seq("dim", "x")))
             .groupBy("cluster", "dim")
             .agg(expr("sum(x) DIV count(1)").as("c_new"))
           centroids = centroids

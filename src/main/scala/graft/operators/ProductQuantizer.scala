@@ -24,12 +24,14 @@ import org.apache.spark.sql.functions._
   * top-k are bit-identical across engines and partitionings — a full
   * hash oracle, not a recall band.
   *
-  * Scale shape: training joins the long-form (id, sub, j, x) frame —
-  * materialized ONCE — against m·k·(d/m) broadcast centroid rows per
-  * iteration; codes are one (id, sub)-keyed argmin. ADC search joins
-  * the N·m code table against the m·k broadcast lookup table and
-  * reduces per id: one shuffle on id, then TakeOrderedAndProject.
-  * Nothing collects.
+  * Scale shape: training runs over the per-(id, sub) ARRAY frame
+  * (id, sub, xs[d/m]) — built in-row, materialized ONCE; per
+  * iteration the assignment is a map-only argmin against the m-row
+  * broadcast of all k centroid arrays, and the only exchange is the
+  * (sub, cluster, j) centroid-update aggregate (partial-aggregated to
+  * ≤ m·k·(d/m) rows per task). ADC search joins the N·m code table
+  * against the m·k broadcast lookup table and reduces per id: one
+  * shuffle on id, then TakeOrderedAndProject. Nothing collects.
   */
 object ProductQuantizer {
 
@@ -48,64 +50,90 @@ object ProductQuantizer {
     // id pinned to long AT THE SOURCE: the persisted index's query path
     // reads codes with the fixed `id long` schema (CodesSchema), so an
     // int-id input must be widened at write time, not fail at read time
-    // (r17 advisory)
-    val v = emb
+    // (r17 advisory). The m quantized SUBVECTOR ARRAYS are built
+    // in-row (slice + transform — r22): no per-component posexplode,
+    // so the Lloyd core's working set materializes with zero shuffle.
+    val varr = emb
       .select(col("vec_id").cast("long").as("id"),
-        posexplode(col("embedding")).as(Seq("dim", "__v")))
-      .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
-        (col("dim") % subDim).cast("int").as("j"),
-        floor(col("__v").cast("double") * unitScale + 0.5).cast("long").as("x"))
-    fitCodesFromLong(v, emb.select(col("vec_id").cast("long").as("id")), k, iterations)
+        posexplode(expr(
+          s"transform(sequence(0, ${m - 1}), __s -> transform(" +
+            s"slice(embedding, __s * $subDim + 1, $subDim), " +
+            s"__v -> CAST(FLOOR(CAST(__v AS DOUBLE) * $unitScale + 0.5) AS BIGINT)))"))
+          .as(Seq("sub", "xs")))
+    fitCodesFromArrays(varr, emb.select(col("vec_id").cast("long").as("id")),
+      k, iterations)
   }
 
-  /** The Lloyd core over an ALREADY-INTEGER long form (id, sub, j, x) —
-    * shared by [[fitCodes]] (micro-quantized raw vectors) and the
-    * IVF-PQ residual path ([[ivfPqTopK]]: residuals are differences of
-    * micro-units, already exact integers). `ids` supplies the id
-    * universe for the smallest-k init. */
-  private[operators] def fitCodesFromLong(v: DataFrame, ids: DataFrame,
-                                          k: Int, iterations: Int): (DataFrame, DataFrame) = {
+  /** The Lloyd core over the per-(id, sub) ARRAY form (id, sub, xs) —
+    * r22 shape: the long form joined k broadcast centroid rows per
+    * component (×k row blowup) and reduced through TWO hash-aggregate
+    * exchanges per iteration, plus an (id, sub)-keyed join of two
+    * corpus-sized frames for the update. Here the assignment is a pure
+    * projection (per row: Σ(x−c)² per centroid via zip_with +
+    * aggregate, argmin via array_min over (dist, cluster) structs —
+    * exactly min(struct(__dist, cluster))'s tie-break), and the update
+    * explodes the code-carrying rows directly. Per iteration: zero
+    * corpus exchanges for the assignment, one small partial-aggregated
+    * exchange for the update (guide §2.4). */
+  private def fitCodesFromArrays(varr: DataFrame, ids: DataFrame,
+                                 k: Int, iterations: Int): (DataFrame, DataFrame) = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     // the working-set persist discipline by hand: this returns a
     // (codes, centroids) PAIR, which withWorkingSet's DataFrame
     // signature cannot carry — both results are round-checkpointed
     // before the unpersist, so the lifetime contract is identical
-    val eagerHere = TextDedup.eagerMode(v.sparkSession)
+    val eagerHere = TextDedup.eagerMode(varr.sparkSession)
     val vw = if (eagerHere)
-      v.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else v
+      varr.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK) else varr
     try {
       val smallK = ids.orderBy("id").limit(k)
         .withColumn("cluster",
           (row_number().over(Window.orderBy("id")) - 1).cast("int"))
       require(smallK.count() == k, s"product quantizer needs at least k=$k vectors")
+      // centroids stay LONG-FORM (sub, cluster, j, c) between rounds —
+      // the returned model artifact; the loop derives the m-row
+      // broadcast array form (sub, cents[k]) from it per round.
       var centroids = vw.join(broadcast(smallK), "id")
-        .select(col("sub"), col("cluster"), col("j"), col("x").as("c"))
+        .select(col("sub"), col("cluster"), posexplode(col("xs")).as(Seq("j", "c")))
         .transform(TextDedup.roundCheckpoint)
       var codes: DataFrame = null
       var used: DataFrame = null
       for (i <- 1 to iterations) {
         used = centroids
-        val dists = vw.join(broadcast(centroids), Seq("sub", "j"))
-          .groupBy(col("id"), col("sub"), col("cluster"))
-          .agg(sum((col("x") - col("c")) * (col("x") - col("c"))).as("__dist"))
-        codes = dists
-          .groupBy("id", "sub")
-          .agg(min(struct(col("__dist"), col("cluster"))).as("m"))
-          .select(col("id"), col("sub"), col("m.cluster").as("cluster"))
-          .transform(TextDedup.roundCheckpoint)
+        val cents = centroids.groupBy("sub", "cluster")
+          .agg(array_sort(collect_list(struct(col("j"), col("c")))).as("__jc"))
+          .select(col("sub"), struct(col("cluster"),
+            expr("transform(__jc, p -> p.c)").as("cs")).as("cen"))
+          .groupBy("sub")
+          .agg(collect_list(col("cen")).as("cents"))
+        // assignment: map-only over the persisted array frame. Lazy —
+        // consumed exactly once per round (the update below, or the
+        // final checkpoint), so the per-round materialization of the
+        // r21 shape bought nothing.
+        val assign = vw.join(broadcast(cents), "sub")
+          .select(col("id"), col("sub"), col("xs"), expr(
+            """array_min(transform(cents, cen -> named_struct(
+              |  '__dist', aggregate(zip_with(xs, cen.cs, (x, c) -> (x - c) * (x - c)),
+              |                      0L, (a, b) -> a + b),
+              |  'cluster', cen.cluster)))""".stripMargin).as("m"))
+          .select(col("id"), col("sub"), col("xs"), col("m.cluster").as("cluster"))
         // The returned pair is (last assignment, centroids USED for it):
         // the final round's centroid update would be computed — and
         // eagerly materialized — only to be thrown away. Skip it (r21;
         // one full join + aggregate + checkpoint saved per fit).
         if (i < iterations) {
-          val updated = vw.join(codes, Seq("id", "sub"))
+          val updated = assign
+            .select(col("sub"), col("cluster"), posexplode(col("xs")).as(Seq("j", "x")))
             .groupBy("sub", "cluster", "j")
             .agg(expr("sum(x) DIV count(1)").as("c_new"))
           centroids = centroids
             .join(updated, Seq("sub", "cluster", "j"), "left")
             .select(col("sub"), col("cluster"), col("j"),
               coalesce(col("c_new"), col("c")).as("c"))
+            .transform(TextDedup.roundCheckpoint)
+        } else {
+          codes = assign.select(col("id"), col("sub"), col("cluster"))
             .transform(TextDedup.roundCheckpoint)
         }
       }
@@ -459,16 +487,27 @@ object ProductQuantizer {
     val (coarseAssign, coarseCentroids) = KMeansExact.fitMicro(
       emb.select(col("vec_id").cast("long").as("id"), col("embedding").as("vec")),
       d = d, k = kCoarse, iterations = coarseIterations, unitScale = unitScale)
-    val v = quantizedLongForm(emb, unitScale)
-    // residuals against the ASSIGNED coarse centroid, already integer
-    val rv = v
+    // residuals against the ASSIGNED coarse centroid, already integer —
+    // built IN-ROW as the m subvector arrays (quantized full array,
+    // zip_with against the kCoarse-row broadcast centroid arrays, slice
+    // per sub): the r21 shape joined the N·d long form against per-dim
+    // centroid rows and the r22 pivot re-shuffled it into arrays; here
+    // the only residual-path exchange is the N-row (id)-keyed
+    // assignment join (guide §2.3: shuffle arrays, not components).
+    val centArr = coarseCentroids.groupBy("cluster")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("__dc"))
+      .select(col("cluster").as("__cc"), expr("transform(__dc, p -> p.c)").as("cs"))
+    val rvArr = emb
+      .select(col("vec_id").cast("long").as("id"), expr(
+        s"transform(embedding, __v -> CAST(FLOOR(CAST(__v AS DOUBLE) * $unitScale + 0.5) AS BIGINT))")
+        .as("xs"))
       .join(coarseAssign.select(col("id"), col("cluster").as("__cc")), "id")
-      .join(broadcast(coarseCentroids.select(col("cluster").as("__cc"),
-        col("dim"), col("c"))), Seq("__cc", "dim"))
-      .select(col("id"), (col("dim") / subDim).cast("int").as("sub"),
-        (col("dim") % subDim).cast("int").as("j"),
-        (col("x") - col("c")).as("x"))
-    val (codes, residCentroids) = fitCodesFromLong(rv,
+      .join(broadcast(centArr), "__cc")
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}), __s -> slice(" +
+          s"zip_with(xs, cs, (x, c) -> x - c), __s * $subDim + 1, $subDim))"))
+        .as(Seq("sub", "xs")))
+    val (codes, residCentroids) = fitCodesFromArrays(rvArr,
       emb.select(col("vec_id").cast("long").as("id")), kPq, pqIterations)
     (coarseAssign, coarseCentroids, codes, residCentroids)
   }
