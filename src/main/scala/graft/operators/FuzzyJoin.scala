@@ -68,7 +68,7 @@ object FuzzyJoin {
             "quadratic in block width — exact-dedup cloned strings " +
             "upstream (q25/dd01) or raise the cap deliberately"))))
           .otherwise(col("__id")))
-      .select(col("__id"), col("__s"), col("gram"), col("occ"))
+      .drop("__blk")
   }
 
   /** EXACT fuzzy self-join via count-filtered q-gram prefix blocking —
@@ -136,7 +136,14 @@ object FuzzyJoin {
         .otherwise(col(strCol)).as("__s"))
     TextDedup.withWorkingSet(strs) { s =>
       // (id, gram, occ): multiset tokens — occ numbers repeats so two
-      // strings share min(count_a, count_b) join rows per gram
+      // strings share min(count_a, count_b) join rows per gram. The
+      // string payload rides the token stream DELIBERATELY: the
+      // shuffle-the-proxy form (ids only through the blocking pipeline,
+      // strings re-attached at candidate size — guide §8) was MEASURED
+      // in r22 and LOST at sf0.1 (fz02 2.5 -> 3.1 s, fz04 2.7 -> 3.2 s):
+      // these keys are short strings, and two extra candidate-sized
+      // joins cost more than the narrower exchanges save. Re-try only
+      // with long-payload keys.
       val toks = s
         .select(col("__id"), col("__s"),
           explode(sequence(lit(1), length(col("__s")) - (q - 1))).as("__i"))
@@ -169,9 +176,12 @@ object FuzzyJoin {
             .distinct()
           cand
             .filter(abs(length(col("s_a")) - length(col("s_b"))) <= maxDistance)
-            .filter(levenshtein(col("s_a"), col("s_b")) <= maxDistance)
-            .select(col("id_a"), col("id_b"),
-              levenshtein(col("s_a"), col("s_b")).as("dist"))
+            // computed ONCE (withColumn + filter on the column): the
+            // filter(expr)/select(expr) pair evaluated levenshtein twice
+            // per surviving candidate.
+            .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+            .filter(col("dist") <= maxDistance)
+            .select(col("id_a"), col("id_b"), col("dist"))
         }
       }
     }
@@ -258,6 +268,8 @@ object FuzzyJoin {
         col("__len") * col("__l2min") * overlap /
           (col("__len") + col("__l2min")) - lit(1e-9)).cast("long"))
     TextDedup.withWorkingSet(strs) { s =>
+      // String payload rides the token stream deliberately — the
+      // proxy-shuffle form was measured and lost here; see qgramJoin.
       val toks = s
         .select(col("__id"), col("__s"), col("__len"), col("__k"),
           explode(sequence(lit(1), col("__len"))).as("__i"))
@@ -284,15 +296,17 @@ object FuzzyJoin {
             .filter(col("id_a") < col("id_b"))
             .select("id_a", "id_b", "s_a", "s_b")
             .distinct()
-          val jw = graft.functions.jaro_winkler(col("s_a"), col("s_b"))
           cand
             // admissible-length window first (cheap; 1e-9 slack keeps it
-            // conservative), then the exact verify decides
+            // conservative), then the exact verify decides — jw computed
+            // ONCE per candidate (the filter(expr)/select(expr) pair
+            // evaluated it twice per surviving pair)
             .filter(greatest(length(col("s_a")), length(col("s_b"))) * ratio <=
               least(length(col("s_a")), length(col("s_b"))) + lit(1e-9))
-            .filter(jw >= threshold)
+            .withColumn("__jw", graft.functions.jaro_winkler(col("s_a"), col("s_b")))
+            .filter(col("__jw") >= threshold)
             .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
-              graft.functions.roundFp(jw, 6).as("jw"))
+              graft.functions.roundFp(col("__jw"), 6).as("jw"))
         }
       }
     }
@@ -337,8 +351,10 @@ object FuzzyJoin {
                          window: Int = 3, maxDistance: Int = 2): DataFrame = {
     require(maxDistance >= 0, s"maxDistance must be >= 0, got $maxDistance")
     neighborhoodCandidates(df, idCol, strCol, window)
-      .filter(levenshtein(col("s_a"), col("s_b")) <= maxDistance)
-      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"),
-        levenshtein(col("s_a"), col("s_b")).as("dist"))
+      // computed ONCE (withColumn + filter): the filter/select pair
+      // evaluated levenshtein twice per surviving candidate
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")))
+      .filter(col("dist") <= maxDistance)
+      .select(col("id_a"), col("id_b"), col("s_a"), col("s_b"), col("dist"))
   }
 }
